@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's element-wise / join / aggregate operator inventory
+  * (SURVEY §2.2-§2.5) as a library of DataFrame combinators. Everything is
+  * built from `org.apache.spark.sql.functions` Column expressions — fully
+  * codegen'd, no UDFs — so Catalyst keeps predicate pushdown, column pruning
+  * and whole-stage codegen intact at any scale.
+  */
+object RelOps {
+
+  /** P2: positional→named projection (`dict(zip(names, values))`,
+    * reference `csv_to_bq.py:17-19`). */
+  def nameBind(df: DataFrame, names: Seq[String]): DataFrame =
+    df.toDF(names: _*)
+
+  /** P4: timestamp parse + duration seconds (reference `pipeline.py:11-20`,
+    * format `%Y-%m-%dT%H:%M:%S`). Emits `(key, duration)`.
+    */
+  val TsFormat = "yyyy-MM-dd'T'HH:mm:ss"
+  def visitDuration(df: DataFrame, keyCol: String, startCol: String, endCol: String): DataFrame =
+    df.select(
+      col(keyCol),
+      (unix_timestamp(to_timestamp(col(endCol), TsFormat)) -
+        unix_timestamp(to_timestamp(col(startCol), TsFormat)))
+        .cast("double")
+        .as("duration"))
+
+  /** P5: row → CSV line (`",".join(map(str, element))`, `pipeline.py:63`). */
+  def toCsvLine(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(concat_ws(",", cols.map(c => col(c).cast("string")).toIndexedSeq: _*).as("line"))
+
+  /** P8: case-insensitive equality filter (`Flask_app/main.py:25-29`). */
+  def ciEquals(df: DataFrame, c: String, value: String): DataFrame =
+    df.where(lower(col(c)) === lit(value.toLowerCase))
+
+  /** P9: point lookup with defaults on miss (`Fast_API/main.py:25-36`).
+    * Expressed as a left join of the query keys against the dimension, with
+    * per-column defaults via coalesce — stays distributed (no collect), and
+    * a small `keys` side broadcasts automatically.
+    */
+  def pointLookup(keys: DataFrame, dim: DataFrame, keyCol: String, defaults: Map[String, Column]): DataFrame = {
+    val joined = keys.join(dim, Seq(keyCol), "left")
+    val out = dim.columns.filter(_ != keyCol).map { c =>
+      defaults.get(c).map(d => coalesce(col(c), d).as(c)).getOrElse(col(c))
+    }
+    joined.select(col(keyCol) +: out.toIndexedSeq: _*)
+  }
+
+  /** J1: broadcast hash lookup join (the reference's `AsDict` side-input
+    * join, `pipeline.py:54-61`). Inner join — the reference KeyErrors on a
+    * miss, and on its inputs every key is present (SURVEY §2.9(g)).
+    */
+  def broadcastLookup(facts: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
+    facts.join(broadcast(dim), on, "inner")
+
+  /** J2: left enrichment join against a dimension
+    * (`csv_to_bq_NYC.py:72-93`'s per-key HTTP fetch, collapsed to a join). */
+  def enrich(facts: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
+    facts.join(broadcast(dim), on, "left")
+
+  /** A1: count per key (`CombinePerKey(CountCombineFn)`, `csv_to_bq_NYC.py:134`). */
+  def countPerKey(df: DataFrame, keys: Seq[String], as: String = "count"): DataFrame =
+    df.groupBy(keys.map(col).toIndexedSeq: _*).agg(count(lit(1)).as(as))
+
+  /** A2: mean per key (`CombinePerKey(MeanCombineFn)`, `pipeline.py:62`). */
+  def meanPerKey(df: DataFrame, keys: Seq[String], valueCol: String, as: String = "mean"): DataFrame =
+    df.groupBy(keys.map(col).toIndexedSeq: _*).agg(avg(col(valueCol)).as(as))
+
+  /** A4: within-group distinct collect (`UniqueList`,
+    * `data_transpose_working_2.py:90-93`), deterministic via sort_array. */
+  def distinctPerKey(df: DataFrame, keys: Seq[String], valueCol: String, as: String = "values"): DataFrame =
+    df.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(sort_array(collect_set(col(valueCol))).as(as))
+
+  /** U1: union by name (`beam.Flatten()`, `data_transpose_working_1.py:186-191`). */
+  def union(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_))
+}

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Table catalog + sources/sinks (SURVEY §2.1, §2.7).
+  *
+  * The reference addresses tables with BigQuery `project:dataset.table`
+  * strings (reference `csv_to_bq.py:8`, `csv_to_bq_NYC.py:36-38`) and reads
+  * CSV either line-split (`csv_to_bq.py:14-20` — S1) or via a GCS blob
+  * reader with header inference (`read_csv_no_pandas.py:7-28` — S4).
+  *
+  * Here the catalog maps a table name to a parquet directory under a root
+  * path (the driver testdata layout `dir/<name>.parquet`); the
+  * `project:dataset.table` convention is kept as a pure naming layer. On a
+  * real deployment the same resolution would target a warehouse connector —
+  * nothing else in the engine changes, because every operator takes/returns
+  * DataFrames.
+  *
+  * Scale notes:
+  *   - parquet + explicit column selection downstream lets Catalyst push
+  *     filter + projection into the scan (PushedFilters/ReadSchema).
+  *   - sinks are plain `df.write` with append/overwrite — at cluster scale
+  *     these parallelize per-partition; nothing is collected to the driver.
+  */
+object Catalog {
+
+  /** `proj:ds.table` or `ds.table` or bare `table` → table name. */
+  def tableName(ref: String): String = {
+    val afterColon = ref.lastIndexOf(':') match {
+      case -1 => ref
+      case i  => ref.substring(i + 1)
+    }
+    afterColon.lastIndexOf('.') match {
+      case -1 => afterColon
+      case i  => afterColon.substring(i + 1)
+    }
+  }
+
+  /** Resolve a table reference against a data root (testdata layout). */
+  def path(root: String, ref: String): String =
+    s"${root.stripSuffix("/")}/${tableName(ref)}.parquet"
+
+  /** S2: table scan. */
+  def table(spark: SparkSession, root: String, ref: String): DataFrame =
+    spark.read.parquet(path(root, ref))
+
+  /** S1: header CSV scan with a declared schema (no inference job). */
+  def csv(spark: SparkSession, p: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(p)
+
+  /** S4: header CSV scan, schema inferred from the header only — every
+    * column STRING, mirroring `read_csv_no_pandas.py:18-24` where values
+    * stay Python strings end-to-end (SURVEY §1.2).
+    */
+  def csvAllStrings(spark: SparkSession, p: String): DataFrame =
+    spark.read.option("header", "true").csv(p)
+
+  /** The `events` table ships with parquet TIMESTAMP(NANOS), which Spark
+    * has no native type for (sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` to read it as Long).
+    * Normalize to microsecond TimestampType here so downstream operators see
+    * a real timestamp column.
+    */
+  def events(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = spark.read.parquet(path(root, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
+  /** K2: append sink. */
+  def writeAppend(df: DataFrame, root: String, ref: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(root, ref))
+
+  /** K3: truncate (overwrite) sink. */
+  def writeTruncate(df: DataFrame, root: String, ref: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(root, ref))
+
+  /** K1: CSV sink with header. */
+  def writeCsv(df: DataFrame, p: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(p)
+
+  /** K5: multi-sink fan-out — one source feeds several sinks without
+    * re-scanning (reference `csv_to_bq_NYC.py:128-150` reads BigQuery once
+    * and feeds two sinks). `cache()` mirrors Beam's single-read semantics;
+    * at cluster scale prefer this over two scans only when the source scan
+    * dominates (a cached 100 TB scan would spill — callers pass
+    * `cache = false` to re-scan instead, which is the right default there).
+    */
+  def fanOut(src: DataFrame, cache: Boolean)(sinks: (DataFrame => Unit)*): Unit = {
+    val s = if (cache) src.cache() else src
+    try sinks.foreach(_(s))
+    finally if (cache) { s.unpersist(); () }
+  }
+}

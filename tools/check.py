@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify output
+against the DuckDB oracle on the same parquet tables, compare per query.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+
+def norm(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(round(v, 6) if isinstance(v, float) else v for v in r))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got_rel = con.execute(
+                f"SELECT * FROM '{qdir}/*.parquet'")
+            got_cols = [d[0] for d in got_rel.description]
+            got = got_rel.fetchall()
+            exp_rel = con.execute(sql)
+            exp_cols = [d[0] for d in exp_rel.description]
+            exp = exp_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        # driver sorts columns by name before hashing
+        gidx = [got_cols.index(c) for c in sorted(got_cols)]
+        eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        g = norm([[r[i] for i in gidx] for r in got])
+        e = norm([[r[i] for i in eidx] for r in exp])
+        if g == e:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
+            for i, (a, b) in enumerate(zip(g, e)):
+                if a != b:
+                    print(f"  first diff at {i}:\n    got {a}\n    exp {b}")
+                    break
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
