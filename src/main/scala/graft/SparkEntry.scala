@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{RelOps, Transpose}
+import graft.functions.TextStats
+import graft.operators.{Dedup, Multimodal, RelOps, Similarity, Transpose}
 import graft.pipelines.Pipelines
 import graft.sources.Catalog
+import graft.streaming.EventsStream
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` where
   * SQL-expressible) per implemented operator from SURVEY.md §2 and per
@@ -206,6 +208,107 @@ object SparkEntry {
         .agg(round(avg(col("duration")), 2).as("time_duration"))
         .orderBy(col("n_name"))
     }),
+
+    // ---- LLM-data-pipeline extension operators (SURVEY §7.5) ----
+
+    // Exact dedup: content-hash groupBy.
+    "x1_dedup_exact" -> ((s, dir) =>
+      Dedup.exactSummary(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id"))),
+
+    // MinHash+LSH near-dup: banded candidates verified with exact 3-gram
+    // Jaccard — the oracle recomputes the full O(n²) truth in DuckDB, so
+    // this checks LSH recall end-to-end against the planted near-dup pairs.
+    "x2_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
+        .orderBy(col("a"), col("b"))),
+
+    // SimHash near-dup pairs (hamming ≤ 3 via 4-band pigeonhole).
+    // No SQL oracle (xxhash64 not expressible in DuckDB) → rows-only check;
+    // determinism + planted-pair recall asserted in DedupSpec.
+    "x3_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+        .orderBy(col("a"), col("b"))),
+
+    // Token counting: whitespace + BPE-ish regex tokens + char count.
+    "x4_text_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.regexTokenCount(col("text")).as("n_regex_tokens"),
+        TextStats.charCount(col("text")).as("n_chars_q"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring (length / word-length / punct / stopword components).
+    "x5_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // Language-ID heuristic (stopword hits per language). Rows-only check;
+    // behavior pinned by TextStatsSpec fixtures.
+    "x6_text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextStats.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))),
+
+    // Fingerprinting: xxhash64 of normalized text. Oracle checks the
+    // dedup-key property (|distinct fingerprints| = |distinct normalized
+    // texts|) rather than the hash values themselves.
+    "x7_text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        countDistinct(TextStats.fingerprint(col("text"))).as("n_fp"),
+        countDistinct(TextStats.normalize(col("text"))).as("n_norm"))),
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    "x8_knn_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceKnn(e, e.where(col("vec_id") < 8), k = 5)
+        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // LSH-bucketed approximate top-k (the scale path). Plane set is
+    // seed-deterministic but not SQL-expressible → rows-only; recall vs
+    // brute force asserted in SimilaritySpec.
+    "x9_knn_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshKnn(e, e.where(col("vec_id") < 8), k = 5, numPlanes = 4)
+        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Embedding-cosine near-dup pairs via LSH buckets. The corpus has no
+    // pairs above 0.9 (max 0.51), so duplicates are injected (vec_id+100000
+    // copies of vec_id<20) — output must be exactly those 20 pairs at 1.0.
+    "x10_cosine_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val injected = e.unionByName(
+        e.where(col("vec_id") < 20)
+          .withColumn("vec_id", col("vec_id") + 100000L))
+      Similarity.cosineNearDupPairs(injected, threshold = 0.9)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Multimodal plumbing: binary assets (payload = doc text bytes) through
+    // the partition-parallel feature-extraction stub. Oracle checks the
+    // metadata/shape contract (kind routing, byte counts, feature width).
+    "x11_multimodal_features" -> ((s, dir) => {
+      val assets = Multimodal.assetsFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(assets, dims = 64).toDF()
+        .select(col("asset_id"), col("kind"), col("n_bytes"),
+          size(col("features")).as("n_features"))
+        .orderBy(col("asset_id"))
+    }),
+
+    // Streaming counterpart (batch run of the same transform; the streaming
+    // execution with watermark is exercised in StreamingSpec).
+    "x12_events_hourly" -> ((s, dir) =>
+      EventsStream.hourlyCounts(Catalog.events(s, dir))
+        .select(col("hour"), col("event_type"), col("n"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -306,5 +409,83 @@ object SparkEntry {
         |SELECT n_name, round(avg(duration), 2) AS time_duration
         |FROM durations JOIN nation USING (n_nationkey)
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "x1_dedup_exact" ->
+      """SELECT sha256(text) AS hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "x2_dedup_minhash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.9 ORDER BY a, b""".stripMargin,
+    "x4_text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+        |    AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_regex_tokens,
+        |  length(text) AS n_chars_q
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x5_text_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tok,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+        |    length(text) AS n_chars,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, round(
+        |    (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END) +
+        |    (CASE WHEN n_tok > 0 AND (n_nonspace::DOUBLE / n_tok) BETWEEN 2.0 AND 12.0
+        |      THEN 0.25 ELSE 0.0 END) +
+        |    (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END) < 0.2
+        |      THEN 0.25 ELSE 0.0 END) +
+        |    (CASE WHEN stop_hits > 0 THEN 0.25 ELSE 0.0 END), 2) AS quality
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "x7_text_fingerprint" ->
+      """SELECT count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_fp,
+        |  count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_norm
+        |FROM documents""".stripMargin,
+    "x8_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT qid, nid, list_cosine_similarity(qv, cv) AS sim
+        |  FROM q, c WHERE nid <> qid),
+        |ranked AS (
+        |  SELECT qid, nid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM scored)
+        |SELECT qid, nid, round(sim, 4) AS sim, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "x10_cosine_neardup" ->
+      """SELECT vec_id AS a, vec_id + 100000 AS b, CAST(1.0 AS DOUBLE) AS sim
+        |FROM embeddings WHERE vec_id < 20 ORDER BY a""".stripMargin,
+    "x11_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS kind,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  CAST(64 AS INTEGER) AS n_features
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "x12_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything is pure `Column` expressions (codegen'd, no UDFs), so at
+  * 100 TB these run inside whole-stage codegen over the parquet scan with
+  * full column pruning — a text-stats pass is one narrow map stage, no
+  * shuffle.
+  */
+object TextStats {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array (the raw
+    * `split("", "\\s+")` would yield `[""]`).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-boundary token count: word runs and individual
+    * punctuation marks count separately (`"don't"` → `don` `'` `t` = 3).
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Character-class counts (letters / digits / punctuation / whitespace),
+    * each as `length(text) - length(text with the class removed)`.
+    */
+  def charCount(text: Column): Column = length(text)
+  def letterCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[A-Za-z]", ""))
+  def digitCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[0-9]", ""))
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))
+  def whitespaceCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "\\s", ""))
+
+  /** Count of tokens that appear in `words` (occurrence count, not set
+    * intersection — repeated stopwords count every time).
+    */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(words)))
+
+  /** Small per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Public common function words.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "por", "para"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"),
+  )
+
+  /** Language-ID heuristic: score = stopword hits per language, normalized
+    * by token count; winner = max score, ties broken by language code
+    * ascending; zero hits anywhere → "und" (undetermined).
+    *
+    * Implemented as an array of (score, lang) structs sorted by a
+    * comparator — still a single codegen'd projection.
+    */
+  def langId(text: Column, stopwords: Map[String, Seq[String]] = Stopwords): Column = {
+    val scored = array(stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(wordHits(text, words).as("score"), lit(lang).as("lang"))
+    }: _*)
+    val best = array_sort(
+      scored,
+      (a, b) =>
+        when(a.getField("score") > b.getField("score"), -1)
+          .when(a.getField("score") < b.getField("score"), 1)
+          .otherwise(
+            when(a.getField("lang") < b.getField("lang"), -1)
+              .when(a.getField("lang") > b.getField("lang"), 1)
+              .otherwise(0))
+    ).getItem(0)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards a sane document length,
+    * mid-range mean word length, low punctuation density, and nonzero
+    * stopword presence. Deterministic and SQL-expressible (mirrored in the
+    * DuckDB oracle).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = Stopwords("en")): Column = {
+    val nTok = tokenCount(text)
+    val meanWordLen = when(nTok > 0,
+      (length(regexp_replace(text, "\\s", "")).cast("double") / nTok)).otherwise(lit(0.0))
+    val punctRatio = when(length(text) > 0,
+      punctCount(text).cast("double") / length(text)).otherwise(lit(0.0))
+    val lengthOk = when(nTok.between(10, 100000), lit(0.25)).otherwise(lit(0.0))
+    val wordLenOk = when(meanWordLen.between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio < 0.2, lit(0.25)).otherwise(lit(0.0))
+    val stopOk = when(wordHits(text, stopwords) > 0, lit(0.25)).otherwise(lit(0.0))
+    round(lengthOk + wordLenOk + punctOk + stopOk, 2)
+  }
+
+  /** Document fingerprint: 64-bit xxHash of the casefolded,
+    * whitespace-collapsed text. Two documents differing only in spacing or
+    * case share a fingerprint (a cheap near-exact dedup key).
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(normalize(text))
+
+  /** Casefold + collapse all whitespace runs to single spaces + trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Convenience: attach the full stats bundle to a document DataFrame. */
+  def withStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_chars_m", charCount(t))
+      .withColumn("punct_ratio",
+        round(when(length(t) > 0, punctCount(t).cast("double") / length(t)).otherwise(0.0), 4))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_guess", langId(t))
+      .withColumn("fp", fingerprint(t))
+  }
+}

@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextStats
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (the point of every choice here):
+  *   - No O(n²): near-dup candidate generation is LSH banding — explode to
+  *     (band, bucket) keys, shuffle groups documents only with their bucket
+  *     peers. 100 TB of documents shuffles ~bands×n small rows, not n².
+  *   - Signatures are pure higher-order-function expressions over the token
+  *     array (xxhash64 + transform/aggregate) — codegen-eligible, no UDF.
+  *   - Skew guard: a degenerate bucket (e.g. the empty document) would
+  *     quadratically blow up one task; buckets above `maxBucketSize` are
+  *     dropped and the drop is observable via `droppedBuckets`.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup summary: one row per distinct content hash with the
+    * canonical (minimum) id and the duplicate count. `sha2(text, 256)` so
+    * collisions are out of the picture at any corpus size.
+    */
+  def exactSummary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep exactly one row (minimum id) per distinct text. One shuffle on
+    * the content hash; survivors join back by id (broadcast-able if the
+    * summary is small, semi-join otherwise — Catalyst/AQE decides).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactSummary(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles as a distinct array (set semantics for Jaccard). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextStats.tokens(TextStats.normalize(text))
+    when(size(toks) < n, when(size(toks) > 0, array(concat_ws(" ", toks))).otherwise(array()))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(1.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+
+  // -------------------------------------------------------- MinHash + LSH
+
+  /** MinHash signature via standard double hashing: each shingle is hashed
+    * twice (xxhash64 with seeds 42/1) and the k component hashes are
+    * `h1 + i*h2` — one aggregate pass, 2 string hashes per shingle instead
+    * of k, with the per-slot work pure arithmetic.
+    *
+    * Higher-order functions are interpreted (no codegen/CSE), so the shape
+    * matters: hash-per-shingle happens in a `transform` whose lambda
+    * variable then feeds the k min-slots — nothing string-sized is
+    * re-evaluated per slot.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    aggregate(
+      // mask to 32 bits so `h1 + i*h2` can't overflow (ANSI mode errors on
+      // long overflow); 32-bit minhash components are plenty for Jaccard
+      transform(shingles, s => struct(
+        xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)).as("h1"),
+        xxhash64(s, lit(1)).bitwiseAND(lit(0xFFFFFFFFL)).bitwiseOR(lit(1L)).as("h2"))),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, sequence(lit(0L), lit(k - 1L)),
+        (m, i) => least(m, h.getField("h1") + i * h.getField("h2"))))
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
+    * positions.
+    */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
+
+  /** (id, band, bucket) rows: the signature split into `bands` bands of
+    * k/bands rows each, each band hashed to a bucket id.
+    *
+    * Staged as separate projections so the signature is computed ONCE per
+    * row and band extraction reads the materialized array attribute. The
+    * bands are unrolled Scala-side (bands is a literal), which makes the
+    * signature a multiply-referenced non-cheap alias — exactly the case
+    * Catalyst's CollapseProject refuses to re-inline, so the staging
+    * survives optimization. (The first version nested the signature
+    * expression inside a per-band lambda: interpreted HOFs get no CSE, so
+    * every band re-ran the whole shingle+hash tree — ~bands× the work.)
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes must be divisible by bands=$bands")
+    val r = numHashes / bands
+    val withSig = ensureParallelism(df)
+      .select(col(idCol), wordShingles(col(textCol), shingleSize).as("__sh"))
+      .select(col(idCol), minhashSignature(col("__sh"), numHashes).as("__sig"))
+    val bandStructs = array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64(concat_ws(",", transform(slice(col("__sig"), j * r + 1, r), x => x.cast("string"))))
+          .as("bucket"))
+    }: _*)
+    withSig.select(col(idCol), explode(bandStructs).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Heavy per-row compute wants every core even when the input is one
+    * small parquet file (one partition): fan out to default parallelism.
+    * At cluster scale inputs already carry enough partitions, so this is a
+    * no-op there — no shuffle of a 100 TB corpus.
+    */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Candidate near-dup pairs (a < b on id) from MinHash-LSH banding.
+    * Distinct across bands. Buckets larger than `maxBucketSize` are dropped
+    * (skew guard — see `droppedBuckets` to observe what was skipped).
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val buckets = lshBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
+    val grouped = buckets.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+    grouped
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
+  /** Buckets skipped by the skew guard — surfaced, never silent. */
+  def droppedBuckets(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame =
+    lshBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
+
+  /** All ordered pairs (a<b) from a sorted id array, as structs. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(sequence(lit(0), size(ids) - 2), i =>
+      transform(slice(ids, i + 2, size(ids)), b =>
+        struct(element_at(ids, i + 1).as("a"), b.as("b")))))
+
+  /** Full MinHash near-dup pipeline: LSH candidates verified with exact
+    * n-gram Jaccard ≥ threshold. Two hash-joins back to the shingle sets;
+    * the candidate side is tiny relative to the corpus.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
+    val sh = df.select(col(idCol), wordShingles(col(textCol), shingleSize).as("sh"))
+    cands
+      .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** Per-bit +1/-1 vote accumulator for SimHash: one aggregate over the
+    * token array with a 64-slot accumulator (bit shifts are compile-time
+    * literals, so the bit array is built Scala-side).
+    */
+  def simhashVotes(text: Column): Column = {
+    val toks = TextStats.tokens(TextStats.normalize(text))
+    // hash once per token in the transform; the vote lambda only does bit
+    // arithmetic on its (cheap) lambda variable — referencing xxhash64(t)
+    // from all 64 slots would re-hash the token 64× (interpreted HOFs, no CSE)
+    aggregate(
+      transform(toks, t => xxhash64(t)),
+      array(Seq.fill(64)(lit(0)): _*),
+      (acc, h) => {
+        val bits = array((0 until 64).map(i =>
+          when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)
+        zip_with(acc, bits, (a, b) => a + b)
+      })
+  }
+
+  /** Pack a 64-slot vote array column into the 64-bit SimHash. Callers
+    * materialize the votes as their own column first (`withSimHash`) so the
+    * 64 `element_at` reads hit one local array, not 64 re-evaluations.
+    */
+  def packVotes(votes: Column): Column =
+    (0 until 64).map(i =>
+      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** 64-bit SimHash over whitespace tokens: bit i set iff the sum of
+    * +1/-1 votes (from each token's xxhash64 bit i) is positive. Two
+    * chained projections in the same codegen stage.
+    */
+  def withSimHash(df: DataFrame, textCol: String, as: String = "simhash"): DataFrame =
+    df.withColumn("__votes", simhashVotes(col(textCol)))
+      .withColumn(as, packVotes(col("__votes")))
+      .drop("__votes")
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist, found by
+    * banding the 64-bit hash into `bands` chunks (pigeonhole: distance ≤ d
+    * guarantees an identical chunk when bands > d) and verifying exactly.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    require(bands > maxDist, "need bands > maxDist for the pigeonhole guarantee")
+    val width = 64 / bands
+    val withH = withSimHash(ensureParallelism(df.select(col(idCol), col(textCol))), textCol, "h")
+      .select(col(idCol), col("h"))
+    val chunks = array((0 until bands).map(j =>
+      struct(lit(j).as("band"),
+        shiftright(col("h"), j * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)
+    val banded = withH.select(col(idCol), col("h"), explode(chunks).as("bb"))
+      .select(col(idCol), col("h"), col("bb.band"), col("bb.chunk"))
+    val grouped = banded.groupBy(col("band"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("h").as("h")))).as("xs"))
+      .where(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
+    grouped
+      .select(explode(pairStructs(col("xs"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        hamming(col("p.ha"), col("p.hb")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
+  private def pairStructs(xs: Column): Column =
+    flatten(transform(sequence(lit(0), size(xs) - 2), i =>
+      transform(slice(xs, i + 2, size(xs)), y =>
+        struct(
+          element_at(xs, i + 1).getField("id").as("a"),
+          y.getField("id").as("b"),
+          element_at(xs, i + 1).getField("h").as("ha"),
+          y.getField("h").as("hb")))))
+}

@@ -129,6 +129,7 @@ object Transpose {
       valueCols: Seq[String]): DataFrame = {
     val values = discoverPivotValues(df, pivotCol)
     val out = withValues(df, keyCols, pivotCol, valueCols, values)
-    SchemaModel.enforceSchema(out, outputSchema(df.schema, keyCols, valueCols, values))
+    SchemaModel.enforceSchema(out, outputSchema(df.schema, keyCols, valueCols, values),
+      strictNullability = true) // sink boundary: REQUIRED key modes are part of K4 fidelity
   }
 }

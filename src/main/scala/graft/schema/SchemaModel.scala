@@ -78,20 +78,24 @@ object SchemaModel {
       FieldSpec(f.name, typeName(f.dataType), if (f.nullable) "NULLABLE" else "REQUIRED"))
 
   /** Enforce a declared schema on a DataFrame: project to the declared column
-    * order, cast to declared types, and re-assert nullability.
+    * order and cast to declared types.
     *
     * This is the Spark home of the reference's sink-side string→type coercion
     * (`csv_to_bq.py:45-48`: values flow as strings, the BigQuery load job
-    * coerces) and of the dynamic-schema sink K4: pivot/union widen
-    * nullability silently, so REQUIRED modes must be re-asserted here.
+    * coerces) and of the dynamic-schema sink K4.
     *
     * Cast-only projection: stays inside whole-stage codegen, no shuffle.
+    *
+    * `strictNullability` additionally stamps the declared REQUIRED modes onto
+    * the plan metadata (pivot/union silently widen nullability). That path
+    * rebuilds the DataFrame over the underlying RDD — a
+    * serialization boundary that kills codegen fusion across it — so it is
+    * opt-in metadata fidelity for sink boundaries, never for mid-pipeline
+    * hot paths.
     */
-  def enforceSchema(df: DataFrame, schema: StructType): DataFrame = {
+  def enforceSchema(df: DataFrame, schema: StructType, strictNullability: Boolean = false): DataFrame = {
     val projected = df.select(schema.fields.map(f => castTo(col(f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
-    // select+cast fixes order and types; createDataFrame re-asserts nullability
-    // (cheap: no data movement, only plan metadata).
-    if (projected.schema == schema) projected
+    if (!strictNullability || projected.schema == schema) projected
     else df.sparkSession.createDataFrame(projected.rdd, schema)
   }
 

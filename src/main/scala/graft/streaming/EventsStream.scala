@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table: the streaming counterpart of
+  * the reference's bounded aggregations (SURVEY §7.5 — an extension; the
+  * reference itself has no streaming).
+  *
+  * Patterns covered:
+  *   - watermarked tumbling-window counts (`readStream` → window agg →
+  *     `writeStream`) — late data beyond the watermark is dropped, state
+  *     store stays bounded, so the query runs forever at any rate;
+  *   - event-time sessionization with an inactivity gap via
+  *     `session_window` — Spark's native session operator merges adjacent
+  *     windows in the state store and closes a session when the watermark
+  *     passes its gap, which is exactly the semantics a hand-rolled
+  *     `flatMapGroupsWithState` would re-implement. (We deliberately do NOT
+  *     use `flatMapGroupsWithState` here: in Spark 4.1.2 planning
+  *     `FlatMapGroupsWithStateExec` from the microbatch thread NPEs in
+  *     `PythonSQLMetrics` init when no active session is set on that thread
+  *     — and the built-in operator is both correct and faster, since its
+  *     state is managed columnar instead of per-key deserialized objects.)
+  *
+  * The same transforms run in batch mode — one definition serves the
+  * oracle-checked batch query and the streaming query.
+  */
+object EventsStream {
+
+  /** events schema as streamed from parquet (ts raw nanos — the testdata is
+    * written with parquet TIMESTAMP(NANOS); sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong`, so it arrives as Long).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def normalize(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 1-hour counts + value sums per event type. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Watermarked streaming hourlyCounts over a parquet DIRECTORY (file
+    * streaming sources list directories; a single-file table must be staged
+    * into one). State is bounded by the 2h watermark at any input rate.
+    */
+  def hourlyCountsStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    normalize(src)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Per-user event-time sessionization with an inactivity gap.
+    *
+    * Works identically on a batch DataFrame and on a watermarked stream
+    * (append mode: a session row emits once the watermark passes
+    * last-event-ts + gap). State per open session is O(1) — window bounds
+    * plus the running aggregates — partitioned by user across executors.
+    */
+  def sessionize(events: DataFrame, gapSec: Int): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSec seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"),
+        col("total_value"),
+        // session_window.end includes the trailing gap; active span is
+        // last-event-ts − first-event-ts = (end − gap) − start.
+        (unix_timestamp(col("w.end")) - unix_timestamp(col("w.start")) - gapSec)
+          .cast("double").as("duration_sec"))
+}

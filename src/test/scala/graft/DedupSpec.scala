@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "THE  QUICK   brown fox jumps over the lazy dog")) // case/space variant
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps one row per distinct text (min id)") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("exactSummary counts duplicates") {
+    val m = Dedup.exactSummary(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(m(1L) === 2L && m(3L) === 1L)
+  }
+
+  test("jaccard of shingle sets behaves") {
+    val df = docs.select($"doc_id", Dedup.wordShingles($"text", 3).as("sh"))
+    val a = df.where($"doc_id" === 1).select("sh").as[Seq[String]].head()
+    val b = df.where($"doc_id" === 2).select("sh").as[Seq[String]].head()
+    val c = df.where($"doc_id" === 4).select("sh").as[Seq[String]].head()
+    assert(a === b)
+    assert(a.toSet.intersect(c.toSet).isEmpty)
+    assert(a.head === "the quick brown") // 3-gram shape
+  }
+
+  test("minhashPairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (a, b) cols order a,b
+    // doc 5 normalizes to doc 1's text → jaccard 1.0; doc 3 near-dups 1/2/5
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 1L)))
+    assert(pairs.exists(p => Set(p._1, p._2) == Set(1L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature: identical docs agree, estimated jaccard sane") {
+    val sig = docs.select($"doc_id",
+      Dedup.minhashSignature(Dedup.wordShingles($"text", 3), 32).as("sig"))
+    val s1 = sig.where($"doc_id" === 1).select("sig").as[Seq[Long]].head()
+    val s2 = sig.where($"doc_id" === 2).select("sig").as[Seq[Long]].head()
+    assert(s1 === s2 && s1.length === 32)
+  }
+
+  test("simhash: identical → distance 0, near dup small, unrelated large") {
+    val h = Dedup.withSimHash(docs, "text", "h")
+      .select("doc_id", "h").as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) === h(5L)) // normalization: case/whitespace invariant
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) <= 16)
+    assert(java.lang.Long.bitCount(h(1L) ^ h(4L)) > 16)
+  }
+
+  test("simhashPairs returns planted pairs under pigeonhole banding") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("LSH bucket skew guard drops oversized buckets observably") {
+    val many = (1L to 30L).map(i => (i, "same same same text here")).toDF("doc_id", "text")
+    val dropped = Dedup.droppedBuckets(many, "doc_id", "text", maxBucketSize = 10)
+    assert(dropped.count() > 0)
+    val cands = Dedup.minhashCandidates(many, "doc_id", "text", maxBucketSize = 10)
+    assert(cands.count() === 0) // all buckets over cap → no pairs, no blowup
+  }
+}

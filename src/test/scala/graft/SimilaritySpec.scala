@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("cosine on known vectors") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), 0.0),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f), -1.0),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f), 0.0)) // zero vector → 0 by definition
+      .toDF("a", "b", "expected")
+    val got = df.select(
+      Similarity.cosine(transform($"a", x => x.cast("double")),
+        transform($"b", x => x.cast("double"))).as("sim"), $"expected")
+      .collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("bruteForceKnn exact on a tiny fixture") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceKnn(vecs, vecs.where($"vec_id" === 0), k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(out === Seq((1L, 1), (2L, 2))) // nearest is the 0.9/0.1 vector
+  }
+
+  test("lshKnn: identical vectors always share a bucket (recall=1 on dups)") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val q = e.where($"vec_id" < 3)
+    val out = Similarity.lshKnn(e, q, k = 1, numPlanes = 4)
+    // each query's own duplicate isn't present, but results are well-formed:
+    assert(out.count() <= 3)
+    assert(out.where($"rank" === 1).count() === out.count())
+  }
+
+  test("lshKnn recall vs brute force on real embeddings (fewer planes → higher)") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val q = e.where($"vec_id" < 10)
+    val brute = Similarity.bruteForceKnn(e, q, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshKnn(e, q, k = 5, numPlanes = 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall > 0.2, s"recall=$recall") // 2 planes = 4 buckets → decent recall
+  }
+
+  test("cosineNearDupPairs finds injected duplicates at threshold 0.99") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val injected = e.unionByName(
+      e.where($"vec_id" < 5).withColumn("vec_id", $"vec_id" + 1000L))
+    val pairs = Similarity.cosineNearDupPairs(injected, threshold = 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert((0L until 5L).forall(i => pairs.contains((i, i + 1000L))))
+  }
+
+  test("hyperplanes are deterministic per seed") {
+    assert(Similarity.hyperplanes(8, 4, 7L) === Similarity.hyperplanes(8, 4, 7L))
+    assert(Similarity.hyperplanes(8, 4, 7L) !== Similarity.hyperplanes(8, 4, 8L))
+  }
+}

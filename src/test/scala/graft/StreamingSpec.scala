@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Catalog
+import graft.streaming.EventsStream
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+  import spark.implicits._
+
+  test("streaming hourly counts equal the batch transform on the same data") {
+    // file streaming sources list directories — stage the single-file table
+    val dir = Files.createTempDirectory("graft_events_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = EventsStream.hourlyCountsStream(spark, dir.toString)
+      .writeStream.outputMode("complete").format("memory").queryName("hourly").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("hourly")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventsStream.hourlyCounts(Catalog.events(spark, sfDir))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
+  test("batch sessionize splits on inactivity gap") {
+    val t0 = 1700000000000L
+    val df = Seq(
+      (7L, new Timestamp(t0), 1.0),
+      (7L, new Timestamp(t0 + 30000), 2.0),
+      (7L, new Timestamp(t0 + 200000), 4.0), // 170s > 60s gap → new session
+      (8L, new Timestamp(t0 + 5000), 8.0))
+      .toDF("user_id", "ts", "value")
+    val out = EventsStream.sessionize(df, gapSec = 60)
+      .select("user_id", "n_events", "total_value", "duration_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(out === Set((7L, 2L, 3.0, 30.0), (7L, 1L, 4.0, 0.0), (8L, 1L, 8.0, 0.0)))
+  }
+
+  test("streaming sessionize emits closed sessions once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = EventsStream.sessionize(
+      input.toDS().toDF("user_id", "ts", "value").withWatermark("ts", "0 seconds"),
+      gapSec = 60)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData((7L, new Timestamp(t0), 1.0), (7L, new Timestamp(t0 + 30000), 2.0))
+      q.processAllAvailable()
+      // watermark advances past t0+30s+gap → first session closes and emits
+      input.addData((7L, new Timestamp(t0 + 300000), 4.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .select("user_id", "n_events", "duration_sec")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(out.toSet === Set((7L, 2L, 30.0)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextStats
+
+class TextStatsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("v")).collect().head.getAs[T]("v")
+
+  test("tokenCount handles spacing and empties") {
+    assert(one[Int](TextStats.tokenCount($"t"), "a b  c") === 3)
+    assert(one[Int](TextStats.tokenCount($"t"), "  leading trailing  ") === 2)
+    assert(one[Int](TextStats.tokenCount($"t"), "") === 0)
+    assert(one[Int](TextStats.tokenCount($"t"), "   ") === 0)
+  }
+
+  test("regexTokenCount splits punctuation BPE-ish") {
+    assert(one[Int](TextStats.regexTokenCount($"t"), "don't stop") === 4) // don ' t stop
+    assert(one[Int](TextStats.regexTokenCount($"t"), "a,b.c") === 5)
+  }
+
+  test("char class counts") {
+    assert(one[Int](TextStats.letterCount($"t"), "ab1 c!") === 3)
+    assert(one[Int](TextStats.digitCount($"t"), "ab1 c!") === 1)
+    assert(one[Int](TextStats.punctCount($"t"), "ab1 c!") === 1)
+    assert(one[Int](TextStats.whitespaceCount($"t"), "ab1 c!") === 1)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    assert(one[String](TextStats.langId($"t"), "the cat is on a mat and it is fine") === "en")
+    assert(one[String](TextStats.langId($"t"), "der hund ist nicht mit der katze") === "de")
+    assert(one[String](TextStats.langId($"t"), "le chat est dans la maison pour le matin") === "fr")
+    assert(one[String](TextStats.langId($"t"), "el perro es un animal en la casa") === "es")
+    assert(one[String](TextStats.langId($"t"), "xyzzy qwerty asdf") === "und")
+  }
+
+  test("qualityScore components") {
+    // 10+ sane tokens incl stopwords, no punct → full score
+    assert(one[Double](TextStats.qualityScore($"t"),
+      "the quick brown fox jumps over the lazy dog again today") === 1.0)
+    // too short → loses length component
+    assert(one[Double](TextStats.qualityScore($"t"), "the cat") === 0.75)
+  }
+
+  test("fingerprint is case/whitespace invariant, content sensitive") {
+    val fp = (s: String) => one[Long](TextStats.fingerprint($"t"), s)
+    assert(fp("Hello  World") === fp("hello world"))
+    assert(fp("hello world") !== fp("hello worlds"))
+  }
+
+  test("withStats attaches the full bundle") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val out = TextStats.withStats(docs)
+    assert(Seq("n_tokens", "quality", "lang_guess", "fp").forall(out.columns.contains))
+    assert(out.where($"n_tokens" > 0).count() === docs.count())
+  }
+}
