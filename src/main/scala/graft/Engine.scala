@@ -30,5 +30,6 @@ object Engine {
     spark
   }
 
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    math.min(32, Runtime.getRuntime.availableProcessors).toString)
 }

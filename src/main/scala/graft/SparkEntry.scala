@@ -52,6 +52,15 @@ object SparkEntry {
       Catalog.csv(s, p, nation.schema).orderBy(col("n_nationkey"))
     }),
 
+    // S4/S5: all-strings CSV read (header-only inference; values stay
+    // strings end-to-end, reference `read_csv_no_pandas.py:18-24`).
+    "s4_csv_allstrings" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val p = s"/tmp/graft/s4_csv_${dir.replaceAll("[^0-9.]", "")}"
+      Catalog.writeCsv(nation, p)
+      Catalog.csvAllStrings(s, p).orderBy(col("n_name"))
+    }),
+
     // S3: in-memory literal source (`beam.Create`), fixture F1.
     "s3_literal_rows" -> ((s, _) => {
       import s.implicits._
@@ -96,7 +105,7 @@ object SparkEntry {
       val dim = t(s, dir, "nation")
         .select(lower(col("n_name")).as("qname"), col("n_name"),
           col("n_nationkey"), col("n_regionkey"))
-      val keys = Seq("algeria", "argentina", "nowhere").toDF("qname")
+      val keys = Seq("nation_3", "nation_12", "nowhere").toDF("qname")
       RelOps.pointLookup(keys, dim, "qname",
         Map("n_name" -> lit("Not found"), "n_nationkey" -> lit(-1), "n_regionkey" -> lit(-1)))
         .orderBy(col("qname"))
@@ -135,6 +144,13 @@ object SparkEntry {
         .agg(round(avg(col("c_acctbal")), 4).as("avg_acctbal"))
         .orderBy(col("c_mktsegment"))),
 
+    // A3: group-by collect to list (GroupByKey; sorted for determinism).
+    "a3_collect_per_key" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(sort_array(collect_list(col("c_mktsegment"))), ",").as("segments"))
+        .orderBy(col("c_nationkey"))),
+
     // A4: within-group sorted distinct (UniqueList).
     "a4_distinct_per_key" -> ((s, dir) => {
       val nat = t(s, dir, "nation")
@@ -172,6 +188,16 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A6 multi-key: composite key tuple (real tuple, not the reference's
+    // accidental string-concat key — SURVEY §2.9(f)).
+    "a6_transpose_multikey" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linenumber"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      Transpose(base, Seq("l_returnflag", "l_linenumber"), "l_linestatus", Seq("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linenumber"))
+    }),
+
     // A7: distinct.
     "a7_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -184,6 +210,26 @@ object SparkEntry {
       val r = t(s, dir, "region").select(col("r_name").as("name"), lit("region").as("src"))
       val n = t(s, dir, "nation").select(col("n_name").as("name"), lit("nation").as("src"))
       RelOps.union(Seq(r, n)).orderBy(col("src"), col("name"))
+    }),
+
+    // §3.3 serving lookup, Flask semantics: case-insensitive hit; miss →
+    // echoed name + zeros (`Flask_app/main.py:21-29`, SURVEY §2.9(h)).
+    "lookup_flask" -> ((s, dir) => {
+      val dim = t(s, dir, "nation")
+        .select(col("n_name"), col("n_nationkey"), col("n_regionkey"))
+      Pipelines.Lookup.flask(dim, "nAtIoN_7")
+        .unionByName(Pipelines.Lookup.flask(dim, "Atlantis"))
+        .orderBy(col("n_name"))
+    }),
+
+    // K2: append sink round-trip — two appends → doubled rows.
+    "k2_append_roundtrip" -> ((s, dir) => {
+      val reg = t(s, dir, "region")
+      val p = s"/tmp/graft/k2_parquet_${dir.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(p))
+      reg.write.mode("append").parquet(p)
+      reg.write.mode("append").parquet(p)
+      s.read.parquet(p).orderBy(col("r_regionkey"))
     }),
 
     // K3: overwrite sink round-trip.
@@ -261,6 +307,21 @@ object SparkEntry {
         countDistinct(TextStats.fingerprint(col("text"))).as("n_fp"),
         countDistinct(TextStats.normalize(col("text"))).as("n_norm"))),
 
+    // Explicit n-gram Jaccard similarity (all-pairs on a bounded slice;
+    // the unbounded-scale variant is x2's LSH-candidates path).
+    "x13_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(col("doc_id") < 200)
+      val sh = d.select(col("doc_id"),
+        Dedup.wordShingles(col("text"), 3).as("sh"))
+      val a = sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+      a.crossJoin(b).where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .where(col("jaccard") >= 0.3)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Brute-force cosine top-k (exact ANN baseline).
     "x8_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -275,6 +336,16 @@ object SparkEntry {
     "x9_knn_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshKnn(e, e.where(col("vec_id") < 8), k = 5, numPlanes = 4)
+        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // IVF approximate top-k (inverted-file ANN; deterministic sampled
+    // centroids). Not SQL-expressible → rows-only; recall vs brute force
+    // asserted in SimilaritySpec.
+    "x14_knn_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfKnn(e, e.where(col("vec_id") < 8), k = 5, nCentroids = 16, nProbe = 4)
         .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
@@ -311,6 +382,12 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))),
   )
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -323,6 +400,10 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "s1_csv_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "s4_csv_allstrings" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation ORDER BY n_name""".stripMargin,
     "s3_literal_rows" ->
       """SELECT * FROM (VALUES (CAST(123 AS BIGINT), 'AAA', CAST(101.44 AS DOUBLE)),
         | (123, 'BBB', 345.44), (1234, 'AAA', 458.44)) AS t(ID, CLASS, SALES)
@@ -342,7 +423,7 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE lower(c_mktsegment) = 'building' ORDER BY c_custkey""".stripMargin,
     "p9_point_lookup" ->
-      """WITH k(qname) AS (VALUES ('algeria'), ('argentina'), ('nowhere'))
+      """WITH k(qname) AS (VALUES ('nation_3'), ('nation_12'), ('nowhere'))
         |SELECT k.qname, coalesce(n_name, 'Not found') AS n_name,
         |  coalesce(n_nationkey, -1) AS n_nationkey,
         |  coalesce(n_regionkey, -1) AS n_regionkey
@@ -362,6 +443,9 @@ object SparkEntry {
     "a2_mean_per_key" ->
       """SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_acctbal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "a3_collect_per_key" ->
+      """SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "a4_distinct_per_key" ->
       """SELECT r_name, string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -389,6 +473,16 @@ object SparkEntry {
         |  max(CASE WHEN l_linestatus = 'O' THEN sum_qty END) AS O_sum_qty,
         |  max(CASE WHEN l_linestatus = 'O' THEN sum_price END) AS O_sum_price
         |FROM base GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a6_transpose_multikey" ->
+      """WITH base AS (
+        |  SELECT l_returnflag, l_linenumber, l_linestatus,
+        |    round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem GROUP BY 1, 2, 3)
+        |SELECT l_returnflag, l_linenumber,
+        |  max(CASE WHEN l_linestatus = 'F' THEN sum_qty END) AS F_sum_qty,
+        |  max(CASE WHEN l_linestatus = 'O' THEN sum_qty END) AS O_sum_qty
+        |FROM base GROUP BY l_returnflag, l_linenumber
+        |ORDER BY l_returnflag, l_linenumber""".stripMargin,
     "a7_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -398,6 +492,17 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT n_name AS name, 'nation' AS src FROM nation)
         |ORDER BY src, name""".stripMargin,
+    "lookup_flask" ->
+      """SELECT n_name, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE lower(n_name) = 'nation_7'
+        |UNION ALL
+        |SELECT 'Atlantis', 0, 0
+        |ORDER BY n_name""".stripMargin,
+    "k2_append_roundtrip" ->
+      """SELECT * FROM (
+        |  SELECT * FROM region UNION ALL SELECT * FROM region)
+        |ORDER BY r_regionkey""".stripMargin,
     "k3_overwrite_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
     "pipeline_weblog" ->
@@ -461,6 +566,28 @@ object SparkEntry {
       """SELECT count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_fp,
         |  count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_norm
         |FROM documents""".stripMargin,
+    "x13_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a, s b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+        |ORDER BY a, b""".stripMargin,
     "x8_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
         |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),

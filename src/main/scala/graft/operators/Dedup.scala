@@ -162,7 +162,7 @@ object Dedup {
       threshold: Double, shingleSize: Int = 3, numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
-    val sh = df.select(col(idCol), wordShingles(col(textCol), shingleSize).as("sh"))
+    val sh = ensureParallelism(df).select(col(idCol), wordShingles(col(textCol), shingleSize).as("sh"))
     cands
       .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))

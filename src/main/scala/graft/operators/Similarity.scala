@@ -41,11 +41,17 @@ object Similarity {
     */
   def bruteForceKnn(candidates: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms are per-vector, computed once here — computing them inside the
+    // pair-scoring expression would redo each one per candidate pair
     val c = candidates.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cn", norm(col("cvec")))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qn", norm(col("qvec")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), cosine(col("qvec"), col("cvec")).as("sim"))
+      .select(col("qid"), col("nid"),
+        when(col("cn") * col("qn") === 0, lit(0.0d))
+          .otherwise(dot(col("qvec"), col("cvec")) / (col("cn") * col("qn"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -86,11 +92,74 @@ object Similarity {
     val planes = hyperplanes(dims, numPlanes, seed)
     val c = candidates.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cvec"))
       .withColumn("bucket", lshBucket(col("cvec"), planes))
+      .withColumn("cn", norm(col("cvec")))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
       .withColumn("bucket", lshBucket(col("qvec"), planes))
+      .withColumn("qn", norm(col("qvec")))
     val scored = c.join(q, Seq("bucket"))
       .where(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), cosine(col("qvec"), col("cvec")).as("sim"))
+      .select(col("qid"), col("nid"),
+        when(col("cn") * col("qn") === 0, lit(0.0d))
+          .otherwise(dot(col("qvec"), col("cvec")) / (col("cn") * col("qn"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
+    * path next to sign-LSH. Coarse quantizer: `nCentroids` vectors chosen by
+    * a deterministic hash-order sample of the corpus (sampled-point
+    * centroids — a k-medoids-style shortcut standing in for trained k-means;
+    * swap in trained centroids without touching the plumbing). Every
+    * candidate is assigned to its nearest centroid (one shuffle by centroid
+    * id); a query probes its `nProbe` nearest centroids and re-ranks
+    * exactly within those inverted lists.
+    *
+    * At scale: assignment is a narrow map over the corpus; the probe join
+    * touches nProbe/nCentroids of the data instead of all of it, and the
+    * centroid table (nCentroids × dims doubles) broadcasts everywhere.
+    */
+  def ivfKnn(candidates: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = candidates.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cn", norm(col("cvec")))
+    // deterministic sample: smallest nCentroids ids by hash order
+    val centroids: Seq[(Int, Seq[Double])] = candidates
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCentroids)
+      .collect()
+      .toIndexedSeq
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }
+
+    // nearest-centroid ids for a vector, as a sorted-by-distance idx array
+    def centroidRanks(vec: Column): Column = {
+      val scored = array(centroids.map { case (i, cv) =>
+        struct(dot(vec, typedLit(cv)).as("s"), lit(i).as("idx"))
+      }: _*)
+      // max inner product ~ nearest for same-norm centroids; deterministic
+      // tie-break on idx
+      transform(
+        array_sort(scored, (a, b) =>
+          when(a.getField("s") > b.getField("s"), -1)
+            .when(a.getField("s") < b.getField("s"), 1)
+            .otherwise(a.getField("idx") - b.getField("idx"))),
+        x => x.getField("idx"))
+    }
+
+    val assigned = c.withColumn("cell", element_at(centroidRanks(col("cvec")), 1))
+    val probed = queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qn", norm(col("qvec")))
+      .withColumn("cell", explode(slice(centroidRanks(col("qvec")), 1, nProbe)))
+    val scored = assigned.join(probed, Seq("cell"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        when(col("cn") * col("qn") === 0, lit(0.0d))
+          .otherwise(dot(col("qvec"), col("cvec")) / (col("cn") * col("qn"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -107,11 +176,14 @@ object Similarity {
     val planes = hyperplanes(dims, numPlanes, seed)
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
       .withColumn("bucket", lshBucket(col("vec"), planes))
-    val a = v.select(col("bucket"), col("id").as("a"), col("vec").as("va"))
-    val b = v.select(col("bucket"), col("id").as("b"), col("vec").as("vb"))
+      .withColumn("nrm", norm(col("vec")))
+    val a = v.select(col("bucket"), col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
+    val b = v.select(col("bucket"), col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("sim"))
+      .select(col("a"), col("b"),
+        when(col("na") * col("nb") === 0, lit(0.0d))
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .where(col("sim") >= threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
       .distinct()

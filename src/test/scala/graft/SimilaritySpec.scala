@@ -63,6 +63,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert((0L until 5L).forall(i => pairs.contains((i, i + 1000L))))
   }
 
+  test("ivfKnn recall vs brute force with generous probes") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val q = e.where($"vec_id" < 10)
+    val brute = Similarity.bruteForceKnn(e, q, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(e, q, k = 5, nCentroids = 8, nProbe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall=$recall") // probing half the cells
+    // deterministic across runs (sampled centroids are hash-ordered)
+    val again = Similarity.ivfKnn(e, q, k = 5, nCentroids = 8, nProbe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(ivf === again)
+  }
+
   test("hyperplanes are deterministic per seed") {
     assert(Similarity.hyperplanes(8, 4, 7L) === Similarity.hyperplanes(8, 4, 7L))
     assert(Similarity.hyperplanes(8, 4, 7L) !== Similarity.hyperplanes(8, 4, 8L))
