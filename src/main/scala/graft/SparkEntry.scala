@@ -42,6 +42,34 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
 
+    // Headline multi-join analytic (TPC-H Q3 shape): selective dim filter →
+    // two key joins → grouped agg + top-N. The shape a 100 TB plan must get
+    // right: segment filter pushed into the customer scan, orders⋈lineitem
+    // shuffle join on the key, partial aggs before the final exchange.
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord  = t(s, dir, "orders")
+      val li   = t(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Skew-resistant salted join: same result as the plain join, hot keys
+    // spread over salt buckets (RelOps.saltedJoin).
+    "j1_salted_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      RelOps.saltedJoin(
+        sup.withColumnRenamed("s_nationkey", "n_nationkey"), nat, Seq("n_nationkey"),
+        buckets = 8)
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // S1: CSV source round-trip (header + declared schema; reference
     // `csv_to_bq.py:41-42`). Writes the dimension out as CSV and reads it
     // back, proving parse fidelity against the parquet oracle.
@@ -296,7 +324,10 @@ object SparkEntry {
     // behavior pinned by TextStatsSpec fixtures.
     "x6_text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), TextStats.langId(col("text")).as("lang_guess"))
+        .select(col("doc_id"), col("lang"),
+          TextStats.tokens(lower(col("text"))).as("__toks"))
+        .select(col("doc_id"), col("lang"),
+          TextStats.langIdFromTokens(col("__toks")).as("lang_guess"))
         .orderBy(col("doc_id"))),
 
     // Fingerprinting: xxhash64 of normalized text. Oracle checks the
@@ -373,6 +404,15 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    // Multimodal frame sampling: 1 frame/second of video duration,
+    // 0..n rows per asset (flatMap shape).
+    "x15_multimodal_frames" -> ((s, dir) => {
+      val assets = Multimodal.assetsFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.sampleFrames(assets, everyMs = 1000L).toDF()
+        .select(col("asset_id"), col("frame_idx"))
+        .orderBy(col("asset_id"), col("frame_idx"))
+    }),
+
     // Streaming counterpart (batch run of the same transform; the streaming
     // execution with watermark is exercised in StreamingSpec).
     "x12_events_hourly" -> ((s, dir) =>
@@ -398,6 +438,25 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "j1_salted_join" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "x15_multimodal_frames" ->
+      """SELECT asset_id, frame_idx FROM (
+        |  SELECT doc_id AS asset_id,
+        |    unnest(range(CAST(doc_id % 10 AS INT) + 1)) AS frame_idx
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY asset_id, frame_idx""".stripMargin,
     "s1_csv_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "s4_csv_allstrings" ->

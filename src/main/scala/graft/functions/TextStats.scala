@@ -65,9 +65,18 @@ object TextStats {
     * Implemented as an array of (score, lang) structs sorted by a
     * comparator — still a single codegen'd projection.
     */
-  def langId(text: Column, stopwords: Map[String, Seq[String]] = Stopwords): Column = {
+  def langId(text: Column, stopwords: Map[String, Seq[String]] = Stopwords): Column =
+    langIdFromTokens(tokens(lower(text)), stopwords)
+
+  /** Language-ID over a pre-tokenized lowercase array. Callers doing this at
+    * scale should stage the token array as its own column first — the
+    * comparator below references it once per language, and interpreted
+    * higher-order functions re-evaluate (rather than reuse) a non-attribute
+    * input on every reference.
+    */
+  def langIdFromTokens(toks: Column, stopwords: Map[String, Seq[String]] = Stopwords): Column = {
     val scored = array(stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(wordHits(text, words).as("score"), lit(lang).as("lang"))
+      struct(size(filter(toks, t => t.isInCollection(words))).as("score"), lit(lang).as("lang"))
     }: _*)
     val best = array_sort(
       scored,
@@ -114,12 +123,14 @@ object TextStats {
   /** Convenience: attach the full stats bundle to a document DataFrame. */
   def withStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
+    df.withColumn("__toks", tokens(lower(t)))
+      .withColumn("n_tokens", tokenCount(t))
       .withColumn("n_chars_m", charCount(t))
       .withColumn("punct_ratio",
         round(when(length(t) > 0, punctCount(t).cast("double") / length(t)).otherwise(0.0), 4))
       .withColumn("quality", qualityScore(t))
-      .withColumn("lang_guess", langId(t))
+      .withColumn("lang_guess", langIdFromTokens(col("__toks")))
       .withColumn("fp", fingerprint(t))
+      .drop("__toks")
   }
 }

@@ -78,4 +78,24 @@ object RelOps {
   /** U1: union by name (`beam.Flatten()`, `data_transpose_working_1.py:186-191`). */
   def union(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_))
+
+  /** Skew-resistant equi-join for a hot-keyed fact side: the dimension is
+    * replicated `buckets`× with a salt column and facts pick a deterministic
+    * salt from a row hash, so one hot key spreads over `buckets` reducers
+    * instead of melting a single task. Use when a key holds >~1 partition's
+    * worth of rows and AQE skew-join splitting isn't available (e.g. the
+    * build side is too large to broadcast but the probe side is skewed).
+    *
+    * Cost: the dim shuffles buckets× larger — keep `buckets` small (8-32)
+    * and the dim narrow. Results are identical to `facts.join(dim, on)`.
+    */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, on: Seq[String],
+      buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val saltedFacts = facts.withColumn("__salt",
+      pmod(xxhash64(struct(facts.columns.map(col).toIndexedSeq: _*)), lit(buckets)).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    saltedFacts.join(saltedDim, on :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RelOps
+
+class RelOpsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join on a skewed fact table") {
+    // 10k facts all hitting ONE key — the pathological hot-key shape
+    val facts = ((1 to 10000).map(i => (i.toLong, 1)) ++ Seq((0L, 2), (-1L, 3)))
+      .toDF("row_id", "k")
+    val dim = Seq((1, "hot"), (2, "cold"), (3, "mild"), (4, "unused")).toDF("k", "label")
+    val plain = facts.join(dim, Seq("k")).select("row_id", "k", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val salted = RelOps.saltedJoin(facts, dim, Seq("k"), buckets = 8)
+      .select("row_id", "k", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted === plain && plain.size === 10002)
+  }
+
+  test("saltedJoin left join preserves unmatched facts exactly once") {
+    val facts = Seq((1L, 1), (2L, 99)).toDF("row_id", "k")
+    val dim = Seq((1, "hot")).toDF("k", "label")
+    val out = RelOps.saltedJoin(facts, dim, Seq("k"), buckets = 4, joinType = "left")
+      .select("row_id", "label")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sortBy(_._1)
+    assert(out === Seq((1L, Some("hot")), (2L, None)))
+  }
+
+  test("saltedJoin actually spreads a hot key over several salt buckets") {
+    val facts = (1 to 1000).map(i => (i.toLong, 1)).toDF("row_id", "k")
+    val salts = facts.withColumn("__salt",
+      pmod(xxhash64(struct(facts.columns.map(col).toIndexedSeq: _*)), lit(8)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(salts >= 6, s"expected the hot key spread over most of 8 buckets, got $salts")
+  }
+}
