@@ -338,17 +338,24 @@ object SparkEntry {
         countDistinct(TextStats.fingerprint(col("text"))).as("n_fp"),
         countDistinct(TextStats.normalize(col("text"))).as("n_norm"))),
 
-    // Explicit n-gram Jaccard similarity (all-pairs on a bounded slice;
-    // the unbounded-scale variant is x2's LSH-candidates path).
+    // Explicit n-gram Jaccard similarity. This bounded slice (200 docs) is
+    // latency-bound, so the right plan is one broadcast cross join over
+    // HASHED shingle arrays (long compares, not string sets) — while the
+    // unbounded corpus path is `Dedup.jaccardPairs`' posting-list join
+    // (its ~8 shuffle stages only pay off when all-pairs is infeasible).
     "x13_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents").where(col("doc_id") < 200)
       val sh = d.select(col("doc_id"),
-        Dedup.wordShingles(col("text"), 3).as("sh"))
-      val a = sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("b"), col("sh").as("sh_b"))
-      a.crossJoin(b).where(col("a") < col("b"))
+        transform(Dedup.wordShingles(col("text"), 3), x => xxhash64(x)).as("sh"))
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+      val a = sh.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("sz").as("sza"))
+      val b = sh.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("sz").as("szb"))
+      a.crossJoin(broadcast(b)).where(col("a") < col("b"))
+        .select(col("a"), col("b"), size(array_intersect(col("sh_a"), col("sh_b"))).as("common"),
+          col("sza"), col("szb"))
         .select(col("a"), col("b"),
-          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+          round(col("common").cast("double") /
+            (col("sza") + col("szb") - col("common")), 4).as("jaccard"))
         .where(col("jaccard") >= 0.3)
         .orderBy(col("a"), col("b"))
     }),

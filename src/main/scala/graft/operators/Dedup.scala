@@ -170,6 +170,44 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** All pairs with exact n-gram Jaccard ≥ threshold, via a posting-list
+    * self-join (inverted index): explode shingles, join documents that share
+    * a shingle, count shared shingles per pair, then
+    * `jaccard = common / (|A| + |B| - common)`.
+    *
+    * This is the 100 TB shape for exact Jaccard: two hash-partitioned
+    * shuffles (postings by shingle, pair counts by (a,b)) and codegen'd
+    * joins/aggregates — versus the all-pairs cross join whose interpreted
+    * per-pair `array_intersect` is quadratic in documents. Pairs sharing no
+    * shingle never materialize (their Jaccard is 0). Shingles occurring in
+    * more than `maxDocFreq` documents are dropped from the index (their
+    * posting lists explode quadratically); with the default cap this only
+    * affects boilerplate n-grams, and the drop mirrors the LSH skew guard.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3, maxDocFreq: Int = 1000): DataFrame = {
+    val base = ensureParallelism(df)
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
+    val sizes = base.select(col("id"), size(col("sh")).as("sz"))
+    val postings = base.select(col("id"), explode(col("sh")).as("s"))
+    val rare = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq)
+      .select(col("s"))
+    val indexed = postings.join(rare, Seq("s"), "left_semi")
+    val common = indexed.select(col("s"), col("id").as("a"))
+      .join(indexed.select(col("s"), col("id").as("b")), Seq("s"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** Per-bit +1/-1 vote accumulator for SimHash: one aggregate over the

@@ -71,6 +71,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("jaccardPairs (posting-list join) equals brute-force pairwise jaccard") {
+    val sh = docs.select($"doc_id", Dedup.wordShingles($"text", 3).as("sh"))
+    val a = sh.select($"doc_id".as("a"), $"sh".as("sh_a"))
+    val b = sh.select($"doc_id".as("b"), $"sh".as("sh_b"))
+    val brute = a.crossJoin(b).where($"a" < $"b")
+      .select($"a", $"b", round(Dedup.jaccard($"sh_a", $"sh_b"), 4).as("j"))
+      .where($"j" >= 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val indexed = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed === brute && brute.nonEmpty)
+  }
+
+  test("jaccardPairs maxDocFreq drops boilerplate shingles from the index") {
+    val many = (1L to 20L).map(i => (i, "common boilerplate text here")).toDF("doc_id", "text")
+    // every shingle occurs in 20 docs > cap → index empty → no pairs
+    assert(Dedup.jaccardPairs(many, "doc_id", "text", 0.1, maxDocFreq = 10).count() === 0)
+  }
+
   test("LSH bucket skew guard drops oversized buckets observably") {
     val many = (1L to 30L).map(i => (i, "same same same text here")).toDF("doc_id", "text")
     val dropped = Dedup.droppedBuckets(many, "doc_id", "text", maxBucketSize = 10)
