@@ -16,8 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array columns (double). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two array columns (double) — the native codegen'd
+    * expression (graft.functions.VectorExpressions.DotProduct), resolved
+    * through the function registry so sessions must enable
+    * `spark.sql.extensions=graft.GraftExtensions` (Engine/Verify/Bench do).
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Interpreted reference implementation of `dot` from built-in
+    * higher-order functions — semantics oracle for the native expression
+    * (see SimilaritySpec), and the fallback for sessions without the
+    * extension. ~10× slower per pair: HOFs evaluate interpreted.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   /** L2 norm. */

@@ -78,6 +78,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf === again)
   }
 
+  test("native vec_dot matches the interpreted HOF dot bit-for-bit") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val both = e.select($"vec_id",
+      Similarity.dot($"v", $"v").as("native"),
+      Similarity.dotHof($"v", $"v").as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(1) === r.getDouble(2),
+      s"vec_id=${r.getLong(0)}"))
+    // null and length-mismatch semantics match zip_with truncation
+    val edge = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(2.0, 3.0)),      // truncates to shorter
+      (Seq.empty[Double], Seq(1.0)))             // empty → 0
+      .toDF("a", "b")
+      .select(Similarity.dot($"a", $"b").as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(edge === Seq(8.0, 0.0))
+  }
+
   test("hyperplanes are deterministic per seed") {
     assert(Similarity.hyperplanes(8, 4, 7L) === Similarity.hyperplanes(8, 4, 7L))
     assert(Similarity.hyperplanes(8, 4, 7L) !== Similarity.hyperplanes(8, 4, 8L))

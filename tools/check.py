@@ -29,7 +29,9 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        qdir = os.path.join(out_dir, name)
+        qdir = os.path.join(out_dir, name + ".parquet")
+        if not os.path.isdir(qdir):
+            qdir = os.path.join(out_dir, name)  # legacy layout
         if not os.path.isdir(qdir):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
