@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * LSH buckets (an IVF-style candidate cut) — candidates share a bucket,
   * then exact re-rank; recall is tunable via planes/probes.
   *
-  * All math is `zip_with`/`aggregate` Column expressions in double
-  * precision — codegen'd, no UDFs, no driver-side loops.
+  * Vector math runs through the native codegen'd `vec_dot` expression when
+  * the session enables `graft.GraftExtensions` (interpreted higher-order
+  * fallback otherwise) — no UDFs, no driver-side loops.
   */
 object Similarity {
 
@@ -30,6 +31,13 @@ object Similarity {
     */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Session-aware dot: native expression when the extension is registered
+    * in the session owning `df`, interpreted fallback otherwise — so the
+    * operators below work (slower) in vanilla sessions too.
+    */
+  private def dotFor(df: DataFrame): (Column, Column) => Column =
+    if (df.sparkSession.catalog.functionExists("vec_dot")) dot else dotHof
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -54,15 +62,16 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // norms are per-vector, computed once here — computing them inside the
     // pair-scoring expression would redo each one per candidate pair
+    val d = dotFor(candidates)
     val c = candidates.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cvec"))
-      .withColumn("cn", norm(col("cvec")))
+      .withColumn("cn", sqrt(d(col("cvec"), col("cvec"))))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
-      .withColumn("qn", norm(col("qvec")))
+      .withColumn("qn", sqrt(d(col("qvec"), col("qvec"))))
     val scored = c.crossJoin(broadcast(q))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         when(col("cn") * col("qn") === 0, lit(0.0d))
-          .otherwise(dot(col("qvec"), col("cvec")) / (col("cn") * col("qn"))).as("sim"))
+          .otherwise(d(col("qvec"), col("cvec")) / (col("cn") * col("qn"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -81,9 +90,10 @@ object Similarity {
     * with high cosine similarity agree on most sign bits, so they land in
     * the same bucket with probability (1 - θ/π)^planes.
     */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]],
+      dotFn: (Column, Column) => Column = dot): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(dotFn(vec, typedLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
@@ -101,17 +111,18 @@ object Similarity {
   def lshKnnDims(candidates: DataFrame, queries: DataFrame, k: Int, dims: Int,
       numPlanes: Int, idCol: String, vecCol: String, seed: Long): DataFrame = {
     val planes = hyperplanes(dims, numPlanes, seed)
+    val d = dotFor(candidates)
     val c = candidates.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cvec"))
-      .withColumn("bucket", lshBucket(col("cvec"), planes))
-      .withColumn("cn", norm(col("cvec")))
+      .withColumn("bucket", lshBucket(col("cvec"), planes, d))
+      .withColumn("cn", sqrt(d(col("cvec"), col("cvec"))))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
-      .withColumn("bucket", lshBucket(col("qvec"), planes))
-      .withColumn("qn", norm(col("qvec")))
+      .withColumn("bucket", lshBucket(col("qvec"), planes, d))
+      .withColumn("qn", sqrt(d(col("qvec"), col("qvec"))))
     val scored = c.join(q, Seq("bucket"))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         when(col("cn") * col("qn") === 0, lit(0.0d))
-          .otherwise(dot(col("qvec"), col("cvec")) / (col("cn") * col("qn"))).as("sim"))
+          .otherwise(d(col("qvec"), col("cvec")) / (col("cn") * col("qn"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -134,8 +145,9 @@ object Similarity {
   def ivfKnn(candidates: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = dotFor(candidates)
     val c = candidates.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cvec"))
-      .withColumn("cn", norm(col("cvec")))
+      .withColumn("cn", sqrt(d(col("cvec"), col("cvec"))))
     // deterministic sample: smallest nCentroids ids by hash order
     val centroids: Seq[(Int, Seq[Double])] = candidates
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
@@ -149,7 +161,7 @@ object Similarity {
     // nearest-centroid ids for a vector, as a sorted-by-distance idx array
     def centroidRanks(vec: Column): Column = {
       val scored = array(centroids.map { case (i, cv) =>
-        struct(dot(vec, typedLit(cv)).as("s"), lit(i).as("idx"))
+        struct(d(vec, typedLit(cv)).as("s"), lit(i).as("idx"))
       }: _*)
       // max inner product ~ nearest for same-norm centroids; deterministic
       // tie-break on idx
@@ -164,13 +176,13 @@ object Similarity {
     val assigned = c.withColumn("cell", element_at(centroidRanks(col("cvec")), 1))
     val probed = queries
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
-      .withColumn("qn", norm(col("qvec")))
+      .withColumn("qn", sqrt(d(col("qvec"), col("qvec"))))
       .withColumn("cell", explode(slice(centroidRanks(col("qvec")), 1, nProbe)))
     val scored = assigned.join(probed, Seq("cell"))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         when(col("cn") * col("qn") === 0, lit(0.0d))
-          .otherwise(dot(col("qvec"), col("cvec")) / (col("cn") * col("qn"))).as("sim"))
+          .otherwise(d(col("qvec"), col("cvec")) / (col("cn") * col("qn"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -185,16 +197,17 @@ object Similarity {
       numPlanes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
     val planes = hyperplanes(dims, numPlanes, seed)
+    val d = dotFor(df)
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
-      .withColumn("bucket", lshBucket(col("vec"), planes))
-      .withColumn("nrm", norm(col("vec")))
+      .withColumn("bucket", lshBucket(col("vec"), planes, d))
+      .withColumn("nrm", sqrt(d(col("vec"), col("vec"))))
     val a = v.select(col("bucket"), col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
     val b = v.select(col("bucket"), col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"),
         when(col("na") * col("nb") === 0, lit(0.0d))
-          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+          .otherwise(d(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .where(col("sim") >= threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
       .distinct()
