@@ -39,14 +39,31 @@ object Similarity {
   private def dotFor(df: DataFrame): (Column, Column) => Column =
     if (df.sparkSession.catalog.functionExists("vec_dot")) dot else dotHof
 
-  /** L2 norm. */
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** L2 norm (native vec_dot — requires GraftExtensions). */
+  def norm(a: Column): Column = norm(a, dot)
 
-  /** Cosine similarity; 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, lit(0.0d)).otherwise(dot(a, b) / d)
+  /** L2 norm with a caller-chosen dot (pass `dotHof`, or the result of
+    * `dotFor`, for sessions without the extension).
+    */
+  def norm(a: Column, dotFn: (Column, Column) => Column): Column =
+    sqrt(dotFn(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero.
+    * Native vec_dot — requires GraftExtensions.
+    */
+  def cosine(a: Column, b: Column): Column = cosine(a, b, dot)
+
+  /** Cosine with a caller-chosen dot, for extension-less sessions. */
+  def cosine(a: Column, b: Column, dotFn: (Column, Column) => Column): Column = {
+    val d = norm(a, dotFn) * norm(b, dotFn)
+    when(d === 0, lit(0.0d)).otherwise(dotFn(a, b) / d)
   }
+
+  /** Session-aware cosine: resolves native-vs-interpreted dot from the
+    * session owning `df`, like the kNN operators do.
+    */
+  def cosineFor(df: DataFrame)(a: Column, b: Column): Column =
+    cosine(a, b, dotFor(df))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 

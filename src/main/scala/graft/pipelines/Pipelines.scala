@@ -71,13 +71,23 @@ object Pipelines {
     private def missDefault(dim: DataFrame, name: String, echoName: Boolean): DataFrame = {
       val spark = dim.sparkSession
       import spark.implicits._
+      import org.apache.spark.sql.types.{NumericType, StringType}
       val keyCol = dim.columns.head
       val missName = if (echoName) name else "Not found"
       val keys = Seq(name.toLowerCase).toDF("__qkey")
       val joined = keys.join(
         broadcast(dim.withColumn("__qkey", lower(col(keyCol)))), Seq("__qkey"), "left")
+      // miss-default per column TYPE — lit(0) on a string column fails
+      // analysis; the serving apps echo zeros for numerics, "" for strings
+      val defaults = dim.schema.fields.map { f =>
+        f.name -> (f.dataType match {
+          case _: NumericType => lit(0).cast(f.dataType)
+          case StringType     => lit("")
+          case _              => lit(null).cast(f.dataType)
+        })
+      }.toMap
       val outCols = coalesce(col(keyCol), lit(missName)).as(keyCol) +:
-        dim.columns.tail.map(c => coalesce(col(c), lit(0)).as(c)).toIndexedSeq
+        dim.columns.tail.map(c => coalesce(col(c), defaults(c)).as(c)).toIndexedSeq
       joined.select(outCols: _*)
     }
   }

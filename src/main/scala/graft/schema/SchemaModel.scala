@@ -96,7 +96,20 @@ object SchemaModel {
   def enforceSchema(df: DataFrame, schema: StructType, strictNullability: Boolean = false): DataFrame = {
     val projected = df.select(schema.fields.map(f => castTo(col(f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
     if (!strictNullability || projected.schema == schema) projected
-    else df.sparkSession.createDataFrame(projected.rdd, schema)
+    else {
+      // Restamping REQUIRED without validating would let real nulls through
+      // to surface as NPEs far from the cause — fail fast, name the column.
+      // The guard lives in the value path (not a side column Catalyst would
+      // prune): null in a REQUIRED field hits raise_error at row eval.
+      import org.apache.spark.sql.functions.{raise_error, when, lit}
+      val guarded = projected.select(schema.fields.map { f =>
+        if (f.nullable) col(f.name)
+        else when(col(f.name).isNotNull, col(f.name))
+          .otherwise(raise_error(lit(s"null in REQUIRED column '${f.name}'")).cast(f.dataType))
+          .as(f.name)
+      }.toIndexedSeq: _*)
+      df.sparkSession.createDataFrame(guarded.rdd, schema)
+    }
   }
 
   private def castTo(c: Column, dt: DataType): Column = c.cast(dt)

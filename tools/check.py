@@ -28,10 +28,15 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    # Driver pairing: oracle_sql.json keys ARE the output directory names
+    # ("<name>.parquet"). Outputs with no matching key are flagged so a
+    # keying regression can't silently skip the gate again.
+    out_dirs = {os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*.parquet"))
+                if os.path.isdir(d)}
+    for missing in sorted(out_dirs - set(oracle)):
+        print(f"WARN {missing}: spark output has no oracle entry (rows-only check)")
     for name, sql in sorted(oracle.items()):
-        qdir = os.path.join(out_dir, name + ".parquet")
-        if not os.path.isdir(qdir):
-            qdir = os.path.join(out_dir, name)  # legacy layout
+        qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
