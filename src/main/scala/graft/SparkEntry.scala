@@ -145,6 +145,12 @@ object SparkEntry {
         .select(col("p_partkey"), round(col("p_retailprice") + 10, 2).as("adj_price"))
         .orderBy(col("p_partkey"))),
 
+    // P11: square map over a generated range (`data_transpose.ipynb` cell 3).
+    "p11_square_map" -> ((s, _) =>
+      s.range(1000)
+        .select(col("id"), (col("id") * col("id")).as("squared"))
+        .orderBy(col("id"))),
+
     // J1: broadcast hash lookup join (side-input dict join, `pipeline.py:54-61`).
     "j1_broadcast_lookup" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
@@ -320,8 +326,9 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
-    // Language-ID heuristic (stopword hits per language). Rows-only check;
-    // behavior pinned by TextStatsSpec fixtures.
+    // Language-ID heuristic (stopword hits per language; max score wins,
+    // ties by language code ascending, zero hits → "und") — fully mirrored
+    // in the DuckDB oracle; fixtures additionally pinned by TextStatsSpec.
     "x6_text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
@@ -337,6 +344,24 @@ object SparkEntry {
       t(s, dir, "documents").agg(
         countDistinct(TextStats.fingerprint(col("text"))).as("n_fp"),
         countDistinct(TextStats.normalize(col("text"))).as("n_norm"))),
+
+    // Vocabulary top-k: explode tokens → count → top 50. The partial
+    // aggregation absorbs the explode fan-out map-side; ties broken by
+    // token for a total deterministic order.
+    "x16_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextStats.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)),
+
+    // Document-length histogram: token count bucketed by tens — the
+    // one-pass shape of a corpus length-distribution report.
+    "x17_doclen_hist" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select((floor(TextStats.tokenCount(col("text")) / 10) * 10).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("bucket"))),
 
     // Explicit n-gram Jaccard similarity. This bounded slice (200 docs) is
     // latency-bound, so the right plan is one broadcast cross join over
@@ -680,5 +705,40 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "p11_square_map" ->
+      """SELECT CAST(range AS BIGINT) AS id, CAST(range * range AS BIGINT) AS squared
+        |FROM range(1000) ORDER BY id""".stripMargin,
+    "x6_text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','los','y','es','un','una','en','por','para'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('的','是','了','在','和','有','我','不','人','这'))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_guess
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "x16_vocab_topk" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> x <> '')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "x17_doclen_hist" ->
+      """SELECT CAST(floor(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> '')) / 10) * 10 AS BIGINT) AS bucket,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

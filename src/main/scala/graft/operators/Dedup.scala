@@ -85,31 +85,47 @@ object Dedup {
     aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
 
+  /** MinHash slot columns `(id, __m0..__m{k-1})` via explode + grouped min
+    * aggregates — the whole-stage-codegen shape of `minhashSignature`
+    * (which stays as the interpreted semantics oracle; DedupSpec asserts
+    * they agree). Each shingle is hashed twice in a narrow codegen'd
+    * projection; the k `min(h1 + i*h2)` aggregates get map-side partial
+    * aggregation, so the shuffle carries ~one row per document per
+    * partition — the shape that holds at 100 TB. `explode_outer` +
+    * null-guarded hashes keep shingle-less documents (their slots coalesce
+    * to the Long.MaxValue init, exactly like the HOF fold).
+    */
+  private def minhashSlots(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, k: Int): DataFrame = {
+    val hashed = ensureParallelism(df)
+      .select(col(idCol), wordShingles(col(textCol), shingleSize).as("__sh"))
+      .select(col(idCol), explode_outer(col("__sh")).as("__s"))
+      .select(col(idCol),
+        when(col("__s").isNotNull,
+          xxhash64(col("__s")).bitwiseAND(lit(0xFFFFFFFFL))).as("__h1"),
+        when(col("__s").isNotNull,
+          xxhash64(col("__s"), lit(1)).bitwiseAND(lit(0xFFFFFFFFL)).bitwiseOR(lit(1L))).as("__h2"))
+    val slots = (0 until k).map(i =>
+      coalesce(min(col("__h1") + lit(i.toLong) * col("__h2")), lit(Long.MaxValue)).as(s"__m$i"))
+    hashed.groupBy(col(idCol)).agg(slots.head, slots.tail: _*)
+  }
+
   /** (id, band, bucket) rows: the signature split into `bands` bands of
-    * k/bands rows each, each band hashed to a bucket id.
-    *
-    * Staged as separate projections so the signature is computed ONCE per
-    * row and band extraction reads the materialized array attribute. The
-    * bands are unrolled Scala-side (bands is a literal), which makes the
-    * signature a multiply-referenced non-cheap alias — exactly the case
-    * Catalyst's CollapseProject refuses to re-inline, so the staging
-    * survives optimization. (The first version nested the signature
-    * expression inside a per-band lambda: interpreted HOFs get no CSE, so
-    * every band re-ran the whole shingle+hash tree — ~bands× the work.)
+    * k/bands slots each, each band hashed to a bucket id. Bucket values are
+    * identical to hashing the corresponding slice of `minhashSignature`
+    * (same comma-joined decimal string under xxhash64).
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must be divisible by bands=$bands")
     val r = numHashes / bands
-    val withSig = ensureParallelism(df)
-      .select(col(idCol), wordShingles(col(textCol), shingleSize).as("__sh"))
-      .select(col(idCol), minhashSignature(col("__sh"), numHashes).as("__sig"))
+    val slots = minhashSlots(df, idCol, textCol, shingleSize, numHashes)
     val bandStructs = array((0 until bands).map { j =>
       struct(lit(j).as("band"),
-        xxhash64(concat_ws(",", transform(slice(col("__sig"), j * r + 1, r), x => x.cast("string"))))
+        xxhash64(concat_ws(",", (j * r until (j + 1) * r).map(i => col(s"__m$i").cast("string")): _*))
           .as("bucket"))
     }: _*)
-    withSig.select(col(idCol), explode(bandStructs).as("bb"))
+    slots.select(col(idCol), explode(bandStructs).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
@@ -250,6 +266,31 @@ object Dedup {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** `(id, <as>)` SimHash frame via explode + 64 grouped ±1-vote sums —
+    * the whole-stage-codegen shape of `withSimHash` (kept as the
+    * interpreted semantics oracle; DedupSpec asserts they agree). Token
+    * hashing is one codegen'd projection; the vote sums partial-aggregate
+    * map-side. Token-less documents survive `explode_outer` with null
+    * hashes → all-null vote sums → coalesce to 0 → hash 0, matching the
+    * HOF fold's zero-vote pack.
+    */
+  def simhashFrame(df: DataFrame, idCol: String, textCol: String,
+      as: String = "simhash"): DataFrame = {
+    val hashed = ensureParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode_outer(TextStats.tokens(TextStats.normalize(col(textCol)))).as("__t"))
+      .select(col(idCol), when(col("__t").isNotNull, xxhash64(col("__t"))).as("__h"))
+    val votes = (0 until 64).map(i =>
+      coalesce(sum(
+        when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1)
+          .when(col("__h").isNotNull, -1)), lit(0L)).as(s"__v$i"))
+    val agg = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val h = (0 until 64).map(i =>
+      when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col(idCol), h.as(as))
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, found by
     * banding the 64-bit hash into `bands` chunks (pigeonhole: distance ≤ d
     * guarantees an identical chunk when bands > d) and verifying exactly.
@@ -258,8 +299,7 @@ object Dedup {
       maxDist: Int = 3, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
     require(bands > maxDist, "need bands > maxDist for the pigeonhole guarantee")
     val width = 64 / bands
-    val withH = withSimHash(ensureParallelism(df.select(col(idCol), col(textCol))), textCol, "h")
-      .select(col(idCol), col("h"))
+    val withH = simhashFrame(df, idCol, textCol, "h")
     val chunks = array((0 until bands).map(j =>
       struct(lit(j).as("band"),
         shiftright(col("h"), j * width)

@@ -71,6 +71,34 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("simhashFrame (exploded codegen shape) agrees with the HOF withSimHash") {
+    val edge = docs.union(Seq((6L, ""), (7L, "   ")).toDF("doc_id", "text"))
+    val hof = Dedup.withSimHash(edge, "text", "h")
+      .select("doc_id", "h").as[(Long, Long)].collect().toMap
+    val exp = Dedup.simhashFrame(edge, "doc_id", "text", "h")
+      .select("doc_id", "h").as[(Long, Long)].collect().toMap
+    assert(exp === hof)
+    assert(exp(6L) === 0L && exp(7L) === 0L) // token-less docs hash to 0
+  }
+
+  test("lshBuckets (exploded codegen shape) agrees with HOF signature banding") {
+    val (k, bands) = (32, 8)
+    val r = k / bands
+    // the pre-rewrite bucket construction: HOF signature, sliced and hashed
+    val withSig = docs.select($"doc_id",
+      Dedup.minhashSignature(Dedup.wordShingles($"text", 3), k).as("sig"))
+    val hof = withSig.select($"doc_id", explode(array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64(concat_ws(",", transform(slice($"sig", j * r + 1, r), x => x.cast("string"))))
+          .as("bucket"))
+    }: _*)).as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bucket")
+      .as[(Long, Int, Long)].collect().toSet
+    val exp = Dedup.lshBuckets(docs, "doc_id", "text", 3, k, bands)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(exp === hof)
+  }
+
   test("jaccardPairs (posting-list join) equals brute-force pairwise jaccard") {
     val sh = docs.select($"doc_id", Dedup.wordShingles($"text", 3).as("sh"))
     val a = sh.select($"doc_id".as("a"), $"sh".as("sh_a"))
