@@ -370,8 +370,8 @@ object SparkEntry {
     // (its ~8 shuffle stages only pay off when all-pairs is infeasible).
     "x13_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents").where(col("doc_id") < 200)
-      val sh = d.select(col("doc_id"),
-        transform(Dedup.wordShingles(col("text"), 3), x => xxhash64(x)).as("sh"))
+      val sh = Dedup.shingled(d, "doc_id", "text", 3)
+        .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("sh"))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
       val a = sh.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("sz").as("sza"))
       val b = sh.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("sz").as("szb"))

@@ -41,14 +41,32 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles as a distinct array (set semantics for Jaccard). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = TextStats.tokens(TextStats.normalize(text))
+  /** Word n-gram shingles as a distinct array (set semantics for Jaccard).
+    * Inlines the tokenizer ~6× into the CASE tree — fine for one-off use,
+    * but DataFrame pipelines should stage the token array and call
+    * `wordShinglesFromTokens` (see `shingled`).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(TextStats.tokens(TextStats.normalize(text)), n)
+
+  /** Shingles from a pre-tokenized array. Pass a materialized column:
+    * the token expression is referenced 6 times below, and interpreted
+    * higher-order functions re-evaluate a non-attribute input per
+    * reference (and the inlined tree also bloats codegen setup).
+    */
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, when(size(toks) > 0, array(concat_ws(" ", toks))).otherwise(array()))
       .otherwise(array_distinct(
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+
+  /** `(idCol, <as>)` with the shingle set computed via a staged token
+    * column — tokenizer runs once per row, shingling reads the attribute.
+    */
+  def shingled(df: DataFrame, idCol: String, textCol: String, n: Int,
+      as: String = "sh"): DataFrame =
+    df.select(col(idCol), TextStats.tokens(TextStats.normalize(col(textCol))).as("__toks"))
+      .select(col(idCol), wordShinglesFromTokens(col("__toks"), n).as(as))
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -97,8 +115,7 @@ object Dedup {
     */
   private def minhashSlots(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, k: Int): DataFrame = {
-    val hashed = ensureParallelism(df)
-      .select(col(idCol), wordShingles(col(textCol), shingleSize).as("__sh"))
+    val hashed = shingled(ensureParallelism(df), idCol, textCol, shingleSize, "__sh")
       .select(col(idCol), explode_outer(col("__sh")).as("__s"))
       .select(col(idCol),
         when(col("__s").isNotNull,
@@ -178,7 +195,7 @@ object Dedup {
       threshold: Double, shingleSize: Int = 3, numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
-    val sh = ensureParallelism(df).select(col(idCol), wordShingles(col(textCol), shingleSize).as("sh"))
+    val sh = shingled(ensureParallelism(df), idCol, textCol, shingleSize)
     cands
       .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))
@@ -202,8 +219,8 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3, maxDocFreq: Int = 1000): DataFrame = {
-    val base = ensureParallelism(df)
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
+    val base = shingled(ensureParallelism(df), idCol, textCol, shingleSize)
+      .withColumnRenamed(idCol, "id")
     val sizes = base.select(col("id"), size(col("sh")).as("sz"))
     val postings = base.select(col("id"), explode(col("sh")).as("s"))
     val rare = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
