@@ -84,6 +84,35 @@ object Catalog {
   def writeCsv(df: DataFrame, p: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(p)
 
+  /** Hive-style partitioned parquet sink: one directory per distinct
+    * partition-column tuple. The 100 TB ingest shape — a reader filtering
+    * on the partition columns scans only the matching directories
+    * (partition pruning happens at file listing, before any I/O), and
+    * writers of disjoint partitions never contend.
+    *
+    * Keep partition columns low-cardinality (date, region, event type):
+    * every distinct tuple is a directory, and millions of tiny directories
+    * destroy listing performance.
+    */
+  def writePartitioned(df: DataFrame, root: String, ref: String,
+      partitionCols: Seq[String], mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path(root, ref))
+
+  /** Bucketed + sorted managed table: rows hash-partitioned into `buckets`
+    * files per partition by `bucketCols`. Two tables bucketed the same way
+    * join WITHOUT a shuffle (SortMergeJoin reads co-located buckets
+    * directly) — the pre-shuffle pattern for a fact table joined on the
+    * same key by many recurring queries. Requires `saveAsTable` (bucket
+    * metadata lives in the session catalog / metastore).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K5: multi-sink fan-out — one source feeds several sinks without
     * re-scanning (reference `csv_to_bq_NYC.py:128-150` reads BigQuery once
     * and feeds two sinks). `cache()` mirrors Beam's single-read semantics;
