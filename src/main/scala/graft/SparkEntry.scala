@@ -452,6 +452,30 @@ object SparkEntry {
         .select(col("hour"), col("event_type"), col("n"),
           round(col("total_value"), 2).as("total_value"))
         .orderBy(col("hour"), col("event_type"))),
+
+    // Event-time sessionization (30-min inactivity gap) via the native
+    // session_window operator — same definition runs streaming (see
+    // EventsStream/StreamingSpec). Oracle reconstructs sessions with the
+    // classic lag + cumulative-sum window recipe.
+    "x18_sessionize" -> ((s, dir) =>
+      EventsStream.sessionize(Catalog.events(s, dir), gapSec = 1800)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"),
+          col("duration_sec"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // Window functions: top-3 orders by price within each priority class
+    // (rank-per-group — one hash-partition shuffle on the window key).
+    "x19_rank_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 3)
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -740,5 +764,33 @@ object SparkEntry {
         |    x -> x <> '')) / 10) * 10 AS BIGINT) AS bucket,
         |  count(*) AS n_docs
         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "x18_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) + INTERVAL 1800 SECOND AS session_end,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  (epoch(date_trunc('second', max(ts)) + INTERVAL 1800 SECOND)
+        |    - epoch(date_trunc('second', min(ts))) - 1800)::DOUBLE AS duration_sec
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "x19_rank_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |FROM orders
+        |QUALIFY rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
   )
 }
