@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextStats
-import graft.operators.{Dedup, Multimodal, RelOps, Similarity, Transpose}
+import graft.operators.{Dedup, Multimodal, Profile, RelOps, Similarity, Transpose}
 import graft.pipelines.Pipelines
 import graft.sources.Catalog
 import graft.streaming.EventsStream
@@ -464,6 +464,21 @@ object SparkEntry {
           col("duration_sec"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Exact distribution summary: interpolated percentiles + distinct
+    // buyer count in one aggregate (DuckDB quantile_cont shares the
+    // linear-interpolation definition).
+    "x20_stats_summary" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+        countDistinct(col("o_custkey")).as("n_buyers"),
+        count(lit(1)).as("n_orders"))),
+
+    // Data-profiling pass: per-column null/distinct/min/max in one scan.
+    "x21_profile" -> ((s, dir) =>
+      Profile.profile(t(s, dir, "customer")).orderBy(col("column"))),
+
     // Window functions: top-3 orders by price within each priority class
     // (rank-per-group — one hash-partition shuffle on the window key).
     "x19_rank_per_group" -> ((s, dir) => {
@@ -792,5 +807,36 @@ object SparkEntry {
         |FROM orders
         |QUALIFY rn <= 3
         |ORDER BY o_orderpriority, rn""".stripMargin,
+    "x20_stats_summary" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+        |  count(DISTINCT o_custkey) AS n_buyers,
+        |  count(*) AS n_orders
+        |FROM orders""".stripMargin,
+    "x21_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'c_acctbal' AS "column", count(*) AS n_rows,
+        |    count(*) - count(c_acctbal) AS n_nulls,
+        |    count(DISTINCT c_acctbal) AS n_distinct,
+        |    min(c_acctbal)::VARCHAR AS min_value, max(c_acctbal)::VARCHAR AS max_value
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_custkey', count(*), count(*) - count(c_custkey),
+        |    count(DISTINCT c_custkey), min(c_custkey)::VARCHAR, max(c_custkey)::VARCHAR
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+        |    count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name', count(*), count(*) - count(c_name),
+        |    count(DISTINCT c_name), min(c_name), max(c_name)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+        |    count(DISTINCT c_nationkey), min(c_nationkey)::VARCHAR, max(c_nationkey)::VARCHAR
+        |  FROM customer)
+        |ORDER BY "column"""".stripMargin,
   )
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-profiling pass: per-column row/null/distinct counts and min/max,
+  * in ONE scan — the data-quality report a training-data pipeline runs
+  * before trusting a new drop of documents.
+  *
+  * Shape: a single wide aggregate (Spark plans the multiple distinct
+  * aggregates with one Expand — still one scan, one shuffle) followed by a
+  * driver-side unpivot of the 1-row result into (column, metric...) rows.
+  * The only `collect()` is that single profile row — O(#columns), never
+  * data-sized.
+  *
+  * At 100 TB exact per-column distinct counts are the expensive part;
+  * `approx = true` swaps in HyperLogLog++ (`approx_count_distinct`) for a
+  * single-Expand, constant-memory sketch — same output schema.
+  */
+object Profile {
+
+  def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns.toSeq
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
+          .as(s"__dst_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val total = row.getAs[Long]("__total")
+    val out = cols.map { c =>
+      (c, total, total - row.getAs[Long](s"__cnt_$c"), row.getAs[Long](s"__dst_$c"),
+        Option(row.getAs[String](s"__min_$c")).orNull,
+        Option(row.getAs[String](s"__max_$c")).orNull)
+    }
+    out.toDF("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+  }
+}

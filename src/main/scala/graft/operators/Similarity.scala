@@ -37,10 +37,22 @@ object Similarity {
     * operators below work (slower) in vanilla sessions too.
     */
   private def dotFor(df: DataFrame): (Column, Column) => Column =
-    if (df.sparkSession.catalog.functionExists("vec_dot")) dot else dotHof
+    dotIn(df.sparkSession)
 
-  /** L2 norm (native vec_dot — requires GraftExtensions). */
-  def norm(a: Column): Column = norm(a, dot)
+  private def dotIn(spark: org.apache.spark.sql.SparkSession): (Column, Column) => Column =
+    if (spark.catalog.functionExists("vec_dot")) dot else dotHof
+
+  /** Session-aware dot for the ACTIVE session: native when GraftExtensions
+    * is registered there, interpreted fallback otherwise.
+    */
+  private def activeDot: (Column, Column) => Column =
+    org.apache.spark.sql.SparkSession.getActiveSession.map(dotIn)
+      .getOrElse(dotHof)
+
+  /** L2 norm — native vec_dot when the active session has GraftExtensions,
+    * interpreted fallback otherwise.
+    */
+  def norm(a: Column): Column = norm(a, activeDot)
 
   /** L2 norm with a caller-chosen dot (pass `dotHof`, or the result of
     * `dotFor`, for sessions without the extension).
@@ -48,10 +60,11 @@ object Similarity {
   def norm(a: Column, dotFn: (Column, Column) => Column): Column =
     sqrt(dotFn(a, a))
 
-  /** Cosine similarity; 0 when either vector is all-zero.
-    * Native vec_dot — requires GraftExtensions.
+  /** Cosine similarity; 0 when either vector is all-zero. Native vec_dot
+    * when the active session has GraftExtensions, interpreted fallback
+    * otherwise.
     */
-  def cosine(a: Column, b: Column): Column = cosine(a, b, dot)
+  def cosine(a: Column, b: Column): Column = cosine(a, b, activeDot)
 
   /** Cosine with a caller-chosen dot, for extension-less sessions. */
   def cosine(a: Column, b: Column, dotFn: (Column, Column) => Column): Column = {
