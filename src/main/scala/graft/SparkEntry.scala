@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextStats
-import graft.operators.{Dedup, Multimodal, Profile, RelOps, Similarity, Transpose}
+import graft.operators.{Dedup, Multimodal, Profile, RelOps, Similarity, Temporal, Transpose}
 import graft.pipelines.Pipelines
 import graft.sources.Catalog
 import graft.streaming.EventsStream
@@ -491,6 +491,100 @@ object SparkEntry {
         .where(col("rn") <= 3)
         .orderBy(col("o_orderpriority"), col("rn"))
     }),
+
+    // As-of join: each click matched to the user's most recent prior
+    // purchase (Temporal.asofJoinBackward — union + running-window shape,
+    // ONE shuffle on user_id, no inequality-join explosion).
+    "x22_asof_join" -> ((s, dir) => {
+      val ev = Catalog.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+      Temporal.asofJoinBackward(clicks, purchases, Seq("user_id"), "ts", "pts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("asof_pts"),
+          round(col("asof_value"), 4).as("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Range join: orders classified into price bands. Band tables are
+    // dimension-sized → broadcast nested-loop with the range predicate is
+    // the right plan (zero shuffle); the big-big bucketized path is
+    // Temporal.bucketedRangeJoin (equivalence spec-tested).
+    "x23_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("small", 0.0, 50000.0),
+        ("medium", 50000.0, 150000.0),
+        ("large", 150000.0, 1.0e9)).toDF("band", "lo", "hi")
+      Temporal.broadcastRangeJoin(t(s, dir, "orders"), bands, "o_totalprice", "lo", "hi")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("band"))
+    }),
+
+    // Hierarchical rollup: revenue subtotals at (region, nation), per-region,
+    // and grand-total levels in one pass (Expand + single shuffle — the
+    // grouping-sets shape, not three scans).
+    "x24_rollup" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum(col("c_acctbal")), 2).as("total_bal"), count(lit(1)).as("n_cust"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("total_bal"), col("n_cust"))
+        .orderBy(col("region"), col("nation"))
+    }),
+
+    // Semi/anti joins: customers partitioned into buyers (left_semi against
+    // orders) and non-buyers (left_anti), counted per nation. Semi/anti
+    // shuffle only the key column of the probe side — never a row blowup.
+    "x25_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val keys = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      val n = t(s, dir, "nation")
+      val semi = c.join(keys, Seq("c_custkey"), "left_semi").withColumn("status", lit("buyer"))
+      val anti = c.join(keys, Seq("c_custkey"), "left_anti").withColumn("status", lit("non_buyer"))
+      semi.unionByName(anti)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("status"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_name"), col("status"))
+    }),
+
+    // Set operations: nation keys by presence in customer vs supplier
+    // (INTERSECT / EXCEPT both ways, tagged). Each set op plans as a
+    // hash-partitioned distinct + join — no driver-side set math.
+    "x26_setops" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+      cn.intersect(sn).withColumn("tag", lit("both"))
+        .unionByName(cn.except(sn).withColumn("tag", lit("customer_only")))
+        .unionByName(sn.except(cn).withColumn("tag", lit("supplier_only")))
+        .select(col("tag"), col("nationkey"))
+        .orderBy(col("tag"), col("nationkey"))
+    }),
+
+    // Time-series window frames: daily revenue with a 7-day moving average
+    // and day-over-day delta. The global ORDER BY window runs on the
+    // POST-aggregation series (one row per day) — tiny at any corpus scale,
+    // so the single-partition window is fine; the heavy lifting (daily sum)
+    // is a partial+final hash agg.
+    "x27_moving_avg" -> ((s, dir) => {
+      val w7 = org.apache.spark.sql.expressions.Window.orderBy(col("d")).rowsBetween(-6, 0)
+      val wl = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        .select(col("d"), col("revenue"),
+          round(avg(col("revenue")).over(w7), 2).as("ma7"),
+          round(col("revenue") - lag(col("revenue"), 1).over(wl), 2).as("delta"))
+        .orderBy(col("d"))
+    }),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -838,5 +932,61 @@ object SparkEntry {
         |    count(DISTINCT c_nationkey), min(c_nationkey)::VARCHAR, max(c_nationkey)::VARCHAR
         |  FROM customer)
         |ORDER BY "column"""".stripMargin,
+    "x22_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, p.ts AS asof_pts,
+        |  round(p.value, 4) AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "x23_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('small', 0.0, 50000.0),
+        |  ('medium', 50000.0, 150000.0),
+        |  ('large', 150000.0, 1000000000.0))
+        |SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "x24_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  round(sum(c_acctbal), 2) AS total_bal, count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "x25_semi_anti" ->
+      """WITH flagged AS (
+        |  SELECT c_nationkey,
+        |    CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |         THEN 'buyer' ELSE 'non_buyer' END AS status
+        |  FROM customer)
+        |SELECT n_name, status, count(*) AS n_customers
+        |FROM flagged JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, status
+        |ORDER BY n_name, status""".stripMargin,
+    "x26_setops" ->
+      """SELECT 'both' AS tag, nationkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'customer_only', nationkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'supplier_only', nationkey FROM (
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        |  EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+        |ORDER BY tag, nationkey""".stripMargin,
+    "x27_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate)::DATE AS d,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT d, revenue,
+        |  round(avg(revenue) OVER (ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7,
+        |  round(revenue - lag(revenue, 1) OVER (ORDER BY d), 2) AS delta
+        |FROM daily ORDER BY d""".stripMargin,
   )
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / ordering-aware joins Spark has no built-in operator for:
+  * as-of (most-recent-prior match) and interval/range joins.
+  *
+  * Both are composed from built-in expressions + window aggregates so the
+  * plans stay codegen'd and shuffle-bounded:
+  *   - as-of: ONE hash-partition shuffle on the key (union + running
+  *     `last(ignoreNulls)` window), never a per-row probe or a join
+  *     explosion — the 100 TB shape for "latest dimension state as of
+  *     event time" lookups.
+  *   - range: interval tables small enough to broadcast use a broadcast
+  *     nested-loop with a range predicate (no shuffle at all); big-big
+  *     range joins bucketize the domain so the join is equi on bucket id
+  *     and the range predicate only refines within-bucket candidates.
+  */
+object Temporal {
+
+  /** Backward (most-recent-prior, inclusive) as-of join.
+    *
+    * For each left row, append `payload` columns from the right row with
+    * the greatest `rightTs <= leftTs` sharing the same `keys` (null when no
+    * prior right row exists) — e.g. "the user's last purchase before this
+    * click". Ties on timestamp match (inclusive); among right rows with the
+    * same key and timestamp the survivor is the last under the window sort,
+    * so keep (key, rightTs) unique for deterministic output.
+    *
+    * Shape: tag + union both sides, one window
+    * `last(struct(payload), ignoreNulls)` over
+    * `(partitionBy keys, orderBy ts, side)` running frame, filter back to
+    * left rows. Right rows sort before left rows at equal timestamps, which
+    * is what makes the match inclusive. The payload travels as ONE nullable
+    * struct so genuinely-null payload values don't fall through to older
+    * rows.
+    *
+    * Cost: one shuffle of |left|+|right| rows on `keys` — no range
+    * explosion, no skew from popular join keys beyond what the window sort
+    * already absorbs. This beats the union-of-inequality-join plans
+    * (O(left × right-per-key)) that a naive SQL translation produces.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(
+        right.select(struct((rightTs +: payload).map(col): _*)).schema.head.dataType))
+    val r = right
+      .select((keys.map(col) :+ col(rightTs).as("__ts")) :+
+        struct((rightTs +: payload).map(col): _*).as("__p"): _*)
+      .withColumn("__side", lit(0))
+    // align: right side lacks the non-key left columns; fill with nulls
+    val rAligned = leftCols.foldLeft(r) { (d, c) =>
+      if (keys.contains(c)) d
+      else d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(rAligned)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val out = leftCols.map(col) ++
+      (col("__m").getField(rightTs).as(s"$prefix$rightTs") +:
+        payload.map(p => col("__m").getField(p).as(s"$prefix$p")))
+    matched.select(out: _*)
+  }
+
+  /** Interval join against a BROADCAST-sized interval table: rows of
+    * `facts` matched to `intervals` rows where
+    * `loCol <= valueCol < hiCol` (half-open). Plan: BroadcastNestedLoopJoin
+    * — zero shuffle; right for band/bucket dimension tables (price bands,
+    * SLA tiers, date ranges) of up to ~thousands of rows.
+    */
+  def broadcastRangeJoin(facts: DataFrame, intervals: DataFrame,
+      valueCol: String, loCol: String, hiCol: String,
+      joinType: String = "inner"): DataFrame =
+    facts.join(broadcast(intervals),
+      col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol), joinType)
+
+  /** Big-big interval join: bucketize the value domain with `bucketWidth`
+    * so the join is EQUI on bucket id (hash-partitioned, AQE-planned), and
+    * the range predicate refines within the bucket. Each interval explodes
+    * to ceil(len/width)+1 bucket rows; each fact row lands in exactly one
+    * bucket, so no post-join dedup is needed.
+    *
+    * Pick `bucketWidth` near the typical interval length: shorter wastes
+    * interval replication, longer inflates per-bucket candidate lists.
+    */
+  def bucketedRangeJoin(facts: DataFrame, intervals: DataFrame,
+      valueCol: String, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val fb = facts.withColumn("__bkt", floor(col(valueCol) / bucketWidth))
+    val ib = intervals.withColumn("__bkt",
+      explode(sequence(floor(col(loCol) / bucketWidth),
+        floor((col(hiCol) - lit(1e-9)) / bucketWidth))))
+    fb.join(ib, Seq("__bkt"))
+      .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bkt")
+  }
+}

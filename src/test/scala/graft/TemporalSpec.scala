@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+
+class TemporalSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoinBackward matches the most recent prior row per key, inclusive") {
+    val clicks = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // after u10's 09:00 purchase
+      (2L, 10L, ts("2024-01-01 12:00:00")), // after u10's 11:00 purchase
+      (3L, 10L, ts("2024-01-01 11:00:00")), // tie with the 11:00 purchase → inclusive
+      (4L, 20L, ts("2024-01-01 08:00:00")), // u20 has no prior purchase → null
+      (5L, 30L, ts("2024-01-01 09:00:00"))  // u30 never purchases → null
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 5.0),
+      (10L, ts("2024-01-01 11:00:00"), 7.0),
+      (20L, ts("2024-01-01 09:30:00"), 9.0)
+    ).toDF("user_id", "pts", "value")
+
+    val out = Temporal.asofJoinBackward(clicks, purchases, Seq("user_id"),
+        "ts", "pts", Seq("value"))
+      .select("event_id", "asof_pts", "asof_value")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)), Option(r.get(2))))
+      .toSeq.sortBy(_._1)
+
+    assert(out === Seq(
+      (1L, Some(ts("2024-01-01 09:00:00")), Some(5.0)),
+      (2L, Some(ts("2024-01-01 11:00:00")), Some(7.0)),
+      (3L, Some(ts("2024-01-01 11:00:00")), Some(7.0)),
+      (4L, None, None),
+      (5L, None, None)))
+  }
+
+  test("asofJoinBackward keeps genuinely-null payload values (struct transport)") {
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), Some(3.0)),
+      (1L, ts("2024-01-01 09:00:00"), None: Option[Double]) // latest row, null value
+    ).toDF("k", "pts", "value")
+    val r = Temporal.asofJoinBackward(left, right, Seq("k"), "ts", "pts", Seq("value"))
+      .select("asof_pts", "asof_value").collect().head
+    // must match the 09:00 row (null value), NOT fall back to 08:00's 3.0
+    assert(r.getTimestamp(0) === ts("2024-01-01 09:00:00") && r.isNullAt(1))
+  }
+
+  private val bands = Seq(
+    ("low", 0.0, 100.0),
+    ("mid", 100.0, 250.0),
+    ("high", 250.0, 1000.0)
+  ).toDF("band", "lo", "hi")
+  private val points = Seq(
+    (1L, 0.0), (2L, 99.999), (3L, 100.0), (4L, 249.0), (5L, 250.0),
+    (6L, 999.0), (7L, 1000.0), (8L, -5.0)
+  ).toDF("id", "v")
+
+  test("broadcastRangeJoin is half-open [lo, hi) and drops out-of-band rows") {
+    val got = Temporal.broadcastRangeJoin(points, bands, "v", "lo", "hi")
+      .select("id", "band").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "low"), (2L, "low"), (3L, "mid"), (4L, "mid"),
+      (5L, "high"), (6L, "high")))
+  }
+
+  test("bucketedRangeJoin matches broadcastRangeJoin for any bucket width") {
+    val expect = Temporal.broadcastRangeJoin(points, bands, "v", "lo", "hi")
+      .select("id", "band").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    for (w <- Seq(10.0, 100.0, 333.0)) {
+      val got = Temporal.bucketedRangeJoin(points, bands, "v", "lo", "hi", w)
+        .select("id", "band").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === expect, s"width $w")
+    }
+  }
+}
