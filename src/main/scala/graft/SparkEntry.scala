@@ -321,9 +321,11 @@ object SparkEntry {
     }),
 
     // Quality scoring (length / word-length / punct / stopword components).
+    // Staged variant: tokenizes each document once, not once per score term
+    // (interpreted higher-order filter gets no CSE — see withQualityScore).
     "x5_text_quality" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+      TextStats.withQualityScore(t(s, dir, "documents"), "text", as = "quality")
+        .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))),
 
     // Language-ID heuristic (stopword hits per language; max score wins,

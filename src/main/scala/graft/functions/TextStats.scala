@@ -109,6 +109,37 @@ object TextStats {
     round(lengthOk + wordLenOk + punctOk + stopOk, 2)
   }
 
+  /** `(df + <as>)` quality score via staged intermediates — the scale shape
+    * of `qualityScore` (kept as the single-Column semantics oracle;
+    * TextStatsSpec asserts they agree). One projection stages the lowercase
+    * token array and the cheap codegen'd lengths; the score then reads
+    * attributes, so the text is tokenized ONCE instead of once per score
+    * term (interpreted higher-order `filter` gets no CSE — re-evaluating it
+    * per term re-splits the document each time).
+    */
+  def withQualityScore(df: DataFrame, textCol: String, as: String = "quality",
+      stopwords: Seq[String] = Stopwords("en")): DataFrame = {
+    val t = col(textCol)
+    val staged = df
+      .withColumn("__ltoks", tokens(lower(t)))
+      .withColumn("__ntok", size(col("__ltoks")))
+      .withColumn("__nonspace", length(regexp_replace(t, "\\s", "")))
+      .withColumn("__npunct", punctCount(t))
+      .withColumn("__nchars", length(t))
+      .withColumn("__stophits", size(filter(col("__ltoks"), x => x.isInCollection(stopwords))))
+    val nTok = col("__ntok")
+    val meanWordLen = when(nTok > 0, col("__nonspace").cast("double") / nTok).otherwise(lit(0.0))
+    val punctRatio = when(col("__nchars") > 0,
+      col("__npunct").cast("double") / col("__nchars")).otherwise(lit(0.0))
+    val score =
+      when(nTok.between(10, 100000), lit(0.25)).otherwise(lit(0.0)) +
+      when(meanWordLen.between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0)) +
+      when(punctRatio < 0.2, lit(0.25)).otherwise(lit(0.0)) +
+      when(col("__stophits") > 0, lit(0.25)).otherwise(lit(0.0))
+    staged.withColumn(as, round(score, 2))
+      .drop("__ltoks", "__ntok", "__nonspace", "__npunct", "__nchars", "__stophits")
+  }
+
   /** Document fingerprint: 64-bit xxHash of the casefolded,
     * whitespace-collapsed text. Two documents differing only in spacing or
     * case share a fingerprint (a cheap near-exact dedup key).

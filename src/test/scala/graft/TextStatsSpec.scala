@@ -47,6 +47,16 @@ class TextStatsSpec extends AnyFunSuite {
     assert(one[Double](TextStats.qualityScore($"t"), "the cat") === 0.75)
   }
 
+  test("withQualityScore agrees with the single-Column qualityScore") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .limit(200)
+    val both = TextStats.withQualityScore(docs, "text", as = "staged")
+      .withColumn("direct", TextStats.qualityScore(col("text")))
+    assert(both.where($"staged" =!= $"direct").count() === 0)
+    // staged helper leaves no intermediate columns behind
+    assert(!both.columns.exists(_.startsWith("__")))
+  }
+
   test("fingerprint is case/whitespace invariant, content sensitive") {
     val fp = (s: String) => one[Long](TextStats.fingerprint($"t"), s)
     assert(fp("Hello  World") === fp("hello world"))
