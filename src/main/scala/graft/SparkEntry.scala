@@ -587,6 +587,106 @@ object SparkEntry {
           round(col("revenue") - lag(col("revenue"), 1).over(wl), 2).as("delta"))
         .orderBy(col("d"))
     }),
+    // SQL surface: the same engine through `spark.sql` over registered
+    // catalog views — proof that a reference user can bring plain SQL.
+    "q4_sql" -> ((s, dir) => {
+      Catalog.registerViews(s, dir, Seq("orders", "customer", "nation"))
+      s.sql("""SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+              |  count(*) AS n_orders
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    }),
+
+    // Unpivot/melt — the inverse of the flagship transpose. Pivot then
+    // untranspose must restore the original long-form rows (the §5.2
+    // roundtrip property; also asserted in TransposeSpec).
+    "x28_unpivot" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      val piv = Transpose(base, Seq("l_returnflag"), "l_linestatus", Seq("sum_qty"))
+      Transpose.untranspose(piv, Seq("l_returnflag"), "l_linestatus", Seq("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Cube: subtotals over every subset of (segment, nationkey) in one
+    // Expand + single shuffle — the 2^k-grouping-sets shape.
+    "x29_cube" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("c_nationkey"), lit(-1L)).as("nationkey"),
+          col("n_cust"), col("total_bal"))
+        .orderBy(col("segment"), col("nationkey"))),
+
+    // TF-IDF: top term per document (doc slice; document frequency over the
+    // full corpus). Rankings tie-break on token; idf is rounded before the
+    // multiply so a last-ulp ln() difference can't flip an order across
+    // engines.
+    "x30_tfidf" -> ((s, dir) => {
+      val scored = TextStats.tfidf(t(s, dir, "documents"), "doc_id", "text")
+        .where(col("doc_id") < 50)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("token"), col("tf"), round(col("tfidf"), 4).as("tfidf"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic multiplicative-hash sample (1%): reproducible across
+    // engines/partitionings — the DuckDB oracle selects the same rows.
+    "x31_sample" -> ((s, dir) =>
+      RelOps.hashSample(t(s, dir, "orders"), "o_orderkey", 0.01)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // Bivariate statistics in one aggregate pass.
+    "x32_corr_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"))),
+
+    // Per-group interpolated percentiles (x20's global summary, grouped).
+    "x33_group_quantiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Bigram document-frequency top-20 (set semantics per document via the
+    // distinct shingle arrays; explode fan-out absorbed by partial agg).
+    "x34_bigrams" -> ((s, dir) =>
+      Dedup.shingled(t(s, dir, "documents"), "doc_id", "text", 2)
+        .select(explode(col("sh")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("bigram"))
+        .limit(20)),
+
+    // Full outer join: per-nation customer vs supplier counts, keys kept
+    // from either side.
+    "x35_full_outer" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("n_cust"))
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -990,5 +1090,86 @@ object SparkEntry {
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7,
         |  round(revenue - lag(revenue, 1) OVER (ORDER BY d), 2) AS delta
         |FROM daily ORDER BY d""".stripMargin,
+    "q4_sql" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "x28_unpivot" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x29_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |  coalesce(c_nationkey, -1) AS nationkey,
+        |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |GROUP BY CUBE (c_mktsegment, c_nationkey)
+        |ORDER BY segment, nationkey""".stripMargin,
+    "x30_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.token AS token, tf,
+        |    tf * round(ln(n.n::DOUBLE / df), 8) AS tfidf
+        |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+        |  WHERE doc_id < 50)
+        |SELECT doc_id, token, tf, round(tfidf, 4) AS tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token) AS rn
+        |  FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "x31_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE (o_orderkey & 2147483647) * 2654435761 % 1000000 < 10000
+        |ORDER BY o_orderkey""".stripMargin,
+    "x32_corr_stats" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(var_samp(l_quantity), 4) AS var_qty
+        |FROM lineitem""".stripMargin,
+    "x33_group_quantiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x34_bigrams" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1]
+        |      for i in range(1, len(toks))])
+        |    END AS sh
+        |  FROM t)
+        |SELECT bigram, count(*) AS n_docs
+        |FROM (SELECT unnest(sh) AS bigram FROM s)
+        |GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 20""".stripMargin,
+    "x35_full_outer" ->
+      """WITH cn AS (
+        |  SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |  FROM customer GROUP BY 1),
+        |sn AS (
+        |  SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |  FROM supplier GROUP BY 1)
+        |SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM cn FULL JOIN sn ON cn.nationkey = sn.nationkey
+        |ORDER BY nationkey""".stripMargin,
   )
 }

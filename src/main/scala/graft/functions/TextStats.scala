@@ -140,6 +140,30 @@ object TextStats {
       .drop("__ltoks", "__ntok", "__nonspace", "__npunct", "__nchars", "__stophits")
   }
 
+  /** Document-term TF-IDF over a corpus: `(idCol, token, tf, tfidf)` with
+    * tf = in-document term count and idf = ln(N / df) where df is the number
+    * of documents containing the token. The idf is rounded to 8 decimals
+    * before the multiply so rankings are bit-stable across engines (the
+    * DuckDB oracle mirrors the formula; a last-ulp `ln` difference must not
+    * flip a tie).
+    *
+    * Scale shape: explode → partial+final count per (doc, token) — the
+    * explode fan-out is absorbed map-side; document frequency aggregates the
+    * (doc, token) pairs again (vocabulary-sized output); the join back is a
+    * hash join on token. Three shuffles total, each on data that shrinks as
+    * it flows. N comes from one count job on the corpus (a driver scalar,
+    * like pivot-value discovery).
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.count()
+    val toks = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("token"))
+      .select(col(idCol), col("token"), col("tf"),
+        (col("tf") * round(log(lit(n.toDouble) / col("df")), 8)).as("tfidf"))
+  }
+
   /** Document fingerprint: 64-bit xxHash of the casefolded,
     * whitespace-collapsed text. Two documents differing only in spacing or
     * case share a fingerprint (a cheap near-exact dedup key).

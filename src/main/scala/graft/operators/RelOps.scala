@@ -79,6 +79,45 @@ object RelOps {
   def union(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_))
 
+  /** Bucket space for `hashBucket` — 1e6 buckets gives fraction resolution
+    * of 1e-6, plenty for sampling rates.
+    */
+  val HashSampleBuckets = 1000000L
+
+  /** Knuth multiplicative hash of a numeric key → bucket in
+    * [0, HashSampleBuckets). The key is masked to 31 bits first so the
+    * product can't overflow a long under ANSI mode. Pure arithmetic — any
+    * engine implementing the same formula selects the same rows (the DuckDB
+    * oracle does), which `df.sample`'s partition-dependent RNG cannot offer.
+    */
+  def hashBucket(key: Column): Column =
+    pmod(key.cast("long").bitwiseAND(lit(0x7FFFFFFFL)) * lit(2654435761L),
+      lit(HashSampleBuckets))
+
+  /** Deterministic sample: keep a row iff its key's hash bucket falls below
+    * `fraction` of the bucket space. A narrow filter — no shuffle, no RNG
+    * state, reproducible across runs/engines/partitionings; downsampling a
+    * 100 TB corpus this way is a single scan that prunes at the reader.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction out of [0,1]")
+    df.where(hashBucket(col(keyCol)) < lit((fraction * HashSampleBuckets).toLong))
+  }
+
+  /** Stratified deterministic sample: each stratum keeps its own fraction
+    * (strata absent from the map keep nothing). Same single-scan shape as
+    * `hashSample` — the per-stratum rate is a CASE expression, not a split
+    * into per-stratum jobs.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0), "fractions out of [0,1]")
+    val thresh = fractions.foldLeft(lit(0L)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === lit(stratum), lit((f * HashSampleBuckets).toLong)).otherwise(acc)
+    }
+    df.where(hashBucket(col(keyCol)) < thresh)
+  }
+
   /** Skew-resistant equi-join for a hot-keyed fact side: the dimension is
     * replicated `buckets`× with a salt column and facts pick a deterministic
     * salt from a row hash, so one hot key spreads over `buckets` reducers

@@ -118,6 +118,41 @@ object Transpose {
     SchemaModel.fromFieldSpecs(keys ++ pvs)
   }
 
+  /** Inverse of the transpose (melt/unpivot): columns named
+    * `{pivotValue}_{valueCol}` fold back into one row per (key tuple,
+    * pivot value). Pivot values are recovered from the column names, so
+    * this inverts exactly the naming convention `withValues` emits. Rows
+    * where every value column is NULL are dropped by default — those are
+    * the combos the pivot fabricated as NULL-fill — giving the §5.2
+    * property `untranspose(transpose(df)) == df` on duplicate-free input
+    * (asserted in TransposeSpec).
+    *
+    * Execution shape: array-of-structs + explode — a narrow generator in
+    * one codegen stage. No shuffle at any scale; output is ~|pivotValues|×
+    * the input rows, streamed, never materialized per-task.
+    */
+  def untranspose(df: DataFrame, keyCols: Seq[String], pivotCol: String,
+      valueCols: Seq[String], dropIfAllNull: Boolean = true): DataFrame = {
+    require(valueCols.nonEmpty, "untranspose needs at least one value column")
+    // longest-suffix match so one valueCol being a suffix of another
+    // ("price" vs "sum_price") can't mis-split a column name
+    val bySuffix = valueCols.sortBy(-_.length)
+    val pivotValues = df.columns.filterNot(keyCols.contains).flatMap { c =>
+      bySuffix.collectFirst { case v if c.endsWith(s"_$v") => c.dropRight(v.length + 1) }
+    }.distinct.toIndexedSeq
+    require(pivotValues.nonEmpty, "no {pivotValue}_{valueCol} columns found to untranspose")
+    val rows = array(pivotValues.map { pv =>
+      struct(lit(pv).as(pivotCol) +: valueCols.map(v => col(s"${pv}_$v").as(v)): _*)
+    }: _*)
+    val exploded = df
+      .select(keyCols.map(col).toIndexedSeq :+ explode(rows).as("__r"): _*)
+      .select(keyCols.map(col).toIndexedSeq ++
+        (pivotCol +: valueCols).map(n => col(s"__r.$n")): _*)
+    if (dropIfAllNull)
+      exploded.where(valueCols.map(v => col(v).isNotNull).reduce(_ || _))
+    else exploded
+  }
+
   /** Full-fidelity port of the reference program: pivot then enforce the
     * dynamically-derived schema (K4's dynamic-schema sink becomes an
     * explicit enforceSchema step — SURVEY §2.7 K4).

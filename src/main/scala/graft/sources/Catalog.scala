@@ -72,6 +72,23 @@ object Catalog {
     }
   }
 
+  /** Driver testdata table names (TESTDATA.md). */
+  val TestdataTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view so `spark.sql(...)` is a
+    * first-class query surface over the catalog. Views are lazy plans —
+    * registration costs nothing until a query scans one. `events` goes
+    * through its timestamp normalization.
+    */
+  def registerViews(spark: SparkSession, root: String,
+      tables: Seq[String] = TestdataTables): Unit =
+    tables.foreach { t =>
+      val df = if (t == "events") events(spark, root) else table(spark, root, t)
+      df.createOrReplaceTempView(t)
+    }
+
   /** K2: append sink. */
   def writeAppend(df: DataFrame, root: String, ref: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path(root, ref))

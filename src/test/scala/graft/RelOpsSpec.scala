@@ -38,4 +38,28 @@ class RelOpsSpec extends AnyFunSuite {
       .select("__salt").distinct().count()
     assert(salts >= 6, s"expected the hot key spread over most of 8 buckets, got $salts")
   }
+
+  test("hashSample is deterministic, near-rate, and partition-independent") {
+    val df = (1L to 10000L).toDF("id")
+    val a = RelOps.hashSample(df, "id", 0.1).select("id").collect().map(_.getLong(0)).toSet
+    val b = RelOps.hashSample(df.repartition(7), "id", 0.1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b) // same rows regardless of partitioning
+    assert(math.abs(a.size - 1000) < 150, s"sampled ${a.size} of 10000 at rate 0.1")
+    // monotone: a smaller rate selects a subset of a larger rate
+    val small = RelOps.hashSample(df, "id", 0.02)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a))
+  }
+
+  test("stratifiedHashSample applies per-stratum rates; absent strata drop") {
+    val df = (1L to 6000L).map(i => (i, Seq("en", "de", "fr")((i % 3).toInt)))
+      .toDF("id", "lang")
+    val out = RelOps.stratifiedHashSample(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.05)).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("fr"))
+    assert(math.abs(out("en") - 1000) < 150, s"en kept ${out.get("en")} of 2000 at 0.5")
+    assert(math.abs(out("de") - 100) < 60, s"de kept ${out.get("de")} of 2000 at 0.05")
+  }
 }

@@ -63,6 +63,23 @@ class TextStatsSpec extends AnyFunSuite {
     assert(fp("hello world") !== fp("hello worlds"))
   }
 
+  test("tfidf: rare terms outrank common ones, tf counts repeats") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana banana date")).toDF("doc_id", "text")
+    val out = TextStats.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byKey = out.map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // banana appears in all 3 docs → idf = ln(1) = 0
+    assert(byKey((1L, "banana"))._2 === 0.0)
+    // apple: tf=2 in doc 1, df=1 → tfidf = 2·ln(3)
+    assert(byKey((1L, "apple"))._1 === 2L)
+    assert(math.abs(byKey((1L, "apple"))._2 - 2 * math.log(3.0)) < 1e-6)
+    // cherry and date: tf=1, df=1 → ln(3)
+    assert(math.abs(byKey((2L, "cherry"))._2 - math.log(3.0)) < 1e-6)
+  }
+
   test("withStats attaches the full bundle") {
     val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
     val out = TextStats.withStats(docs)

@@ -97,4 +97,30 @@ class TransposeSpec extends AnyFunSuite {
       .reduce(_.unionByName(_))
     assert(restored.except(in.toDF()).count() === 0 && in.toDF().except(restored).count() === 0)
   }
+
+  test("untranspose inverts transpose (roundtrip, single and multi value)") {
+    val in = (for { k <- 1L to 20L; p <- Seq("A", "B", "C") if (k + p.head).toInt % 3 != 0 }
+      yield (k, p, k * 1.5, k * 2.0)).toDF("ID", "P", "V1", "V2")
+    val piv = Transpose(in, Seq("ID"), "P", Seq("V1", "V2"))
+    val back = Transpose.untranspose(piv, Seq("ID"), "P", Seq("V1", "V2"))
+    assert(back.columns.toSeq === Seq("ID", "P", "V1", "V2"))
+    assert(back.except(in.toDF()).count() === 0 && in.toDF().except(back).count() === 0)
+  }
+
+  test("untranspose keeps NULL-fill rows when dropIfAllNull = false") {
+    val in = Seq((1L, "A", 1.0), (2L, "A", 2.0), (2L, "B", 3.0)).toDF("ID", "P", "V")
+    val piv = Transpose(in, Seq("ID"), "P", Seq("V"))
+    val all = Transpose.untranspose(piv, Seq("ID"), "P", Seq("V"), dropIfAllNull = false)
+    assert(all.count() === 4) // 2 keys × 2 pivot values, incl. the fabricated (1, B)
+    assert(all.where($"ID" === 1L && $"P" === "B" && $"V".isNull).count() === 1)
+  }
+
+  test("untranspose matches the longest valueCol suffix") {
+    // "price" is a suffix of "sum_price": columns must split on the longer one
+    val df = Seq((1L, 10.0, 20.0)).toDF("ID", "X_sum_price", "X_price")
+    val out = Transpose.untranspose(df, Seq("ID"), "P", Seq("sum_price", "price"))
+    assert(out.columns.toSeq === Seq("ID", "P", "sum_price", "price"))
+    val r = out.collect().head
+    assert(r.getString(1) === "X" && r.getDouble(2) === 10.0 && r.getDouble(3) === 20.0)
+  }
 }
