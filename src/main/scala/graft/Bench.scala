@@ -26,9 +26,15 @@ object Bench {
     // not first-query session startup
     try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_ONLY=q1_agg,x2_dedup_minhash runs a subset (iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     // -1.0 marks a failed query — a swallowed exception must not masquerade
     // as a fast timing in the bench JSON
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -351,8 +351,8 @@ object SparkEntry {
     // aggregation absorbs the explode fan-out map-side; ties broken by
     // token for a total deterministic order.
     "x16_vocab_topk" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(explode(TextStats.tokens(lower(col("text")))).as("token"))
+      graft.functions.Staging.explodeStaged(t(s, dir, "documents"), Seq(),
+          TextStats.tokens(lower(col("text"))), as = "token")
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
@@ -669,7 +669,7 @@ object SparkEntry {
     // distinct shingle arrays; explode fan-out absorbed by partial agg).
     "x34_bigrams" -> ((s, dir) =>
       Dedup.shingled(t(s, dir, "documents"), "doc_id", "text", 2)
-        .select(explode(col("sh")).as("bigram"))
+        .select(explode(graft.functions.Staging.pin(col("sh"))).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("bigram"))
         .limit(20)),

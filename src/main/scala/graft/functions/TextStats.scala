@@ -156,7 +156,8 @@ object TextStats {
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.count()
-    val toks = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+    val toks = Staging.explodeStaged(docs, Seq(idCol),
+      tokens(lower(col(textCol))), as = "token")
     val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(dfreq, Seq("token"))

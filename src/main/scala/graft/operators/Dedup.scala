@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextStats
+import graft.functions.{Staging, TextStats}
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard verification.
@@ -53,12 +53,16 @@ object Dedup {
     * the token expression is referenced 6 times below, and interpreted
     * higher-order functions re-evaluate a non-attribute input per
     * reference (and the inlined tree also bloats codegen setup).
+    *
+    * Per-position reads are `element_at` (O(1) on ArrayData, no
+    * allocation) rather than `slice`, which copies an n-element array for
+    * every position — a measurable cost in the interpreted HOF loop.
     */
   def wordShinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, when(size(toks) > 0, array(concat_ws(" ", toks))).otherwise(array()))
       .otherwise(array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))))
 
   /** `(idCol, <as>)` with the shingle set computed via a staged token
     * column — tokenizer runs once per row, shingling reads the attribute.
@@ -116,7 +120,7 @@ object Dedup {
   private def minhashSlots(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, k: Int): DataFrame = {
     val hashed = shingled(ensureParallelism(df), idCol, textCol, shingleSize, "__sh")
-      .select(col(idCol), explode_outer(col("__sh")).as("__s"))
+      .select(col(idCol), explode_outer(Staging.pin(col("__sh"))).as("__s"))
       .select(col(idCol),
         when(col("__s").isNotNull,
           xxhash64(col("__s")).bitwiseAND(lit(0xFFFFFFFFL))).as("__h1"),
@@ -142,7 +146,8 @@ object Dedup {
         xxhash64(concat_ws(",", (j * r until (j + 1) * r).map(i => col(s"__m$i").cast("string")): _*))
           .as("bucket"))
     }: _*)
-    slots.select(col(idCol), explode(bandStructs).as("bb"))
+    slots.select(col(idCol), bandStructs.as("__bb"))
+      .select(col(idCol), explode(Staging.pin(col("__bb"))).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
@@ -159,23 +164,30 @@ object Dedup {
   /** Candidate near-dup pairs (a < b on id) from MinHash-LSH banding.
     * Distinct across bands. Buckets larger than `maxBucketSize` are dropped
     * (skew guard — see `droppedBuckets` to observe what was skipped).
+    *
+    * Default 48 hashes × 12 bands of 4: candidate probability
+    * `1-(1-j⁴)¹²` puts the S-curve threshold at (1/12)^(1/4) ≈ 0.54 and
+    * per-pair recall at j=0.9 at 1 − 2.7e-6 — wide signatures only buy
+    * estimate precision we don't use (candidates are verified exactly),
+    * while hashing and aggregate width scale linearly with k.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, numHashes: Int = 48, bands: Int = 12,
       maxBucketSize: Int = 1000): DataFrame = {
     val buckets = lshBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
     val grouped = buckets.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
     grouped
-      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(pairsOf(col("ids")).as("__ps"))
+      .select(explode(Staging.pin(col("__ps"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
 
   /** Buckets skipped by the skew guard — surfaced, never silent. */
   def droppedBuckets(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, numHashes: Int = 48, bands: Int = 12,
       maxBucketSize: Int = 1000): DataFrame =
     lshBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
@@ -188,14 +200,26 @@ object Dedup {
         struct(element_at(ids, i + 1).as("a"), b.as("b")))))
 
   /** Full MinHash near-dup pipeline: LSH candidates verified with exact
-    * n-gram Jaccard ≥ threshold. Two hash-joins back to the shingle sets;
-    * the candidate side is tiny relative to the corpus.
+    * n-gram Jaccard ≥ threshold.
+    *
+    * The verify stage tokenizes/shingles ONLY the candidate documents
+    * (a semi-join prunes the corpus first): candidates are a vanishing
+    * fraction of any real corpus, so the expensive shingling never runs a
+    * second time over all of it — and the verify-join sides stay small
+    * enough that AQE can never pick a multi-GB broadcast build here. The
+    * candidate pairs (tiny: ids only) are persisted so the LSH pipeline
+    * executes once, not once per downstream reference.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleSize: Int = 3, numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      threshold: Double, shingleSize: Int = 3, numHashes: Int = 48,
+      bands: Int = 12): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
-    val sh = shingled(ensureParallelism(df), idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cands.select(col("a").as(idCol))
+      .unionByName(cands.select(col("b").as(idCol)))
+      .distinct()
+    val candDocs = df.join(candIds, Seq(idCol), "left_semi")
+    val sh = shingled(candDocs, idCol, textCol, shingleSize)
     cands
       .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))
@@ -222,7 +246,7 @@ object Dedup {
     val base = shingled(ensureParallelism(df), idCol, textCol, shingleSize)
       .withColumnRenamed(idCol, "id")
     val sizes = base.select(col("id"), size(col("sh")).as("sz"))
-    val postings = base.select(col("id"), explode(col("sh")).as("s"))
+    val postings = base.select(col("id"), explode(Staging.pin(col("sh"))).as("s"))
     val rare = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq)
       .select(col("s"))
@@ -295,7 +319,8 @@ object Dedup {
       as: String = "simhash"): DataFrame = {
     val hashed = ensureParallelism(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
-        explode_outer(TextStats.tokens(TextStats.normalize(col(textCol)))).as("__t"))
+        TextStats.tokens(TextStats.normalize(col(textCol))).as("__toks"))
+      .select(col(idCol), explode_outer(Staging.pin(col("__toks"))).as("__t"))
       .select(col(idCol), when(col("__t").isNotNull, xxhash64(col("__t"))).as("__h"))
     val votes = (0 until 64).map(i =>
       coalesce(sum(
@@ -321,13 +346,15 @@ object Dedup {
       struct(lit(j).as("band"),
         shiftright(col("h"), j * width)
           .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)
-    val banded = withH.select(col(idCol), col("h"), explode(chunks).as("bb"))
+    val banded = withH.select(col(idCol), col("h"), chunks.as("__bb"))
+      .select(col(idCol), col("h"), explode(Staging.pin(col("__bb"))).as("bb"))
       .select(col(idCol), col("h"), col("bb.band"), col("bb.chunk"))
     val grouped = banded.groupBy(col("band"), col("chunk"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("h").as("h")))).as("xs"))
       .where(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
     grouped
-      .select(explode(pairStructs(col("xs"))).as("p"))
+      .select(pairStructs(col("xs")).as("__ps"))
+      .select(explode(Staging.pin(col("__ps"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"),
         hamming(col("p.ha"), col("p.hb")).as("dist"))
       .distinct()

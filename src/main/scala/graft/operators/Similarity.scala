@@ -207,7 +207,9 @@ object Similarity {
     val probed = queries
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
       .withColumn("qn", sqrt(d(col("qvec"), col("qvec"))))
-      .withColumn("cell", explode(slice(centroidRanks(col("qvec")), 1, nProbe)))
+      .withColumn("__ranks", centroidRanks(col("qvec")))
+      .withColumn("cell", explode(slice(graft.functions.Staging.pin(col("__ranks")), 1, nProbe)))
+      .drop("__ranks")
     val scored = assigned.join(probed, Seq("cell"))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
