@@ -674,6 +674,27 @@ object SparkEntry {
         .orderBy(col("n_docs").desc, col("bigram"))
         .limit(20)),
 
+    // JSON-lines source round-trip (schema-declared read, no inference).
+    "s5_json_roundtrip" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val p = s"/tmp/graft/s5_json_${dir.replaceAll("[^0-9.]", "")}"
+      Catalog.writeJson(nation, p)
+      Catalog.json(s, p, nation.schema).orderBy(col("n_nationkey"))
+    }),
+
+    // PII-ish redaction: mask emails and long digit runs in one projection.
+    "x36_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.redact(col("text")).as("clean"))
+        .orderBy(col("doc_id"))),
+
+    // Fixed-size token chunking with overlap — documents → model-context
+    // pieces (50 tokens, 10 overlap).
+    "x37_chunks" -> ((s, dir) =>
+      TextStats.chunked(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 50, overlap = 10)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Full outer join: per-nation customer vs supplier counts, keys kept
     // from either side.
     "x35_full_outer" -> ((s, dir) => {
@@ -1160,6 +1181,31 @@ object SparkEntry {
         |SELECT bigram, count(*) AS n_docs
         |FROM (SELECT unnest(sh) AS bigram FROM s)
         |GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 20""".stripMargin,
+    "s5_json_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "x36_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3,}', '<NUM>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x37_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |x AS (
+        |  SELECT doc_id,
+        |    unnest(range(CASE WHEN n > 10 THEN (n-11)//40 + 1
+        |                      WHEN n > 0 THEN 1 ELSE 0 END)) AS chunk_idx,
+        |    unnest([toks[(i*40+1):(i*40+50)]
+        |            for i in range(0, CASE WHEN n > 10 THEN (n-11)//40 + 1
+        |                                  WHEN n > 0 THEN 1 ELSE 0 END)]) AS ctoks
+        |  FROM c)
+        |SELECT doc_id, chunk_idx, len(ctoks) AS n_chunk_tokens,
+        |  array_to_string(ctoks, ' ') AS chunk_text
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
     "x35_full_outer" ->
       """WITH cn AS (
         |  SELECT c_nationkey AS nationkey, count(*) AS n_cust

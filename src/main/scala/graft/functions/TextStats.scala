@@ -165,6 +165,57 @@ object TextStats {
         (col("tf") * round(log(lit(n.toDouble) / col("df")), 8)).as("tfidf"))
   }
 
+  /** PII-ish redaction patterns — ASCII-only so the Java-regex (Spark) and
+    * RE2 (DuckDB oracle) engines agree byte-for-byte on these.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberRe = "[0-9]{3,}"
+
+  /** Mask emails then long digit runs (ids, phone fragments, card numbers).
+    * One narrow projection — the redaction pass over a 100 TB corpus is a
+    * scan-speed map with full pushdown around it.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), LongNumberRe, "<NUM>")
+
+  /** Fixed-size token chunking with overlap — the training-data shape that
+    * turns documents into model-context-sized pieces. Chunk i covers tokens
+    * `[i·stride + 1, i·stride + chunkTokens]` (1-based, stride =
+    * chunkTokens − overlap); the last chunk may be short; empty documents
+    * produce no chunks.
+    *
+    * Output: `(idCol, chunk_idx, n_chunk_tokens, chunk_text)`. The chunk
+    * array is built per row and exploded through `Staging.explodeStaged`
+    * (generator-inlining would rebuild every chunk per emitted row).
+    */
+  def chunked(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 50, overlap: Int = 10): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val stride = chunkTokens - overlap
+    val staged = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("__n"))
+    // chunk count: ceil((n − overlap) / stride) while a chunk still adds
+    // ≥1 unseen token; a doc with 0 < n ≤ overlap gets one (short) chunk
+    val nChunks = when(col("__n") > overlap,
+      floor((col("__n") - lit(overlap) - 1) / lit(stride)) + 1)
+      .when(col("__n") > 0, lit(1L))
+      .otherwise(lit(0L))
+    // sequence needs a non-descending range — always build ≥1 slot, then
+    // drop the empty chunk an empty document produces (slice of [] is [])
+    val chunkStructs = transform(sequence(lit(0L), greatest(nChunks, lit(1L)) - 1), i =>
+      struct(
+        i.cast("long").as("chunk_idx"),
+        slice(col("__toks"), (i * stride + 1).cast("int"), lit(chunkTokens)).as("ctoks")))
+    Staging.explodeStaged(
+      staged.select(col(idCol), chunkStructs.as("__chunks")),
+      keep = Seq(idCol), arrExpr = col("__chunks"), as = "__c")
+      .where(size(col("__c.ctoks")) > 0)
+      .select(col(idCol), col("__c.chunk_idx").as("chunk_idx"),
+        size(col("__c.ctoks")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__c.ctoks")).as("chunk_text"))
+  }
+
   /** Document fingerprint: 64-bit xxHash of the casefolded,
     * whitespace-collapsed text. Two documents differing only in spacing or
     * case share a fingerprint (a cheap near-exact dedup key).

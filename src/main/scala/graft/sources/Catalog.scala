@@ -101,6 +101,16 @@ object Catalog {
   def writeCsv(df: DataFrame, p: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(p)
 
+  /** JSON-lines source with a declared schema (no inference job — an
+    * inference pass over 100 TB of JSON is a full extra scan).
+    */
+  def json(spark: SparkSession, p: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(p)
+
+  /** JSON-lines sink. */
+  def writeJson(df: DataFrame, p: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(p)
+
   /** Hive-style partitioned parquet sink: one directory per distinct
     * partition-column tuple. The 100 TB ingest shape — a reader filtering
     * on the partition columns scans only the matching directories

@@ -65,6 +65,19 @@ object EventsStream {
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Streaming exactly-once dedup on event id: duplicates arriving within
+    * the watermark horizon are dropped, and state for an id is evicted once
+    * the watermark passes its event time — bounded state at any rate, which
+    * plain `dropDuplicates` on a stream (state forever) cannot offer. This
+    * is the streaming counterpart of batch exact dedup (Dedup.exact): an
+    * at-least-once ingest (file redelivery, producer retries) becomes
+    * exactly-once downstream.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user event-time sessionization with an inactivity gap.
     *
     * Works identically on a batch DataFrame and on a watermarked stream

@@ -44,6 +44,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Set((7L, 2L, 3.0, 30.0), (7L, 1L, 4.0, 0.0), (8L, 1L, 8.0, 0.0)))
   }
 
+  test("streaming dedup drops redelivered event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = EventsStream.dedupStream(
+      input.toDS().toDF("event_id", "ts", "value"), watermark = "10 minutes")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("deduped").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData((1L, new Timestamp(t0), 1.0), (2L, new Timestamp(t0 + 1000), 2.0))
+      q.processAllAvailable()
+      // redelivery of id 1 (same and different payload) + one new id
+      input.addData((1L, new Timestamp(t0), 1.0), (1L, new Timestamp(t0 + 2000), 9.0),
+        (3L, new Timestamp(t0 + 3000), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L)) // each id exactly once
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits closed sessions once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]

@@ -80,6 +80,27 @@ class TextStatsSpec extends AnyFunSuite {
     assert(math.abs(byKey((2L, "cherry"))._2 - math.log(3.0)) < 1e-6)
   }
 
+  test("redact masks emails and long digit runs, leaves short numbers") {
+    assert(one[String](TextStats.redact($"t"),
+      "mail bob@x-corp.co.uk or call 5551234, room 42") ===
+      "mail <EMAIL> or call <NUM>, room 42")
+  }
+
+  test("chunked: overlap, short docs, empty docs") {
+    val docs = Seq(
+      (1L, (1 to 120).map(i => s"t$i").mkString(" ")), // 3 chunks
+      (2L, "a b c"),                                   // 1 short chunk
+      (3L, "   ")).toDF("doc_id", "text")              // no chunks
+    val out = TextStats.chunked(docs, "doc_id", "text", chunkTokens = 50, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._2, c._3)).toSeq === Seq((0L, 50), (1L, 50), (2L, 40)))
+    // chunk 1 starts at token 41: 10-token overlap with chunk 0
+    assert(d1(1)._4.startsWith("t41 ") && d1(0)._4.endsWith(" t50"))
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 3, "a b c")))
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("withStats attaches the full bundle") {
     val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
     val out = TextStats.withStats(docs)
