@@ -695,6 +695,39 @@ object SparkEntry {
           chunkTokens = 50, overlap = 10)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // MERGE-style upsert round-trip: copy the table aside, replace the
+    // acctbal of 10 suppliers and insert 2 new ones, read the result back.
+    "k4_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"/tmp/graft/k4_${dir.replaceAll("[^0-9.]", "")}"
+      val sup = t(s, dir, "supplier")
+      Catalog.writeTruncate(sup, root, "supplier_upsert")
+      val updates = sup.where(col("s_suppkey") < 10)
+        .withColumn("s_acctbal", round(col("s_acctbal") + 1000, 2))
+        .unionByName(
+          Seq((900001L, "NEW SUPP 1", 0, 1.23), (900002L, "NEW SUPP 2", 1, 4.56))
+            .toDF(sup.columns: _*)
+            .withColumn("s_nationkey", col("s_nationkey").cast("int")))
+      Catalog.upsert(s, root, "supplier_upsert", updates, Seq("s_suppkey"))
+      Catalog.table(s, root, "supplier_upsert")
+        .select(col("s_suppkey"), col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Approximate sketches — the 100 TB path next to the exact x20/x33
+    // (HLL++ distinct count, quantile-sketch percentiles). Both partial-
+    // aggregate map-side; neither sorts or materializes a group. No SQL
+    // oracle (sketch internals differ per engine) → rows-only check; error
+    // bounds vs exact are asserted in ProfileSpec.
+    "x38_approx_stats" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("n_buyers_approx"),
+        round(element_at(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 5000)"), 1), 2)
+          .as("p50_approx"),
+        round(element_at(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 5000)"), 2), 2)
+          .as("p95_approx"),
+        count(lit(1)).as("n_orders"))),
+
     // Full outer join: per-nation customer vs supplier counts, keys kept
     // from either side.
     "x35_full_outer" -> ((s, dir) => {
@@ -1183,6 +1216,16 @@ object SparkEntry {
         |GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 20""".stripMargin,
     "s5_json_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "k4_upsert" ->
+      """SELECT s_suppkey, s_name,
+        |  round(CASE WHEN s_suppkey < 10 THEN s_acctbal + 1000 ELSE s_acctbal END, 2)
+        |    AS s_acctbal
+        |FROM supplier
+        |UNION ALL
+        |SELECT 900001, 'NEW SUPP 1', 1.23
+        |UNION ALL
+        |SELECT 900002, 'NEW SUPP 2', 4.56
+        |ORDER BY s_suppkey""".stripMargin,
     "x36_redact" ->
       """SELECT doc_id,
         |  regexp_replace(

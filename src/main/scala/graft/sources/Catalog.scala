@@ -140,6 +140,35 @@ object Catalog {
       .format("parquet")
       .saveAsTable(table)
 
+  /** MERGE-style upsert into a parquet table: rows of `updates` replace
+    * same-key rows of the target, new keys are inserted. Planned as
+    * `updates ∪ (target ⟕anti updates-keys)` — one shuffle-free union over
+    * an anti join (broadcast when updates are dim-sized, which is the
+    * common CDC shape).
+    *
+    * Parquet cannot be read and overwritten in place (the scan would see
+    * its own truncation), so the merge materializes into a staging
+    * directory first and swaps it in — the classic non-transactional
+    * warehouse pattern (a table-format layer would replace the swap with a
+    * metadata commit; the merge plan is identical).
+    */
+  def upsert(spark: SparkSession, root: String, ref: String,
+      updates: DataFrame, keys: Seq[String]): Unit = {
+    val target = table(spark, root, ref)
+    val merged = updates.unionByName(
+      target.join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*),
+        keys, "left_anti"))
+    val dst = new java.io.File(path(root, ref))
+    val staging = new java.io.File(dst.getParent, dst.getName + ".staging")
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(dst)
+    require(staging.renameTo(dst), s"staging swap failed for ${dst.getPath}")
+  }
+
   /** K5: multi-sink fan-out — one source feeds several sinks without
     * re-scanning (reference `csv_to_bq_NYC.py:128-150` reads BigQuery once
     * and feeds two sinks). `cache()` mirrors Beam's single-read semantics;

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Profile
@@ -29,5 +30,19 @@ class ProfileSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(p.keySet === Set("id", "s", "v"))
     assert(p("s") === ((4L, 1L)))
+  }
+
+  test("approximate sketches stay within error bounds of exact (x38)") {
+    val orders = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+    val e = orders.agg(
+      countDistinct(col("o_custkey")).as("d"),
+      expr("percentile(o_totalprice, 0.5)").as("p50")).collect().head
+    val a = orders.agg(
+      approx_count_distinct(col("o_custkey"), 0.02).as("d"),
+      expr("approx_percentile(o_totalprice, 0.5, 5000)").as("p50")).collect().head
+    val (ed, ad) = (e.getLong(0).toDouble, a.getLong(0).toDouble)
+    assert(math.abs(ad - ed) / ed < 0.05, s"HLL distinct $ad vs exact $ed")
+    val (ep, ap) = (e.getDouble(1), a.getDouble(1))
+    assert(math.abs(ap - ep) / ep < 0.02, s"approx p50 $ap vs exact $ep")
   }
 }
