@@ -728,6 +728,31 @@ object SparkEntry {
           .as("p95_approx"),
         count(lit(1)).as("n_orders"))),
 
+    // Structured JSON extraction from a string column (events.props) —
+    // from_json into a typed struct, then a grouped aggregate over it.
+    "x39_json_extract" -> ((s, dir) =>
+      Catalog.events(s, dir)
+        .select(col("event_type"), expr("from_json(props, 'k INT').k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
+    // Schema evolution at the source: two batches with different column
+    // sets union by name, missing columns null-filled — the ingest shape
+    // when a producer adds a field mid-stream.
+    "s6_schema_evolution" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val root = s"/tmp/graft/s6_${dir.replaceAll("[^0-9.]", "")}"
+      Catalog.writeTruncate(
+        nation.drop("n_regionkey").withColumn("batch", lit("day1")), root, "ev1")
+      Catalog.writeTruncate(nation.withColumn("batch", lit("day2")), root, "ev2")
+      Catalog.table(s, root, "ev1")
+        .unionByName(Catalog.table(s, root, "ev2"), allowMissingColumns = true)
+        .select(col("batch"), col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("batch"), col("n_nationkey"))
+    }),
+
     // Full outer join: per-nation customer vs supplier counts, keys kept
     // from either side.
     "x35_full_outer" -> ((s, dir) => {
@@ -1216,6 +1241,19 @@ object SparkEntry {
         |GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 20""".stripMargin,
     "s5_json_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "x39_json_extract" ->
+      """SELECT event_type, round(avg(k), 4) AS avg_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, 'k') AS INTEGER) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s6_schema_evolution" ->
+      """SELECT 'day1' AS batch, n_nationkey, n_name,
+        |  CAST(NULL AS INTEGER) AS n_regionkey FROM nation
+        |UNION ALL
+        |SELECT 'day2', n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY batch, n_nationkey""".stripMargin,
     "k4_upsert" ->
       """SELECT s_suppkey, s_name,
         |  round(CASE WHEN s_suppkey < 10 THEN s_acctbal + 1000 ELSE s_acctbal END, 2)
