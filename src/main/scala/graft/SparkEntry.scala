@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextStats
-import graft.operators.{Dedup, Multimodal, Profile, RelOps, Similarity, Temporal, Transpose}
+import graft.operators.{Dedup, Multimodal, Profile, RelOps, Similarity, Stats, Temporal, Transpose}
 import graft.pipelines.Pipelines
 import graft.sources.Catalog
 import graft.streaming.EventsStream
@@ -466,16 +466,21 @@ object SparkEntry {
           col("duration_sec"))
         .orderBy(col("user_id"), col("session_start"))),
 
-    // Exact distribution summary: interpolated percentiles + distinct
-    // buyer count in one aggregate (DuckDB quantile_cont shares the
-    // linear-interpolation definition).
-    "x20_stats_summary" -> ((s, dir) =>
-      t(s, dir, "orders").agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
-        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
-        countDistinct(col("o_custkey")).as("n_buyers"),
-        count(lit(1)).as("n_orders"))),
+    // Exact distribution summary via the adaptive percentile operator: a
+    // global `percentile` aggregate buffers every value in ONE task — a
+    // guaranteed OOM at 100 TB — so above a memory-safe count threshold
+    // Stats switches to the distributed range-partition + per-partition-rank
+    // plan. DuckDB quantile_cont shares the interpolation definition.
+    "x20_stats_summary" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      Stats.percentiles(ord, "o_totalprice", Seq(0.5, 0.95, 0.99),
+          Seq("p50", "p95", "p99"))
+        .select(round(col("p50"), 2).as("p50"), round(col("p95"), 2).as("p95"),
+          round(col("p99"), 2).as("p99"))
+        .crossJoin(ord.agg(
+          countDistinct(col("o_custkey")).as("n_buyers"),
+          count(lit(1)).as("n_orders")))
+    }),
 
     // Data-profiling pass: per-column null/distinct/min/max in one scan.
     "x21_profile" -> ((s, dir) =>
@@ -766,6 +771,24 @@ object SparkEntry {
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
         .orderBy(col("nationkey"))
     }),
+
+    // GROUPING SETS — the general form behind x24 rollup / x29 cube: three
+    // chosen aggregation grains in one pass (Spark plans a single Expand +
+    // hash aggregate, one shuffle — not three scans). Grouping nulls are
+    // labelled 'ALL' so the compare is total-order stable.
+    "x40_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("revenue"), col("n"))
+        .orderBy(col("status"), col("priority"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -1298,5 +1321,13 @@ object SparkEntry {
         |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
         |FROM cn FULL JOIN sn ON cn.nationkey = sn.nationkey
         |ORDER BY nationkey""".stripMargin,
+    "x40_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin,
   )
 }

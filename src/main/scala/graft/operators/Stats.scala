@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed EXACT order statistics.
+  *
+  * The built-in `percentile` aggregate buffers every value of a group in one
+  * executor's memory — fine per-group when groups are numerous (x33), wrong
+  * for a GLOBAL summary at 100 TB where the single final group would hold
+  * billions of values. This computes exact interpolated percentiles
+  * (`quantile_cont` semantics) with driver/executor memory bounded by
+  * O(#partitions + #percentiles), never O(#rows):
+  *
+  *   1. range-partition the values (the distributed sort Spark would run for
+  *      an `ORDER BY`), persist so both passes see the same boundaries
+  *      (RangePartitioner samples with a job-dependent seed);
+  *   2. per-partition counts → prefix-sum offsets on the driver (O(P) rows);
+  *   3. map each target rank p·(n−1) to (partition, local index); rank
+  *      within each partition (window partitioned by pid — parallel, unlike
+  *      a global `row_number`) and keep only the ≤2·|ps| needed rows;
+  *   4. interpolate on the driver.
+  *
+  * Cost: one shuffle + one persisted pass + one window pass. The exactness
+  * tax at scale is the materialized sort; when a sketch is acceptable use
+  * `approx_percentile` (x38) instead.
+  */
+object Stats {
+
+  /** Adaptive exact percentiles: a cheap column-pruned count picks the
+    * plan — at or below `threshold` non-null values the single-task
+    * built-in `percentile` aggregate wins (one pass, no persist; 4M doubles
+    * ≈ 32 MB buffered, safe), above it the distributed range-partition path
+    * takes over. Same interpolation either way.
+    */
+  def percentiles(
+      df: DataFrame,
+      valueCol: String,
+      ps: Seq[Double],
+      names: Seq[String] = Nil,
+      threshold: Long = 4L << 20): DataFrame = {
+    val outNames =
+      if (names.nonEmpty) names else ps.map(p => "p_" + math.round(p * 100))
+    val n = df.where(col(valueCol).isNotNull).count()
+    if (n > threshold) exactPercentiles(df, valueCol, ps, outNames)
+    else {
+      val arr = expr(
+        s"percentile($valueCol, array(${ps.mkString(", ")}))").as("__ps")
+      df.agg(arr).select(outNames.zipWithIndex.map { case (nm, i) =>
+        element_at(col("__ps"), i + 1).as(nm)
+      }: _*)
+    }
+  }
+
+  /** One-row DataFrame of exact interpolated percentiles of `valueCol`
+    * (cast to double, nulls dropped), labelled `names` (defaults p_50 etc).
+    */
+  def exactPercentiles(
+      df: DataFrame,
+      valueCol: String,
+      ps: Seq[Double],
+      names: Seq[String] = Nil,
+      partitions: Int = 0): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad percentiles $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val outNames =
+      if (names.nonEmpty) names
+      else ps.map(p => "p_" + math.round(p * 100))
+    require(outNames.size == ps.size, "names must pair with ps")
+
+    val nPart =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df
+      .select(col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .repartitionByRange(nPart, col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: O(P) rows to the driver
+      val counts = ranged.groupBy("__pid").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      if (n == 0)
+        return spark.range(1)
+          .select(outNames.map(nm => lit(null).cast("double").as(nm)): _*)
+
+      // zero-based interpolation ranks (quantile_cont / Spark `percentile`)
+      val targets = ps.map { p =>
+        val r = p * (n - 1)
+        (math.floor(r).toLong, math.ceil(r).toLong, r - math.floor(r))
+      }
+      val needed = targets.flatMap { case (lo, hi, _) => Seq(lo, hi) }.distinct
+      val offsets = counts.scanLeft(0L)(_ + _._2) // offsets(i) = rows before partition i
+      val lookup = needed.map { g =>
+        val i = counts.indices
+          .find(i => g >= offsets(i) && g < offsets(i) + counts(i)._2)
+          .getOrElse(sys.error(s"rank $g outside [0,$n)"))
+        (counts(i)._1, g - offsets(i), g)
+      }.toDF("__pid", "__li", "__g")
+
+      // pass 2: rank per partition (parallel windows), keep only needed rows
+      val w = Window.partitionBy("__pid").orderBy("__v")
+      val picked = ranged
+        .withColumn("__li", row_number().over(w).cast("long") - 1)
+        .join(broadcast(lookup), Seq("__pid", "__li"))
+        .select(col("__g"), col("__v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      val cells = ps.indices.map { i =>
+        val (lo, hi, frac) = targets(i)
+        lit(picked(lo) + (picked(hi) - picked(lo)) * frac).as(outNames(i))
+      }
+      spark.range(1).select(cells: _*)
+    } finally ranged.unpersist()
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Stats
+
+class StatsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exactPercentiles matches the built-in percentile aggregate") {
+    val orders = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+    val ps = Seq(0.0, 0.25, 0.5, 0.95, 0.99, 1.0)
+    val got = Stats
+      .exactPercentiles(orders, "o_totalprice", ps, partitions = 5)
+      .collect().head
+    val want = orders
+      .agg(expr(s"percentile(o_totalprice, array(${ps.mkString(",")}))"))
+      .collect().head.getSeq[Double](0)
+    ps.indices.foreach { i =>
+      assert(math.abs(got.getDouble(i) - want(i)) < 1e-6,
+        s"p=${ps(i)}: got ${got.getDouble(i)}, want ${want(i)}")
+    }
+  }
+
+  test("exactPercentiles: nulls dropped, duplicate-heavy data, 1 partition") {
+    val df = (Seq.fill(40)(Some(7.0)) ++ Seq.fill(39)(Some(1.0)) ++ Seq(None))
+      .toDF("v")
+    val got = Stats
+      .exactPercentiles(df, "v", Seq(0.5), Seq("med"), partitions = 1)
+      .collect().head.getDouble(0)
+    // 79 non-null values sorted: ranks 0..38 are 1.0, 39..78 are 7.0;
+    // rank 0.5*(79-1)=39 → 7.0
+    assert(got == 7.0)
+  }
+
+  test("adaptive percentiles: both paths agree") {
+    val orders = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+    val ps = Seq(0.5, 0.95)
+    val viaBuiltin = Stats
+      .percentiles(orders, "o_totalprice", ps, threshold = Long.MaxValue)
+      .collect().head
+    val viaDistributed = Stats
+      .percentiles(orders, "o_totalprice", ps, threshold = 0L)
+      .collect().head
+    ps.indices.foreach { i =>
+      assert(math.abs(viaBuiltin.getDouble(i) - viaDistributed.getDouble(i)) < 1e-6)
+    }
+  }
+
+  test("exactPercentiles on empty input returns nulls") {
+    val row = Stats
+      .exactPercentiles(Seq.empty[Double].toDF("v"), "v", Seq(0.5, 0.9))
+      .collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+}
