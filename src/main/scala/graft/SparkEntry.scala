@@ -789,6 +789,14 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("revenue"), col("n"))
         .orderBy(col("status"), col("priority"))),
+
+    // Duplicate-cluster assembly: LSH pairs (as x2) → connected components
+    // → every document labelled with its cluster's min doc id. Oracle
+    // recomputes the ≥0.9 pairs brute-force (LSH recall at 0.9 is ~1 — the
+    // same equivalence x2 relies on) and closes them with a recursive CTE.
+    "x41_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(t(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
+        .orderBy(col("doc_id"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -1329,5 +1337,33 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderstatus), ())
         |ORDER BY status, priority""".stripMargin,
+    "x41_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM p
+        |  UNION SELECT b, a FROM p),
+        |reach(x, y) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y)
+        |SELECT x AS doc_id, min(y) AS cluster_id
+        |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
   )
 }

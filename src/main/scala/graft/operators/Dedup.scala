@@ -265,6 +265,70 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // --------------------------------------------- duplicate-cluster assembly
+
+  /** Connected components over an undirected edge list, by min-label
+    * propagation: every node starts labelled with its own id; each round a
+    * node takes the minimum label among itself and its neighbours, until a
+    * fixpoint (or `maxIter`). Returns `(id, label)` — label is the
+    * component's minimum node id — for nodes that appear in an edge.
+    *
+    * Scale shape: each round is two hash-partitioned shuffles (edges⋈labels
+    * on src, min-agg on dst) of codegen'd operators, and the frontier is
+    * `localCheckpoint`ed so lineage doesn't grow with iterations. Rounds
+    * needed = graph diameter, and near-dup graphs are unions of small
+    * tight clusters (diameter a few hops), not long chains — the pair
+    * threshold breaks chains of slow drift. `maxIter` caps the adversarial
+    * case; raise it (or pre-contract with exact dedup) for pathological
+    * graphs.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIter) {
+        val nbrMin = sym
+          .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(min(col("label")).as("__nl"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__nl"), col("label"))).as("label"),
+            coalesce(col("__nl") < col("label"), lit(false)).as("__ch"))
+          .localCheckpoint(true)
+        changed = next.where(col("__ch")).count()
+        labels = next.select(col("id"), col("label"))
+        i += 1
+      }
+      labels
+    } finally sym.unpersist()
+  }
+
+  /** Full dedup clustering: MinHash-LSH candidates → exact-Jaccard verify →
+    * connected components. Every document gets a `cluster_id` (the minimum
+    * doc id of its duplicate cluster; singletons map to themselves) — the
+    * keep/drop decision a training-data pipeline makes is then
+    * `doc_id = cluster_id`.
+    */
+  def clusters(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3, numHashes: Int = 48,
+      bands: Int = 12): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold, shingleSize,
+      numHashes, bands)
+    val cc = connectedComponents(pairs, "a", "b")
+      .select(col("id").as(idCol), col("label"))
+    df.select(col(idCol)).join(cc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** Per-bit +1/-1 vote accumulator for SimHash: one aggregate over the
