@@ -797,6 +797,15 @@ object SparkEntry {
     "x41_dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(t(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
         .orderBy(col("doc_id"))),
+
+    // Train/test contamination: 8-gram overlap of each corpus doc against a
+    // benchmark set (deterministic 10% slice), via broadcast inverted index.
+    "x42_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(docs, docs.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", shingleSize = 8)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -1365,5 +1374,27 @@ object SparkEntry {
         |  SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y)
         |SELECT x AS doc_id, min(y) AS cluster_id
         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    "x42_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
+        |      for i in range(1, len(toks) - 6)])
+        |    END AS sh
+        |  FROM t),
+        |b AS (SELECT DISTINCT unnest(sh) AS sg FROM s WHERE doc_id % 10 = 0),
+        |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+        |h AS (SELECT doc_id, count(*) AS hits FROM e JOIN b USING (sg) GROUP BY doc_id)
+        |SELECT s.doc_id, len(s.sh) AS n_shingles,
+        |  coalesce(hits, 0) AS contaminated,
+        |  round(CASE WHEN len(s.sh) = 0 THEN 0.0
+        |    ELSE coalesce(hits, 0)::DOUBLE / len(s.sh) END, 4) AS contaminated_frac
+        |FROM s LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 }

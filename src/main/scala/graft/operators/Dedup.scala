@@ -265,6 +265,39 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------ train/test contamination scan
+
+  /** Benchmark-contamination scan: for every corpus document, how many of
+    * its word n-gram shingles appear anywhere in the benchmark set, and the
+    * contaminated fraction — the n-gram-overlap decontamination check run
+    * before training on scraped data.
+    *
+    * Shape: inverted-index semi-join, not a cross join. The benchmark's
+    * distinct shingles are a small relation (benchmarks are tiny next to a
+    * 100 TB corpus), so the shingle⋈shingle equi-join broadcasts; the corpus
+    * is exploded once and aggregated back by document with map-side partial
+    * counts. Corpus docs sharing nothing with the benchmark get hits=0 via
+    * the left join against the corpus spine.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 8): DataFrame = {
+    val benchShingles = shingled(benchmark, idCol, textCol, shingleSize)
+      .select(explode(col("sh")).as("__s")).distinct()
+    val corpusShingled = shingled(ensureParallelism(corpus), idCol, textCol,
+      shingleSize, "__sh")
+    val sizes = corpusShingled.select(col(idCol), size(col("__sh")).as("n_shingles"))
+    val hits = corpusShingled
+      .select(col(idCol), explode(Staging.pin(col("__sh"))).as("__s"))
+      .join(broadcast(benchShingles), Seq("__s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+    sizes.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("hits"), lit(0L)).as("contaminated"),
+        round(when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(coalesce(col("hits"), lit(0L)).cast("double") / col("n_shingles")), 4)
+          .as("contaminated_frac"))
+  }
+
   // --------------------------------------------- duplicate-cluster assembly
 
   /** Connected components over an undirected edge list, by min-label

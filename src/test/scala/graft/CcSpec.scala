@@ -25,6 +25,20 @@ class CcSpec extends AnyFunSuite {
       Seq.empty[(Int, Int)].toDF("a", "b")).count() == 0)
   }
 
+  test("contamination counts benchmark shingle hits per corpus doc") {
+    val corpus = Seq(
+      ("c1", "a b c d e"),   // 3 trigram shingles: abc bcd cde
+      ("c2", "x y z w q"),   // no overlap with benchmark
+      ("c3", "b c d e f"))   // shares "b c d", "c d e" with bench doc
+      .toDF("doc_id", "text")
+    val bench = Seq(("t1", "a b c d e")).toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, bench, "doc_id", "text", shingleSize = 3)
+      .orderBy("doc_id")
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("c1", 3, 3L, 1.0), ("c2", 3, 0L, 0.0), ("c3", 3, 2L, 0.6667)))
+  }
+
   test("clusters: near-dups share a label, singletons label themselves") {
     val docs = Seq(
       ("d1", "the quick brown fox jumps over the lazy dog again and again"),
