@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextStats
-import graft.operators.{Dedup, Multimodal, Profile, RelOps, Similarity, Stats, Temporal, Transpose}
+import graft.operators.{Dedup, Embeddings, Multimodal, Profile, RelOps, Similarity, Stats, Temporal, Transpose}
 import graft.pipelines.Pipelines
 import graft.sources.Catalog
 import graft.streaming.EventsStream
@@ -806,6 +806,24 @@ object SparkEntry {
           "doc_id", "text", shingleSize = 8)
         .orderBy(col("doc_id"))
     }),
+
+    // Embedding int8 quantization: per-vector scale + worst reconstruction
+    // error (bounded by scale/2) — the 4×-smaller storage path for a vector
+    // corpus. Oracle replays the same scale/round/dequantize math on
+    // DuckDB lists.
+    "x43_embed_quantize" -> ((s, dir) => {
+      val q = Embeddings.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+      // two projections: aliasing round(scale) AS scale in the same select
+      // would lateral-alias-capture the col("scale") inside dequantize
+      q.select(col("vec_id"), col("scale"),
+          array_max(zip_with(
+            Embeddings.dequantize(col("qvec"), col("scale")),
+            transform(col("embedding"), x => x.cast("double")),
+            (a, b) => abs(a - b))).as("__err"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          round(col("__err"), 6).as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -1396,5 +1414,19 @@ object SparkEntry {
         |  round(CASE WHEN len(s.sh) = 0 THEN 0.0
         |    ELSE coalesce(hits, 0)::DOUBLE / len(s.sh) END, 4) AS contaminated_frac
         |FROM s LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "x43_embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, emb,
+        |    CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0 THEN 1.0
+        |      ELSE list_max(list_transform(emb, x -> abs(x))) / 127.0
+        |    END AS scale
+        |  FROM v)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(list_max(list_transform(emb,
+        |    x -> abs(round(x / scale) * scale - x))), 6) AS max_err
+        |FROM m ORDER BY vec_id""".stripMargin,
   )
 }
