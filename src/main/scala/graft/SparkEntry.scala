@@ -824,6 +824,14 @@ object SparkEntry {
           round(col("__err"), 6).as("max_err"))
         .orderBy(col("vec_id"))
     }),
+
+    // Last-touch attribution: purchase ⋈ same-user clicks in the prior
+    // hour (equi-key interval join), latest click wins. The same
+    // attributionPairs core runs stream-stream with bounded state
+    // (StreamingSpec).
+    "x44_attribution" -> ((s, dir) =>
+      EventsStream.lastTouch(Catalog.events(s, dir))
+        .orderBy(col("purchase_id"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -1428,5 +1436,21 @@ object SparkEntry {
         |  round(list_max(list_transform(emb,
         |    x -> abs(round(x / scale) * scale - x))), 6) AS max_err
         |FROM m ORDER BY vec_id""".stripMargin,
+    "x44_attribution" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS pus,
+        |    value
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.user_id, purchase_id, click_id, value,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY cus DESC, click_id DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND pus >= cus AND pus <= cus + 3600000000::BIGINT)
+        |SELECT user_id, purchase_id, click_id, round(value, 2) AS value
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
   )
 }

@@ -78,6 +78,47 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Click→purchase attribution pairs: every purchase joined to the same
+    * user's clicks in the preceding `windowSec` seconds.
+    *
+    * Batch AND stream-stream: on streams both sides get watermarks and the
+    * time-interval predicate bounds the join state — Spark evicts a
+    * buffered click once the watermark passes click_ts + window, so state
+    * is O(events in the horizon), not O(stream). The join key is the
+    * user_id EQUALITY (hash-partitioned shuffle or SMJ; the interval is a
+    * post-join filter) — never a nested loop over unrelated users.
+    */
+  def attributionPairs(events: DataFrame, windowSec: Int = 3600,
+      watermark: String = "2 hours"): DataFrame = {
+    val clicks0 = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purch0 = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("__pu"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val clicks = if (events.isStreaming) clicks0.withWatermark("click_ts", watermark) else clicks0
+    val purch = if (events.isStreaming) purch0.withWatermark("purchase_ts", watermark) else purch0
+    clicks.join(purch,
+        col("user_id") === col("__pu") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .drop("__pu")
+  }
+
+  /** Batch last-touch attribution: each purchase credited to the latest
+    * qualifying click (deterministic tie-break on click_id).
+    */
+  def lastTouch(events: DataFrame, windowSec: Int = 3600): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id"))
+      .orderBy(col("click_ts").desc, col("click_id").desc)
+    attributionPairs(events, windowSec)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        round(col("value"), 2).as("value"))
+  }
+
   /** Per-user event-time sessionization with an inactivity gap.
     *
     * Works identically on a batch DataFrame and on a watermarked stream

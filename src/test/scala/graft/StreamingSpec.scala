@@ -65,6 +65,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join emits qualifying click-purchase pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val pairs = EventsStream.attributionPairs(
+      input.toDS().toDF("event_id", "user_id", "ts", "event_type", "value"),
+      windowSec = 3600, watermark = "10 minutes")
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("attrib").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        (1L, 7L, new Timestamp(t0), "click", 0.0),
+        (2L, 7L, new Timestamp(t0 + 60000), "purchase", 9.99),      // 1 min after → match
+        (3L, 8L, new Timestamp(t0 + 1000), "click", 0.0),
+        (4L, 8L, new Timestamp(t0 + 2 * 3600 * 1000L), "purchase", 5.0), // 2h → no match
+        (5L, 9L, new Timestamp(t0 + 5000), "purchase", 1.0))        // no prior click
+      q.processAllAvailable()
+      val got = spark.table("attrib").select("click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("batch lastTouch credits the latest in-window click") {
+    val t0 = 1700000000000L
+    val df = Seq(
+      (1L, 7L, new Timestamp(t0), "click", 0.0),
+      (2L, 7L, new Timestamp(t0 + 10000), "click", 0.0),
+      (3L, 7L, new Timestamp(t0 + 60000), "purchase", 9.99),
+      (4L, 8L, new Timestamp(t0), "purchase", 5.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventsStream.lastTouch(df)
+      .select("purchase_id", "click_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((3L, 2L, 9.99))) // latest click (id 2) wins; purchase 4 unattributed
+  }
+
   test("streaming sessionize emits closed sessions once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
