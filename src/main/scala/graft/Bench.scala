@@ -23,9 +23,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/IO paths so query timings measure the queries,
-    // not first-query session startup
-    try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // not first-query session startup — one cheap query per table family
+    // (lineitem scan/agg, documents tokenizer chain, embeddings arrays)
+    Seq("q1_agg", "x4_text_tokens", "x43_embed_quantize").foreach { w =>
+      try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     // SPARK_GRAFT_ONLY=q1_agg,x2_dedup_minhash runs a subset (iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = only match {

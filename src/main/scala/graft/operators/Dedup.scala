@@ -281,20 +281,25 @@ object Dedup {
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 8): DataFrame = {
+    // pin both explodes: an un-staged Generate over the HOF-built shingle
+    // array re-evaluates the whole tokenize→shingle chain per OUTPUT element
+    // (measured 25× on this exact operator — see Staging)
     val benchShingles = shingled(benchmark, idCol, textCol, shingleSize)
-      .select(explode(col("sh")).as("__s")).distinct()
-    val corpusShingled = shingled(ensureParallelism(corpus), idCol, textCol,
-      shingleSize, "__sh")
-    val sizes = corpusShingled.select(col(idCol), size(col("__sh")).as("n_shingles"))
-    val hits = corpusShingled
-      .select(col(idCol), explode(Staging.pin(col("__sh"))).as("__s"))
-      .join(broadcast(benchShingles), Seq("__s"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
-    sizes.join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_shingles"),
-        coalesce(col("hits"), lit(0L)).as("contaminated"),
+      .select(explode(Staging.pin(col("sh"))).as("__s")).distinct()
+      .withColumn("__hit", lit(1))
+    // ONE pass over the corpus: explode_outer keeps shingle-less docs
+    // (count(__s)=0), the broadcast left join marks benchmark hits, and one
+    // map-side-partial groupBy rebuilds per-doc counts — the corpus is
+    // never shingled twice or shuffled beyond the final id aggregation.
+    shingled(ensureParallelism(corpus), idCol, textCol, shingleSize, "__sh")
+      .select(col(idCol), explode_outer(Staging.pin(col("__sh"))).as("__s"))
+      .join(broadcast(benchShingles), Seq("__s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__s")).cast("int").as("n_shingles"),
+        count(col("__hit")).as("contaminated"))
+      .select(col(idCol), col("n_shingles"), col("contaminated"),
         round(when(col("n_shingles") === 0, lit(0.0))
-          .otherwise(coalesce(col("hits"), lit(0L)).cast("double") / col("n_shingles")), 4)
+          .otherwise(col("contaminated").cast("double") / col("n_shingles")), 4)
           .as("contaminated_frac"))
   }
 
@@ -316,12 +321,24 @@ object Dedup {
     * graphs.
     */
   def connectedComponents(edges: DataFrame, aCol: String = "a",
-      bCol: String = "b", maxIter: Int = 25): DataFrame = {
-    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      bCol: String = "b", maxIter: Int = 25,
+      localThreshold: Long = 1L << 20): DataFrame = {
+    // symmetrize via ONE explode, not a self-union: edges often come from an
+    // expensive pipeline (LSH verify), and union's two branches would each
+    // evaluate it in full
+    val sym = edges
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // adaptive plan: a graph under `localThreshold` edges is driver-sized
+      // (near-dup graphs usually are — edges are verified duplicate PAIRS,
+      // a vanishing fraction of the corpus), and a union-find beats paying
+      // per-round Spark job latency. Above it, distributed propagation.
+      if (sym.count() <= localThreshold) return localUnionFind(sym)
       var labels = sym.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label"))
         .localCheckpoint(true)
@@ -342,6 +359,42 @@ object Dedup {
       }
       labels
     } finally sym.unpersist()
+  }
+
+  /** Driver union-find over a small symmetric edge list, labelling each
+    * node with its component's minimum id. Ids keep their original type
+    * (the output schema mirrors the edge column type).
+    */
+  private def localUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    val idType = sym.schema.head.dataType
+    val rows = sym.collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    val ord: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
+      case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int)       => Integer.compare(x, y)
+      case (x: String, y: String) => x.compareTo(y)
+      case (x, y)                 => x.toString.compareTo(y.toString)
+    }
+    rows.foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) {
+        val (lo, hi) = if (ord.lt(ra, rb)) (ra, rb) else (rb, ra)
+        parent(hi) = lo
+      }
+    }
+    val nodes = rows.iterator.map(_.get(0)).toSet
+    val out = nodes.toSeq.map(n => org.apache.spark.sql.Row(n, find(n)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("label", idType))))
   }
 
   /** Full dedup clustering: MinHash-LSH candidates → exact-Jaccard verify →

@@ -14,10 +14,13 @@ class CcSpec extends AnyFunSuite {
     // clique 10-11-12, separate pair 20-21
     val edges = Seq((2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
       (20, 21)).toDF("a", "b")
-    val got = Dedup.connectedComponents(edges).as[(Int, Int)]
-      .collect().toMap
-    assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 1,
-      10 -> 10, 11 -> 10, 12 -> 10, 20 -> 20, 21 -> 20))
+    val want = Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 1,
+      10 -> 10, 11 -> 10, 12 -> 10, 20 -> 20, 21 -> 20)
+    // driver union-find path (default threshold) and the distributed
+    // min-label propagation path (threshold 0) must agree
+    assert(Dedup.connectedComponents(edges).as[(Int, Int)].collect().toMap == want)
+    assert(Dedup.connectedComponents(edges, localThreshold = 0)
+      .as[(Int, Int)].collect().toMap == want)
   }
 
   test("connectedComponents on empty edges is empty") {
