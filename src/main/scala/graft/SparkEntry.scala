@@ -832,6 +832,13 @@ object SparkEntry {
     "x44_attribution" -> ((s, dir) =>
       EventsStream.lastTouch(Catalog.events(s, dir))
         .orderBy(col("purchase_id"))),
+
+    // End-to-end pretraining curation: lang='en' → quality ≥ 0.5 → exact
+    // dedup → 50/10 token chunks, all one composed Catalyst plan. The
+    // oracle chains the already-verified x6/x5/x1/x37 SQL stage by stage.
+    "x45_curation" -> ((s, dir) =>
+      Pipelines.curate(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -1452,5 +1459,59 @@ object SparkEntry {
         |    AND pus >= cus AND pus <= cus + 3600000000::BIGINT)
         |SELECT user_id, purchase_id, click_id, round(value, 2) AS value
         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    "x45_curation" ->
+      """WITH lt AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ltoks
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS s_de,
+        |    len(list_filter(ltoks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS s_en,
+        |    len(list_filter(ltoks, x -> x IN ('el','la','los','y','es','un','una','en','por','para'))) AS s_es,
+        |    len(list_filter(ltoks, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS s_fr,
+        |    len(list_filter(ltoks, x -> x IN ('的','是','了','在','和','有','我','不','人','这'))) AS s_zh,
+        |    ltoks
+        |  FROM lt),
+        |lang AS (
+        |  SELECT doc_id, text FROM ls
+        |  WHERE greatest(s_de, s_en, s_es, s_fr, s_zh) > 0
+        |    AND s_de <> greatest(s_de, s_en, s_es, s_fr, s_zh)
+        |    AND s_en = greatest(s_de, s_en, s_es, s_fr, s_zh)),
+        |qb AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tok,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+        |    length(text) AS n_chars,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS stop_hits
+        |  FROM lang),
+        |q AS (
+        |  SELECT doc_id, text FROM qb
+        |  WHERE (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END) +
+        |    (CASE WHEN n_tok > 0 AND (n_nonspace::DOUBLE / n_tok) BETWEEN 2.0 AND 12.0
+        |      THEN 0.25 ELSE 0.0 END) +
+        |    (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END) < 0.2
+        |      THEN 0.25 ELSE 0.0 END) +
+        |    (CASE WHEN stop_hits > 0 THEN 0.25 ELSE 0.0 END) >= 0.5),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+        |d AS (SELECT q.doc_id, q.text FROM q JOIN keep USING (doc_id)),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM d),
+        |c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |x AS (
+        |  SELECT doc_id,
+        |    unnest(range(CASE WHEN n > 10 THEN (n-11)//40 + 1
+        |                      WHEN n > 0 THEN 1 ELSE 0 END)) AS chunk_idx,
+        |    unnest([toks[(i*40+1):(i*40+50)]
+        |            for i in range(0, CASE WHEN n > 10 THEN (n-11)//40 + 1
+        |                                  WHEN n > 0 THEN 1 ELSE 0 END)]) AS ctoks
+        |  FROM c)
+        |SELECT doc_id, chunk_idx, len(ctoks) AS n_chunk_tokens,
+        |  array_to_string(ctoks, ' ') AS chunk_text
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

@@ -3,7 +3,8 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.RelOps
+import graft.functions.TextStats
+import graft.operators.{Dedup, RelOps}
 import graft.schema.SchemaModel
 import graft.sources.Catalog
 
@@ -59,6 +60,32 @@ object Pipelines {
     * the dimension DataFrame — both are case-insensitive on the key.
     * Miss behavior differs per app (SURVEY §2.9(h)):
     */
+  /** Pretraining curation: language filter → quality floor → exact dedup →
+    * overlapping token chunks, composed from the individually-verified
+    * operators (x6, x5, x1, x37) into ONE declarative flow.
+    *
+    * Composition is the scale story: the language and quality filters fuse
+    * into a single codegen'd scan stage (no materialization between
+    * "steps"), the dedup semi-join is the flow's only wide shuffle before
+    * chunking, and Catalyst prunes `documents` columns the pipeline never
+    * uses. A 100 TB corpus makes one pass, not four.
+    */
+  def curate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", lang: String = "en",
+      minQuality: Double = 0.5, chunkTokens: Int = 50,
+      overlap: Int = 10): DataFrame = {
+    val langKept = docs
+      .withColumn("__ltoks", TextStats.tokens(lower(col(textCol))))
+      .withColumn("__lang", TextStats.langIdFromTokens(col("__ltoks")))
+      .where(col("__lang") === lang)
+      .drop("__ltoks", "__lang")
+    val qualityKept = TextStats.withQualityScore(langKept, textCol, as = "__q")
+      .where(col("__q") >= minQuality)
+      .drop("__q")
+    val deduped = Dedup.exact(qualityKept, idCol, textCol)
+    TextStats.chunked(deduped, idCol, textCol, chunkTokens, overlap)
+  }
+
   object Lookup {
     /** Flask variant (`Flask_app/main.py:21-29`): miss → echoed name + zeros. */
     def flask(dim: DataFrame, name: String): DataFrame =

@@ -45,6 +45,21 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("curate: language, quality, and dedup gates all apply before chunking") {
+    val en = Array.fill(6)("the cat sat on a mat and it is big for now").mkString(" ")
+    val docs = Seq(
+      (1L, en),                                     // survives → chunks
+      (2L, en),                                     // exact dup of 1 → dropped
+      (3L, "der hund ist nicht mit auf zu und das der die"), // German → dropped
+      (4L, "the!!!!!!!!!!!!!!!!!!!!! a")) // en but quality 0.25: short, punct-heavy, ratio>12
+      .toDF("doc_id", "text")
+    val out = Pipelines.curate(docs).select("doc_id", "chunk_idx", "n_chunk_tokens")
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // 72 tokens → chunks at stride 40: [0,50) and [40,72)
+    assert(out === Seq((1L, 0L, 50), (1L, 1L, 32)))
+  }
+
   test("F6 miss: Flask echoes name, FastAPI says Not found, both zero-fill") {
     val flask = Pipelines.Lookup.flask(dim, "Atlantis").collect().head
     assert(flask.getString(0) === "Atlantis" && flask.getLong(1) === 0L)
