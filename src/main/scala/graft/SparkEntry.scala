@@ -839,6 +839,45 @@ object SparkEntry {
     "x45_curation" -> ((s, dir) =>
       Pipelines.curate(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Time-RANGE window frame: per-user rolling 1-hour count/sum at every
+    // event — value-based frames (micros), not row counts, so ties and
+    // irregular event spacing behave identically at any scale.
+    "x46_range_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000, 0)
+      Catalog.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value")).over(w), 2).as("sum_1h"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Rank-function family: ntile quartiles, percent_rank, cume_dist per
+    // priority class (unique (price, key) sort → fully deterministic).
+    "x47_rank_family" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
+    // Correlated scalar subquery through the SQL surface — Catalyst
+    // decorrelates it into an aggregate + join, not a per-row re-scan.
+    "q5_corr_subquery" -> ((s, dir) => {
+      Catalog.registerViews(s, dir, Seq("orders"))
+      s.sql("""SELECT o_custkey, count(*) AS n_above
+              |FROM orders o
+              |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+              |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+              |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    }),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -1513,5 +1552,28 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, len(ctoks) AS n_chunk_tokens,
         |  array_to_string(ctoks, ' ') AS chunk_text
         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+    "x46_range_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 2) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "x47_rank_family" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q5_corr_subquery" ->
+      """SELECT o_custkey, count(*) AS n_above
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
   )
 }
