@@ -868,6 +868,12 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
+    // Daily resample + gap fill: every user gets a contiguous day grid
+    // over their active span, counts 0-filled, values carried forward.
+    "x48_gapfill" -> ((s, dir) =>
+      Temporal.gapFillDaily(Catalog.events(s, dir))
+        .orderBy(col("user_id"), col("day"))),
+
     // Correlated scalar subquery through the SQL surface — Catalyst
     // decorrelates it into an aggregate + join, not a per-row re-scan.
     "q5_corr_subquery" -> ((s, dir) => {
@@ -1569,6 +1575,24 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "x48_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts)::DATE AS day,
+        |    count(*) AS n, round(sum(value), 2) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM spans)
+        |SELECT g.user_id, g.day, coalesce(n, 0) AS n,
+        |  round(coalesce(last_value(day_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS UNBOUNDED PRECEDING), 0.0), 2) AS carried_value
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
     "q5_corr_subquery" ->
       """SELECT o_custkey, count(*) AS n_above
         |FROM orders o

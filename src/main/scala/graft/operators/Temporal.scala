@@ -106,4 +106,34 @@ object Temporal {
       .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bkt")
   }
+
+  /** Daily resample with gap fill: aggregate events to (key, day), generate
+    * each key's full day grid between its first and last observation
+    * (`sequence` + explode — grid rows are built distributed, never on the
+    * driver), left-join the observed days back, 0-fill counts, and carry
+    * the last observed daily value forward (LOCF) with an
+    * ignore-nulls `last` over an unbounded-preceding frame.
+    *
+    * Scale: one shuffle for the daily aggregate, one for the span agg
+    * (tiny: a row per key), one hash join grid⋈daily co-partitioned on
+    * (key, day). Grid size = keys × their active spans — bounded by the
+    * calendar, not the event rate.
+    */
+  def gapFillDaily(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("day_value"))
+    val spans = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val grid = spans.select(col(keyCol),
+      explode(sequence(col("__d0"), col("__d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(last(col("day_value"), ignoreNulls = true).over(w),
+          lit(0.0)), 2).as("carried_value"))
+  }
 }

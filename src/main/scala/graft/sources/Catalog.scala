@@ -97,6 +97,33 @@ object Catalog {
   def writeTruncate(df: DataFrame, root: String, ref: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path(root, ref))
 
+  /** Small-file compaction: rewrite a parquet table into ~`targetFileMB`
+    * files, sized from the table's actual on-disk bytes. Streaming/append
+    * ingest accretes thousands of tiny files whose per-file open/footer
+    * cost eventually dominates scans; compaction is the standing
+    * maintenance job. Uses a staging directory + atomic swap so a reader
+    * never sees a half-written table, and `coalesce` (not `repartition`)
+    * so the rewrite is shuffle-free.
+    */
+  def compact(spark: SparkSession, root: String, ref: String,
+      targetFileMB: Int = 128): Unit = {
+    val dir = new java.io.File(path(root, ref))
+    val bytes = Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
+    val staged = new java.io.File(dir.getParent, s".${dir.getName}.compacting")
+    spark.read.parquet(dir.toString).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    val old = new java.io.File(dir.getParent, s".${dir.getName}.old")
+    if (!dir.renameTo(old)) sys.error(s"compact: cannot stage out $dir")
+    if (!staged.renameTo(dir)) { old.renameTo(dir); sys.error(s"compact: swap failed for $dir") }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(old)
+  }
+
   /** K1: CSV sink with header. */
   def writeCsv(df: DataFrame, p: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(p)

@@ -64,6 +64,19 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("compact rewrites a many-file table into few files, data intact") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val df = (1L to 1000L).toDF("id")
+    Catalog.writeTruncate(df.repartition(20), root, "frag")
+    def nFiles = new java.io.File(s"$root/frag.parquet").listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles === 20)
+    Catalog.compact(spark, root, "frag")
+    assert(nFiles === 1) // 20 tiny files ≪ 128 MB target → one output file
+    val back = Catalog.table(spark, root, "frag")
+    assert(back.count() === 1000 && back.agg(sum("id")).as[Long].head() === 500500)
+  }
+
   test("fanOut feeds multiple sinks from one cached source") {
     val root = Files.createTempDirectory("graft-fan").toString
     val src = (1L to 10L).toDF("id")
