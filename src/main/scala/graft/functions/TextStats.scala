@@ -118,15 +118,26 @@ object TextStats {
     * per term re-splits the document each time).
     */
   def withQualityScore(df: DataFrame, textCol: String, as: String = "quality",
+      stopwords: Seq[String] = Stopwords("en")): DataFrame =
+    withQualityScoreFromTokens(
+      df.withColumn("__qltoks", tokens(lower(col(textCol)))),
+      textCol, "__qltoks", as, stopwords)
+      .drop("__qltoks")
+
+  /** `withQualityScore` over an ALREADY-staged lowercase token attribute —
+    * for pipelines that also feed the same tokens to language-ID etc.: the
+    * document is then tokenized once for every stage that needs it.
+    */
+  def withQualityScoreFromTokens(df: DataFrame, textCol: String,
+      toksCol: String, as: String = "quality",
       stopwords: Seq[String] = Stopwords("en")): DataFrame = {
     val t = col(textCol)
     val staged = df
-      .withColumn("__ltoks", tokens(lower(t)))
-      .withColumn("__ntok", size(col("__ltoks")))
+      .withColumn("__ntok", size(col(toksCol)))
       .withColumn("__nonspace", length(regexp_replace(t, "\\s", "")))
       .withColumn("__npunct", punctCount(t))
       .withColumn("__nchars", length(t))
-      .withColumn("__stophits", size(filter(col("__ltoks"), x => x.isInCollection(stopwords))))
+      .withColumn("__stophits", size(filter(col(toksCol), x => x.isInCollection(stopwords))))
     val nTok = col("__ntok")
     val meanWordLen = when(nTok > 0, col("__nonspace").cast("double") / nTok).otherwise(lit(0.0))
     val punctRatio = when(col("__nchars") > 0,
@@ -137,7 +148,7 @@ object TextStats {
       when(punctRatio < 0.2, lit(0.25)).otherwise(lit(0.0)) +
       when(col("__stophits") > 0, lit(0.25)).otherwise(lit(0.0))
     staged.withColumn(as, round(score, 2))
-      .drop("__ltoks", "__ntok", "__nonspace", "__npunct", "__nchars", "__stophits")
+      .drop("__ntok", "__nonspace", "__npunct", "__nchars", "__stophits")
   }
 
   /** Document-term TF-IDF over a corpus: `(idCol, token, tf, tfidf)` with

@@ -74,14 +74,16 @@ object Pipelines {
       textCol: String = "text", lang: String = "en",
       minQuality: Double = 0.5, chunkTokens: Int = 50,
       overlap: Int = 10): DataFrame = {
+    // one tokenization feeds BOTH the language and quality gates (the
+    // token array is a staged attribute; interpreted HOFs get no CSE)
     val langKept = docs
       .withColumn("__ltoks", TextStats.tokens(lower(col(textCol))))
       .withColumn("__lang", TextStats.langIdFromTokens(col("__ltoks")))
       .where(col("__lang") === lang)
-      .drop("__ltoks", "__lang")
-    val qualityKept = TextStats.withQualityScore(langKept, textCol, as = "__q")
+    val qualityKept = TextStats
+      .withQualityScoreFromTokens(langKept, textCol, "__ltoks", as = "__q")
       .where(col("__q") >= minQuality)
-      .drop("__q")
+      .drop("__q", "__ltoks", "__lang")
     val deduped = Dedup.exact(qualityKept, idCol, textCol)
     TextStats.chunked(deduped, idCol, textCol, chunkTokens, overlap)
   }
