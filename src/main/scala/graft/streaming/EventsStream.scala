@@ -119,6 +119,36 @@ object EventsStream {
         round(col("value"), 2).as("value"))
   }
 
+  /** Stream-static enrichment: a stream joined against a bounded dimension
+    * (re-planned per micro-batch, broadcast when small — the streaming
+    * mirror of J1). No watermark needed: the static side is not stateful.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
+  /** Streaming ingest → MERGE upsert: each micro-batch is deduped on
+    * `keys` (last value per key within the batch wins, by max ts) and
+    * MERGEd into the catalog table via `Catalog.upsert` inside
+    * `foreachBatch` — the exactly-once keyed-materialization pattern
+    * (foreachBatch gives batch-sink transactionality per micro-batch;
+    * redeliveries overwrite idempotently instead of duplicating).
+    * Returns the started query; callers own its lifecycle.
+    */
+  def upsertStream(stream: DataFrame, root: String, ref: String,
+      keys: Seq[String], tsCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(tsCol).desc)
+        val lastPerKey = batch
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+        graft.sources.Catalog.upsert(batch.sparkSession, root, ref, lastPerKey, keys)
+      }
+      .outputMode("update")
+      .start()
+
   /** Per-user event-time sessionization with an inactivity gap.
     *
     * Works identically on a batch DataFrame and on a watermarked stream

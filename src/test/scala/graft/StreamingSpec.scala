@@ -102,6 +102,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((3L, 2L, 9.99))) // latest click (id 2) wins; purchase 4 unattributed
   }
 
+  test("stream-static enrichment joins each micro-batch against the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val q = EventsStream.enrichStream(
+      input.toDS().toDF("event_id", "user_id"), dim, Seq("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    try {
+      input.addData((1L, 7L), (2L, 9L))
+      q.processAllAvailable()
+      // USING-join output order: (user_id, event_id, tier)
+      val got = spark.table("enriched").collect()
+        .map(r => (r.getLong(1), Option(r.getString(2)).getOrElse("-"))).toSet
+      assert(got === Set((1L, "gold"), (2L, "-"))) // miss keeps the row (left join)
+    } finally q.stop()
+  }
+
+  test("streaming upsert materializes last-value-per-key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_upsert_stream").toString
+    Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("k", "v", "ts")
+      .write.parquet(s"$root/state.parquet")
+    val input = MemoryStream[(Long, String, Long)]
+    val q = EventsStream.upsertStream(
+      input.toDS().toDF("k", "v", "ts"), root, "state", Seq("k"), "ts")
+    try {
+      // batch 1: update k=1 (two versions in one batch — later ts wins), insert k=3
+      input.addData((1L, "a2", 200L), (1L, "a3", 300L), (3L, "c", 150L))
+      q.processAllAvailable()
+      // batch 2: redelivery of (1,a3) is idempotent; k=2 updated
+      input.addData((1L, "a3", 300L), (2L, "b2", 400L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$root/state.parquet")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === Set((1L, "a3", 300L), (2L, "b2", 400L), (3L, "c", 150L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits closed sessions once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
