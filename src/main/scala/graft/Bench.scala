@@ -46,6 +46,10 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
+      // operators that persist intermediates (LSH candidates, CC frontiers)
+      // must not leak cached blocks into later queries' memory budget —
+      // every query starts cache-cold
+      spark.catalog.clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
