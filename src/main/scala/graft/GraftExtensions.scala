@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{
+  Divide, Expression, ExpressionInfo, Literal, Multiply, NullIf, Sqrt}
 
 import graft.functions.VectorExpressions
 
@@ -20,6 +21,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"vec_dot expects 2 arguments, got ${args.length}")
         VectorExpressions.DotProduct(args(0), args(1))
+      }))
+    // vec_cosine(a, b) = dot(a,b) / (|a|*|b|) — a composed Catalyst tree
+    // over the codegen'd DotProduct, not a UDF, so the whole similarity
+    // score stays inside whole-stage codegen. Zero-norm inputs divide by
+    // NULLIF(0) → NULL (not an ANSI divide-by-zero error).
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(VectorExpressions.DotProduct.getClass.getName, "vec_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"vec_cosine expects 2 arguments, got ${args.length}")
+        val (a, b) = (args(0), args(1))
+        val denom = new Multiply(
+          Sqrt(VectorExpressions.DotProduct(a, a)),
+          Sqrt(VectorExpressions.DotProduct(b, b)))
+        new Divide(VectorExpressions.DotProduct(a, b),
+          new NullIf(denom, Literal(0.0)))
       }))
   }
 }

@@ -98,6 +98,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(edge === Seq(8.0, 0.0))
   }
 
+  test("SQL vec_cosine matches the Column-side cosine, zero-norm -> null") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    e.createOrReplaceTempView("vecs")
+    val sql = spark.sql(
+      "SELECT vec_id, vec_cosine(v, v) AS c FROM vecs ORDER BY vec_id LIMIT 50")
+      .collect()
+    sql.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9,
+      s"vec_id=${r.get(0)}"))
+    val zero = spark.sql(
+      "SELECT vec_cosine(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS c").collect()
+    assert(zero.head.isNullAt(0))
+  }
+
   test("hyperplanes are deterministic per seed") {
     assert(Similarity.hyperplanes(8, 4, 7L) === Similarity.hyperplanes(8, 4, 7L))
     assert(Similarity.hyperplanes(8, 4, 7L) !== Similarity.hyperplanes(8, 4, 8L))
