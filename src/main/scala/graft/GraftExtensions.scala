@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
-  Divide, Expression, ExpressionInfo, Literal, Multiply, NullIf, Sqrt}
+  Divide, EqualTo, Expression, ExpressionInfo, If, Literal, Multiply, Sqrt}
 
 import graft.functions.VectorExpressions
 
@@ -24,8 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // vec_cosine(a, b) = dot(a,b) / (|a|*|b|) — a composed Catalyst tree
     // over the codegen'd DotProduct, not a UDF, so the whole similarity
-    // score stays inside whole-stage codegen. Zero-norm inputs divide by
-    // NULLIF(0) → NULL (not an ANSI divide-by-zero error).
+    // score stays inside whole-stage codegen. Mirrors `Similarity.cosine`
+    // exactly: zero-norm input → 0.0, NULL input → NULL (the If's null
+    // predicate falls through to the divide, which propagates the NULL;
+    // the divide-by-zero branch is unreachable because denom = 0 takes the
+    // true branch first).
     ext.injectFunction((
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(VectorExpressions.DotProduct.getClass.getName, "vec_cosine"),
@@ -35,8 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val denom = new Multiply(
           Sqrt(VectorExpressions.DotProduct(a, a)),
           Sqrt(VectorExpressions.DotProduct(b, b)))
-        new Divide(VectorExpressions.DotProduct(a, b),
-          new NullIf(denom, Literal(0.0)))
+        If(EqualTo(denom, Literal(0.0)),
+          Literal(0.0),
+          new Divide(VectorExpressions.DotProduct(a, b), denom))
       }))
   }
 }

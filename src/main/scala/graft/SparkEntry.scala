@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextStats
-import graft.operators.{Dedup, Embeddings, Multimodal, Profile, RelOps, Similarity, Stats, Temporal, Transpose}
+import graft.operators.{Dedup, Embeddings, Multimodal, Profile, Ranks, RelOps, Similarity, Stats, Temporal, Transpose}
 import graft.pipelines.Pipelines
 import graft.sources.Catalog
 import graft.streaming.EventsStream
@@ -484,7 +484,9 @@ object SparkEntry {
 
     // Data-profiling pass: per-column null/distinct/min/max in one scan.
     "x21_profile" -> ((s, dir) =>
-      Profile.profile(t(s, dir, "customer")).orderBy(col("column"))),
+      // exact distinct counts: the oracle compares them value-for-value
+      // (the 100 TB default is approx = true — see Profile)
+      Profile.profile(t(s, dir, "customer"), approx = false).orderBy(col("column"))),
 
     // Window functions: top-3 orders by price within each priority class
     // (rank-per-group — one hash-partition shuffle on the window key).
@@ -719,6 +721,67 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // K4 proper: pivot → enforce the dynamically-derived schema (REQUIRED
+    // keys, typed pivot columns — reference
+    // `data_transpose_working_1.py:206-221`) → sink → read back.
+    "k4_enforced_transpose" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linenumber"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      val out = Transpose.withEnforcedSchema(base,
+        Seq("l_returnflag", "l_linenumber"), "l_linestatus", Seq("sum_qty"))
+      val root = s"/tmp/graft/k4t_${dir.replaceAll("[^0-9.]", "")}"
+      Catalog.writeTruncate(out, root, "pivot_enforced")
+      Catalog.table(s, root, "pivot_enforced")
+        .orderBy(col("l_returnflag"), col("l_linenumber"))
+    }),
+
+    // K5: one cached source scan feeding two sinks (reference
+    // `csv_to_bq_NYC.py:128-150`), both read back and union-tagged.
+    "k5_fanout" -> ((s, dir) => {
+      val root = s"/tmp/graft/k5_${dir.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(root))
+      val nation = t(s, dir, "nation")
+      Catalog.fanOut(nation, cache = true)(
+        d => Catalog.writeTruncate(
+          d.select(col("n_nationkey"), col("n_name")), root, "names"),
+        d => Catalog.writeTruncate(
+          d.groupBy(col("n_regionkey")).agg(count(lit(1)).as("n_nations")),
+          root, "counts"))
+      val names = Catalog.table(s, root, "names")
+        .select(lit("names").as("sink"), col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("v"))
+      val counts = Catalog.table(s, root, "counts")
+        .select(lit("counts").as("sink"), col("n_regionkey").cast("long").as("k"),
+          col("n_nations").cast("string").as("v"))
+      names.unionByName(counts).orderBy(col("sink"), col("k"))
+    }),
+
+    // K6: compact schema-string parse + coercion, via the csvToTable
+    // pipeline (reference `csv_to_bq.py:7,41-48`): all-strings CSV read,
+    // `"name:TYPE,..."` parse, cast at the sink boundary, read back typed.
+    "k6_schema_roundtrip" -> ((s, dir) => {
+      val root = s"/tmp/graft/k6_${dir.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(root))
+      val csvPath = s"$root/nation_csv"
+      Catalog.writeCsv(
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+        csvPath)
+      Pipelines.csvToTable(s, csvPath,
+        "n_nationkey:INTEGER,n_name:STRING,n_regionkey:INTEGER", root, "nation_typed")
+      Catalog.table(s, root, "nation_typed").orderBy(col("n_nationkey"))
+    }),
+
+    // §3.3 serving lookup, FastAPI semantics: case-insensitive hit; miss →
+    // "Not found" + zeros (`Fast_API/main.py:25-36`, SURVEY §2.9(h)).
+    "lookup_fastapi" -> ((s, dir) => {
+      val dim = t(s, dir, "nation")
+        .select(col("n_name"), col("n_nationkey"), col("n_regionkey"))
+      Pipelines.Lookup.fastapi(dim, "nAtIoN_7")
+        .unionByName(Pipelines.Lookup.fastapi(dim, "Atlantis"))
+        .orderBy(col("n_name"))
+    }),
+
     // Approximate sketches — the 100 TB path next to the exact x20/x33
     // (HLL++ distinct count, quantile-sketch percentiles). Both partial-
     // aggregate map-side; neither sorts or materializes a group. No SQL
@@ -856,17 +919,18 @@ object SparkEntry {
 
     // Rank-function family: ntile quartiles, percent_rank, cume_dist per
     // priority class (unique (price, key) sort → fully deterministic).
-    "x47_rank_family" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, dir, "orders")
+    // Two-pass range-bucketed plan (Ranks): `Window.partitionBy(priority)`
+    // would sort the whole table through 5 tasks — groups × buckets
+    // parallelism instead. RanksSpec pins equality with Spark's window
+    // functions; the plan hazard is documented in SCALE.md.
+    "x47_rank_family" -> ((s, dir) =>
+      Ranks.rankFamily(t(s, dir, "orders"), "o_orderpriority",
+          Seq("o_totalprice", "o_orderkey"), ntileN = 4)
         .select(col("o_orderpriority"), col("o_orderkey"),
-          ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
-        .orderBy(col("o_orderpriority"), col("o_orderkey"))
-    }),
+          col("ntile").as("quartile"),
+          round(col("percent_rank"), 6).as("pct_rank"),
+          round(col("cume_dist"), 6).as("cume"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))),
 
     // Daily resample + gap fill: every user gets a contiguous day grid
     // over their active span, counts 0-filled, values carried forward.
@@ -1382,6 +1446,35 @@ object SparkEntry {
         |UNION ALL
         |SELECT 900002, 'NEW SUPP 2', 4.56
         |ORDER BY s_suppkey""".stripMargin,
+    "k4_enforced_transpose" ->
+      """WITH base AS (
+        |  SELECT l_returnflag, l_linenumber, l_linestatus,
+        |    round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem GROUP BY 1, 2, 3)
+        |SELECT l_returnflag, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  max(CASE WHEN l_linestatus = 'F' THEN sum_qty END) AS F_sum_qty,
+        |  max(CASE WHEN l_linestatus = 'O' THEN sum_qty END) AS O_sum_qty
+        |FROM base GROUP BY l_returnflag, l_linenumber
+        |ORDER BY l_returnflag, l_linenumber""".stripMargin,
+    "k5_fanout" ->
+      """SELECT 'names' AS sink, CAST(n_nationkey AS BIGINT) AS k, n_name AS v
+        |FROM nation
+        |UNION ALL
+        |SELECT 'counts', CAST(n_regionkey AS BIGINT),
+        |  CAST(count(*) AS VARCHAR)
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY sink, k""".stripMargin,
+    "k6_schema_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "lookup_fastapi" ->
+      """SELECT n_name, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE lower(n_name) = 'nation_7'
+        |UNION ALL
+        |SELECT 'Not found', 0, 0
+        |ORDER BY n_name""".stripMargin,
     "x36_redact" ->
       """SELECT doc_id,
         |  regexp_replace(

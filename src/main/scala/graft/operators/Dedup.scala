@@ -158,7 +158,10 @@ object Dedup {
     */
   private def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // probe the physical partition count via the internal-row RDD — same
+    // number as df.rdd but without building the row deserializer plan the
+    // public .rdd conversion pays on every call
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** Candidate near-dup pairs (a < b on id) from MinHash-LSH banding.
@@ -210,21 +213,32 @@ object Dedup {
     * candidate pairs (tiny: ids only) are persisted so the LSH pipeline
     * executes once, not once per downstream reference.
     */
+  /** The returned pairs frame is persisted and already materialized (ids +
+    * score only — tiny at any corpus size); the candidate intermediates are
+    * freed before returning. Callers that are done with it should
+    * `unpersist()` (clusters does; one-shot query use frees it with the
+    * session cache).
+    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3, numHashes: Int = 48,
       bands: Int = 12): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candIds = cands.select(col("a").as(idCol))
-      .unionByName(cands.select(col("b").as(idCol)))
-      .distinct()
-    val candDocs = df.join(candIds, Seq(idCol), "left_semi")
-    val sh = shingled(candDocs, idCol, textCol, shingleSize)
-    cands
-      .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))
-      .select(col("a"), col("b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    try {
+      val candIds = cands.select(col("a").as(idCol))
+        .unionByName(cands.select(col("b").as(idCol)))
+        .distinct()
+      val candDocs = df.join(candIds, Seq(idCol), "left_semi")
+      val sh = shingled(candDocs, idCol, textCol, shingleSize)
+      val pairs = cands
+        .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
+        .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))
+        .select(col("a"), col("b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count() // materialize: the LSH+verify pipeline runs exactly once,
+      pairs         // and the candidate cache can be dropped right now
+    } finally cands.unpersist()
   }
 
   /** All pairs with exact n-gram Jaccard ≥ threshold, via a posting-list
@@ -370,10 +384,14 @@ object Dedup {
     val idType = sym.schema.head.dataType
     val rows = sym.collect()
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    // iterative two-pass find (walk to root, then compress): a chain-shaped
+    // component near the localThreshold edge count must not blow the stack
     def find(x: Any): Any = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
     }
     val ord: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
       case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
@@ -407,12 +425,17 @@ object Dedup {
       threshold: Double, shingleSize: Int = 3, numHashes: Int = 48,
       bands: Int = 12): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, threshold, shingleSize,
-      numHashes, bands)
-    val cc = connectedComponents(pairs, "a", "b")
-      .select(col("id").as(idCol), col("label"))
-    df.select(col(idCol)).join(cc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("label"), col(idCol)).as("cluster_id"))
+      numHashes, bands) // persisted + materialized by minhashPairs
+    try {
+      // connectedComponents returns materialized labels (localCheckpoint on
+      // the distributed path, a collected union-find on the local one), so
+      // the pairs cache is releasable as soon as it returns
+      val cc = connectedComponents(pairs, "a", "b")
+        .select(col("id").as(idCol), col("label"))
+      df.select(col(idCol)).join(cc, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("label"), col(idCol)).as("cluster_id"))
+    } finally pairs.unpersist()
   }
 
   // --------------------------------------------------------------- SimHash

@@ -13,13 +13,16 @@ import org.apache.spark.sql.functions._
   * The only `collect()` is that single profile row — O(#columns), never
   * data-sized.
   *
-  * At 100 TB exact per-column distinct counts are the expensive part;
-  * `approx = true` swaps in HyperLogLog++ (`approx_count_distinct`) for a
-  * single-Expand, constant-memory sketch — same output schema.
+  * At 100 TB exact per-column distinct counts are the expensive part: the
+  * multi-distinct Expand emits one row per column per input row. The
+  * default is therefore `approx = true` — HyperLogLog++
+  * (`approx_count_distinct`, ~2% standard error) in a single
+  * constant-memory pass, same output schema. Exact counts are the opt-in
+  * for dim-sized tables (the x21 oracle query uses them).
   */
 object Profile {
 
-  def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
+  def profile(df: DataFrame, approx: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cols = df.columns.toSeq

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe rank-family computation (rank / ntile / percent_rank /
+  * cume_dist) within low-cardinality groups.
+  *
+  * The naive plan — `Window.partitionBy(group)` — serializes each group
+  * through ONE task: with 5 priority classes, exactly 5 tasks sort the
+  * whole table while the rest of a 1000-executor cluster idles. That plan
+  * does not survive a 100× scale-up.
+  *
+  * Two-pass shape used here instead (classic distributed ranking):
+  *   1. per-group range boundaries of the leading sort column
+  *      (`approx_percentile`, one partial-agg pass) split every group into
+  *      `nBuckets` range buckets — parallelism becomes groups × buckets;
+  *   2. per-(group, bucket) row counts (tiny: groups × buckets rows)
+  *      come back to the driver, where prefix sums give each bucket its
+  *      global rank offset within its group;
+  *   3. a window partitioned by (group, bucket) computes the local
+  *      row_number; local + broadcast offset = exact global rank, because
+  *      bucket assignment is monotone in the sort key (rows with equal
+  *      leading values always share a bucket, and the full sort key breaks
+  *      ties inside it).
+  * From the exact rank and the group totals, the whole family follows
+  * arithmetically (sort keys are unique by contract, so rank = row_number
+  * and cume_dist = rank / N):
+  *   percent_rank = (rank − 1) / (N − 1)   (0.0 for a 1-row group)
+  *   cume_dist    = rank / N
+  *   ntile(n)     = first N mod n buckets get ⌈N/n⌉ rows, the rest ⌊N/n⌋
+  * — the same definitions Spark's window functions implement.
+  *
+  * Driver memory is O(groups × nBuckets); the operator is for the
+  * low-group-cardinality case (that is exactly when the naive window plan
+  * is at its worst). The leading sort column must be numeric (range
+  * boundaries come from approx_percentile).
+  */
+object Ranks {
+
+  def rankFamily(df: DataFrame, groupCol: String, sortCols: Seq[String],
+      ntileN: Int = 4, nBuckets: Int = 32): DataFrame = {
+    require(sortCols.nonEmpty, "rankFamily needs at least one sort column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lead = sortCols.head
+
+    // pass 1a: per-group range boundaries of the leading sort column.
+    // Accuracy doesn't matter for correctness — any monotone split works —
+    // only for balance, so the default accuracy is fine.
+    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val boundaries = df.groupBy(col(groupCol).as("__g"))
+      .agg(expr(s"approx_percentile($lead, array(${probs.mkString(",")}), 10000)")
+        .as("__bnd"))
+
+    // bucket = #boundaries strictly below the row's leading value: monotone
+    // in the leading value, equal values share a bucket. The boundary array
+    // is nBuckets-1 elements, so the interpreted HOF fold is ~nBuckets ops
+    // per row on a broadcast-joined local array.
+    val bucketed = df
+      .join(broadcast(boundaries), col(groupCol) === col("__g"))
+      .withColumn("__bkt",
+        aggregate(col("__bnd"), lit(0),
+          (acc, b) => acc + when(col(lead) > b, 1).otherwise(0)))
+      .drop("__g", "__bnd")
+
+    // pass 1b: per-(group, bucket) counts → driver (groups × nBuckets rows)
+    // → per-bucket global offsets and per-group totals
+    val counts = bucketed.groupBy(col(groupCol).cast("string").as("g"), col("__bkt").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Int, Long)]
+      .collect()
+    val offsets: Seq[(String, Int, Long, Long)] = counts
+      .groupBy(_._1)
+      .iterator
+      .flatMap { case (g, rows) =>
+        val total = rows.map(_._3).sum
+        val sorted = rows.sortBy(_._2)
+        val offs = sorted.scanLeft(0L)(_ + _._3)
+        sorted.zip(offs).map { case ((_, b, _), off) => (g, b, off, total) }
+      }
+      .toSeq
+    val offsetDf = offsets.toDF("__og", "__ob", "__off", "__n")
+
+    // pass 2: local row_number within (group, bucket), plus the broadcast
+    // offset — exact global rank within the group
+    val w = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(sortCols.map(col).toIndexedSeq: _*)
+    val ranked = bucketed
+      .join(broadcast(offsetDf),
+        col(groupCol).cast("string") === col("__og") && col("__bkt") === col("__ob"))
+      .withColumn("__rank", row_number().over(w) + col("__off"))
+
+    val n = col("__n")
+    val r = col("__rank")
+    // ntile: first (N mod k) buckets take ⌈N/k⌉ rows, the rest ⌊N/k⌋.
+    // Column `/` is double division even on integers — keep the bucket
+    // arithmetic integral with floor().
+    val small = floor(n / ntileN)
+    val big = small + lit(1L)
+    val rem = n % ntileN
+    val ntileCol = when(small === 0, r) // N < k: one row per bucket
+      .when(r <= rem * big, floor((r - 1) / big) + 1)
+      .otherwise(rem + floor((r - rem * big - 1) / small) + 1)
+    ranked
+      .withColumn("rank", r)
+      .withColumn("ntile", ntileCol.cast("int"))
+      .withColumn("percent_rank",
+        when(n === 1, lit(0.0))
+          .otherwise((r - 1).cast("double") / (n - 1).cast("double")))
+      .withColumn("cume_dist", r.cast("double") / n.cast("double"))
+      .drop("__bkt", "__og", "__ob", "__off", "__n", "__rank")
+  }
+}

@@ -116,6 +116,16 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
+  /** Embedding width read from the data — one `LIMIT 1` job over the first
+    * non-null vector. Used when the caller doesn't pass `dims` explicitly;
+    * hyperplane width silently mismatching the data would hash every
+    * vector onto a truncated prefix.
+    */
+  def vecDims(df: DataFrame, vecCol: String): Int = {
+    val row = df.select(size(col(vecCol)).as("d")).where(col("d") > 0).head()
+    row.getInt(0)
+  }
+
   /** LSH bucket id: one sign bit per hyperplane packed into a long. Vectors
     * with high cosine similarity agree on most sign bits, so they land in
     * the same bucket with probability (1 - θ/π)^planes.
@@ -133,10 +143,9 @@ object Similarity {
     */
   def lshKnn(candidates: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L): DataFrame = {
-    val dims = 64 // driver testdata embedding width; computed callers can pass via vec schema
-    lshKnnDims(candidates, queries, k, dims, numPlanes, idCol, vecCol, seed)
-  }
+      seed: Long = 42L): DataFrame =
+    lshKnnDims(candidates, queries, k, vecDims(candidates, vecCol), numPlanes,
+      idCol, vecCol, seed)
 
   def lshKnnDims(candidates: DataFrame, queries: DataFrame, k: Int, dims: Int,
       numPlanes: Int, idCol: String, vecCol: String, seed: Long): DataFrame = {
@@ -223,12 +232,13 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥ threshold,
     * via LSH buckets (no O(n²)). Recall < 1 by construction; raise recall
-    * with fewer planes or multiple seeded rounds.
+    * with fewer planes or multiple seeded rounds. `dims` ≤ 0 (the default)
+    * reads the embedding width from the data.
     */
-  def cosineNearDupPairs(df: DataFrame, threshold: Double, dims: Int = 64,
+  def cosineNearDupPairs(df: DataFrame, threshold: Double, dims: Int = -1,
       numPlanes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
-    val planes = hyperplanes(dims, numPlanes, seed)
+    val planes = hyperplanes(if (dims > 0) dims else vecDims(df, vecCol), numPlanes, seed)
     val d = dotFor(df)
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
       .withColumn("bucket", lshBucket(col("vec"), planes, d))

@@ -108,19 +108,38 @@ object Catalog {
   def compact(spark: SparkSession, root: String, ref: String,
       targetFileMB: Int = 128): Unit = {
     val dir = new java.io.File(path(root, ref))
-    val bytes = Option(dir.listFiles).getOrElse(Array.empty)
+    val children = Option(dir.listFiles).getOrElse(Array.empty)
+    // A Hive-partitioned table has key=value subdirectories instead of
+    // top-level parquet files; a flat coalesce-rewrite would fold the
+    // partition columns into the data files and silently destroy the
+    // layout (and the partition pruning) writePartitioned created.
+    val partDirs = children.filter(f => f.isDirectory && f.getName.contains("="))
+    require(partDirs.isEmpty,
+      s"compact: $dir is Hive-partitioned (${partDirs.head.getName}, ...); " +
+        "rewrite it with writePartitioned instead of a flat compact")
+    val bytes = children
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
     val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
     val staged = new java.io.File(dir.getParent, s".${dir.getName}.compacting")
     spark.read.parquet(dir.toString).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(staged.toString)
-    val old = new java.io.File(dir.getParent, s".${dir.getName}.old")
-    if (!dir.renameTo(old)) sys.error(s"compact: cannot stage out $dir")
-    if (!staged.renameTo(dir)) { old.renameTo(dir); sys.error(s"compact: swap failed for $dir") }
+    atomicSwap(staged, dir, "compact")
+  }
+
+  /** Replace `dst` with `staged` via rename-out → rename-in → rollback:
+    * the destination is renamed aside before the staging directory moves
+    * in, so a crash at any point leaves either the old table or the new
+    * one on disk — never neither.
+    */
+  private def atomicSwap(staged: java.io.File, dst: java.io.File, op: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
+    val old = new java.io.File(dst.getParent, s".${dst.getName}.old")
+    rm(old) // leftover from a crashed earlier swap
+    if (dst.exists() && !dst.renameTo(old)) sys.error(s"$op: cannot stage out $dst")
+    if (!staged.renameTo(dst)) { old.renameTo(dst); sys.error(s"$op: swap failed for $dst") }
     rm(old)
   }
 
@@ -181,19 +200,20 @@ object Catalog {
     */
   def upsert(spark: SparkSession, root: String, ref: String,
       updates: DataFrame, keys: Seq[String]): Unit = {
+    val dst = new java.io.File(path(root, ref))
+    // Fresh target: the first batch of a CDC/streaming upsert simply
+    // creates the table — "new keys are inserted" includes all of them.
+    if (!dst.exists()) {
+      updates.write.mode(SaveMode.Overwrite).parquet(dst.getPath)
+      return
+    }
     val target = table(spark, root, ref)
     val merged = updates.unionByName(
       target.join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti"))
-    val dst = new java.io.File(path(root, ref))
-    val staging = new java.io.File(dst.getParent, dst.getName + ".staging")
+    val staging = new java.io.File(dst.getParent, s".${dst.getName}.staging")
     merged.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(); ()
-    }
-    rm(dst)
-    require(staging.renameTo(dst), s"staging swap failed for ${dst.getPath}")
+    atomicSwap(staging, dst, "upsert")
   }
 
   /** K5: multi-sink fan-out — one source feeds several sinks without

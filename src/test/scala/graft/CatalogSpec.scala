@@ -77,6 +77,50 @@ class CatalogSpec extends AnyFunSuite {
     assert(back.count() === 1000 && back.agg(sum("id")).as[Long].head() === 500500)
   }
 
+  test("compact refuses a Hive-partitioned table instead of flattening it") {
+    val root = Files.createTempDirectory("graft-compact-part").toString
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "A" else "B")).toDF("id", "seg")
+    Catalog.writePartitioned(df, root, "pt", Seq("seg"))
+    val e = intercept[IllegalArgumentException](Catalog.compact(spark, root, "pt"))
+    assert(e.getMessage.contains("Hive-partitioned"))
+    // layout untouched: partition pruning still works after the refusal
+    assert(Catalog.table(spark, root, "pt").where($"seg" === "A").count() === 50)
+  }
+
+  test("upsert replaces matched keys, inserts new ones, creates fresh targets") {
+    val root = Files.createTempDirectory("graft-upsert").toString
+    // fresh target: first batch simply creates the table
+    val first = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Catalog.upsert(spark, root, "t", first, Seq("k"))
+    assert(Catalog.table(spark, root, "t").orderBy("k").as[(Long, String)].collect()
+      .toSeq === Seq((1L, "a"), (2L, "b")))
+    // merge: key 2 replaced, key 3 inserted, key 1 untouched
+    val second = Seq((2L, "B2"), (3L, "c")).toDF("k", "v")
+    Catalog.upsert(spark, root, "t", second, Seq("k"))
+    assert(Catalog.table(spark, root, "t").orderBy("k").as[(Long, String)].collect()
+      .toSeq === Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    // the swap never leaves the destination missing: either old or new table
+    // exists at every step — here, after success, no .old/.staging remnants
+    val parent = new java.io.File(s"$root")
+    assert(parent.listFiles.map(_.getName).toSet === Set("t.parquet"))
+  }
+
+  test("upsert swap recovers from a crashed prior swap's leftover .old dir") {
+    val root = Files.createTempDirectory("graft-upsert-rb").toString
+    Catalog.upsert(spark, root, "t", Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    // simulate a swap that crashed after staging out: a stale .old directory
+    // is still sitting next to the table
+    val dst = new java.io.File(Catalog.path(root, "t"))
+    val stale = new java.io.File(dst.getParent, s".${dst.getName}.old")
+    assert(stale.mkdir())
+    Files.write(stale.toPath.resolve("junk"), Array[Byte](1, 2, 3))
+    // next upsert must clear the leftover and complete; at no point is the
+    // destination deleted before its replacement is ready
+    Catalog.upsert(spark, root, "t", Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    assert(Catalog.table(spark, root, "t").count() === 2)
+    assert(!stale.exists())
+  }
+
   test("fanOut feeds multiple sinks from one cached source") {
     val root = Files.createTempDirectory("graft-fan").toString
     val src = (1L to 10L).toDF("id")

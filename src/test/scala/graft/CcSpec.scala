@@ -23,6 +23,18 @@ class CcSpec extends AnyFunSuite {
       .as[(Int, Int)].collect().toMap == want)
   }
 
+  test("local union-find survives a 100k-node chain without stack growth") {
+    // worst case for a recursive find: one long chain, edges ordered so the
+    // parent pointers form a deep path before any compression
+    val n = 100000
+    val edges = spark.range(1, n.toLong)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val labels = Dedup.connectedComponents(edges) // n-1 edges < localThreshold
+    assert(labels.count() === n.toLong)
+    assert(labels.agg(countDistinct(col("label"))).head.getLong(0) === 1L)
+    assert(labels.agg(min(col("label"))).head.getLong(0) === 1L)
+  }
+
   test("connectedComponents on empty edges is empty") {
     assert(Dedup.connectedComponents(
       Seq.empty[(Int, Int)].toDF("a", "b")).count() == 0)

@@ -17,7 +17,7 @@ class ProfileSpec extends AnyFunSuite {
     .toDF("id", "s", "v")
 
   test("profile reports rows/nulls/distinct/min/max per column") {
-    val p = Profile.profile(df).collect()
+    val p = Profile.profile(df, approx = false).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getString(4), r.getString(5))).toMap
     assert(p("id") === ((4L, 0L, 4L, "1", "4")))
@@ -25,8 +25,8 @@ class ProfileSpec extends AnyFunSuite {
     assert(p("v") === ((4L, 1L, 2L, "1.5", "2.5")))
   }
 
-  test("approx profile keeps the schema and exact row/null counts") {
-    val p = Profile.profile(df, approx = true).collect()
+  test("approx profile (the 100 TB default) keeps schema and exact row/null counts") {
+    val p = Profile.profile(df).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(p.keySet === Set("id", "s", "v"))
     assert(p("s") === ((4L, 1L)))

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ranks
+
+class RanksSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("rankFamily matches Spark's window functions exactly on orders") {
+    val orders = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    val naive = orders.select($"o_orderkey",
+      row_number().over(w).as("rank"),
+      ntile(4).over(w).as("ntile"),
+      percent_rank().over(w).as("percent_rank"),
+      cume_dist().over(w).as("cume_dist"))
+    val fast = Ranks.rankFamily(orders, "o_orderpriority",
+      Seq("o_totalprice", "o_orderkey"), ntileN = 4)
+      .select($"o_orderkey", $"rank", $"ntile", $"percent_rank", $"cume_dist")
+    assert(naive.exceptAll(fast).isEmpty && fast.exceptAll(naive).isEmpty,
+      "two-pass rank family diverged from Spark's window functions")
+    assert(fast.count() === orders.count())
+  }
+
+  test("rankFamily handles tiny and 1-row groups (and N < ntileN)") {
+    val df = Seq(
+      ("a", 10.0, 1L), ("a", 20.0, 2L), ("a", 20.0, 3L), // tie on lead col
+      ("b", 5.0, 4L),                                    // 1-row group
+      ("c", 1.0, 5L), ("c", 2.0, 6L))                    // N < ntileN
+      .toDF("g", "price", "k")
+    val w = Window.partitionBy($"g").orderBy($"price", $"k")
+    val naive = df.select($"k",
+      row_number().over(w).as("rank"),
+      ntile(4).over(w).as("ntile"),
+      percent_rank().over(w).as("percent_rank"),
+      cume_dist().over(w).as("cume_dist"))
+    val fast = Ranks.rankFamily(df, "g", Seq("price", "k"), ntileN = 4,
+      nBuckets = 2)
+      .select($"k", $"rank", $"ntile", $"percent_rank", $"cume_dist")
+    assert(naive.exceptAll(fast).isEmpty && fast.exceptAll(naive).isEmpty)
+  }
+
+  test("rankFamily parallelism: window stage partitions by (group, bucket)") {
+    val orders = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+    val fast = Ranks.rankFamily(orders, "o_orderpriority",
+      Seq("o_totalprice", "o_orderkey"), ntileN = 4, nBuckets = 8)
+    // the plan's window operator must key on both group and bucket — that
+    // is the whole point (5 groups alone would mean 5 sort tasks)
+    val plan = fast.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__bkt"), plan.take(2000))
+  }
+}

@@ -98,7 +98,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(edge === Seq(8.0, 0.0))
   }
 
-  test("SQL vec_cosine matches the Column-side cosine, zero-norm -> null") {
+  test("SQL vec_cosine matches the Column-side cosine, incl. zero-norm -> 0.0") {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
     e.createOrReplaceTempView("vecs")
@@ -107,9 +107,34 @@ class SimilaritySpec extends AnyFunSuite {
       .collect()
     sql.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9,
       s"vec_id=${r.get(0)}"))
+    // the two public surfaces agree on degenerate input: zero-norm → 0.0
     val zero = spark.sql(
-      "SELECT vec_cosine(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS c").collect()
-    assert(zero.head.isNullAt(0))
+      """SELECT vec_cosine(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS c""").collect()
+    assert(zero.head.getDouble(0) === 0.0)
+    val scalaSide = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b").as("c")).collect()
+    assert(scalaSide.head.getDouble(0) === zero.head.getDouble(0))
+    // NULL input stays NULL on both surfaces
+    val nul = spark.sql(
+      "SELECT vec_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS c").collect()
+    assert(nul.head.isNullAt(0))
+  }
+
+  test("lshKnn derives hyperplane width from the data (non-64-dim fixture)") {
+    // 8-dim embeddings: the old hardcoded dims=64 would hash on a prefix
+    // of garbage; derived dims must bucket exact duplicates together
+    val base = (0L until 40L).map { i =>
+      val v = (0 until 8).map(d => math.sin(i * 1.7 + d).toFloat)
+      (i, v)
+    }
+    val e = base.toDF("vec_id", "embedding")
+    val dup = base.take(3).map { case (i, v) => (i + 1000L, v) }.toDF("vec_id", "embedding")
+    val out = Similarity.lshKnn(e.unionByName(dup), dup, k = 1, numPlanes = 4)
+    val top = out.where($"rank" === 1).select("qid", "nid")
+      .as[(Long, Long)].collect().toMap
+    // each injected duplicate's nearest neighbour is its identical original
+    assert(Similarity.vecDims(e, "embedding") === 8)
+    (0L until 3L).foreach(i => assert(top(i + 1000L) === i))
   }
 
   test("hyperplanes are deterministic per seed") {
