@@ -490,16 +490,14 @@ object SparkEntry {
 
     // Window functions: top-3 orders by price within each priority class
     // (rank-per-group — one hash-partition shuffle on the window key).
-    "x19_rank_per_group" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, dir, "orders")
+    "x19_rank_per_group" -> ((s, dir) =>
+      // two-phase top-k (Ranks.topKPerGroup): a window partitioned by the
+      // 5-value priority alone would sort the whole table through 5 tasks
+      Ranks.topKPerGroup(t(s, dir, "orders"), Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-          row_number().over(w).as("rn"))
-        .where(col("rn") <= 3)
-        .orderBy(col("o_orderpriority"), col("rn"))
-    }),
+          col("rn"))
+        .orderBy(col("o_orderpriority"), col("rn"))),
 
     // As-of join: each click matched to the user's most recent prior
     // purchase (Temporal.asofJoinBackward — union + running-window shape,
