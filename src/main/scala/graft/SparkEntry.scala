@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextStats
-import graft.operators.{Dedup, Embeddings, Multimodal, Profile, Ranks, RelOps, Similarity, Stats, Temporal, Transpose}
+import graft.operators.{Dedup, Embeddings, Multimodal, Profile, Ranks, RelOps, Similarity, Stats, Temporal, Training, Transpose}
 import graft.pipelines.Pipelines
 import graft.sources.Catalog
 import graft.streaming.EventsStream
@@ -936,6 +936,29 @@ object SparkEntry {
       Temporal.gapFillDaily(Catalog.events(s, dir))
         .orderBy(col("user_id"), col("day"))),
 
+    // Deterministic train/val/test split: md5-bucket of the key — stable
+    // across runs/engines/layouts (narrow map, no RNG, no shuffle), so
+    // incremental re-processing never migrates a document across splits.
+    "x49_train_split" -> ((s, dir) =>
+      Training.hashSplit(t(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Sequence packing (concat-and-chop): per-shard running token offset
+    // tags each document with its training-sequence id and offset.
+    // Parallelism = nShards; shard assignment and order are deterministic.
+    "x50_pack_sequences" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Training.packSequences(d, "doc_id", "n_tokens", budget = 256, nShards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition quality gate: duplicate-token and
+    // top-token fractions per document, one explode + two keyed aggs.
+    "x51_repetition" -> ((s, dir) =>
+      Training.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Correlated scalar subquery through the SQL surface — Catalyst
     // decorrelates it into an aggregate + join, not a per-row re-scan.
     "q5_corr_subquery" -> ((s, dir) => {
@@ -1690,5 +1713,50 @@ object SparkEntry {
         |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
         |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "x49_train_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "x50_pack_sequences" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 8 AS INTEGER) AS shard
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+        |  FROM tk)
+        |SELECT doc_id, n_tokens, shard, start_tok,
+        |  CAST(floor(start_tok / 256) AS BIGINT) AS seq_id,
+        |  CAST(start_tok % 256 AS BIGINT) AS seq_off
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "x51_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |d AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok,
+        |    count(*) AS n_distinct
+        |  FROM c GROUP BY 1),
+        |f AS (
+        |  SELECT doc_id,
+        |    round(1.0 - CAST(n_distinct AS DOUBLE) / n_tok, 6) AS dup_token_frac,
+        |    round(CAST(top_c AS DOUBLE) / n_tok, 6) AS top_token_frac
+        |  FROM d)
+        |SELECT doc_id, dup_token_frac, top_token_frac,
+        |  (dup_token_frac <= 0.75 AND top_token_frac <= 0.30) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Staging, TextStats}
+
+/** Training-data assembly: the last mile between a curated corpus and a
+  * training job — deterministic splits, sequence packing, repetition
+  * gates. All are narrow maps or single well-keyed shuffles; nothing here
+  * touches the driver with data-sized state.
+  */
+object Training {
+
+  /** Deterministic train/val/test assignment from a content-independent
+    * key hash. `bucket = int(md5(key)[:8], 16) % 100` — stable across
+    * runs, engines, and cluster layouts (md5 of the key's string form, no
+    * seed, no RNG), so a re-run or a different engine assigns every row
+    * identically: the property that keeps eval contamination out when the
+    * corpus is re-processed incrementally.
+    *
+    * A narrow map — no shuffle, no state. `trainPct`/`valPct` are
+    * percentage points of the 100-bucket space.
+    */
+  def hashSplit(df: DataFrame, keyCol: String, trainPct: Int = 80,
+      valPct: Int = 10, as: String = "split"): DataFrame = {
+    require(trainPct + valPct <= 100, "split percentages exceed 100")
+    val bucket =
+      conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    df.withColumn("bucket", bucket)
+      .withColumn(as,
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Sequence packing, concat-and-chop semantics: within a shard,
+    * documents are concatenated in key order and the token stream is
+    * chopped into `budget`-token training sequences; each document is
+    * tagged with the sequence its first token lands in and its start
+    * offset. This is the standard streaming pack for LLM pretraining
+    * (no bin-packing search — deterministic, one pass).
+    *
+    * The running token offset is a window sum per shard, so parallelism =
+    * #shards: size `nShards` to the cluster (e.g. 2-3× total cores at
+    * 100 TB), exactly like real packers that pack per input shard. Shard
+    * assignment is `key % nShards` — deterministic, no RNG.
+    */
+  def packSequences(df: DataFrame, keyCol: String, tokenCol: String,
+      budget: Int, nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0, "packSequences needs budget/nShards > 0")
+    val shard = (col(keyCol) % nShards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("start_tok",
+        (sum(col(tokenCol)).over(w) - col(tokenCol)).cast("long"))
+      .withColumn("seq_id", floor(col("start_tok") / budget).cast("long"))
+      .withColumn("seq_off", (col("start_tok") % budget).cast("long"))
+  }
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1:
+    * repetitious documents are low-quality):
+    *   - `dup_token_frac`: 1 − distinct/total tokens — pure per-row array
+    *     expressions, no shuffle;
+    *   - `top_token_frac`: most-frequent-token share — explode → two
+    *     hash aggregations, both map-side combinable (the same shape as
+    *     vocab counting, keyed by doc so never skewed beyond one doc's
+    *     tokens).
+    * `keep` applies the gate; thresholds per the Gopher defaults scaled
+    * to token level.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      maxDupFrac: Double = 0.75, maxTopFrac: Double = 0.30): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    // one tokenize, one explode, two keyed aggregations (both map-side
+    // combinable): per-(doc, token) counts, then per-doc the distinct
+    // count IS the group count, the total is the sum, the mode the max
+    Staging.explodeStaged(df, Seq(idCol), toks, "tok")
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_distinct"))
+      .select(col(idCol),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tok"), 6)
+          .as("dup_token_frac"),
+        round(col("top_c").cast("double") / col("n_tok"), 6)
+          .as("top_token_frac"))
+      .withColumn("keep",
+        col("dup_token_frac") <= maxDupFrac && col("top_token_frac") <= maxTopFrac)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Training
+
+class TrainingSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("hashSplit is deterministic, complete, and key-only") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val a = Training.hashSplit(docs.select($"doc_id"), "doc_id")
+    val b = Training.hashSplit(docs.select($"doc_id"), "doc_id")
+    // re-run assigns every key identically (no RNG anywhere)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // every row lands in exactly one split, buckets stay in [0, 100)
+    val splits = a.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(splits.values.sum === docs.count())
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
+    assert(a.where($"bucket" < 0 || $"bucket" >= 100).isEmpty)
+    // roughly proportional at 500 docs (md5 is uniform; generous bounds)
+    assert(splits("train") > 300, splits.toString)
+    // known-value pin: bucket(key) = int(md5(str(key))[:8], 16) % 100
+    val k0 = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("0".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString, 16) % 100
+    assert(a.where($"doc_id" === 0).select($"bucket").as[Long].head() === k0)
+  }
+
+  test("packSequences chops the per-shard token stream at budget boundaries") {
+    val docs = Seq(
+      (0L, 100L), (8L, 100L), (16L, 100L), (24L, 100L), // shard 0
+      (1L, 300L), (9L, 10L))                            // shard 1
+      .toDF("doc_id", "n_tokens")
+    val out = Training.packSequences(docs, "doc_id", "n_tokens",
+        budget = 256, nShards = 8)
+      .select($"doc_id", $"shard", $"start_tok", $"seq_id", $"seq_off")
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (0L, 0, 0L, 0L, 0L),     // [0, 100)
+      (1L, 1, 0L, 0L, 0L),     // shard 1: [0, 300) spans the boundary
+      (8L, 0, 100L, 0L, 100L), // [100, 200)
+      (9L, 1, 300L, 1L, 44L),  // starts inside seq 1 of shard 1
+      (16L, 0, 200L, 0L, 200L),// [200, 300) starts in seq 0
+      (24L, 0, 300L, 1L, 44L)))
+  }
+
+  test("packSequences start offsets are gapless per shard on real documents") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select($"doc_id",
+        graft.functions.TextStats.tokenCount($"text").cast("long").as("n_tokens"))
+    val out = Training.packSequences(docs, "doc_id", "n_tokens",
+      budget = 256, nShards = 8)
+    // within each shard the stream is contiguous: next start = start + len
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id")
+    val gaps = out.withColumn("prev_end",
+        lag($"start_tok" + $"n_tokens", 1, 0L).over(w))
+      .where($"start_tok" =!= $"prev_end")
+    assert(gaps.isEmpty)
+  }
+
+  test("repetitionStats flags repetitious documents, passes diverse ones") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),            // top_frac 1.0, dup 0.75
+      (2L, "all tokens here are different"),  // dup 0, top 0.2
+      (3L, "a a b b c c d d e e"))            // dup 0.5, top 0.2
+      .toDF("doc_id", "text")
+    val out = Training.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 0.75, 1.0, false)))
+    assert(out(1) === ((2L, 0.0, 0.2, true)))
+    assert(out(2) === ((3L, 0.5, 0.2, true)))
+  }
+}
