@@ -490,14 +490,20 @@ object SparkEntry {
 
     // Window functions: top-3 orders by price within each priority class
     // (rank-per-group — one hash-partition shuffle on the window key).
-    "x19_rank_per_group" -> ((s, dir) =>
-      // two-phase top-k (Ranks.topKPerGroup): a window partitioned by the
-      // 5-value priority alone would sort the whole table through 5 tasks
-      Ranks.topKPerGroup(t(s, dir, "orders"), Seq("o_orderpriority"),
-          Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+    "x19_rank_per_group" -> ((s, dir) => {
+      // scale-safe as written: Spark plans a WindowGroupLimit(Partial)
+      // BELOW the exchange for row_number() <= k filters, so each map task
+      // forwards only its per-group top-3 — the low-cardinality partition
+      // key never sees the full table (PlanSpec pins the partial limit)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-          col("rn"))
-        .orderBy(col("o_orderpriority"), col("rn"))),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 3)
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
 
     // As-of join: each click matched to the user's most recent prior
     // purchase (Temporal.asofJoinBackward — union + running-window shape,

@@ -39,37 +39,14 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
-  /** Exact top-k rows per group without serializing each group through
-    * one sort task.
-    *
-    * `Window.partitionBy(group)` + `row_number <= k` over a low-cardinality
-    * group shuffles the WHOLE table into #groups tasks. Two-phase instead:
-    *   1. local top-k per (group, input partition) — the window keys on
-    *      `spark_partition_id()` too, so its exchange spreads over
-    *      groups × partitions reducers; any row in a group's global top-k
-    *      is necessarily in its partition's top-k for that group;
-    *   2. final top-k per group over the survivors — ≤ groups × partitions
-    *      × k rows, so the single-task-per-group window is now harmless.
-    * Same bytes shuffled as the naive plan, but across the full cluster.
-    * `sortExprs` must be a total order (include a tiebreak key) or the
-    * selected rows are nondeterministic (true of any top-k).
-    */
-  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
-      sortExprs: Seq[Column], k: Int, rankCol: String = "rn"): DataFrame = {
-    require(k > 0, "topKPerGroup needs k > 0")
-    val wLocal = Window
-      .partitionBy((groupCols.map(col) :+ col("__pid")): _*)
-      .orderBy(sortExprs: _*)
-    val survivors = df
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__rnl", row_number().over(wLocal))
-      .where(col("__rnl") <= k)
-      .drop("__pid", "__rnl")
-    val wFinal = Window.partitionBy(groupCols.map(col): _*).orderBy(sortExprs: _*)
-    survivors
-      .withColumn(rankCol, row_number().over(wFinal))
-      .where(col(rankCol) <= k)
-  }
+  // NOTE on top-k per group: no custom operator is needed. Spark plans a
+  // WindowGroupLimit(Partial) BELOW the exchange for rank-function <= k
+  // filters, so each map task forwards only its local per-group top-k and
+  // the low-cardinality partition key never sees the full table. A
+  // hand-rolled two-phase (spark_partition_id local top-k, then final
+  // window) plans one MORE exchange than the built-in — measured, removed.
+  // rankFamily below is different: percent_rank/cume_dist output every
+  // row, so no group-limit pushdown exists and the two-pass plan is real.
 
   def rankFamily(df: DataFrame, groupCol: String, sortCols: Seq[String],
       ntileN: Int = 4, nBuckets: Int = 32): DataFrame = {

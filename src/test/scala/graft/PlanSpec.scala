@@ -41,6 +41,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("x19 top-k: partial WindowGroupLimit runs below the exchange") {
+    // row_number() <= k over a 5-value partition key is only scale-safe
+    // because each map task pre-filters to its local per-group top-k; if a
+    // refactor loses the rank filter pushdown, the 5 reducers sort the table
+    val p = planOf("x19_rank_per_group")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("Partial"), p.take(2000))
+  }
+
+  test("x49 hash split plans as a narrow map: no exchange before the sort") {
+    val df = SparkEntry.queries("x49_train_split")(spark, sfDir)
+    // drop the presentation orderBy: the operator itself must not shuffle
+    val core = graft.operators.Training.hashSplit(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id"), "doc_id")
+    assert(!core.queryExecution.executedPlan.toString.contains("Exchange"),
+      core.queryExecution.executedPlan.toString.take(2000))
+    assert(df.columns.toSeq === Seq("doc_id", "bucket", "split"))
+  }
+
   test("x45 curation: the dedup semi-join never degrades to a loop join") {
     val p = planOf("x45_curation")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -45,28 +45,6 @@ class RanksSpec extends AnyFunSuite {
     assert(naive.exceptAll(fast).isEmpty && fast.exceptAll(naive).isEmpty)
   }
 
-  test("topKPerGroup matches the naive per-group window exactly") {
-    val orders = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
-    val w = Window.partitionBy($"o_orderpriority")
-      .orderBy($"o_totalprice".desc, $"o_orderkey")
-    val naive = orders
-      .select($"o_orderpriority", $"o_orderkey",
-        row_number().over(w).as("rn"))
-      .where($"rn" <= 3)
-    val fast = Ranks.topKPerGroup(orders, Seq("o_orderpriority"),
-        Seq($"o_totalprice".desc, $"o_orderkey"), k = 3)
-      .select($"o_orderpriority", $"o_orderkey", $"rn")
-    assert(naive.exceptAll(fast).isEmpty && fast.exceptAll(naive).isEmpty,
-      "two-phase top-k diverged from the naive window")
-    // k larger than some groups: every group still returns all its rows
-    val tiny = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "v")
-    val all = Ranks.topKPerGroup(tiny, Seq("g"), Seq($"v"), k = 5)
-    assert(all.count() === 3)
-    // first phase keys the window on the input partition id too
-    val plan = fast.queryExecution.optimizedPlan.toString
-    assert(plan.contains("__pid"), plan.take(2000))
-  }
-
   test("rankFamily parallelism: window stage partitions by (group, bucket)") {
     val orders = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
     val fast = Ranks.rankFamily(orders, "o_orderpriority",
