@@ -965,6 +965,19 @@ object SparkEntry {
       Training.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Incremental dedup: a new batch (doc_id % 5 == 4) decontaminated
+    // against the existing corpus — exact hash anti-join + LSH-bucketed
+    // near-dup matches, corpus never joined all-pairs. The oracle
+    // recomputes the exact batch×corpus Jaccard truth, so LSH recall is
+    // checked end-to-end, as in x2.
+    "x52_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.where(col("doc_id") % 5 === 4)
+      val corpus = docs.where(col("doc_id") % 5 =!= 4)
+      Dedup.incrementalDedup(batch, corpus, "doc_id", "text", threshold = 0.9)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // Correlated scalar subquery through the SQL surface — Catalyst
     // decorrelates it into an aggregate + join, not a per-row re-scan.
     "q5_corr_subquery" -> ((s, dir) => {
@@ -1719,6 +1732,35 @@ object SparkEntry {
         |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
         |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "x52_incremental_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |near AS (
+        |  SELECT n.doc_id
+        |  FROM s n, s c
+        |  WHERE n.doc_id % 5 = 4 AND c.doc_id % 5 <> 4
+        |    AND len(list_intersect(n.sh, c.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(n.sh, c.sh))) >= 0.9),
+        |ex AS (
+        |  SELECT n.doc_id
+        |  FROM documents n JOIN documents c
+        |    ON n.text = c.text AND n.doc_id % 5 = 4 AND c.doc_id % 5 <> 4)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 5 = 4
+        |  AND doc_id NOT IN (SELECT doc_id FROM near)
+        |  AND doc_id NOT IN (SELECT doc_id FROM ex)
+        |ORDER BY doc_id""".stripMargin,
     "x49_train_split" ->
       """WITH b AS (
         |  SELECT doc_id,

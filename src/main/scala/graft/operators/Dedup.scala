@@ -438,6 +438,86 @@ object Dedup {
     } finally pairs.unpersist()
   }
 
+  // --------------------------------------- incremental (batch vs corpus)
+
+  /** Ids in `newDf` whose text already exists verbatim in `corpus`. Both
+    * sides reduce to content hashes before the join — one shuffle of
+    * (hash, id), never text — and the corpus side is left-semi probed, so
+    * nothing corpus-sized ever materializes on the batch's side.
+    */
+  def incrementalExactDupIds(newDf: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    newDf.select(col(idCol), sha2(col(textCol), 256).as("__h"))
+      .join(corpus.select(sha2(col(textCol), 256).as("__h")), Seq("__h"), "left_semi")
+      .select(col(idCol))
+
+  /** Near-duplicate matches of a new batch against an existing corpus:
+    * (new_id, corpus_id, jaccard ≥ threshold) via shared MinHash-LSH
+    * buckets, exact-verified. The batch-over-batch shape of `minhashPairs`:
+    *   - both sides signature once; the join keys on (band, bucket), so a
+    *     new doc only ever meets its bucket-mates — never corpus×batch;
+    *   - the corpus side is the 100 TB one, so the skew guard drops its
+    *     oversized buckets (same `maxBucketSize` policy as
+    *     `minhashCandidates`; observable via `droppedBuckets` on the
+    *     corpus);
+    *   - only docs that actually appear in a candidate pair are
+    *     re-shingled for verification (semi-join pruning on both sides).
+    * At steady state the corpus signatures would be precomputed and stored
+    * (they are pure functions of the text); recomputing here keeps the
+    * operator self-contained.
+    */
+  def incrementalMinhashMatches(newDf: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int = 3, numHashes: Int = 48, bands: Int = 12,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val nb = lshBuckets(newDf, idCol, textCol, shingleSize, numHashes, bands)
+      .select(col(idCol).as("new_id"), col("band"), col("bucket"))
+    val cb = lshBuckets(corpus, idCol, textCol, shingleSize, numHashes, bands)
+      .select(col(idCol).as("corpus_id"), col("band"), col("bucket"))
+    val safeCb = cb.withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .where(col("__n") <= maxBucketSize).drop("__n")
+    val cands = nb.join(safeCb, Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val shNew = shingled(
+        newDf.join(cands.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_semi"),
+        idCol, textCol, shingleSize)
+      val shCorp = shingled(
+        corpus.join(cands.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol), "left_semi"),
+        idCol, textCol, shingleSize)
+      val pairs = cands
+        .join(shNew.select(col(idCol).as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
+        .join(shCorp.select(col(idCol).as("corpus_id"), col("sh").as("sh_c")), Seq("corpus_id"))
+        .select(col("new_id"), col("corpus_id"),
+          round(jaccard(col("sh_n"), col("sh_c")), 4).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
+      pairs
+    } finally cands.unpersist()
+  }
+
+  /** The new batch with exact and near duplicates of the corpus removed —
+    * the per-ingest decontamination step of a continuously growing corpus.
+    * Within-batch duplicates are a separate, composable concern
+    * (`exactDedup` / `clusters` on the batch itself).
+    */
+  def incrementalDedup(newDf: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int = 3, numHashes: Int = 48, bands: Int = 12): DataFrame = {
+    val exactIds = incrementalExactDupIds(newDf, corpus, idCol, textCol)
+    // matches are persisted+materialized (same contract as minhashPairs);
+    // one-shot callers free them with the session cache
+    val nearIds = incrementalMinhashMatches(newDf, corpus, idCol, textCol,
+      threshold, shingleSize, numHashes, bands).select(col("new_id").as(idCol))
+    newDf
+      .join(exactIds, Seq(idCol), "left_anti")
+      .join(nearIds, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** Per-bit +1/-1 vote accumulator for SimHash: one aggregate over the

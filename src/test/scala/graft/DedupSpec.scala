@@ -125,4 +125,33 @@ class DedupSpec extends AnyFunSuite {
     val cands = Dedup.minhashCandidates(many, "doc_id", "text", maxBucketSize = 10)
     assert(cands.count() === 0) // all buckets over cap → no pairs, no blowup
   }
+
+  test("incremental dedup drops batch docs that duplicate the corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated corpus content about spark physical plans"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // exact
+      (11L, "the quick brown fox jumps over the lazy dog again and AGAIN"), // near
+      (12L, "fresh novel content that matches nothing in the corpus at all"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.incrementalExactDupIds(batch, corpus, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(exact === Set(10L))
+    val matches = Dedup.incrementalMinhashMatches(batch, corpus, "doc_id", "text",
+      threshold = 0.5)
+    val matched = matches.select("new_id").as[Long].collect().toSet
+    assert(matched === Set(10L, 11L)) // exact dup is also a 1.0-jaccard match
+    assert(matches.where($"new_id" === 10L).select("jaccard").as[Double].head() === 1.0)
+    val kept = Dedup.incrementalDedup(batch, corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(12L))
+    // corpus-side skew guard: a degenerate corpus bucket never goes quadratic
+    val fatCorpus = (100L to 140L).map(i => (i, "same same same text here")).toDF("doc_id", "text")
+    val guarded = Dedup.incrementalMinhashMatches(
+      Seq((1L, "same same same text here")).toDF("doc_id", "text"),
+      fatCorpus, "doc_id", "text", threshold = 0.5, maxBucketSize = 10)
+    assert(guarded.count() === 0)
+  }
 }
