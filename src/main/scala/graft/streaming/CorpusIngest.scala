@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+import graft.sources.Catalog
+
+/** Streaming corpus ingestion with per-micro-batch decontamination: each
+  * arriving batch of documents is deduplicated within itself (exact,
+  * min-id keeper) and against the corpus accumulated so far (exact hash
+  * anti-join + MinHash-LSH near-dup — `Dedup.incrementalDedup`), then
+  * appended to the corpus table.
+  *
+  * The corpus table IS the state: no streaming state store grows with the
+  * corpus, restarts resume from the source checkpoint plus whatever the
+  * table already holds, and `foreachBatch` gives per-micro-batch batch-sink
+  * semantics. This is the streaming twin of x52 — one definition of the
+  * dedup logic serves both.
+  *
+  * At 100 TB the only change is precomputing corpus LSH signatures into a
+  * side table instead of recomputing them per batch (they are pure
+  * functions of the text — see SCALE.md); the per-batch work is then
+  * batch-sized, not corpus-sized.
+  */
+object CorpusIngest {
+
+  /** documents schema as streamed from parquet. */
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Within-batch exact dedup: keep the min-id row per distinct text. */
+  private def dedupWithinBatch(batch: DataFrame): DataFrame = {
+    val keep = batch.groupBy(sha2(col("text"), 256).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    batch.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  /** Start ingesting parquet files from `srcDir` into the corpus table at
+    * `root`/`ref`, decontaminating every micro-batch. The target table may
+    * start absent (first batch creates it).
+    */
+  def ingestStream(spark: SparkSession, srcDir: String, root: String,
+      ref: String, threshold: Double = 0.9): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val fresh = dedupWithinBatch(batch)
+        val corpusExists = new java.io.File(Catalog.path(root, ref)).exists()
+        // composed inline (not via incrementalDedup) so the persisted
+        // matches frame is unpersisted per micro-batch — a long-running
+        // stream must not accrete cached blocks batch after batch
+        val matches =
+          if (!corpusExists) None
+          else {
+            val corpus = Catalog.table(s, root, ref)
+            Some((Dedup.incrementalExactDupIds(fresh, corpus, "doc_id", "text"),
+              Dedup.incrementalMinhashMatches(fresh, corpus, "doc_id", "text", threshold)))
+          }
+        val kept = matches match {
+          case None => fresh
+          case Some((exactIds, near)) =>
+            fresh.join(exactIds, Seq("doc_id"), "left_anti")
+              .join(near.select(col("new_id").as("doc_id")), Seq("doc_id"), "left_anti")
+        }
+        // materialize before the append: `kept` reads the corpus table the
+        // write is about to extend
+        val rows = kept.persist()
+        try {
+          rows.count()
+          Catalog.writeAppend(rows, root, ref)
+        } finally {
+          rows.unpersist()
+          matches.foreach { case (_, near) => near.unpersist(); () }
+          ()
+        }
+      }
+      .outputMode("append")
+      .start()
+}

@@ -161,4 +161,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.toSet === Set((7L, 2L, 30.0)))
     } finally q.stop()
   }
+
+  test("streaming corpus ingest decontaminates each micro-batch against the table") {
+    import graft.streaming.CorpusIngest
+    val src = Files.createTempDirectory("graft_docs_src")
+    val root = Files.createTempDirectory("graft_corpus").toString
+    def doc(id: Long, text: String) = (id, text, "en", "s0", text.length.toLong)
+    def stage(name: String, docs: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_docs_stage")
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different corpus content all about spark physical plans"
+    stage("b0.parquet", Seq(
+      doc(1, base), doc(2, other),
+      doc(3, base))) // within-batch exact dup of 1 → dropped, min id kept
+    val q = CorpusIngest.ingestStream(spark, src.toString, root, "corpus",
+      threshold = 0.5)
+    try {
+      q.processAllAvailable()
+      assert(Catalog.table(spark, root, "corpus").select("doc_id")
+        .as[Long].collect().toSet === Set(1L, 2L))
+      // second batch arrives only after the first is in the table
+      stage("b1.parquet", Seq(
+        doc(10, base),                                // exact dup of corpus 1
+        doc(11, other.replace("plans", "PLANS")),     // near dup of corpus 2
+        doc(12, "entirely fresh novel text that matches nothing seen before")))
+      q.processAllAvailable()
+      assert(Catalog.table(spark, root, "corpus").select("doc_id")
+        .as[Long].collect().toSet === Set(1L, 2L, 12L))
+    } finally q.stop()
+  }
 }
