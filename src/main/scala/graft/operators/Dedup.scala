@@ -469,10 +469,26 @@ object Dedup {
   def incrementalMinhashMatches(newDf: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double,
       shingleSize: Int = 3, numHashes: Int = 48, bands: Int = 12,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
+    incrementalMinhashMatchesWithIndex(newDf, corpus,
+      lshBuckets(corpus, idCol, textCol, shingleSize, numHashes, bands),
+      idCol, textCol, threshold, shingleSize, numHashes, bands, maxBucketSize)
+
+  /** `incrementalMinhashMatches` against a PRECOMPUTED corpus bucket index
+    * (the `lshBuckets` output persisted as a table) — the steady-state
+    * 100 TB path: signatures are pure functions of the text, so the corpus
+    * is signatured once at ingest, and each batch's matching work is
+    * batch-sized + an index join instead of a corpus re-signature. The
+    * corpus table itself is touched only to re-shingle the candidate docs
+    * (semi-join pruned).
+    */
+  def incrementalMinhashMatchesWithIndex(newDf: DataFrame, corpus: DataFrame,
+      corpusBuckets: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3, numHashes: Int = 48,
+      bands: Int = 12, maxBucketSize: Int = 1000): DataFrame = {
     val nb = lshBuckets(newDf, idCol, textCol, shingleSize, numHashes, bands)
       .select(col(idCol).as("new_id"), col("band"), col("bucket"))
-    val cb = lshBuckets(corpus, idCol, textCol, shingleSize, numHashes, bands)
+    val cb = corpusBuckets
       .select(col(idCol).as("corpus_id"), col("band"), col("bucket"))
     val safeCb = cb.withColumn("__n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window

@@ -46,15 +46,25 @@ object CorpusIngest {
   /** Start ingesting parquet files from `srcDir` into the corpus table at
     * `root`/`ref`, decontaminating every micro-batch. The target table may
     * start absent (first batch creates it).
+    *
+    * Alongside the corpus, the stream maintains `<ref>_lsh` — the corpus's
+    * LSH bucket index (`Dedup.lshBuckets` output). Each batch matches
+    * against the INDEX, not a corpus re-signature: per-batch work is
+    * batch-sized + one index join, and the corpus text is read only to
+    * verify semi-join-pruned candidates. Signatures are pure functions of
+    * the text, so appending the kept rows' buckets keeps the index exactly
+    * in sync with the table.
     */
   def ingestStream(spark: SparkSession, srcDir: String, root: String,
-      ref: String, threshold: Double = 0.9): StreamingQuery =
+      ref: String, threshold: Double = 0.9, shingleSize: Int = 3,
+      numHashes: Int = 48, bands: Int = 12): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
+        val idxRef = s"${ref}_lsh"
         val fresh = dedupWithinBatch(batch)
         val corpusExists = new java.io.File(Catalog.path(root, ref)).exists()
         // composed inline (not via incrementalDedup) so the persisted
@@ -65,7 +75,9 @@ object CorpusIngest {
           else {
             val corpus = Catalog.table(s, root, ref)
             Some((Dedup.incrementalExactDupIds(fresh, corpus, "doc_id", "text"),
-              Dedup.incrementalMinhashMatches(fresh, corpus, "doc_id", "text", threshold)))
+              Dedup.incrementalMinhashMatchesWithIndex(fresh, corpus,
+                Catalog.table(s, root, idxRef), "doc_id", "text", threshold,
+                shingleSize, numHashes, bands)))
           }
         val kept = matches match {
           case None => fresh
@@ -79,6 +91,9 @@ object CorpusIngest {
         try {
           rows.count()
           Catalog.writeAppend(rows, root, ref)
+          Catalog.writeAppend(
+            Dedup.lshBuckets(rows, "doc_id", "text", shingleSize, numHashes, bands),
+            root, idxRef)
         } finally {
           rows.unpersist()
           matches.foreach { case (_, near) => near.unpersist(); () }

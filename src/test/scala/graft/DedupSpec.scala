@@ -153,5 +153,14 @@ class DedupSpec extends AnyFunSuite {
       Seq((1L, "same same same text here")).toDF("doc_id", "text"),
       fatCorpus, "doc_id", "text", threshold = 0.5, maxBucketSize = 10)
     assert(guarded.count() === 0)
+    // precomputed-index path (the steady-state one) agrees with recompute
+    val idx = Dedup.lshBuckets(corpus, "doc_id", "text", 3, 48, 12)
+    val viaIndex = Dedup.incrementalMinhashMatchesWithIndex(batch, corpus, idx,
+        "doc_id", "text", threshold = 0.5)
+      .select("new_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = matches.select("new_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex === direct)
   }
 }
