@@ -65,4 +65,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(2000))
   }
+
+  test("x50 packing: the running offset windows by shard, never globally") {
+    val p = planOf("x50_pack_sequences")
+    assert(p.contains("windowspecdefinition(shard"), p.take(2000))
+  }
+
+  test("x52 incremental dedup: batch meets corpus only through bucket keys") {
+    val p = planOf("x52_incremental_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
 }
