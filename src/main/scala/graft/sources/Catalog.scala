@@ -171,6 +171,26 @@ object Catalog {
       partitionCols: Seq[String], mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path(root, ref))
 
+  /** Range-clustered parquet sink: rows range-partitioned on `cols` and
+    * sorted within each partition before writing, so every output file
+    * covers a DISJOINT range of the clustering key. Parquet stores per
+    * file / per row-group min-max statistics; a pushed-down range or
+    * equality predicate on the clustering key then skips whole files
+    * instead of decoding them — the scan-pruning complement to
+    * `writePartitioned` for HIGH-cardinality keys (timestamps, ids),
+    * where a directory per value is impossible. The range exchange
+    * samples the key distribution, so skew produces balanced files.
+    */
+  def writeClustered(df: DataFrame, root: String, ref: String,
+      cols: Seq[String], nFiles: Int = 0,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val keys = cols.map(org.apache.spark.sql.functions.col)
+    val ranged =
+      if (nFiles > 0) df.repartitionByRange(nFiles, keys: _*)
+      else df.repartitionByRange(keys: _*)
+    ranged.sortWithinPartitions(keys: _*).write.mode(mode).parquet(path(root, ref))
+  }
+
   /** Bucketed + sorted managed table: rows hash-partitioned into `buckets`
     * files per partition by `bucketCols`. Two tables bucketed the same way
     * join WITHOUT a shuffle (SortMergeJoin reads co-located buckets

@@ -121,6 +121,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(!stale.exists())
   }
 
+  test("writeClustered produces range-disjoint files (min-max skipping works)") {
+    val root = Files.createTempDirectory("graft-clustered").toString
+    // shuffled input: clustering must impose the order, not inherit it
+    val df = spark.range(0, 10000).select(
+      (col("id") * 7919 % 10000).as("k"), col("id").as("v"))
+    Catalog.writeClustered(df, root, "ct", Seq("k"), nFiles = 4)
+    val dir = new java.io.File(Catalog.path(root, "ct"))
+    val parts = dir.listFiles.filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(parts.length === 4)
+    // per-file key ranges must not overlap — that is what lets parquet
+    // min/max stats skip whole files for a pushed-down range predicate
+    val ranges = parts.map { p =>
+      val r = spark.read.parquet(p).agg(min($"k"), max($"k")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, ranges.mkString(","))
+      case _ =>
+    }
+    // nothing lost in the rewrite
+    assert(Catalog.table(spark, root, "ct").count() === 10000)
+  }
+
   test("fanOut feeds multiple sinks from one cached source") {
     val root = Files.createTempDirectory("graft-fan").toString
     val src = (1L to 10L).toDF("id")
