@@ -122,8 +122,11 @@ object Similarity {
     * vector onto a truncated prefix.
     */
   def vecDims(df: DataFrame, vecCol: String): Int = {
-    val row = df.select(size(col(vecCol)).as("d")).where(col("d") > 0).head()
-    row.getInt(0)
+    val rows = df.select(size(col(vecCol)).as("d")).where(col("d") > 0)
+      .limit(1).collect()
+    require(rows.nonEmpty,
+      s"vecDims: no non-empty '$vecCol' arrays to derive the embedding width from")
+    rows.head.getInt(0)
   }
 
   /** LSH bucket id: one sign bit per hyperplane packed into a long. Vectors

@@ -135,6 +135,10 @@ class SimilaritySpec extends AnyFunSuite {
     // each injected duplicate's nearest neighbour is its identical original
     assert(Similarity.vecDims(e, "embedding") === 8)
     (0L until 3L).foreach(i => assert(top(i + 1000L) === i))
+    // degenerate corpus (no non-empty vectors) fails with a clear message
+    val empty = Seq((1L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException](Similarity.vecDims(empty, "embedding"))
+    assert(err.getMessage.contains("embedding width"))
   }
 
   test("hyperplanes are deterministic per seed") {
