@@ -965,6 +965,15 @@ object SparkEntry {
       Training.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Source dominance cap: at most 10 documents per source — rank-filter
+    // window, planned with WindowGroupLimit(Partial) below the exchange,
+    // so skewed sources never funnel the corpus through few tasks.
+    "x53_source_cap" -> ((s, dir) =>
+      Training.capPerGroup(t(s, dir, "documents")
+          .select(col("doc_id"), col("source")),
+        Seq("source"), Seq("doc_id"), maxPerGroup = 10)
+        .orderBy(col("doc_id"))),
+
     // Incremental dedup: a new batch (doc_id % 5 == 4) decontaminated
     // against the existing corpus — exact hash anti-join + LSH-bucketed
     // near-dup matches, corpus never joined all-pairs. The oracle
@@ -1732,6 +1741,10 @@ object SparkEntry {
         |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
         |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "x53_source_cap" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+        |ORDER BY doc_id""".stripMargin,
     "x52_incremental_dedup" ->
       """WITH t AS (
         |  SELECT doc_id,

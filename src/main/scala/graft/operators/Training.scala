@@ -61,6 +61,26 @@ object Training {
       .withColumn("seq_off", (col("start_tok") % budget).cast("long"))
   }
 
+  /** Dominance cap: at most `maxPerGroup` rows per group — bounds any one
+    * source/domain's share of a training corpus (boilerplate-heavy domains
+    * otherwise dominate by sheer volume). A rank-filtered window, which
+    * Spark plans with WindowGroupLimit(Partial) BELOW the exchange — each
+    * map task forwards at most `maxPerGroup` rows per group, so the
+    * reducers see groups × partitions × cap rows however skewed the
+    * source distribution is (the skewed-source case is exactly when the
+    * cap matters). `orderCols` picks WHICH rows survive — make it a total
+    * order for deterministic output.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, "capPerGroup needs maxPerGroup > 0")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxPerGroup)
+      .drop("__rn")
+  }
+
   /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1:
     * repetitious documents are low-quality):
     *   - `dup_token_frac`: 1 − distinct/total tokens — pure per-row array

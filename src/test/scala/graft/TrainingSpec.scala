@@ -63,6 +63,23 @@ class TrainingSpec extends AnyFunSuite {
     assert(gaps.isEmpty)
   }
 
+  test("capPerGroup bounds every group and keeps the lowest-ordered rows") {
+    val df = Seq(
+      ("a", 3L), ("a", 1L), ("a", 2L), ("a", 4L), // capped to first 2 by id
+      ("b", 9L))                                  // under the cap → all kept
+      .toDF("g", "id")
+    val out = Training.capPerGroup(df, Seq("g"), Seq("id"), maxPerGroup = 2)
+      .as[(String, Long)].collect().toSet
+    assert(out === Set(("a", 1L), ("a", 2L), ("b", 9L)))
+    // the plan keeps the partial group-limit below the exchange (the scale
+    // property: skewed groups are cut map-side, not at 5 reducers)
+    val plan = Training.capPerGroup(
+        spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet"),
+        Seq("source"), Seq("doc_id"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan.take(2000))
+  }
+
   test("repetitionStats flags repetitious documents, passes diverse ones") {
     val docs = Seq(
       (1L, "spam spam spam spam"),            // top_frac 1.0, dup 0.75
