@@ -68,7 +68,9 @@ object Ranks {
     // is nBuckets-1 elements, so the interpreted HOF fold is ~nBuckets ops
     // per row on a broadcast-joined local array.
     val bucketed = df
-      .join(broadcast(boundaries), col(groupCol) === col("__g"))
+      // null-safe join: a null group is a group like any other to a window
+      // function — plain === would silently drop its rows
+      .join(broadcast(boundaries), col(groupCol) <=> col("__g"))
       .withColumn("__bkt",
         aggregate(col("__bnd"), lit(0),
           (acc, b) => acc + when(col(lead) > b, 1).otherwise(0)))
@@ -98,7 +100,7 @@ object Ranks {
       .orderBy(sortCols.map(col).toIndexedSeq: _*)
     val ranked = bucketed
       .join(broadcast(offsetDf),
-        col(groupCol).cast("string") === col("__og") && col("__bkt") === col("__ob"))
+        col(groupCol).cast("string") <=> col("__og") && col("__bkt") === col("__ob"))
       .withColumn("__rank", row_number().over(w) + col("__off"))
 
     val n = col("__n")

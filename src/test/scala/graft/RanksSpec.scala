@@ -27,11 +27,12 @@ class RanksSpec extends AnyFunSuite {
     assert(fast.count() === orders.count())
   }
 
-  test("rankFamily handles tiny and 1-row groups (and N < ntileN)") {
+  test("rankFamily handles tiny, 1-row, and NULL groups (and N < ntileN)") {
     val df = Seq(
       ("a", 10.0, 1L), ("a", 20.0, 2L), ("a", 20.0, 3L), // tie on lead col
       ("b", 5.0, 4L),                                    // 1-row group
-      ("c", 1.0, 5L), ("c", 2.0, 6L))                    // N < ntileN
+      ("c", 1.0, 5L), ("c", 2.0, 6L),                    // N < ntileN
+      (null, 7.0, 7L), (null, 3.0, 8L))                  // null group: a group, not dropped
       .toDF("g", "price", "k")
     val w = Window.partitionBy($"g").orderBy($"price", $"k")
     val naive = df.select($"k",
