@@ -987,6 +987,19 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // SCD Type-2 dimension build: the events stream as a change log of
+    // each user's event_type — consecutive unchanged values collapse,
+    // each version carries its validity interval (eff_to null = current).
+    "x54_scd2" -> ((s, dir) => {
+      val ev = Catalog.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      Temporal.scd2(ev, Seq("user_id"), "ts", Seq("event_type"),
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("eff_from"),
+          col("eff_to"), col("is_current"))
+        .orderBy(col("user_id"), col("eff_from"), col("event_type"))
+    }),
+
     // Correlated scalar subquery through the SQL surface — Catalyst
     // decorrelates it into an aggregate + join, not a per-row re-scan.
     "q5_corr_subquery" -> ((s, dir) => {
@@ -1741,6 +1754,22 @@ object SparkEntry {
         |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
         |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "x54_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_type, ts, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |f AS (
+        |  SELECT user_id, event_type, ts AS eff_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+        |  FROM r)
+        |SELECT user_id, event_type, eff_from, eff_to,
+        |  (eff_to IS NULL) AS is_current
+        |FROM f ORDER BY user_id, eff_from, event_type""".stripMargin,
     "x53_source_cap" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10

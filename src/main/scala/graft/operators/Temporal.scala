@@ -136,4 +136,39 @@ object Temporal {
         round(coalesce(last(col("day_value"), ignoreNulls = true).over(w),
           lit(0.0)), 2).as("carried_value"))
   }
+
+  /** SCD Type-2 dimension builder: a change log (one row per observed
+    * state, keyed + timestamped) becomes validity intervals — consecutive
+    * rows with an UNCHANGED tracked value collapse into one interval, each
+    * surviving row is effective from its timestamp until the next change
+    * (`eff_to` null = current version).
+    *
+    * Two windows, both partitioned by the (high-cardinality) key — no
+    * global sort, scales horizontally like any per-key window. Value
+    * comparison is null-safe (`<=>`): a tracked value transitioning
+    * to/from NULL is a change. `tieBreak` must make the per-key ordering
+    * total or interval boundaries are nondeterministic.
+    */
+  def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty, "scd2 needs keys and tracked values")
+    val ord = (col(tsCol) +: tieBreak.map(col)).toIndexedSeq
+    val wOrd = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    val changed = valueCols
+      .map(v => !(col(v) <=> lag(col(v), 1).over(wOrd)))
+      .reduce(_ || _)
+    // first row of every run of identical values survives (lag is null on
+    // the first row per key → <=> false → changed)
+    val runs = changes
+      .withColumn("__chg", changed)
+      .where(col("__chg"))
+      .drop("__chg")
+    val wRun = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).toIndexedSeq: _*)
+    runs
+      .withColumn("eff_from", col(tsCol))
+      .withColumn("eff_to", lead(col(tsCol), 1).over(wRun))
+      .withColumn("is_current", col("eff_to").isNull)
+      .drop(tsCol)
+  }
 }

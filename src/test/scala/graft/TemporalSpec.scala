@@ -79,4 +79,34 @@ class TemporalSpec extends AnyFunSuite {
       assert(got === expect, s"width $w")
     }
   }
+
+  test("scd2 collapses unchanged runs into validity intervals") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    val log = Seq(
+      (7L, ts(0), 1L, "bronze"),
+      (7L, ts(10), 2L, "bronze"), // unchanged → collapses into the first
+      (7L, ts(20), 3L, "gold"),   // change
+      (7L, ts(30), 4L, "gold"),   // unchanged
+      (7L, ts(40), 5L, "bronze"), // back to an EARLIER value — a new version
+      (8L, ts(5), 6L, "silver"))  // other key, single current version
+      .toDF("user_id", "ts", "event_id", "tier")
+    val out = Temporal.scd2(log, Seq("user_id"), "ts", Seq("tier"),
+        tieBreak = Seq("event_id"))
+      .select($"user_id", $"tier", $"eff_from", $"eff_to", $"is_current")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
+    assert(out === Seq(
+      (7L, "bronze", ts(0), Some(ts(20)), false),
+      (7L, "gold", ts(20), Some(ts(40)), false),
+      (7L, "bronze", ts(40), None, true),
+      (8L, "silver", ts(5), None, true)))
+    // null-safe change detection: value transitioning to NULL is a change
+    val withNull = Seq(
+      (9L, ts(0), 1L, "a"), (9L, ts(10), 2L, null), (9L, ts(20), 3L, null))
+      .toDF("user_id", "ts", "event_id", "tier")
+    val v = Temporal.scd2(withNull, Seq("user_id"), "ts", Seq("tier"),
+        tieBreak = Seq("event_id"))
+    assert(v.count() === 2) // "a" and the null run — not three, not one
+  }
 }
