@@ -987,6 +987,18 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Data-quality audit: N constraints over orders in ONE aggregation
+    // pass (row predicates + key uniqueness), melted to one row per rule.
+    "x55_quality_audit" -> ((s, dir) =>
+      graft.operators.Checks.audit(t(s, dir, "orders"),
+        rowRules = Seq(
+          "positive_price" -> (col("o_totalprice") > 0),
+          "custkey_not_null" -> col("o_custkey").isNotNull,
+          "priority_known" -> col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+        uniqueKeys = Seq("unique_orderkey" -> Seq("o_orderkey")))
+        .orderBy(col("rule"))),
+
     // SCD Type-2 dimension build: the events stream as a change log of
     // each user's event_type — consecutive unchanged values collapse,
     // each version carries its validity interval (eff_to null = current).
@@ -1754,6 +1766,27 @@ object SparkEntry {
         |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
         |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "x55_quality_audit" ->
+      """WITH v AS (
+        |  SELECT 'positive_price' AS rule,
+        |    count(*) FILTER (NOT coalesce(o_totalprice > 0, FALSE)) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'custkey_not_null',
+        |    count(*) FILTER (o_custkey IS NULL)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'priority_known',
+        |    count(*) FILTER (NOT coalesce(o_orderpriority IN
+        |      ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'),
+        |      FALSE))
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique_orderkey', count(*) - count(DISTINCT o_orderkey)
+        |  FROM orders)
+        |SELECT rule, CAST(violations AS BIGINT) AS violations,
+        |  (violations = 0) AS pass
+        |FROM v ORDER BY rule""".stripMargin,
     "x54_scd2" ->
       """WITH c AS (
         |  SELECT user_id, event_type, ts, event_id,

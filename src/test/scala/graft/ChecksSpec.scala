@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Checks
+
+class ChecksSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("audit counts row violations, null predicates, and duplicate keys") {
+    val df = Seq(
+      (1L, Some(10.0), "ok"),
+      (2L, Some(-5.0), "ok"),   // negative → positive_price violation
+      (3L, None, "ok"),         // NULL price → predicate null → violation
+      (3L, Some(7.0), "bad"),   // duplicate key + unknown status
+      (5L, Some(1.0), "ok"))
+      .toDF("id", "price", "status")
+    val out = Checks.audit(df,
+        rowRules = Seq(
+          "positive_price" -> ($"price" > 0),
+          "status_known" -> $"status".isin("ok")),
+        uniqueKeys = Seq("unique_id" -> Seq("id")))
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("positive_price") === ((2L, false)))
+    assert(out("status_known") === ((1L, false)))
+    assert(out("unique_id") === ((1L, false)))
+  }
+
+  test("audit passes a clean table and plans a single aggregation") {
+    val df = (1L to 100L).toDF("id")
+    val audit = Checks.audit(df,
+      rowRules = Seq("id_positive" -> ($"id" > 0)),
+      uniqueKeys = Seq("unique_id" -> Seq("id")))
+    val out = audit.as[(String, Long, Boolean)].collect().toSet
+    assert(out === Set(("id_positive", 0L, true), ("unique_id", 0L, true)))
+    // every rule rides ONE scan: exactly one parquet-free local scan and
+    // no join/union fan-out in the plan
+    val plan = audit.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union") && !plan.contains("Join"), plan.take(2000))
+  }
+
+  test("audit on an empty table reports zero violations everywhere") {
+    val out = Checks.audit(spark.range(0).toDF("id"),
+        rowRules = Seq("id_positive" -> ($"id" > 0)),
+        uniqueKeys = Seq("unique_id" -> Seq("id")))
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(out === Set(("id_positive", 0L, true), ("unique_id", 0L, true)))
+  }
+}
