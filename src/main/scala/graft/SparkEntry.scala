@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextStats
-import graft.operators.{Dedup, Embeddings, Multimodal, Profile, Ranks, RelOps, Similarity, Stats, Temporal, Training, Transpose}
+import graft.operators.{Behavior, Dedup, Embeddings, Multimodal, Profile, Ranks, RelOps, Similarity, Stats, Temporal, Training, Transpose}
 import graft.pipelines.Pipelines
 import graft.sources.Catalog
 import graft.streaming.EventsStream
@@ -1012,6 +1012,28 @@ object SparkEntry {
         .orderBy(col("user_id"), col("eff_from"), col("event_type"))
     }),
 
+    // Strict ordered funnel over the event stream: one shuffle on user_id
+    // builds each user's sorted history, a fold chains first-touch stage
+    // times. Oracle is the classic per-stage conditional-min join chain.
+    "x56_funnel" -> ((s, dir) =>
+      Behavior.funnel(Catalog.events(s, dir), Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))),
+
+    // Weekly cohort retention triangle: distinct (user, week) activity and
+    // per-user first week shuffle on the same key, then a tiny cell count.
+    "x57_retention" -> ((s, dir) =>
+      Behavior.weeklyRetention(Catalog.events(s, dir))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
+    // Per-source weighted sampling (temperature-style corpus mixing): a
+    // deterministic hash gate per stratum — one narrow filter, no shuffle,
+    // reproducible across engines (the oracle replays the same formula).
+    "x58_stratified_sample" -> ((s, dir) =>
+      RelOps.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // Correlated scalar subquery through the SQL surface — Catalyst
     // decorrelates it into an aggregate + join, not a per-row re-scan.
     "q5_corr_subquery" -> ((s, dir) => {
@@ -1806,6 +1828,40 @@ object SparkEntry {
     "x53_source_cap" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+        |ORDER BY doc_id""".stripMargin,
+    "x56_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |  JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+        |SELECT 0 AS stage_idx, 'view' AS stage,
+        |  (SELECT count(*) FROM s0) AS users
+        |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+        |ORDER BY stage_idx""".stripMargin,
+    "x57_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w
+        |  FROM events),
+        |f AS (SELECT u, min(w) AS w0 FROM a GROUP BY 1)
+        |SELECT f.w0 AS cohort_week,
+        |  CAST(floor(date_diff('day', f.w0, a.w) / 7.0) AS INTEGER)
+        |    AS week_offset,
+        |  count(DISTINCT a.u) AS users
+        |FROM a JOIN f ON a.u = f.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x58_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (doc_id & 2147483647) * 2654435761 % 1000000 <
+        |  CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+        |    WHEN 'src2' THEN 250000 WHEN 'src3' THEN 100000 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
     "x52_incremental_dedup" ->
       """WITH t AS (

@@ -227,6 +227,60 @@ object TextStats {
         concat_ws(" ", col("__c.ctoks")).as("chunk_text"))
   }
 
+  /** Lines (non-blank, trimmed-for-matching is NOT applied — matching is
+    * exact) appearing in at least `minDocs` DISTINCT documents: the
+    * C4/RefinedWeb boilerplate signal (nav menus, cookie banners, footers
+    * repeat verbatim across a site's pages).
+    *
+    * Plan: explode lines → one hash shuffle keyed on the line string →
+    * `countDistinct(doc)` with map-side partial aggregation. The shuffle
+    * carries (line, doc_id) pairs; boilerplate lines are short by nature,
+    * and the partial agg collapses each (line, doc) repeat before the
+    * exchange, so the shuffled volume is bounded by distinct pairs, not by
+    * corpus size.
+    */
+  def frequentLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs: a boilerplate line repeats")
+    docs.select(col(idCol), explode(split(col(textCol), "\n")).as("line"))
+      .where(length(trim(col("line"))) > 0)
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .where(col("ndocs") >= minDocs)
+  }
+
+  /** Remove boilerplate lines (per `frequentLines`) from every document and
+    * reassemble the remaining lines in their original order. Documents left
+    * with no lines survive with empty text — downstream length/quality
+    * gates decide their fate, not this operator.
+    *
+    * The frequent-line set is small by construction (it is the repeated
+    * boilerplate, not the corpus), so the removal join is a broadcast
+    * left-anti — the corpus shuffles once (by `idCol`, for reassembly) and
+    * the line table never shuffles it.
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame = {
+    val freq = frequentLines(docs, idCol, textCol, minDocs).select(col("line"))
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val kept = lines.join(broadcast(freq), Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          _.getField("line")),
+        "\n").as("__rebuilt"),
+      count(lit(1)).as("n_kept_lines"))
+    // left join back so fully-boilerplate documents keep a row (empty text)
+    docs.select(col(idCol),
+        (size(split(col(textCol), "\n"))).as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__rebuilt"), lit("")).as(textCol),
+        col("n_lines"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"))
+  }
+
   /** Document fingerprint: 64-bit xxHash of the casefolded,
     * whitespace-collapsed text. Two documents differing only in spacing or
     * case share a fingerprint (a cheap near-exact dedup key).

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over an event stream: ordered funnels and cohort
+  * retention. The reference's weblog pipeline (reference `pipeline.py:13-31`)
+  * stops at per-key mean duration; these are the two next questions every
+  * event warehouse asks of the same (user, ts, type) shape.
+  *
+  * Scale shape: both operators are a single hash shuffle on `user_id`
+  * (the natural high-cardinality key — parallelism scales with users, not
+  * with event types or weeks), followed by tiny aggregations over the
+  * per-user results. No windows over low-cardinality partitions, no joins
+  * against the full event table.
+  */
+object Behavior {
+
+  /** Strict ordered funnel: for each user, stage i counts only if an event
+    * of `stages(i)` happened strictly AFTER the user's stage-(i-1) time —
+    * first-touch semantics (the earliest qualifying event per stage).
+    *
+    * One `groupBy(user)` pass builds the per-user sorted (ts, type) array;
+    * a left fold over it computes the chain of stage timestamps. The fold
+    * is an interpreted HOF, but it runs on the post-aggregation per-user
+    * rows (|users| rows, not |events|), after the only shuffle. Events per
+    * user is bounded in practice (sessions, not corpora); a user's full
+    * history must fit in one aggregation buffer, same contract as
+    * sessionize/collect_list.
+    *
+    * Output: one row per stage — (stage_idx, stage, users) with users =
+    * how many users reached that stage in order.
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val relevant = events
+      .where(col(typeCol).isin(stages.map(lit): _*))
+      .select(col(userCol), col(tsCol), col(typeCol))
+
+    // Per user: sorted event history (struct sort = ts-major order), then
+    // fold to the chained stage-reach timestamps. acc(i) = earliest time
+    // stage i was reached respecting order, null if not (yet) reached.
+    val history = relevant
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col(typeCol).as("et")))).as("h"))
+
+    val init = array(stages.map(_ => lit(null).cast("timestamp")): _*)
+    val step = (acc: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) => {
+      // For each stage i: set acc(i) if unset, the event matches stages(i),
+      // and stage i-1 is already set with an earlier timestamp.
+      val updated = stages.zipWithIndex.map { case (st, i) =>
+        val prevOk =
+          if (i == 0) lit(true)
+          else element_at(acc, i).isNotNull && e("ts") > element_at(acc, i)
+        when(element_at(acc, i + 1).isNull && e("et") === st && prevOk, e("ts"))
+          .otherwise(element_at(acc, i + 1))
+      }
+      array(updated: _*)
+    }
+    val reached = history.withColumn("r", aggregate(col("h"), init, step))
+
+    // Tiny final aggregate: per-stage user counts (stages rows total).
+    val aggCols = stages.indices.map(i =>
+      count(element_at(col("r"), i + 1)).as(s"s$i"))
+    val counts = reached.agg(aggCols.head, aggCols.tail: _*)
+    val stageRows = explode(array(stages.zipWithIndex.map { case (st, i) =>
+      struct(lit(i).as("stage_idx"), lit(st).as("stage"), col(s"s$i").as("users"))
+    }: _*))
+    counts.select(stageRows.as("x")).select(col("x.*"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the week of their first
+    * event; cell (cohort_week, week_offset) counts distinct cohort users
+    * active offset weeks later. The standard retention triangle.
+    *
+    * Plan: distinct (user, week) activity and per-user first week are both
+    * aggregations keyed on user — one shuffle each on the same key, then a
+    * co-partitioned join (no extra exchange under AQE since both sides hash
+    * on user), then a tiny groupBy over (cohort, offset) cells.
+    */
+  def weeklyRetention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    // cohort granularity is a calendar week — a DATE, not a timestamp
+    // (also what DuckDB's date_trunc('week', ...) yields on ns inputs)
+    val week = date_trunc("week", col(tsCol)).cast("date")
+    val activity = events.select(col(userCol).as("u"), week.as("w")).distinct()
+    val firstWeek = activity.groupBy(col("u")).agg(min(col("w")).as("w0"))
+    activity.join(firstWeek, "u")
+      .groupBy(col("w0").as("cohort_week"),
+        floor(datediff(col("w"), col("w0")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct(col("u")).as("users"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Behavior
+
+class BehaviorSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel enforces strict stage ordering with first-touch semantics") {
+    val events = Seq(
+      // u1 completes view -> click -> buy in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "buy"),
+      // u2 clicks BEFORE viewing: click doesn't count until after the view,
+      // and no later click exists -> stops at stage 0
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 09:30:00"), "view"),
+      // u3 views and clicks, buys before the click -> stops at stage 1
+      (3L, ts("2024-01-01 08:00:00"), "view"),
+      (3L, ts("2024-01-01 08:10:00"), "buy"),
+      (3L, ts("2024-01-01 08:20:00"), "click"),
+      // u4 never enters the funnel
+      (4L, ts("2024-01-01 07:00:00"), "buy"))
+      .toDF("user_id", "ts", "event_type")
+
+    val out = Behavior.funnel(events, Seq("view", "click", "buy"))
+      .orderBy("stage_idx")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out === Seq((0, "view", 3L), (1, "click", 2L), (2, "buy", 1L)))
+  }
+
+  test("funnel first-touch uses the earliest qualifying event per stage") {
+    // Two views: the funnel chains from the FIRST view, so the click
+    // between them still qualifies (it is after view #1).
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:30:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Behavior.funnel(events, Seq("view", "click"))
+      .orderBy("stage_idx").as[(Int, String, Long)].collect().toSeq
+    assert(out === Seq((0, "view", 1L), (1, "click", 1L)))
+  }
+
+  test("weeklyRetention cohorts by first week and counts distinct users") {
+    val events = Seq(
+      // u1 first seen week of Jan 1 (Mon), active again weeks +1 and +3
+      (1L, ts("2024-01-02 10:00:00"), "view"),
+      (1L, ts("2024-01-10 10:00:00"), "view"),
+      (1L, ts("2024-01-22 10:00:00"), "view"),
+      // u2 same cohort, only week 0 (two events collapse to one cell)
+      (2L, ts("2024-01-03 10:00:00"), "view"),
+      (2L, ts("2024-01-04 10:00:00"), "view"),
+      // u3 cohort of Jan 8, active week +1
+      (3L, ts("2024-01-08 10:00:00"), "view"),
+      (3L, ts("2024-01-17 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+
+    val out = Behavior.weeklyRetention(events)
+      .orderBy("cohort_week", "week_offset")
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("w"),
+        col("week_offset"), col("users"))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(out === Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 3, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
+  }
+
+  test("funnel plans exactly one exchange (the user_id aggregation)") {
+    val events = Seq((1L, ts("2024-01-01 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val plan = Behavior.funnel(events, Seq("view", "click"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected <=1 shuffle, got $exchanges:\n${plan.take(3000)}")
+  }
+}

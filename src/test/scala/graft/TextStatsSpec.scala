@@ -107,4 +107,40 @@ class TextStatsSpec extends AnyFunSuite {
     assert(Seq("n_tokens", "quality", "lang_guess", "fp").forall(out.columns.contains))
     assert(out.where($"n_tokens" > 0).count() === docs.count())
   }
+
+  test("frequentLines finds lines repeated across enough distinct docs") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique alpha\nfooter"),
+      (2L, "COOKIE BANNER\nunique beta\nfooter"),
+      (3L, "COOKIE BANNER\nunique gamma"),
+      // repeats WITHIN one doc don't count toward distinct docs
+      (4L, "solo line\nsolo line\nsolo line"))
+      .toDF("doc_id", "text")
+    val out = TextStats.frequentLines(docs, "doc_id", "text", minDocs = 2)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("COOKIE BANNER" -> 3L, "footer" -> 2L))
+  }
+
+  test("stripBoilerplate removes frequent lines, keeps order, keeps empty docs") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nalpha first\nfooter\nalpha second"),
+      (2L, "COOKIE BANNER\nbeta only\nfooter"),
+      (3L, "COOKIE BANNER\nfooter"))
+      .toDF("doc_id", "text")
+    val out = TextStats.stripBoilerplate(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "alpha first\nalpha second", 4, 2L),
+      (2L, "beta only", 3, 1L),
+      (3L, "", 2, 0L))) // fully-boilerplate doc survives with empty text
+  }
+
+  test("stripBoilerplate removal join broadcasts the frequent-line table") {
+    val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val plan = TextStats.stripBoilerplate(docs, "doc_id", "text", minDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(3000))
+  }
 }
