@@ -415,6 +415,18 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF with a TRAINED coarse quantizer: 3 spherical k-means rounds
+    // refine the sampled centroids, so cells follow the corpus's direction
+    // clusters (higher recall at the same nProbe). Rows-only check like the
+    // other ANN paths; recall-vs-brute asserted in SimilaritySpec.
+    "x59_knn_ivf_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfKnn(e, e.where(col("vec_id") < 8), k = 5,
+          nCentroids = 16, nProbe = 4, trainIters = 3)
+        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs via LSH buckets. The corpus has no
     // pairs above 0.9 (max 0.51), so duplicates are injected (vec_id+100000
     // copies of vec_id<20) — output must be exactly those 20 pairs at 1.0.

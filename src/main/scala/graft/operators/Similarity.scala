@@ -171,14 +171,76 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 
+  /** Spherical k-means centroids over an embedding column, trained with
+    * Lloyd iterations — the trained coarse quantizer for `ivfKnn` (cosine
+    * geometry: centroids are unit-normalized every round, assignment is
+    * max inner product = max cosine).
+    *
+    * Scale shape per iteration: centroids broadcast as literals into ONE
+    * narrow assignment map over the corpus; the update is a `groupBy
+    * (cell, pos)` sum whose partial aggregation caps every map task's
+    * exchange contribution at k×dims rows — the shuffled volume is
+    * O(partitions × k × dims), independent of corpus size. The driver
+    * holds k×dims doubles, never data.
+    *
+    * Init is the same deterministic hash-order sample `ivfKnn` uses
+    * untrained, so trained == untrained at `iters = 0` (modulo
+    * normalization). Empty cells keep their previous centroid.
+    */
+  def kmeansCentroids(df: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    require(k > 0 && iters >= 0, s"kmeansCentroids: bad k=$k / iters=$iters")
+    val d = dotFor(df)
+    def unit(c: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    var cents: IndexedSeq[Seq[Double]] = df
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .where(size(col("v")) > 0)
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k).collect().toIndexedSeq
+      .map(r => unit(r.getSeq[Double](1).toIndexedSeq))
+    require(cents.nonEmpty, s"kmeansCentroids: no non-empty '$vecCol' vectors")
+    val v = df.select(asDouble(col(vecCol)).as("vec")).where(size(col("vec")) > 0)
+    for (_ <- 1 to iters) {
+      val scoredCells = array(cents.zipWithIndex.map { case (cv, i) =>
+        struct(d(col("vec"), typedLit(cv)).as("s"), lit(i).as("idx"))
+      }: _*)
+      val cell = element_at(transform(array_sort(scoredCells, (a, b) =>
+        when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1)
+          .otherwise(a.getField("idx") - b.getField("idx"))),
+        x => x.getField("idx")), 1)
+      val sums = v.withColumn("cell", cell)
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            val width = rows.map(_.getInt(1)).max + 1
+            val mean = new Array[Double](width)
+            rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            unit(mean.toIndexedSeq)
+          case None => old
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k — the other classic ANN scale
     * path next to sign-LSH. Coarse quantizer: `nCentroids` vectors chosen by
-    * a deterministic hash-order sample of the corpus (sampled-point
-    * centroids — a k-medoids-style shortcut standing in for trained k-means;
-    * swap in trained centroids without touching the plumbing). Every
-    * candidate is assigned to its nearest centroid (one shuffle by centroid
-    * id); a query probes its `nProbe` nearest centroids and re-ranks
-    * exactly within those inverted lists.
+    * a deterministic hash-order sample of the corpus (`trainIters = 0`,
+    * a k-medoids-style shortcut), or refined with that many spherical
+    * k-means rounds (`kmeansCentroids`) — trained cells follow the data's
+    * direction clusters, so the same nProbe recovers more true neighbors.
+    * Every candidate is assigned to its nearest centroid (one shuffle by
+    * centroid id); a query probes its `nProbe` nearest centroids and
+    * re-ranks exactly within those inverted lists.
     *
     * At scale: assignment is a narrow map over the corpus; the probe join
     * touches nProbe/nCentroids of the data instead of all of it, and the
@@ -186,19 +248,25 @@ object Similarity {
     */
   def ivfKnn(candidates: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainIters: Int = 0): DataFrame = {
     val d = dotFor(candidates)
     val c = candidates.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cvec"))
       .withColumn("cn", sqrt(d(col("cvec"), col("cvec"))))
-    // deterministic sample: smallest nCentroids ids by hash order
-    val centroids: Seq[(Int, Seq[Double])] = candidates
-      .select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(nCentroids)
-      .collect()
-      .toIndexedSeq
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }
+    // deterministic sample: smallest nCentroids ids by hash order; trained
+    // centroids are unit-norm, so max-inner-product ranking = max cosine
+    val centroids: Seq[(Int, Seq[Double])] =
+      if (trainIters > 0)
+        kmeansCentroids(candidates, nCentroids, trainIters, idCol, vecCol)
+          .toIndexedSeq.zipWithIndex.map { case (cv, i) => (i, cv) }
+      else candidates
+        .select(col(idCol), asDouble(col(vecCol)).as("v"))
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(nCentroids)
+        .collect()
+        .toIndexedSeq
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }
 
     // nearest-centroid ids for a vector, as a sorted-by-distance idx array
     def centroidRanks(vec: Column): Column = {

@@ -78,6 +78,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf === again)
   }
 
+  test("kmeansCentroids recovers planted direction clusters") {
+    // three tight blobs around orthogonal axes in 4-d
+    val rnd = new scala.util.Random(7)
+    def blob(axis: Int, off: Long) = (0 until 20).map { i =>
+      (off + i, Seq.tabulate(4)(j =>
+        (if (j == axis) 1.0 else 0.0) + rnd.nextGaussian() * 0.05))
+    }
+    val df = (blob(0, 0L) ++ blob(1, 100L) ++ blob(2, 200L))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, k = 3, iters = 5)
+    assert(cents.size === 3)
+    // every centroid is unit-norm and dominated by a distinct planted axis
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"norm=$n")
+    }
+    val axes = cents.map(c => c.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes === Set(0, 1, 2), cents.toString)
+  }
+
+  test("ivfKnn with trained centroids keeps recall and stays deterministic") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val q = e.where($"vec_id" < 10)
+    val brute = Similarity.bruteForceKnn(e, q, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val trained = Similarity.ivfKnn(e, q, k = 5, nCentroids = 8, nProbe = 4,
+        trainIters = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (brute & trained).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall=$recall")
+    val again = Similarity.ivfKnn(e, q, k = 5, nCentroids = 8, nProbe = 4,
+        trainIters = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(trained === again)
+  }
+
   test("native vec_dot matches the interpreted HOF dot bit-for-bit") {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
