@@ -1024,6 +1024,15 @@ object SparkEntry {
         .orderBy(col("user_id"), col("eff_from"), col("event_type"))
     }),
 
+    // Corpus-self-trained unigram LM score (CCNet-style quality signal).
+    // vocabSize=20 < the corpus's ~31-word vocabulary, so the OOV floor
+    // path is exercised too.
+    "x60_unigram_lp" -> ((s, dir) =>
+      TextStats.unigramLogProb(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 20)
+        .select(col("doc_id"), round(col("unigram_lp"), 6).as("unigram_lp"))
+        .orderBy(col("doc_id"))),
+
     // Strict ordered funnel over the event stream: one shuffle on user_id
     // builds each user's sorted history, a fold chains first-touch stage
     // times. Oracle is the classic per-stage conditional-min join chain.
@@ -1841,6 +1850,24 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
         |ORDER BY doc_id""".stripMargin,
+    "x60_unigram_lp" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        |voc AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20),
+        |vn AS (SELECT count(*) AS v FROM voc),
+        |sc AS (
+        |  SELECT tk.doc_id,
+        |    avg(log10((coalesce(voc.c, 0) + 1) / (tot.n + vn.v + 1.0))) AS lp
+        |  FROM tk LEFT JOIN voc USING (tok), tot, vn
+        |  GROUP BY 1)
+        |SELECT d.doc_id, round(sc.lp, 6) AS unigram_lp
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "x56_funnel" ->
       """WITH s0 AS (
         |  SELECT user_id, min(ts) AS t0 FROM events

@@ -227,6 +227,48 @@ object TextStats {
         concat_ws(" ", col("__c.ctoks")).as("chunk_text"))
   }
 
+  /** CCNet-style unigram language-model score: each document's mean log10
+    * probability of its (casefolded, whitespace) tokens under the corpus's
+    * OWN unigram distribution — no external model. Add-one smoothing over
+    * the top-`vocabSize` vocabulary; out-of-vocabulary tokens share the
+    * smoothed floor `1 / (N + V + 1)`. Gibberish and repetitive-junk
+    * documents score far below fluent ones; filter on a percentile of this
+    * column the way CCNet buckets by LM perplexity.
+    *
+    * Scale shape: token counts are one hash shuffle with map-side partial
+    * aggregation; the top-V vocabulary is a `TakeOrdered` (driver holds V
+    * rows, never the vocabulary); scoring is a broadcast join + one
+    * shuffle by document id. The counts frame is persisted across its two
+    * small jobs (top-V, total N) and released before return.
+    *
+    * Output: (idCol, unigram_lp) — null for tokenless documents.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, s"vocabSize=$vocabSize must be positive")
+    val spark = docs.sparkSession
+    val tk = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
+    val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val top = cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize).collect()
+      val v = top.length
+      val nRow = cnt.agg(sum(col("c"))).collect()(0)
+      val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+      val denom = (n + v + 1).toDouble
+      val vocabDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(top.toIndexedSeq, 1),
+        new org.apache.spark.sql.types.StructType()
+          .add("tok", "string").add("c", "long"))
+      val scored = tk.join(broadcast(vocabDf), Seq("tok"), "left")
+        .groupBy(col(idCol))
+        .agg(avg(log10((coalesce(col("c"), lit(0L)) + 1).cast("double") / lit(denom)))
+          .as("unigram_lp"))
+      // left join back: tokenless documents keep a row with a null score
+      docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+    } finally { cnt.unpersist(); () }
+  }
+
   /** Lines (non-blank, trimmed-for-matching is NOT applied — matching is
     * exact) appearing in at least `minDocs` DISTINCT documents: the
     * C4/RefinedWeb boilerplate signal (nav menus, cookie banners, footers

@@ -108,6 +108,31 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out.where($"n_tokens" > 0).count() === docs.count())
   }
 
+  test("unigramLogProb: add-one smoothing, OOV floor, null for empty docs") {
+    val docs = Seq((1L, "a a b"), (2L, "c"), (3L, ""))
+      .toDF("doc_id", "text")
+    // vocab top-1 = 'a' (c=2); N=4 tokens, V=1, denom=6.
+    // doc1: avg(log10(3/6), log10(3/6), log10(1/6)); doc2: OOV floor 1/6.
+    val out = TextStats.unigramLogProb(docs, "doc_id", "text", vocabSize = 1)
+      .orderBy("doc_id").collect()
+    val exp1 = (2 * math.log10(3.0 / 6) + math.log10(1.0 / 6)) / 3
+    val exp2 = math.log10(1.0 / 6)
+    assert(math.abs(out(0).getDouble(1) - exp1) < 1e-12)
+    assert(math.abs(out(1).getDouble(1) - exp2) < 1e-12)
+    assert(out(2).isNullAt(1)) // tokenless doc keeps a row, score null
+  }
+
+  test("unigramLogProb ranks gibberish below fluent repetition of the corpus") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat again"),
+      (3L, "zzq qxv wvv jjk pqz")) // tokens the corpus never repeats
+      .toDF("doc_id", "text")
+    val out = TextStats.unigramLogProb(docs, "doc_id", "text", vocabSize = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(3L) < out(1L) && out(3L) < out(2L), out.toString)
+  }
+
   test("frequentLines finds lines repeated across enough distinct docs") {
     val docs = Seq(
       (1L, "COOKIE BANNER\nunique alpha\nfooter"),
