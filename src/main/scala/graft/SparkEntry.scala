@@ -877,6 +877,15 @@ object SparkEntry {
       Dedup.clusters(t(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
         .orderBy(col("doc_id"))),
 
+    // Keep-best dedup: same clusters as x41, but each cluster survives
+    // through its LONGEST member (n_chars desc, id tiebreak) rather than
+    // its minimum id — the quality-aware keep policy.
+    "x61_dedup_keep_best" -> ((s, dir) =>
+      Dedup.dedupKeepBest(t(s, dir, "documents"), "doc_id", "text",
+          "n_chars", threshold = 0.9)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // Train/test contamination: 8-gram overlap of each corpus doc against a
     // benchmark set (deterministic 10% slice), via broadcast inverted index.
     "x42_contamination" -> ((s, dir) => {
@@ -1662,6 +1671,38 @@ object SparkEntry {
         |  SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y)
         |SELECT x AS doc_id, min(y) AS cluster_id
         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    "x61_dedup_keep_best" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM p
+        |  UNION SELECT b, a FROM p),
+        |reach(x, y) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y),
+        |lbl AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x)
+        |SELECT d.doc_id, d.n_chars
+        |FROM documents d JOIN lbl USING (doc_id)
+        |QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |  ORDER BY d.n_chars DESC, d.doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
     "x42_contamination" ->
       """WITH t AS (
         |  SELECT doc_id,

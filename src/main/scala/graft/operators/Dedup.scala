@@ -438,6 +438,31 @@ object Dedup {
     } finally pairs.unpersist()
   }
 
+  /** Near-dup dedup keeping the BEST member of each duplicate cluster —
+    * highest `scoreCol`, ties broken by smallest id — instead of the
+    * arbitrary minimum-id member the `doc_id = cluster_id` convention
+    * keeps. The usual policy when duplicates differ in quality: among a
+    * page's syndicated copies, keep the longest / highest-quality one.
+    *
+    * Output: the surviving rows of `df`, original schema.
+    *
+    * Scale: clustering is the `clusters` pipeline (LSH, never O(n²));
+    * the keep decision is a window partitioned by `cluster_id`, whose
+    * cardinality is ~|docs| (singletons included) — parallelism scales
+    * with the corpus, unlike a low-cardinality group rank.
+    */
+  def dedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, threshold: Double, shingleSize: Int = 3,
+      numHashes: Int = 48, bands: Int = 12): DataFrame = {
+    val cl = clusters(df, idCol, textCol, threshold, shingleSize, numHashes, bands)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col(scoreCol).desc, col(idCol))
+    df.join(cl, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   // --------------------------------------- incremental (batch vs corpus)
 
   /** Ids in `newDf` whose text already exists verbatim in `corpus`. Both

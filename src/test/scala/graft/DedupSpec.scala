@@ -163,4 +163,29 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(viaIndex === direct)
   }
+
+  test("dedupKeepBest keeps the highest-scoring cluster member, min-id on ties") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base, 10),                 // near-dup cluster {1,2,3}
+      (2L, base + " extra", 50),      // highest score → survives
+      (3L, base, 10),
+      (4L, "completely different content about spark plans", 5), // singleton
+      (5L, "another unrelated document entirely", 7))            // singleton
+      .toDF("doc_id", "text", "score")
+    val kept = Dedup.dedupKeepBest(docs, "doc_id", "text", "score",
+        threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L, 5L))
+    // tie on score → smallest id survives
+    val tied = Seq((1L, base, 10), (2L, base, 10))
+      .toDF("doc_id", "text", "score")
+    val keptTied = Dedup.dedupKeepBest(tied, "doc_id", "text", "score",
+        threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTied === Set(1L))
+    // original schema preserved
+    val out = Dedup.dedupKeepBest(docs, "doc_id", "text", "score", 0.7)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "score"))
+  }
 }
