@@ -1033,6 +1033,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("eff_from"), col("event_type"))
     }),
 
+    // Winsorization at exact [p05, p95]: the adaptive percentile pass
+    // (single-task below 4M values, distributed above) feeds a broadcast
+    // clipping map — outlier treatment before scale-sensitive stats.
+    "x62_winsorize" -> ((s, dir) =>
+      Stats.winsorize(t(s, dir, "lineitem"), "l_extendedprice",
+          lo = 0.05, hi = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("clipped"), 2).as("clipped"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // Key-skew diagnostic: heaviest keys with share + skew factor — the
+    // pre-flight check before picking join keys (skew >> 1 ⇒ salt).
+    "x63_key_skew" -> ((s, dir) =>
+      Profile.keySkew(t(s, dir, "orders"), "o_custkey", k = 10)
+        .orderBy(col("n").desc, col("key"))),
+
     // Corpus-self-trained unigram LM score (CCNet-style quality signal).
     // vocabSize=20 < the corpus's ~31-word vocabulary, so the OOV floor
     // path is exercised too.
@@ -1891,6 +1907,24 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
         |ORDER BY doc_id""".stripMargin,
+    "x62_winsorize" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(least(greatest(l_extendedprice, b.lo), b.hi), 2) AS clipped
+        |FROM lineitem, b
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "x63_key_skew" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS nkeys FROM c)
+        |SELECT c.key, c.n,
+        |  round(c.n / s.total, 6) AS share,
+        |  round(c.n * s.nkeys / s.total, 4) AS skew
+        |FROM c, s ORDER BY c.n DESC, c.key LIMIT 10""".stripMargin,
     "x60_unigram_lp" ->
       """WITH tk AS (
         |  SELECT doc_id,

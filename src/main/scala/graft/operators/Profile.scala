@@ -43,4 +43,27 @@ object Profile {
     }
     out.toDF("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
   }
+
+  /** Key-skew diagnostic: the `k` heaviest values of a key column, each
+    * with its row share and skew factor (count ÷ the count a perfectly
+    * uniform key distribution would give). The pre-flight check before
+    * choosing join/aggregation keys at scale — skew ≳ partition-count
+    * means one task absorbs the key and the plan needs salting
+    * (`RelOps.saltedJoin`) or AQE skew handling.
+    *
+    * One count aggregation by key (map-side partial agg), a 1-row totals
+    * frame, and a TakeOrdered top-k — the driver never holds more than k
+    * rows plus the totals.
+    */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.orderBy(col("n").desc, col("key")).limit(k)
+      .crossJoin(broadcast(totals))
+      .select(col("key"), col("n"),
+        round(col("n") / col("__total"), 6).as("share"),
+        round(col("n") * col("__nkeys") / col("__total"), 4).as("skew"))
+  }
 }

@@ -118,4 +118,22 @@ object Stats {
       spark.range(1).select(cells: _*)
     } finally ranged.unpersist()
   }
+
+  /** Winsorize: clip `valueCol` into the exact [lo, hi] percentile range —
+    * the standard outlier treatment before scale-sensitive statistics
+    * (means, regressions, z-scores). Two passes: the adaptive exact
+    * percentile pass yields a 1-row bounds frame that broadcast-joins into
+    * a narrow clipping map; nothing data-sized shuffles.
+    *
+    * Output: `df` plus `as` = clipped value (double).
+    */
+  def winsorize(df: DataFrame, valueCol: String, lo: Double = 0.01,
+      hi: Double = 0.99, as: String = "clipped"): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"bad clip range [$lo, $hi]")
+    val bounds = percentiles(df, valueCol, Seq(lo, hi), Seq("__lo", "__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(as,
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

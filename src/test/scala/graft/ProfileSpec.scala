@@ -45,4 +45,17 @@ class ProfileSpec extends AnyFunSuite {
     val (ep, ap) = (e.getDouble(1), a.getDouble(1))
     assert(math.abs(ap - ep) / ep < 0.02, s"approx p50 $ap vs exact $ep")
   }
+
+  test("keySkew surfaces the hot key with share and skew factor") {
+    // 90 rows of key 1 + one row each of keys 2..11: total 100, 11 keys
+    val df = (Seq.fill(90)(1) ++ (2 to 11)).toDF("k")
+    val top = graft.operators.Profile.keySkew(df, "k", k = 3)
+      .orderBy(col("n").desc, col("key")).collect()
+    assert(top.length === 3)
+    val hot = top.head
+    assert(hot.getInt(0) === 1 && hot.getLong(1) === 90L)
+    assert(hot.getDouble(2) === 0.9)          // share
+    assert(hot.getDouble(3) === 9.9)          // 90 / (100/11 uniform)
+    assert(top(1).getLong(1) === 1L)          // the cold keys
+  }
 }

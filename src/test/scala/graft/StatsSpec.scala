@@ -55,4 +55,15 @@ class StatsSpec extends AnyFunSuite {
       .collect().head
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
+
+  test("winsorize clips into the exact percentile range, keeps inliers") {
+    // 1..100: p10 = 10.9, p90 = 90.1 (interpolated)
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Stats.winsorize(df, "v", lo = 0.1, hi = 0.9)
+      .select("v", "clipped").as[(Double, Double)].collect().toMap
+    assert(math.abs(out(1.0) - 10.9) < 1e-9)   // below p10 → p10
+    assert(math.abs(out(100.0) - 90.1) < 1e-9) // above p90 → p90
+    assert(out(50.0) === 50.0)                 // inlier untouched
+    assert(out.values.forall(c => c >= 10.9 - 1e-9 && c <= 90.1 + 1e-9))
+  }
 }
