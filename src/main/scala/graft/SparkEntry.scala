@@ -1033,6 +1033,12 @@ object SparkEntry {
         .orderBy(col("user_id"), col("eff_from"), col("event_type"))
     }),
 
+    // Token co-occurrence PMI (collocation mining): doc-level distinct
+    // pairs, self-join co-partitioned on doc id, giant docs excluded.
+    "x64_pmi" -> ((s, dir) =>
+      TextStats.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 50, topK = 40)),
+
     // Winsorization at exact [p05, p95]: the adaptive percentile pass
     // (single-task below 4M values, distributed above) feeds a broadcast
     // clipping map — outlier treatment before scale-sensitive stats.
@@ -1907,6 +1913,27 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
         |ORDER BY doc_id""".stripMargin,
+    "x64_pmi" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |ok AS (SELECT doc_id FROM dt GROUP BY 1 HAVING count(*) <= 1000),
+        |d2 AS (SELECT dt.* FROM dt JOIN ok USING (doc_id)),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM d2),
+        |f AS (SELECT tok, count(*) AS df FROM d2 GROUP BY 1),
+        |pr AS (
+        |  SELECT a.tok AS ta, b.tok AS tb, count(*) AS c
+        |  FROM d2 a JOIN d2 b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 50)
+        |SELECT ta, tb, c,
+        |  round(ln(c::DOUBLE * n.nd / (fa.df * fb.df)), 6) AS pmi
+        |FROM pr
+        |JOIN f fa ON pr.ta = fa.tok
+        |JOIN f fb ON pr.tb = fb.tok
+        |CROSS JOIN n
+        |ORDER BY c DESC, ta, tb LIMIT 40""".stripMargin,
     "x62_winsorize" ->
       """WITH b AS (
         |  SELECT quantile_cont(l_extendedprice, 0.05) AS lo,

@@ -227,6 +227,44 @@ object TextStats {
         concat_ws(" ", col("__c.ctoks")).as("chunk_text"))
   }
 
+  /** Pointwise mutual information of token pairs co-occurring in the same
+    * document — collocation mining over a corpus (which words travel
+    * together more than chance predicts). Counts are document-level
+    * (distinct tokens per doc), PMI = ln(df(a,b)·N / (df(a)·df(b))).
+    *
+    * Scale guards: the per-doc pair expansion is quadratic in a doc's
+    * DISTINCT token count, so documents above `maxDocTokens` distinct
+    * tokens are excluded (giant docs are boilerplate/spam in practice and
+    * would each emit millions of pairs); `minCount` prunes the pair tail
+    * before the PMI join; output is top-`topK` pairs by count. The
+    * self-join keys on doc id — co-partitioned after one shuffle, never a
+    * cross join.
+    */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, maxDocTokens: Int = 1000, topK: Int = 100): DataFrame = {
+    require(minCount >= 1 && maxDocTokens >= 2 && topK >= 1,
+      s"bad pmiPairs params minCount=$minCount maxDocTokens=$maxDocTokens topK=$topK")
+    val dt = docs.select(col(idCol).as("__d"),
+      explode(tokens(lower(col(textCol)))).as("tok")).distinct()
+    val ok = dt.groupBy(col("__d")).agg(count(lit(1)).as("__ntok"))
+      .where(col("__ntok") <= maxDocTokens).select(col("__d"))
+    val d2 = dt.join(ok, Seq("__d"), "left_semi")
+    val nd = d2.agg(countDistinct(col("__d")).as("__nd"))
+    val f = d2.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val pr = d2.select(col("__d"), col("tok").as("ta"))
+      .join(d2.select(col("__d"), col("tok").as("tb")), Seq("__d"))
+      .where(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+    pr.join(f.select(col("tok").as("ta"), col("df").as("__dfa")), Seq("ta"))
+      .join(f.select(col("tok").as("tb"), col("df").as("__dfb")), Seq("tb"))
+      .crossJoin(broadcast(nd))
+      .select(col("ta"), col("tb"), col("c"),
+        round(log(col("c").cast("double") * col("__nd") / (col("__dfa") * col("__dfb"))), 6)
+          .as("pmi"))
+      .orderBy(col("c").desc, col("ta"), col("tb")).limit(topK)
+  }
+
   /** CCNet-style unigram language-model score: each document's mean log10
     * probability of its (casefolded, whitespace) tokens under the corpus's
     * OWN unigram distribution — no external model. Add-one smoothing over

@@ -133,6 +133,33 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(3L) < out(1L) && out(3L) < out(2L), out.toString)
   }
 
+  test("pmiPairs: document-level counts, min-count prune, exact PMI") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "b a"), // order inside a doc is irrelevant
+      (4L, "a c"), (5L, "b c"))
+      .toDF("doc_id", "text")
+    val out = TextStats.pmiPairs(docs, "doc_id", "text", minCount = 2)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // only (a,b) survives minCount=2: df(a)=4, df(b)=4, df(ab)=3, N=5
+    assert(out.map(r => (r._1, r._2, r._3)) === Seq(("a", "b", 3L)))
+    val expected = math.log(3.0 * 5 / (4 * 4))
+    assert(math.abs(out.head._4 - BigDecimal(expected).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("pmiPairs excludes docs over the distinct-token cap") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"),
+      (3L, "a b c d e f")) // 6 distinct tokens > cap of 4 → excluded
+      .toDF("doc_id", "text")
+    val out = TextStats.pmiPairs(docs, "doc_id", "text",
+        minCount = 2, maxDocTokens = 4)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) === Seq(("a", "b", 2L)))
+    // N counts only surviving docs: pmi = ln(2*2/(2*2)) = 0
+    assert(out.head._4 === 0.0)
+  }
+
   test("frequentLines finds lines repeated across enough distinct docs") {
     val docs = Seq(
       (1L, "COOKIE BANNER\nunique alpha\nfooter"),
