@@ -1033,6 +1033,23 @@ object SparkEntry {
         .orderBy(col("user_id"), col("eff_from"), col("event_type"))
     }),
 
+    // JL random projection to 16 dims: a narrow map of seeded-Rademacher
+    // dot products (rows-only check; geometry preservation asserted in
+    // SimilaritySpec — the seeded matrix isn't replayable in SQL).
+    "x65_jl_project" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), outDims = 16)
+        .select(col("vec_id"), size(col("proj")).as("out_dims"),
+          round(Embeddings.l2(col("proj")), 4).as("norm"))
+        .orderBy(col("vec_id"))),
+
+    // Seasonal-baseline outlier flags: z-score vs the (type, hour) bucket
+    // mean/stddev — tiny stats frame broadcast back over the stream.
+    "x66_value_anomalies" -> ((s, dir) =>
+      Behavior.valueAnomalies(Catalog.events(s, dir), z = 3.0)
+        .select(col("event_id"), round(col("zscore"), 4).as("zscore"),
+          col("is_anomaly"))
+        .orderBy(col("event_id"))),
+
     // Token co-occurrence PMI (collocation mining): doc-level distinct
     // pairs, self-join co-partitioned on doc id, giant docs excluded.
     "x64_pmi" -> ((s, dir) =>
@@ -1913,6 +1930,19 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
         |ORDER BY doc_id""".stripMargin,
+    "x66_value_anomalies" ->
+      """WITH s AS (
+        |  SELECT event_type, extract(hour FROM ts) AS h,
+        |    avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id,
+        |  round(CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd END, 4)
+        |    AS zscore,
+        |  abs(CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd END) > 3
+        |    AS is_anomaly
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |  AND extract(hour FROM e.ts) = s.h
+        |ORDER BY e.event_id""".stripMargin,
     "x64_pmi" ->
       """WITH dt AS (
         |  SELECT DISTINCT doc_id,

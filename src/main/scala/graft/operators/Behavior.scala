@@ -72,6 +72,33 @@ object Behavior {
     counts.select(stageRows.as("x")).select(col("x.*"))
   }
 
+  /** Per-bucket z-score anomaly flags: each event's value is scored
+    * against the mean/stddev of its (type, hour-of-day) bucket — the
+    * seasonal-baseline outlier check every metrics pipeline runs.
+    *
+    * Buckets are types × 24 — a tiny stats frame that broadcast-joins
+    * back, so the whole operator is one partial-agged shuffle plus a
+    * narrow scoring map. Degenerate buckets (stddev 0 or a single row)
+    * yield null z-scores, not infinities.
+    */
+  def valueAnomalies(events: DataFrame, z: Double = 3.0,
+      typeCol: String = "event_type", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(z > 0, s"z=$z must be positive")
+    val stats = events
+      .groupBy(col(typeCol), hour(col(tsCol)).as("__h"))
+      .agg(avg(col(valueCol)).as("__mu"), stddev_samp(col(valueCol)).as("__sd"))
+    val zscore = when(col("__sd") > 0,
+      (col(valueCol) - col("__mu")) / col("__sd")).otherwise(lit(null))
+    events
+      .join(broadcast(stats),
+        events(typeCol) === stats(typeCol) && hour(col(tsCol)) === col("__h"))
+      .drop(stats(typeCol))
+      .withColumn("zscore", zscore)
+      .withColumn("is_anomaly", abs(col("zscore")) > z)
+      .drop("__h", "__mu", "__sd")
+  }
+
   /** Weekly cohort retention: users are cohorted by the week of their first
     * event; cell (cohort_week, week_offset) counts distinct cohort users
     * active offset weeks later. The standard retention triangle.

@@ -129,6 +129,30 @@ object Similarity {
     rows.head.getInt(0)
   }
 
+  /** Johnson–Lindenstrauss random projection of an embedding column to
+    * `outDims` dimensions via the seeded Rademacher (±1) matrix, scaled by
+    * 1/√outDims — pairwise Euclidean geometry is preserved within ε w.h.p.
+    * The cheap dimensionality cut before storing or brute-forcing over a
+    * 100 TB vector corpus (4× fewer dims ⇒ 4× less I/O and FLOPs in every
+    * downstream distance).
+    *
+    * The matrix is outDims × dims literals broadcast inside the plan; the
+    * projection is a narrow map of outDims dot products per row — no
+    * shuffle, whole-stage-codegen'd when GraftExtensions is enabled.
+    */
+  def randomProject(df: DataFrame, outDims: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42L,
+      as: String = "proj"): DataFrame = {
+    require(outDims > 0, s"outDims=$outDims must be positive")
+    val d = dotFor(df)
+    val dims = vecDims(df, vecCol)
+    val planes = hyperplanes(dims, outDims, seed)
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val v = asDouble(col(vecCol))
+    df.withColumn(as,
+      array(planes.map(p => d(v, typedLit(p)) * scale): _*))
+  }
+
   /** LSH bucket id: one sign bit per hyperplane packed into a long. Vectors
     * with high cosine similarity agree on most sign bits, so they land in
     * the same bucket with probability (1 - θ/π)^planes.

@@ -74,6 +74,26 @@ class BehaviorSpec extends AnyFunSuite {
       ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
   }
 
+  test("valueAnomalies flags bucket outliers, null z-score for degenerate buckets") {
+    val base = (0 until 20).map(i =>
+      (i.toLong, ts("2024-01-01 10:15:00"), 1L, "m", 0.0))
+    val events = (base ++ Seq(
+      (100L, ts("2024-01-01 10:30:00"), 1L, "m", 100.0), // clear outlier
+      (101L, ts("2024-01-01 11:00:00"), 1L, "m", 5.0),   // lone row in its bucket
+      (102L, ts("2024-01-01 12:00:00"), 1L, "c", 7.0),   // constant bucket
+      (103L, ts("2024-01-01 12:30:00"), 1L, "c", 7.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Behavior.valueAnomalies(events, z = 3.0)
+      .select("event_id", "zscore", "is_anomaly").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    val (zOut, flagOut) = out(100L)
+    assert(zOut.exists(_.asInstanceOf[Double] > 3.0))
+    assert(flagOut.contains(true))
+    assert(out(0L)._2.contains(false))     // inlier in a live bucket
+    assert(out(101L)._1.isEmpty)           // single-row bucket: stddev null
+    assert(out(102L)._1.isEmpty)           // constant bucket: stddev 0
+  }
+
   test("funnel plans exactly one exchange (the user_id aggregation)") {
     val events = Seq((1L, ts("2024-01-01 10:00:00"), "view"))
       .toDF("user_id", "ts", "event_type")

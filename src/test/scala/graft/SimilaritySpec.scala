@@ -114,6 +114,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(trained === again)
   }
 
+  test("randomProject: JL geometry roughly preserved, deterministic, right width") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .where($"vec_id" < 30)
+    val p = Similarity.randomProject(e, outDims = 32)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("o"), $"proj")
+      .collect()
+      .map(r => (r.getSeq[Double](1), r.getSeq[Double](2)))
+    assert(p.forall(_._2.size === 32))
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val errs = for (i <- p.indices; j <- i + 1 until p.length if j < i + 3) yield {
+      val orig = dist(p(i)._1, p(j)._1)
+      math.abs(dist(p(i)._2, p(j)._2) - orig) / orig
+    }
+    val meanErr = errs.sum / errs.size
+    assert(meanErr < 0.35, s"mean JL distortion $meanErr over ${errs.size} pairs")
+    // deterministic: same seed → identical projection
+    val again = Similarity.randomProject(e, outDims = 32)
+      .select($"proj").collect().map(_.getSeq[Double](0))
+    assert(p.map(_._2).toSeq === again.toSeq)
+  }
+
   test("native vec_dot matches the interpreted HOF dot bit-for-bit") {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
