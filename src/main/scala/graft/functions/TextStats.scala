@@ -248,21 +248,32 @@ object TextStats {
       explode(tokens(lower(col(textCol)))).as("tok")).distinct()
     val ok = dt.groupBy(col("__d")).agg(count(lit(1)).as("__ntok"))
       .where(col("__ntok") <= maxDocTokens).select(col("__d"))
+    // d2 feeds four subplans (N, doc frequencies, both self-join sides) —
+    // persist it so the explode+distinct shuffle runs once, and release it
+    // deterministically by materializing the (≤ topK rows) result eagerly
     val d2 = dt.join(ok, Seq("__d"), "left_semi")
-    val nd = d2.agg(countDistinct(col("__d")).as("__nd"))
-    val f = d2.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val pr = d2.select(col("__d"), col("tok").as("ta"))
-      .join(d2.select(col("__d"), col("tok").as("tb")), Seq("__d"))
-      .where(col("ta") < col("tb"))
-      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c"))
-      .where(col("c") >= minCount)
-    pr.join(f.select(col("tok").as("ta"), col("df").as("__dfa")), Seq("ta"))
-      .join(f.select(col("tok").as("tb"), col("df").as("__dfb")), Seq("tb"))
-      .crossJoin(broadcast(nd))
-      .select(col("ta"), col("tb"), col("c"),
-        round(log(col("c").cast("double") * col("__nd") / (col("__dfa") * col("__dfb"))), 6)
-          .as("pmi"))
-      .orderBy(col("c").desc, col("ta"), col("tb")).limit(topK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nd = d2.agg(countDistinct(col("__d")).as("__nd"))
+      val f = d2.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val pr = d2.select(col("__d"), col("tok").as("ta"))
+        .join(d2.select(col("__d"), col("tok").as("tb")), Seq("__d"))
+        .where(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= minCount)
+      val ranked = pr
+        .join(f.select(col("tok").as("ta"), col("df").as("__dfa")), Seq("ta"))
+        .join(f.select(col("tok").as("tb"), col("df").as("__dfb")), Seq("tb"))
+        .crossJoin(broadcast(nd))
+        .select(col("ta"), col("tb"), col("c"),
+          round(log(col("c").cast("double") * col("__nd") / (col("__dfa") * col("__dfb"))), 6)
+            .as("pmi"))
+        .orderBy(col("c").desc, col("ta"), col("tb")).limit(topK)
+      val spark = docs.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ranked.collect().toIndexedSeq, 1),
+        ranked.schema)
+    } finally { d2.unpersist(); () }
   }
 
   /** CCNet-style unigram language-model score: each document's mean log10
