@@ -886,6 +886,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // LSH recall estimate on a 50% hash-sample: exact-Jaccard truth within
+    // the sample vs minhashPairs at the same parameters. Rows-only (the
+    // seeded MinHash isn't replayable in SQL); DedupSpec asserts the
+    // planted-duplicate case reaches recall 1.0.
+    "x67_lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecallEstimate(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.9, sampleFraction = 0.5)),
+
     // Train/test contamination: 8-gram overlap of each corpus doc against a
     // benchmark set (deterministic 10% slice), via broadcast inverted index.
     "x42_contamination" -> ((s, dir) => {

@@ -279,6 +279,40 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Estimated recall of the MinHash-LSH banding parameters on THIS corpus,
+    * from a deterministic hash-sample: ground truth is exact posting-list
+    * Jaccard within the sample (quadratic cost confined to the sample),
+    * measured is `minhashPairs` over the same sample with the same
+    * parameters. The observability check to run before trusting
+    * (numHashes, bands) on the full corpus — a 1% sample prices recall at
+    * ~0.01% of the brute-force cost.
+    *
+    * Output (1 row): n_docs, n_true_pairs, n_lsh_pairs, n_hit_pairs,
+    * recall (null when the sample holds no true pairs — sample more).
+    */
+  def lshRecallEstimate(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, sampleFraction: Double = 0.01, shingleSize: Int = 3,
+      numHashes: Int = 48, bands: Int = 12): DataFrame = {
+    val sample = RelOps.hashSample(df, idCol, sampleFraction)
+    val truth = jaccardPairs(sample, idCol, textCol, threshold, shingleSize)
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lsh = minhashPairs(sample, idCol, textCol, threshold, shingleSize,
+      numHashes, bands)
+    try {
+      val nDocs = sample.count()
+      val nTrue = truth.count()
+      val lshPairs = lsh.select(col("a"), col("b"))
+      val nLsh = lshPairs.count()
+      val hits = truth.join(lshPairs, Seq("a", "b"), "left_semi").count()
+      val spark = df.sparkSession
+      import spark.implicits._
+      Seq((nDocs, nTrue, nLsh, hits,
+        if (nTrue == 0) Option.empty[Double] else Some(hits.toDouble / nTrue)))
+        .toDF("n_docs", "n_true_pairs", "n_lsh_pairs", "n_hit_pairs", "recall")
+    } finally { truth.unpersist(); lsh.unpersist(); () }
+  }
+
   // ------------------------------------------ train/test contamination scan
 
   /** Benchmark-contamination scan: for every corpus document, how many of

@@ -164,6 +164,26 @@ class DedupSpec extends AnyFunSuite {
     assert(viaIndex === direct)
   }
 
+  test("lshRecallEstimate: planted duplicates give recall 1, empty truth gives null") {
+    val base = "spark window shuffle partition broadcast join aggregate scan"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base), // identical → always bucket-collide
+      (4L, "some other text entirely about different things"),
+      (5L, "and a third unrelated document for padding"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecallEstimate(docs, "doc_id", "text",
+        threshold = 0.9, sampleFraction = 1.0)
+      .collect().head
+    assert(r.getLong(1) === 3L)     // 3 true pairs among {1,2,3}
+    assert(r.getDouble(4) === 1.0)  // identical docs always collide
+    // no true pairs in the sample → recall null, not 0/0
+    val none = Dedup.lshRecallEstimate(
+      Seq((1L, "aaa bbb ccc"), (2L, "ddd eee fff")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.9, sampleFraction = 1.0)
+      .collect().head
+    assert(none.getLong(1) === 0L && none.isNullAt(4))
+  }
+
   test("dedupKeepBest keeps the highest-scoring cluster member, min-id on ties") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(
