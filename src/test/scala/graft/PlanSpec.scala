@@ -76,4 +76,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(2000))
   }
+
+  test("x60 unigram LM: vocabulary leaves executors only as a TakeOrdered, scoring joins broadcast") {
+    // the operator runs driver actions (top-V, N) during plan construction;
+    // pin the scoring plan's shape instead of the whole query execution
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.functions.TextStats.unigramLogProb(docs, "doc_id", "text", 20)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("x62 winsorize: the clip is a broadcast bounds join, the data never re-shuffles") {
+    val df = graft.operators.Stats.winsorize(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_extendedprice")
+    val p = df.queryExecution.executedPlan.toString
+    // the only join is the 1-row bounds broadcast; no hash exchange of lineitem
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("x66 anomalies: the bucket-stats join broadcasts, events shuffle only for stats") {
+    val p = planOf("x66_value_anomalies")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }
