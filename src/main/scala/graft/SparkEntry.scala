@@ -662,6 +662,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Sparse TF-IDF cosine pairs on a bounded 30-doc slice (like x13, the
+    // tiny shared vocabulary makes the full corpus near-all-pairs; the
+    // operator's maxDocFreq prune is the scale path).
+    "x68_tfidf_cosine" -> ((s, dir) =>
+      TextStats.tfidfCosinePairs(
+          t(s, dir, "documents").where(col("doc_id") < 30), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("a"), col("b"))),
+
     // Deterministic multiplicative-hash sample (1%): reproducible across
     // engines/partitionings — the DuckDB oracle selects the same rows.
     "x31_sample" -> ((s, dir) =>
@@ -1560,6 +1569,30 @@ object SparkEntry {
         |    ORDER BY tfidf DESC, token) AS rn
         |  FROM scored)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "x68_tfidf_cosine" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 30),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM d),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM d),
+        |w AS (
+        |  SELECT doc_id, tf.token AS token,
+        |    tf * round(ln(n.n::DOUBLE / df), 8) AS w
+        |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+        |  WHERE df <= 1000),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |pr AS (
+        |  SELECT wa.doc_id AS a, wb.doc_id AS b, sum(wa.w * wb.w) AS dot
+        |  FROM w wa JOIN w wb ON wa.token = wb.token AND wa.doc_id < wb.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+        |FROM pr JOIN nrm na ON pr.a = na.doc_id JOIN nrm nb ON pr.b = nb.doc_id
+        |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.5
+        |ORDER BY a, b""".stripMargin,
     "x31_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE (o_orderkey & 2147483647) * 2654435761 % 1000000 < 10000

@@ -176,6 +176,46 @@ object TextStats {
         (col("tf") * round(log(lit(n.toDouble) / col("df")), 8)).as("tfidf"))
   }
 
+  /** Sparse TF-IDF cosine similarity pairs via a posting-list join — the
+    * LEXICAL complement to dense embedding cosine (x10): two documents
+    * pair only through tokens they share, so the join touches only
+    * co-occurring postings instead of all pairs.
+    *
+    * Scale guard: tokens with document frequency above `maxDocFreq` are
+    * dropped from pairing (a token in k documents contributes k² posting
+    * pairs — ubiquitous tokens are stopwords with near-zero IDF weight
+    * anyway). Norms are computed in the pruned term space, so cosine stays
+    * a true cosine there. Documents sharing no surviving token simply
+    * never appear.
+    *
+    * Output: (a, b, cosine) with a < b and cosine ≥ threshold.
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDocFreq: Int = 1000): DataFrame = {
+    require(threshold >= 0 && threshold <= 1, s"threshold=$threshold out of [0,1]")
+    val n = docs.count()
+    val toks = Staging.explodeStaged(docs, Seq(idCol),
+      tokens(lower(col(textCol))), as = "token")
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = tf.join(dfreq, Seq("token"))
+      .where(col("df") <= maxDocFreq)
+      .select(col(idCol), col("token"),
+        (col("tf") * round(log(lit(n.toDouble) / col("df")), 8)).as("__w"))
+    val norms = w.groupBy(col(idCol))
+      .agg(sqrt(sum(col("__w") * col("__w"))).as("__nrm"))
+    w.select(col("token"), col(idCol).as("a"), col("__w").as("__wa"))
+      .join(w.select(col("token"), col(idCol).as("b"), col("__w").as("__wb")),
+        Seq("token"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("__wa") * col("__wb")).as("__dot"))
+      .join(norms.select(col(idCol).as("a"), col("__nrm").as("__na")), Seq("a"))
+      .join(norms.select(col(idCol).as("b"), col("__nrm").as("__nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("__dot") / (col("__na") * col("__nb")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** PII-ish redaction patterns — ASCII-only so the Java-regex (Spark) and
     * RE2 (DuckDB oracle) engines agree byte-for-byte on these.
     */

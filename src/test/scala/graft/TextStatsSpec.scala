@@ -133,6 +133,26 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(3L) < out(1L) && out(3L) < out(2L), out.toString)
   }
 
+  test("tfidfCosinePairs: identical docs hit 1.0, disjoint docs never pair, df prune works") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // identical to 1 → cosine 1.0
+      (3L, "epsilon zeta eta theta"))   // shares nothing → no pair
+      .toDF("doc_id", "text")
+    val out = TextStats.tfidfCosinePairs(docs, "doc_id", "text", threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 2L, 1.0)))
+    // a token in every doc is pruned at maxDocFreq < 3 → docs 1,2 still
+    // pair through their remaining tokens
+    val shared = Seq(
+      (1L, "common alpha beta"), (2L, "common alpha beta"), (3L, "common solo"))
+      .toDF("doc_id", "text")
+    val pruned = TextStats.tfidfCosinePairs(shared, "doc_id", "text",
+        threshold = 0.1, maxDocFreq = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pruned === Seq((1L, 2L, 1.0))) // 'common' (df=3) pruned everywhere
+  }
+
   test("pmiPairs: document-level counts, min-count prune, exact PMI") {
     val docs = Seq(
       (1L, "a b"), (2L, "a b"), (3L, "b a"), // order inside a doc is irrelevant
