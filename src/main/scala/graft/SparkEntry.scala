@@ -1089,6 +1089,14 @@ object SparkEntry {
       Profile.keySkew(t(s, dir, "orders"), "o_custkey", k = 10)
         .orderBy(col("n").desc, col("key"))),
 
+    // Unbiased deterministic 5-per-source sample: md5-ranked inside each
+    // group, WindowGroupLimit keeps the map-side forward bounded.
+    "x69_sample_per_group" -> ((s, dir) =>
+      Training.sampleNPerGroup(t(s, dir, "documents"), Seq("source"),
+          "doc_id", nPerGroup = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // Corpus-self-trained unigram LM score (CCNet-style quality signal).
     // vocabSize=20 < the corpus's ~31-word vocabulary, so the OOV floor
     // path is exercised too.
@@ -1970,6 +1978,11 @@ object SparkEntry {
     "x53_source_cap" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+        |ORDER BY doc_id""".stripMargin,
+    "x69_sample_per_group" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
         |ORDER BY doc_id""".stripMargin,
     "x66_value_anomalies" ->
       """WITH s AS (

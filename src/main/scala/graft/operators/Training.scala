@@ -81,6 +81,24 @@ object Training {
       .drop("__rn")
   }
 
+  /** Unbiased deterministic sample of `nPerGroup` rows per group: rows are
+    * ranked inside each group by the md5 of their key — a reproducible
+    * stand-in for random order, so the surviving rows are an unbiased
+    * sample yet identical across runs, engines, and partitionings (where
+    * `capPerGroup(orderCols = id)` deliberately keeps the FIRST rows,
+    * this keeps a RANDOM-looking subset). Same WindowGroupLimit(Partial)
+    * plan: each map task forwards at most nPerGroup rows per group.
+    */
+  def sampleNPerGroup(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      nPerGroup: Int): DataFrame = {
+    require(nPerGroup > 0, "sampleNPerGroup needs nPerGroup > 0")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nPerGroup)
+      .drop("__rn")
+  }
+
   /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1:
     * repetitious documents are low-quality):
     *   - `dup_token_frac`: 1 − distinct/total tokens — pure per-row array

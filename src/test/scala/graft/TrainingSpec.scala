@@ -92,4 +92,23 @@ class TrainingSpec extends AnyFunSuite {
     assert(out(1) === ((2L, 0.0, 0.2, true)))
     assert(out(2) === ((3L, 0.5, 0.2, true)))
   }
+
+  test("sampleNPerGroup: exact n per group, deterministic, differs from first-n") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 2}")).toDF("id", "g")
+    val s1 = Training.sampleNPerGroup(df, Seq("g"), "id", 10)
+      .as[(Long, String)].collect().toSet
+    assert(s1.size === 20)
+    assert(s1.groupBy(_._2).forall(_._2.size === 10))
+    // reproducible run-to-run
+    val s2 = Training.sampleNPerGroup(df, Seq("g"), "id", 10)
+      .as[(Long, String)].collect().toSet
+    assert(s1 === s2)
+    // and NOT the first-n rows (md5 order ≠ id order)
+    val firstN = Training.capPerGroup(df, Seq("g"), Seq("id"), 10)
+      .as[(Long, String)].collect().toSet
+    assert(s1 !== firstN)
+    // requesting more than the group holds returns the whole group
+    val all = Training.sampleNPerGroup(df, Seq("g"), "id", 1000).count()
+    assert(all === 100L)
+  }
 }
