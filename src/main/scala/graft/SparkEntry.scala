@@ -1083,6 +1083,12 @@ object SparkEntry {
           round(col("clipped"), 2).as("clipped"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // Equi-width 20-bin histogram: 1-row min/max broadcast into the
+    // bucketing map, then a <= bins-group aggregate.
+    "x70_histogram" -> ((s, dir) =>
+      Stats.histogram(t(s, dir, "orders"), "o_totalprice", bins = 20)
+        .orderBy(col("bucket"))),
+
     // Key-skew diagnostic: heaviest keys with share + skew factor — the
     // pre-flight check before picking join keys (skew >> 1 ⇒ salt).
     "x63_key_skew" -> ((s, dir) =>
@@ -2018,6 +2024,21 @@ object SparkEntry {
         |JOIN f fb ON pr.tb = fb.tok
         |CROSS JOIN n
         |ORDER BY c DESC, ta, tb LIMIT 40""".stripMargin,
+    "x70_histogram" ->
+      """WITH m AS (
+        |  SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+        |    CAST(max(o_totalprice) AS DOUBLE) AS mx
+        |  FROM orders),
+        |b AS (
+        |  SELECT CAST(CASE WHEN m.mx = m.mn THEN 0
+        |    ELSE least(floor((o_totalprice - m.mn) / ((m.mx - m.mn) / 20)), 19)
+        |    END AS INT) AS bucket
+        |  FROM orders, m)
+        |SELECT bucket,
+        |  round(m.mn + bucket * ((m.mx - m.mn) / 20), 4) AS lo,
+        |  round(m.mn + (bucket + 1) * ((m.mx - m.mn) / 20), 4) AS hi,
+        |  count(*) AS n
+        |FROM b, m GROUP BY 1, m.mn, m.mx ORDER BY bucket""".stripMargin,
     "x62_winsorize" ->
       """WITH b AS (
         |  SELECT quantile_cont(l_extendedprice, 0.05) AS lo,

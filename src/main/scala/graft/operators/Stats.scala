@@ -119,6 +119,31 @@ object Stats {
     } finally ranged.unpersist()
   }
 
+  /** Equi-width histogram of a numeric column: `bins` buckets spanning
+    * [min, max], the max value folded into the last bucket. Two narrow
+    * passes — a 1-row min/max aggregate broadcast into the bucketing map,
+    * then one partial-agged `groupBy(bucket)` of at most `bins` groups.
+    * Empty buckets are absent from the output (join a `sequence` spine to
+    * densify if needed). A constant column lands entirely in bucket 0.
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int = 20): DataFrame = {
+    require(bins > 0, s"bins=$bins must be positive")
+    val v = col(valueCol).cast("double")
+    val mm = df.agg(min(v).as("__mn"), max(v).as("__mx"))
+    val width = (col("__mx") - col("__mn")) / bins
+    val bucket = when(col("__mx") === col("__mn"), lit(0))
+      .otherwise(least(floor((v - col("__mn")) / width), lit(bins - 1)))
+      .cast("int")
+    df.crossJoin(broadcast(mm))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(mm))
+      .select(col("bucket"),
+        round(col("__mn") + col("bucket") * width, 4).as("lo"),
+        round(col("__mn") + (col("bucket") + 1) * width, 4).as("hi"),
+        col("n"))
+  }
+
   /** Winsorize: clip `valueCol` into the exact [lo, hi] percentile range —
     * the standard outlier treatment before scale-sensitive statistics
     * (means, regressions, z-scores). Two passes: the adaptive exact

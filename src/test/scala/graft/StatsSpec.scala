@@ -56,6 +56,20 @@ class StatsSpec extends AnyFunSuite {
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
 
+  test("histogram: equi-width buckets, max folds into the last, constants in bucket 0") {
+    val df = (0 until 100).map(_.toDouble).toDF("v")
+    val h = Stats.histogram(df, "v", bins = 10)
+      .orderBy("bucket")
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    assert(h.size === 10)
+    assert(h.map(_._4).forall(_ === 10L)) // uniform data → 10 per bucket
+    assert(h.head._2 === 0.0 && math.abs(h.last._3 - 99.0) < 1e-9)
+    // the max value (99.0) belongs to the last bucket, not an 11th
+    val const = Stats.histogram(Seq(5.0, 5.0, 5.0).toDF("v"), "v", bins = 4)
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    assert(const === Seq((0, 5.0, 5.0, 3L)))
+  }
+
   test("winsorize clips into the exact percentile range, keeps inliers") {
     // 1..100: p10 = 10.9, p90 = 90.1 (interpolated)
     val df = (1 to 100).map(_.toDouble).toDF("v")
