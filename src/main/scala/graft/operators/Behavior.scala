@@ -83,17 +83,34 @@ object Behavior {
     */
   def valueAnomalies(events: DataFrame, z: Double = 3.0,
       typeCol: String = "event_type", tsCol: String = "ts",
-      valueCol: String = "value"): DataFrame = {
-    require(z > 0, s"z=$z must be positive")
-    val stats = events
+      valueCol: String = "value"): DataFrame =
+    scoreAgainstBaseline(events,
+      baselineStats(events, typeCol, tsCol, valueCol), z, typeCol, tsCol, valueCol)
+
+  /** The (type, hour-of-day) baseline: mean and sample stddev per bucket.
+    * Types × 24 rows — broadcast-small by construction. Persist this from
+    * history and feed `EventsStream.anomalyStream` for the streaming
+    * (lambda) variant.
+    */
+  def baselineStats(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame =
+    events
       .groupBy(col(typeCol), hour(col(tsCol)).as("__h"))
       .agg(avg(col(valueCol)).as("__mu"), stddev_samp(col(valueCol)).as("__sd"))
+
+  /** Score rows against a prebuilt baseline (see `baselineStats`) — the
+    * stateless half of the anomaly check, shared by batch and streaming.
+    */
+  def scoreAgainstBaseline(events: DataFrame, baseline: DataFrame,
+      z: Double = 3.0, typeCol: String = "event_type", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(z > 0, s"z=$z must be positive")
     val zscore = when(col("__sd") > 0,
       (col(valueCol) - col("__mu")) / col("__sd")).otherwise(lit(null))
     events
-      .join(broadcast(stats),
-        events(typeCol) === stats(typeCol) && hour(col(tsCol)) === col("__h"))
-      .drop(stats(typeCol))
+      .join(broadcast(baseline),
+        events(typeCol) === baseline(typeCol) && hour(col(tsCol)) === col("__h"))
+      .drop(baseline(typeCol))
       .withColumn("zscore", zscore)
       .withColumn("is_anomaly", abs(col("zscore")) > z)
       .drop("__h", "__mu", "__sd")

@@ -127,6 +127,22 @@ object EventsStream {
       keys: Seq[String]): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
 
+  /** Streaming anomaly flags: each arriving event is z-scored against
+    * PRE-COMPUTED (type, hour) baseline stats — the static output of the
+    * batch `Behavior.valueAnomalies` stats pass over history, broadcast
+    * into every micro-batch. The standard lambda shape for outlier
+    * alerting: the baseline refreshes on the batch cadence, the scoring
+    * is stateless per event (no watermark, no streaming state).
+    *
+    * `baseline` columns: (typeCol, __h, __mu, __sd) — build it with
+    * `Behavior.baselineStats`.
+    */
+  def anomalyStream(events: DataFrame, baseline: DataFrame, z: Double = 3.0,
+      typeCol: String = "event_type", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    graft.operators.Behavior.scoreAgainstBaseline(
+      events, baseline, z, typeCol, tsCol, valueCol)
+
   /** Streaming ingest → MERGE upsert: each micro-batch is deduped on
     * `keys` (last value per key within the batch wins, by max ts) and
     * MERGEd into the catalog table via `Catalog.upsert` inside

@@ -119,6 +119,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("anomalyStream scores micro-batches against the static baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:15:00").getTime
+    // history: 20 calm events in the (m, hour 10) bucket + an hour-11 row
+    val history = ((0 until 20).map(i =>
+      (i.toLong, new Timestamp(t0 + i), "m", 10.0 + (i % 2))) :+
+      (50L, Timestamp.valueOf("2024-01-01 11:00:00"), "m", 10.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val baseline = graft.operators.Behavior.baselineStats(history)
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = EventsStream.anomalyStream(
+      input.toDS().toDF("event_id", "ts", "event_type", "value"), baseline)
+      .writeStream.outputMode("append").format("memory").queryName("anoms").start()
+    try {
+      input.addData(
+        (100L, new Timestamp(t0 + 99), "m", 500.0), // wild outlier
+        (101L, new Timestamp(t0 + 100), "m", 10.5)) // calm
+      q.processAllAvailable()
+      val got = spark.table("anoms")
+        .select("event_id", "is_anomaly").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got === Map(100L -> true, 101L -> false))
+    } finally q.stop()
+  }
+
   test("streaming upsert materializes last-value-per-key across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft_upsert_stream").toString
