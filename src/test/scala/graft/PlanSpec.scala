@@ -77,6 +77,13 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q6: all three predicates push into the lineitem parquet scan") {
+    val p = planOf("q6_forecast_revenue")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), pushed)
+  }
+
   test("x60 unigram LM: vocabulary leaves executors only as a TakeOrdered, scoring joins broadcast") {
     // the operator runs driver actions (top-V, N) during plan construction;
     // pin the scoring plan's shape instead of the whole query execution
