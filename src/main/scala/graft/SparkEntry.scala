@@ -1119,6 +1119,17 @@ object SparkEntry {
       Behavior.funnel(Catalog.events(s, dir), Seq("view", "click", "purchase"))
         .orderBy(col("stage_idx"))),
 
+    // Most common 3-step user journeys: lead() windows keyed on user_id,
+    // map-side partial-agged path counts, top-20.
+    "x71_event_paths" -> ((s, dir) =>
+      Behavior.topEventPaths(Catalog.events(s, dir), n = 3, topK = 20)),
+
+    // Exact rolling 7-day WAU + stickiness without sketches: activity
+    // explodes into its 7 contribution days, one countDistinct per day.
+    "x72_stickiness" -> ((s, dir) =>
+      Behavior.rollingStickiness(Catalog.events(s, dir))
+        .orderBy(col("day"))),
+
     // Weekly cohort retention triangle: distinct (user, week) activity and
     // per-user first week shuffle on the same key, then a tiny cell count.
     "x57_retention" -> ((s, dir) =>
@@ -2111,6 +2122,29 @@ object SparkEntry {
         |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
         |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
         |ORDER BY stage_idx""".stripMargin,
+    "x71_event_paths" ->
+      """WITH s AS (
+        |  SELECT event_type AS s0,
+        |    lead(event_type, 1) OVER w AS s1,
+        |    lead(event_type, 2) OVER w AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path, count(*) AS n
+        |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "x72_stickiness" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        |dau AS (SELECT d AS day, count(DISTINCT u) AS dau FROM a GROUP BY 1),
+        |e AS (
+        |  SELECT u, unnest(generate_series(d, d + INTERVAL 6 DAY,
+        |    INTERVAL 1 DAY))::DATE AS day
+        |  FROM a),
+        |wau AS (SELECT day, count(DISTINCT u) AS wau FROM e GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  round(dau.dau::DOUBLE / wau.wau, 4) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin,
     "x57_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w

@@ -72,6 +72,55 @@ object Behavior {
     counts.select(stageRows.as("x")).select(col("x.*"))
   }
 
+  /** Most common length-`n` consecutive event paths ("user journeys"):
+    * per user, events ordered by time form a sequence; every window of
+    * `n` consecutive event types is a path occurrence. Top-`topK` paths
+    * by count, ties broken by path string.
+    *
+    * The lead() window partitions by user — cardinality scales with the
+    * data — and the path counts partial-aggregate map-side. Ties in `ts`
+    * are broken by `event_id` so the sequence (and the output) is total.
+    */
+  def topEventPaths(events: DataFrame, n: Int = 3, topK: Int = 20,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    require(n >= 2 && topK >= 1, s"bad topEventPaths params n=$n topK=$topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val steps = (1 until n).foldLeft(
+      events.select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("__s0"))) { (d, i) =>
+      d.withColumn(s"__s$i", lead(col("__s0"), i).over(w))
+    }
+    steps
+      .where((1 until n).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(" > ", (0 until n).map(i => col(s"__s$i")): _*).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(topK)
+  }
+
+  /** Rolling 7-day active users and stickiness (DAU / trailing WAU): the
+    * exact rolling COUNT DISTINCT, computed without sketches — each
+    * distinct (user, day) activity row explodes into the 7 future days it
+    * contributes to, then one countDistinct per day. Shuffle volume is 7×
+    * the distinct activity pairs (already tiny next to the raw events),
+    * never 7× the events, and no range join / nested loop appears.
+    * Days with activity only in their look-back (no DAU) are not emitted.
+    */
+  def rollingStickiness(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val activity = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
+    val dau = activity.groupBy(col("d").as("day"))
+      .agg(countDistinct(col("u")).as("dau"))
+    val wau = activity
+      .select(col("u"), explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+      .groupBy(col("day")).agg(countDistinct(col("u")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+  }
+
   /** Per-bucket z-score anomaly flags: each event's value is scored
     * against the mean/stddev of its (type, hour-of-day) bucket — the
     * seasonal-baseline outlier check every metrics pipeline runs.

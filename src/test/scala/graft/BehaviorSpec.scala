@@ -94,6 +94,41 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out(102L)._1.isEmpty)           // constant bucket: stddev 0
   }
 
+  test("topEventPaths counts consecutive windows per user, ts-then-id order") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "b"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "c"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "b"), // u1: a>b>c, b>c>b
+      (5L, ts("2024-01-01 09:00:00"), 2L, "a"),
+      (6L, ts("2024-01-01 09:01:00"), 2L, "b"),
+      (7L, ts("2024-01-01 09:02:00"), 2L, "c"), // u2: a>b>c
+      (8L, ts("2024-01-01 08:00:00"), 3L, "a")) // too short: no path
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Behavior.topEventPaths(events, n = 3, topK = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("a > b > c", 2L), ("b > c > b", 1L)))
+  }
+
+  test("rollingStickiness: exact trailing 7-day distinct users") {
+    val events = Seq(
+      // u1 active day 1 and day 5; u2 active day 1 only
+      (1L, ts("2024-01-01 10:00:00"), 1L, "e"),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "e"),
+      (3L, ts("2024-01-05 10:00:00"), 1L, "e"),
+      // day 9: u1's day-5 activity still in the window, day-1 is not
+      (4L, ts("2024-01-09 10:00:00"), 2L, "e"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Behavior.rollingStickiness(events)
+      .orderBy("day")
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("dau"), col("wau"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("2024-01-01", 2L, 2L),
+      ("2024-01-05", 1L, 2L),   // window [day-6, day] covers day 1: u1+u2
+      ("2024-01-09", 1L, 2L)))  // u2 today + u1 from day 5; day 1 aged out
+  }
+
   test("funnel plans exactly one exchange (the user_id aggregation)") {
     val events = Seq((1L, ts("2024-01-01 10:00:00"), "view"))
       .toDF("user_id", "ts", "event_type")

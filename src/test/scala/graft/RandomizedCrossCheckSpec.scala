@@ -53,6 +53,34 @@ class RandomizedCrossCheckSpec extends AnyFunSuite {
     assert(got.size === leftRows.size) // as-of never drops or duplicates left rows
   }
 
+  test("funnel equals a brute-force per-user chain scan on random data") {
+    val rnd = new scala.util.Random(99L)
+    val types = Seq("view", "click", "buy", "noise")
+    val rows = Seq.tabulate(400)(i =>
+      (rnd.nextInt(40).toLong,
+        new java.sql.Timestamp(1704067200000L + rnd.nextInt(100000) * 1000L),
+        types(rnd.nextInt(types.length))))
+    val events = rows.toDF("user_id", "ts", "event_type")
+    val stages = Seq("view", "click", "buy")
+    val got = graft.operators.Behavior.funnel(events, stages)
+      .orderBy("stage_idx").as[(Int, String, Long)].collect().map(_._3).toSeq
+
+    // brute force: walk each user's (ts, type) history sorted like the
+    // operator (ts asc, then type asc as the struct-sort tiebreak)
+    val expected = Array.fill(3)(0L)
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      val hist = es.map(e => (e._2.getTime, e._3)).sortBy(identity)
+      var reached = Array.fill[Option[Long]](3)(None)
+      hist.foreach { case (t, ty) =>
+        val i = stages.indexOf(ty)
+        if (i >= 0 && reached(i).isEmpty &&
+          (i == 0 || reached(i - 1).exists(_ < t))) reached(i) = Some(t)
+      }
+      reached.zipWithIndex.foreach { case (r, i) => if (r.isDefined) expected(i) += 1 }
+    }
+    assert(got === expected.toSeq, s"got $got expected ${expected.toSeq}")
+  }
+
   test("transpose then untranspose returns the original rows on random data") {
     val rnd = new scala.util.Random(7L)
     val classes = Seq("AAA", "BBB", "CCC", "DDD")
