@@ -58,7 +58,10 @@ object Bench {
         spark.catalog.clearCache()
         t
       }
-      val sec = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+      // ANY failed rep marks the query failed: a median over the surviving
+      // reps would let an intermittent OOM/regression masquerade as a
+      // clean timing in the JSON (stderr keeps the per-rep detail)
+      val sec = if (times.size < reps) -1.0 else times.sorted.apply(times.size / 2)
       // progress on stderr as each query lands, so a truncated log tail
       // still shows per-query numbers
       System.err.println(f"[bench] $name median=$sec%.3f runs=${times.map(t => f"$t%.3f").mkString(",")}")

@@ -2030,7 +2030,7 @@ object SparkEntry {
         |    AS zscore,
         |  abs(CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd END) > 3
         |    AS is_anomaly
-        |FROM events e JOIN s ON e.event_type = s.event_type
+        |FROM events e LEFT JOIN s ON e.event_type = s.event_type
         |  AND extract(hour FROM e.ts) = s.h
         |ORDER BY e.event_id""".stripMargin,
     "x64_pmi" ->

@@ -149,6 +149,11 @@ object Behavior {
 
   /** Score rows against a prebuilt baseline (see `baselineStats`) — the
     * stateless half of the anomaly check, shared by batch and streaming.
+    *
+    * LEFT join: an event whose (type, hour) bucket the baseline has never
+    * seen — a brand-new event type arriving on the stream — keeps its row
+    * with a null z-score (same as a degenerate bucket), instead of being
+    * silently dropped. Those are exactly the rows an operator wants to see.
     */
   def scoreAgainstBaseline(events: DataFrame, baseline: DataFrame,
       z: Double = 3.0, typeCol: String = "event_type", tsCol: String = "ts",
@@ -158,7 +163,8 @@ object Behavior {
       (col(valueCol) - col("__mu")) / col("__sd")).otherwise(lit(null))
     events
       .join(broadcast(baseline),
-        events(typeCol) === baseline(typeCol) && hour(col(tsCol)) === col("__h"))
+        events(typeCol) === baseline(typeCol) && hour(col(tsCol)) === col("__h"),
+        "left")
       .drop(baseline(typeCol))
       .withColumn("zscore", zscore)
       .withColumn("is_anomaly", abs(col("zscore")) > z)

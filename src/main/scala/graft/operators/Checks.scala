@@ -28,6 +28,14 @@ object Checks {
   def audit(df: DataFrame, rowRules: Seq[(String, Column)],
       uniqueKeys: Seq[(String, Seq[String])] = Seq.empty): DataFrame = {
     require(rowRules.nonEmpty || uniqueKeys.nonEmpty, "audit needs at least one rule")
+    val allNames = rowRules.map(_._1) ++ uniqueKeys.map(_._1)
+    // rule names are interpolated into the stack() SQL below: a backtick
+    // would escape the quoted identifier, and a duplicate name makes the
+    // melted column ambiguous — both are caller bugs worth a clear error
+    require(allNames.forall(!_.contains("`")),
+      s"audit: rule names must not contain backticks: ${allNames.filter(_.contains("`"))}")
+    require(allNames.distinct.size == allNames.size,
+      s"audit: duplicate rule names: ${allNames.diff(allNames.distinct).distinct}")
     val rowAggs = rowRules.map { case (name, ok) =>
       sum(when(coalesce(ok, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
     }

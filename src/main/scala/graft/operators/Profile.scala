@@ -64,6 +64,8 @@ object Profile {
       .crossJoin(broadcast(totals))
       .select(col("key"), col("n"),
         round(col("n") / col("__total"), 6).as("share"),
-        round(col("n") * col("__nkeys") / col("__total"), 4).as("skew"))
+        // n and nkeys are both data-sized longs — multiply in double space
+        // or the very skew this diagnostic exists to catch overflows it
+        round(col("n").cast("double") * col("__nkeys") / col("__total"), 4).as("skew"))
   }
 }

@@ -57,22 +57,34 @@ object Ranks {
 
     // pass 1a: per-group range boundaries of the leading sort column.
     // Accuracy doesn't matter for correctness — any monotone split works —
-    // only for balance, so the default accuracy is fine.
+    // only for balance, so the default accuracy is fine. The boundaries are
+    // COLLECTED once and re-enter both downstream passes as literals:
+    // approx_percentile's partial merges are shuffle-order-dependent, so
+    // letting passes 1b and 2 each re-execute the aggregate could hand
+    // them DIFFERENT split points — offsets computed against one bucketing
+    // and ranks against another (silently wrong ranks). Driver cost is
+    // groups × nBuckets doubles, the operator's stated contract.
     val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    val boundaries = df.groupBy(col(groupCol).as("__g"))
+    val spark0 = df.sparkSession
+    val boundaryRows = df.groupBy(col(groupCol).cast("string").as("__g"))
       .agg(expr(s"approx_percentile($lead, array(${probs.mkString(",")}), 10000)")
         .as("__bnd"))
+    val boundaries = spark0.createDataFrame(
+      spark0.sparkContext.parallelize(boundaryRows.collect().toIndexedSeq, 1),
+      boundaryRows.schema)
 
     // bucket = #boundaries strictly below the row's leading value: monotone
     // in the leading value, equal values share a bucket. The boundary array
     // is nBuckets-1 elements, so the interpreted HOF fold is ~nBuckets ops
-    // per row on a broadcast-joined local array.
+    // per row on a broadcast-joined local array. An all-null group yields a
+    // null boundary array — coalesce folds it to bucket 0 instead of a
+    // null bucket that would crash the typed collect below.
     val bucketed = df
       // null-safe join: a null group is a group like any other to a window
       // function — plain === would silently drop its rows
-      .join(broadcast(boundaries), col(groupCol) <=> col("__g"))
+      .join(broadcast(boundaries), col(groupCol).cast("string") <=> col("__g"))
       .withColumn("__bkt",
-        aggregate(col("__bnd"), lit(0),
+        aggregate(coalesce(col("__bnd"), array()), lit(0),
           (acc, b) => acc + when(col(lead) > b, 1).otherwise(0)))
       .drop("__g", "__bnd")
 

@@ -129,12 +129,16 @@ object Stats {
   def histogram(df: DataFrame, valueCol: String, bins: Int = 20): DataFrame = {
     require(bins > 0, s"bins=$bins must be positive")
     val v = col(valueCol).cast("double")
-    val mm = df.agg(min(v).as("__mn"), max(v).as("__mx"))
+    // nulls bucket to null and would surface as a phantom
+    // (bucket=null, lo=null, hi=null) row — histogram non-null values only
+    // (min/max already ignore nulls, so the bins don't move)
+    val nonNull = df.where(v.isNotNull)
+    val mm = nonNull.agg(min(v).as("__mn"), max(v).as("__mx"))
     val width = (col("__mx") - col("__mn")) / bins
     val bucket = when(col("__mx") === col("__mn"), lit(0))
       .otherwise(least(floor((v - col("__mn")) / width), lit(bins - 1)))
       .cast("int")
-    df.crossJoin(broadcast(mm))
+    nonNull.crossJoin(broadcast(mm))
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(mm))

@@ -157,10 +157,11 @@ object Temporal {
     val changed = valueCols
       .map(v => !(col(v) <=> lag(col(v), 1).over(wOrd)))
       .reduce(_ || _)
-    // first row of every run of identical values survives (lag is null on
-    // the first row per key → <=> false → changed)
+    // A key's first row must survive EXPLICITLY: when its tracked values
+    // are all null, `null <=> lag(=null)` is TRUE and the <=>-based change
+    // test alone would drop the entity's first validity interval.
     val runs = changes
-      .withColumn("__chg", changed)
+      .withColumn("__chg", row_number().over(wOrd) === 1 || changed)
       .where(col("__chg"))
       .drop("__chg")
     val wRun = Window.partitionBy(keyCols.map(col): _*)

@@ -74,6 +74,24 @@ object CorpusIngest {
           if (!corpusExists) None
           else {
             val corpus = Catalog.table(s, root, ref)
+            // Self-heal the index before matching: the corpus append and
+            // the index append below are two writes, and a crash between
+            // them leaves corpus rows unindexed — near-duplicates of those
+            // rows would be admitted FOREVER. Reconciling (ids-only
+            // anti-join, both scans column-pruned) bounds that window to
+            // one micro-batch instead.
+            val idxExists = new java.io.File(Catalog.path(root, idxRef)).exists()
+            if (!idxExists)
+              Catalog.writeAppend(Dedup.lshBuckets(corpus, "doc_id", "text",
+                shingleSize, numHashes, bands), root, idxRef)
+            else {
+              val unindexed = corpus.join(
+                Catalog.table(s, root, idxRef).select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+              if (!unindexed.isEmpty)
+                Catalog.writeAppend(Dedup.lshBuckets(unindexed, "doc_id", "text",
+                  shingleSize, numHashes, bands), root, idxRef)
+            }
             Some((Dedup.incrementalExactDupIds(fresh, corpus, "doc_id", "text"),
               Dedup.incrementalMinhashMatchesWithIndex(fresh, corpus,
                 Catalog.table(s, root, idxRef), "doc_id", "text", threshold,

@@ -94,6 +94,24 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out(102L)._1.isEmpty)           // constant bucket: stddev 0
   }
 
+  test("scoreAgainstBaseline keeps events whose bucket the baseline never saw") {
+    val history = Seq((1L, ts("2024-01-01 10:00:00"), "known", 1.0),
+      (2L, ts("2024-01-01 10:01:00"), "known", 2.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val live = Seq(
+      (10L, ts("2024-01-02 10:00:00"), "known", 1.5),
+      (11L, ts("2024-01-02 10:00:00"), "brand_new_type", 9.9), // unseen bucket
+      (12L, ts("2024-01-02 23:00:00"), "known", 1.5))          // unseen hour
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = Behavior.scoreAgainstBaseline(live,
+        Behavior.baselineStats(history))
+      .select("event_id", "zscore").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L)) // nothing silently dropped
+    assert(out(10L).isDefined)
+    assert(out(11L).isEmpty && out(12L).isEmpty) // unseen → null, not gone
+  }
+
   test("topEventPaths counts consecutive windows per user, ts-then-id order") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "a"),

@@ -41,6 +41,17 @@ class ChecksSpec extends AnyFunSuite {
     assert(!plan.contains("Union") && !plan.contains("Join"), plan.take(2000))
   }
 
+  test("audit rejects backticked and duplicate rule names up front") {
+    val df = Seq((1L, 1.0)).toDF("id", "price")
+    intercept[IllegalArgumentException] {
+      Checks.audit(df, rowRules = Seq("price`chk" -> ($"price" > 0)))
+    }
+    intercept[IllegalArgumentException] {
+      Checks.audit(df, rowRules = Seq(
+        "dup" -> ($"price" > 0), "dup" -> ($"id" > 0)))
+    }
+  }
+
   test("audit on an empty table reports zero violations everywhere") {
     val out = Checks.audit(spark.range(0).toDF("id"),
         rowRules = Seq("id_positive" -> ($"id" > 0)),

@@ -55,4 +55,18 @@ class RanksSpec extends AnyFunSuite {
     val plan = fast.queryExecution.optimizedPlan.toString
     assert(plan.contains("__bkt"), plan.take(2000))
   }
+
+  test("rankFamily survives a group whose leading sort column is all null") {
+    // approx_percentile of an all-null group returns a NULL boundary
+    // array; the coalesce-to-empty fold must put those rows in bucket 0
+    // instead of crashing the typed counts collect
+    val df = Seq(
+      ("a", Some(1.0), 1L), ("a", Some(2.0), 2L),
+      ("b", Option.empty[Double], 3L), ("b", Option.empty[Double], 4L))
+      .toDF("g", "v", "id")
+    val out = Ranks.rankFamily(df, "g", Seq("v", "id"), ntileN = 2, nBuckets = 4)
+      .select($"g", $"id", $"rank").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 1L), ("b", 4L, 2L)))
+  }
 }

@@ -68,6 +68,12 @@ class StatsSpec extends AnyFunSuite {
     val const = Stats.histogram(Seq(5.0, 5.0, 5.0).toDF("v"), "v", bins = 4)
       .as[(Int, Double, Double, Long)].collect().toSeq
     assert(const === Seq((0, 5.0, 5.0, 3L)))
+    // nulls don't surface as a phantom (null, null, null) bin
+    val withNulls = Stats.histogram(
+      Seq(Some(1.0), None, Some(2.0), None).toDF("v"), "v", bins = 2)
+      .orderBy("bucket")
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    assert(withNulls === Seq((0, 1.0, 1.5, 1L), (1, 1.5, 2.0, 1L)))
   }
 
   test("winsorize clips into the exact percentile range, keeps inliers") {

@@ -109,4 +109,24 @@ class TemporalSpec extends AnyFunSuite {
         tieBreak = Seq("event_id"))
     assert(v.count() === 2) // "a" and the null run — not three, not one
   }
+
+  test("scd2 keeps a key whose FIRST tracked value is null") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    // null <=> lag(=null) is TRUE on the first row — without the explicit
+    // first-row keep, this entity's opening interval silently vanished
+    val log = Seq(
+      (1L, ts(0), 1L, null), (1L, ts(10), 2L, "a"),
+      (2L, ts(0), 3L, null)) // a key whose ONLY value is null
+      .toDF("user_id", "ts", "event_id", "tier")
+    val out = Temporal.scd2(log, Seq("user_id"), "ts", Seq("tier"),
+        tieBreak = Seq("event_id"))
+      .select($"user_id", $"tier", $"eff_from", $"eff_to")
+      .as[(Long, Option[String], Timestamp, Option[Timestamp])]
+      .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
+    assert(out === Seq(
+      (1L, None, ts(0), Some(ts(10))),
+      (1L, Some("a"), ts(10), None),
+      (2L, None, ts(0), None)))
+  }
 }
