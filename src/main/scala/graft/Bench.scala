@@ -1,11 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR,
-  * one JSON line on stdout.
+/** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR.
   *
   * Results are fully materialized through a noop sink — `count()` would let
   * Catalyst prune every projected column and time only the scan/agg skeleton.
+  *
+  * Output contract: stdout carries ONE SHORT final JSON line (total + the
+  * slowest queries only — it fits any log-tail window); the FULL per-query
+  * detail JSON is written to /tmp/graft/bench_last.json. Earlier rounds
+  * printed the full ~3 KB line to stdout and the driver's ~2 KB tail never
+  * captured a parseable result.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,49 +40,63 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
-    // Per-query median of SPARK_GRAFT_REPS runs (default 3): single-shot
-    // timings in a shared JVM swing 4-8x from JIT/GC/page-cache carryover —
-    // identical binaries produced 2.5x "regressions" between rounds. The
-    // median is robust to one bad run in either direction.
+    val ordered = selected.toSeq.sortBy(_._1)
+    // Per-query median of SPARK_GRAFT_REPS runs (default 3), with reps
+    // INTERLEAVED round-robin across queries (rep 1 of every query, then
+    // rep 2, ...): single-shot timings in a shared JVM swing 4-8x from
+    // JIT/GC/page-cache carryover, and a minutes-long environment stall
+    // that spans consecutive runs of ONE query would own all its reps —
+    // round-robin spreads any stall across many queries' single reps,
+    // where the per-query median absorbs it (r4: official x6 at 9.67 s vs
+    // 0.96-1.20 s for the same binary).
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val failed = scala.collection.mutable.Set.empty[String]
+    for (rep <- 1 to reps; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        times(name) = times(name) :+ t
+        System.err.println(f"[bench] rep $rep/$reps $name $t%.3f")
+      } catch { case e: Throwable =>
+        // ANY failed rep marks the query failed: a median over surviving
+        // reps would let an intermittent OOM/regression masquerade as a
+        // clean timing in the JSON (stderr keeps the per-rep detail)
+        failed += name
+        System.err.println(s"[bench] rep $rep/$reps $name FAILED: ${e.getMessage}")
+      }
+      // operators that persist intermediates (LSH candidates, CC frontiers)
+      // must not leak cached blocks into later queries' memory budget —
+      // every rep starts cache-cold
+      spark.catalog.clearCache()
+    }
     // -1.0 marks a failed query — a swallowed exception must not masquerade
     // as a fast timing in the bench JSON
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val t =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-                Some((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            None
-          }
-        // operators that persist intermediates (LSH candidates, CC frontiers)
-        // must not leak cached blocks into later queries' memory budget —
-        // every rep starts cache-cold
-        spark.catalog.clearCache()
-        t
-      }
-      // ANY failed rep marks the query failed: a median over the surviving
-      // reps would let an intermittent OOM/regression masquerade as a
-      // clean timing in the JSON (stderr keeps the per-rep detail)
-      val sec = if (times.size < reps) -1.0 else times.sorted.apply(times.size / 2)
-      // progress on stderr as each query lands, so a truncated log tail
-      // still shows per-query numbers
-      System.err.println(f"[bench] $name median=$sec%.3f runs=${times.map(t => f"$t%.3f").mkString(",")}")
+    val results = ordered.map { case (name, _) =>
+      val ts = times(name)
+      val sec = if (failed(name) || ts.size < reps) -1.0 else ts.sorted.apply(ts.size / 2)
+      System.err.println(f"[bench] $name median=$sec%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
-    // durable copy: the driver reads stdout, but a truncated tail loses the
-    // one-line JSON — keep the last full result on disk too
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    // durable copy holds the FULL per-query detail
     val out = new java.io.File("/tmp/graft/bench_last.json")
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out)
-    try w.println(json) finally w.close()
-    println(json)
+    try w.println(fullJson) finally w.close()
+    // stdout gets one SHORT line (total + 5 slowest + failure count) as the
+    // LAST line — guaranteed to fit the driver's log-tail window
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val nFailed = results.count(_._2 < 0)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"sf":"$sfDir","reps":$reps,"queries_n":${results.size},"failed_n":$nFailed,"detail":"/tmp/graft/bench_last.json"}""")
     spark.stop()
   }
 }

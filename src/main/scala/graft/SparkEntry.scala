@@ -27,6 +27,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
 
+  /** Aggregate ANN recall check against exact brute-force truth (both
+    * sides exclude self-matches), as a SQL-verifiable property: the
+    * oracle re-derives the query count and full-length result total, and
+    * asserts `recall_ok` literally TRUE — so a recall regression, a
+    * starved bucket (short result list), or a lost query each flips the
+    * hash. Aggregate (not per-query) because per-query overlap at k=5 is
+    * legitimately noisy for approximate methods; the corpus-level recall
+    * is deterministic (seeded planes/centroids) and is what the method
+    * contracts. `minRecall` floors hits / |brute results|.
+    */
+  private def annRecallCheck(ann: DataFrame, brute: DataFrame,
+      minRecall: Double): DataFrame = {
+    val hitsN = ann.select(col("qid"), col("nid"))
+      .join(brute.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
+      .agg(count(lit(1)).as("__h"))
+    val bruteN = brute.agg(count(lit(1)).as("__b"))
+    ann.agg(countDistinct(col("qid")).as("n_queries"), count(lit(1)).as("n_results"))
+      .crossJoin(hitsN).crossJoin(bruteN)
+      .select(col("n_queries"), col("n_results"),
+        (col("__h") >= col("__b") * minRecall).as("recall_ok"))
+  }
+
   // ---- headline pricing-summary agg (A1/A2/A8: partial+final hash agg) ----
   private def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -303,12 +325,29 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
         .orderBy(col("a"), col("b"))),
 
-    // SimHash near-dup pairs (hamming ≤ 3 via 4-band pigeonhole).
-    // No SQL oracle (xxhash64 not expressible in DuckDB) → rows-only check;
-    // determinism + planted-pair recall asserted in DedupSpec.
-    "x3_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
-        .orderBy(col("a"), col("b"))),
+    // SimHash near-dup recall as a SQL-verifiable property: the simhash
+    // hashes themselves aren't DuckDB-expressible (xxhash64), but the
+    // truth side is — the oracle recomputes every pair with exact 3-gram
+    // Jaccard ≥ 0.95 (x2-style O(n²)), checking id/jaccard math row by
+    // row, and asserts the corpus-level simhash recall flag TRUE. SimHash
+    // measures hamming distance, not Jaccard, so per-pair capture is
+    // legitimately partial (observed 0.583 at hamming ≤ 3, deterministic);
+    // floor 0.4. Pair-level output/determinism stays pinned by DedupSpec.
+    "x3_dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.95)
+        .select(col("a"), col("b"), col("jaccard"))
+      val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+        .select(col("a"), col("b"), lit(true).as("__f"))
+      val marked = truth.join(sim, Seq("a", "b"), "left")
+        .withColumn("__found", coalesce(col("__f"), lit(false)))
+      val rec = marked.agg(
+        (sum(when(col("__found"), 1).otherwise(0)) >= count(lit(1)) * 0.4)
+          .as("simhash_recall_ok"))
+      marked.crossJoin(broadcast(rec))
+        .select(col("a"), col("b"), col("jaccard"), col("simhash_recall_ok"))
+        .orderBy(col("a"), col("b"))
+    }),
 
     // Token counting: whitespace + BPE-ish regex tokens + char count.
     "x4_text_tokens" -> ((s, dir) => {
@@ -395,36 +434,42 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // LSH-bucketed approximate top-k (the scale path). Plane set is
-    // seed-deterministic but not SQL-expressible → rows-only; recall vs
-    // brute force asserted in SimilaritySpec.
+    // LSH-bucketed approximate top-k (the scale path), checked as a
+    // SQL-verifiable property: corpus-level overlap of the LSH top-5 with
+    // the EXACT brute-force top-5 (computed in the same plan) must clear
+    // a floor, and result lists must be full-length. Observed non-self
+    // recall at these parameters: 0.225 (deterministic, seeded planes);
+    // floor 0.15. Raw neighbor lists stay pinned by SimilaritySpec.
     "x9_knn_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.lshKnn(e, e.where(col("vec_id") < 8), k = 5, numPlanes = 4)
-        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
-        .orderBy(col("qid"), col("rank"))
+      val q = e.where(col("vec_id") < 8)
+      annRecallCheck(
+        Similarity.lshKnn(e, q, k = 5, numPlanes = 4),
+        Similarity.bruteForceKnn(e, q, k = 5), minRecall = 0.15)
     }),
 
     // IVF approximate top-k (inverted-file ANN; deterministic sampled
-    // centroids). Not SQL-expressible → rows-only; recall vs brute force
-    // asserted in SimilaritySpec.
+    // centroids), checked as corpus-level recall-vs-brute within the plan
+    // — same property shape as x9. Observed 0.50; floor 0.35.
     "x14_knn_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfKnn(e, e.where(col("vec_id") < 8), k = 5, nCentroids = 16, nProbe = 4)
-        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
-        .orderBy(col("qid"), col("rank"))
+      val q = e.where(col("vec_id") < 8)
+      annRecallCheck(
+        Similarity.ivfKnn(e, q, k = 5, nCentroids = 16, nProbe = 4),
+        Similarity.bruteForceKnn(e, q, k = 5), minRecall = 0.35)
     }),
 
     // IVF with a TRAINED coarse quantizer: 3 spherical k-means rounds
     // refine the sampled centroids, so cells follow the corpus's direction
-    // clusters (higher recall at the same nProbe). Rows-only check like the
-    // other ANN paths; recall-vs-brute asserted in SimilaritySpec.
+    // clusters (higher recall at the same nProbe). Checked as corpus-level
+    // recall-vs-brute within the plan — same property shape as x9.
+    // Observed 0.50; floor 0.35.
     "x59_knn_ivf_trained" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfKnn(e, e.where(col("vec_id") < 8), k = 5,
-          nCentroids = 16, nProbe = 4, trainIters = 3)
-        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
-        .orderBy(col("qid"), col("rank"))
+      val q = e.where(col("vec_id") < 8)
+      annRecallCheck(
+        Similarity.ivfKnn(e, q, k = 5, nCentroids = 16, nProbe = 4, trainIters = 3),
+        Similarity.bruteForceKnn(e, q, k = 5), minRecall = 0.35)
     }),
 
     // Embedding-cosine near-dup pairs via LSH buckets. The corpus has no
@@ -809,17 +854,26 @@ object SparkEntry {
 
     // Approximate sketches — the 100 TB path next to the exact x20/x33
     // (HLL++ distinct count, quantile-sketch percentiles). Both partial-
-    // aggregate map-side; neither sorts or materializes a group. No SQL
-    // oracle (sketch internals differ per engine) → rows-only check; error
-    // bounds vs exact are asserted in ProfileSpec.
+    // aggregate map-side; neither sorts or materializes a group. Sketch
+    // internals differ per engine, so the SQL-verifiable property is the
+    // error bound: exact values (oracle-recomputable) plus within-bounds
+    // booleans computed against the exact aggregates IN THE SAME PLAN —
+    // HLL at rsd=0.02 must land within 10% relative, the quantile sketch
+    // at accuracy=5000 within 2%. The oracle asserts the booleans
+    // literally TRUE, so sketch drift flips the hash.
     "x38_approx_stats" -> ((s, dir) =>
       t(s, dir, "orders").agg(
-        approx_count_distinct(col("o_custkey"), 0.02).as("n_buyers_approx"),
-        round(element_at(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 5000)"), 1), 2)
-          .as("p50_approx"),
-        round(element_at(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 5000)"), 2), 2)
-          .as("p95_approx"),
-        count(lit(1)).as("n_orders"))),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_buyers"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("__hll"),
+        expr("percentile(o_totalprice, array(0.5, 0.95))").as("__pe"),
+        expr("approx_percentile(o_totalprice, array(0.5, 0.95), 5000)").as("__pa"))
+      .select(col("n_orders"), col("n_buyers"),
+        (abs(col("__hll") - col("n_buyers")) <= col("n_buyers") * 0.1).as("hll_ok"),
+        (abs(element_at(col("__pa"), 1) - element_at(col("__pe"), 1))
+          <= abs(element_at(col("__pe"), 1)) * 0.02).as("p50_ok"),
+        (abs(element_at(col("__pa"), 2) - element_at(col("__pe"), 2))
+          <= abs(element_at(col("__pe"), 2)) * 0.02).as("p95_ok"))),
 
     // Structured JSON extraction from a string column (events.props) —
     // from_json into a typed struct, then a grouped aggregate over it.
@@ -895,13 +949,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
-    // LSH recall estimate on a 50% hash-sample: exact-Jaccard truth within
-    // the sample vs minhashPairs at the same parameters. Rows-only (the
-    // seeded MinHash isn't replayable in SQL); DedupSpec asserts the
-    // planted-duplicate case reaches recall 1.0.
+    // LSH recall estimate on a 50% hash-sample. The seeded MinHash isn't
+    // replayable in SQL, but the estimator's inputs and contract are: the
+    // deterministic hash-sample membership and the exact-Jaccard truth
+    // pair count are both recomputed by the oracle (x2-style O(n²) within
+    // the sample), and recall — planted near-identical duplicates at
+    // threshold 0.9 — must clear 0.95 (observed 1.0). A sampling, truth,
+    // or banding regression each flips a different column.
     "x67_lsh_recall" -> ((s, dir) =>
       Dedup.lshRecallEstimate(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.9, sampleFraction = 0.5)),
+          threshold = 0.9, sampleFraction = 0.5)
+        .select(col("n_docs"), col("n_true_pairs"),
+          ((col("recall").isNull && col("n_true_pairs") === 0) ||
+            col("recall") >= 0.95).as("recall_ok"))),
 
     // Train/test contamination: 8-gram overlap of each corpus doc against a
     // benchmark set (deterministic 10% slice), via broadcast inverted index.
@@ -1051,13 +1111,21 @@ object SparkEntry {
     }),
 
     // JL random projection to 16 dims: a narrow map of seeded-Rademacher
-    // dot products (rows-only check; geometry preservation asserted in
-    // SimilaritySpec — the seeded matrix isn't replayable in SQL).
-    "x65_jl_project" -> ((s, dir) =>
-      Similarity.randomProject(t(s, dir, "embeddings"), outDims = 16)
-        .select(col("vec_id"), size(col("proj")).as("out_dims"),
-          round(Embeddings.l2(col("proj")), 4).as("norm"))
-        .orderBy(col("vec_id"))),
+    // dot products. The seeded matrix isn't replayable in SQL, but the JL
+    // guarantee is — E[‖proj‖²] = ‖x‖² under the 1/√k scaling, so the
+    // corpus mean of the squared-norm ratio concentrates tightly around 1
+    // (var ≈ 2/(16·n)). The oracle re-derives the spine (out_dims, vector
+    // count over nonzero-norm rows) and asserts the bound literally TRUE;
+    // per-pair geometry stays asserted in SimilaritySpec.
+    "x65_jl_project" -> ((s, dir) => {
+      val p = Similarity.randomProject(t(s, dir, "embeddings"), outDims = 16)
+      val nIn = pow(Embeddings.l2(col("embedding")), 2)
+      val nOut = pow(Embeddings.l2(col("proj")), 2)
+      p.where(nIn > 0)
+        .agg(count(lit(1)).as("n_vecs"), avg(nOut / nIn).as("__r"))
+        .select(lit(16).as("out_dims"), col("n_vecs"),
+          (abs(col("__r") - 1.0) <= 0.15).as("mean_sq_ratio_ok"))
+    }),
 
     // Seasonal-baseline outlier flags: z-score vs the (type, hour) bucket
     // mean/stddev — tiny stats frame broadcast back over the stream.
@@ -1343,6 +1411,69 @@ object SparkEntry {
         |      len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
         |  FROM s a, s b WHERE a.doc_id < b.doc_id)
         |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.9 ORDER BY a, b""".stripMargin,
+    "x3_dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, jaccard, TRUE AS simhash_recall_ok
+        |FROM p WHERE jaccard >= 0.95 ORDER BY a, b""".stripMargin,
+    "x9_knn_lsh" ->
+      """SELECT count(*) AS n_queries, 5 * count(*) AS n_results, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "x14_knn_ivf" ->
+      """SELECT count(*) AS n_queries, 5 * count(*) AS n_results, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "x59_knn_ivf_trained" ->
+      """SELECT count(*) AS n_queries, 5 * count(*) AS n_results, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "x38_approx_stats" ->
+      """SELECT count(*) AS n_orders, count(DISTINCT o_custkey) AS n_buyers,
+        |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM orders""".stripMargin,
+    "x65_jl_project" ->
+      """SELECT 16 AS out_dims, count(*) AS n_vecs, TRUE AS mean_sq_ratio_ok
+        |FROM embeddings
+        |WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0""".stripMargin,
+    "x67_lsh_recall" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE ((doc_id & 2147483647) * 2654435761) % 1000000 < 500000),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+        |SELECT (SELECT count(*) FROM d) AS n_docs,
+        |  count(*) AS n_true_pairs, TRUE AS recall_ok
+        |FROM p WHERE jaccard >= 0.9""".stripMargin,
     "x4_text_tokens" ->
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
@@ -2075,7 +2206,8 @@ object SparkEntry {
         |    quantile_cont(l_extendedprice, 0.95) AS hi
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber,
-        |  round(least(greatest(l_extendedprice, b.lo), b.hi), 2) AS clipped
+        |  round(CASE WHEN l_extendedprice IS NOT NULL
+        |    THEN least(greatest(l_extendedprice, b.lo), b.hi) END, 2) AS clipped
         |FROM lineitem, b
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "x63_key_skew" ->

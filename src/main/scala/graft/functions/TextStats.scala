@@ -62,8 +62,12 @@ object TextStats {
     * by token count; winner = max score, ties broken by language code
     * ascending; zero hits anywhere → "und" (undetermined).
     *
-    * Implemented as an array of (score, lang) structs sorted by a
-    * comparator — still a single codegen'd projection.
+    * Implemented as ONE `aggregate` fold over the (score, lang) structs —
+    * still a single projection. The earlier `array_sort`-comparator
+    * version referenced the sorted result twice (score + lang fields), so
+    * the whole sort — and the 5 stopword-filter scores feeding it — was
+    * evaluated twice per row; the fold's finish lambda reads its
+    * accumulator (a lambda variable, evaluated once) instead.
     */
   def langId(text: Column, stopwords: Map[String, Seq[String]] = Stopwords): Column =
     langIdFromTokens(tokens(lower(text)), stopwords)
@@ -75,20 +79,17 @@ object TextStats {
     * input on every reference.
     */
   def langIdFromTokens(toks: Column, stopwords: Map[String, Seq[String]] = Stopwords): Column = {
+    // lang-ascending construction order + strict `>` in the fold = ties
+    // keep the earliest (smallest) language code, matching the documented
+    // tie-break without any sort.
     val scored = array(stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(size(filter(toks, t => t.isInCollection(words))).as("score"), lit(lang).as("lang"))
     }: _*)
-    val best = array_sort(
+    aggregate(
       scored,
-      (a, b) =>
-        when(a.getField("score") > b.getField("score"), -1)
-          .when(a.getField("score") < b.getField("score"), 1)
-          .otherwise(
-            when(a.getField("lang") < b.getField("lang"), -1)
-              .when(a.getField("lang") > b.getField("lang"), 1)
-              .otherwise(0))
-    ).getItem(0)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+      struct(lit(0).as("score"), lit("und").as("lang")),
+      (acc, e) => when(e.getField("score") > acc.getField("score"), e).otherwise(acc),
+      acc => acc.getField("lang"))
   }
 
   /** Heuristic quality score in [0,1]: rewards a sane document length,

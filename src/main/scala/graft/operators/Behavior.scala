@@ -33,7 +33,7 @@ object Behavior {
     */
   def funnel(events: DataFrame, stages: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
-      typeCol: String = "event_type"): DataFrame = {
+      typeCol: String = "event_type", maxEventsPerUser: Int = 1000000): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val relevant = events
       .where(col(typeCol).isin(stages.map(lit): _*))
@@ -42,10 +42,21 @@ object Behavior {
     // Per user: sorted event history (struct sort = ts-major order), then
     // fold to the chained stage-reach timestamps. acc(i) = earliest time
     // stage i was reached respecting order, null if not (yet) reached.
+    // The per-user-buffer contract fails LOUDLY: a user (usually a bot)
+    // whose relevant history exceeds `maxEventsPerUser` raises with an
+    // actionable message in-plan, instead of OOMing a task downstream.
     val history = relevant
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
-        col(typeCol).as("et")))).as("h"))
+        col(typeCol).as("et")))).as("h0"))
+      .withColumn("h",
+        when(size(col("h0")) <= maxEventsPerUser, col("h0"))
+          .otherwise(raise_error(concat(
+            lit("funnel: user "), col(userCol).cast("string"),
+            lit(s" has more than $maxEventsPerUser relevant events; a " +
+              "user's full history must fit one aggregation buffer — " +
+              "pre-filter bot users or raise maxEventsPerUser")))))
+      .drop("h0")
 
     val init = array(stages.map(_ => lit(null).cast("timestamp")): _*)
     val step = (acc: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) => {

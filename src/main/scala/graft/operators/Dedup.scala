@@ -289,12 +289,21 @@ object Dedup {
     *
     * Output (1 row): n_docs, n_true_pairs, n_lsh_pairs, n_hit_pairs,
     * recall (null when the sample holds no true pairs — sample more).
+    *
+    * The ground truth runs `jaccardPairs` WITHOUT its posting-frequency
+    * prune (`truthMaxDocFreq` defaults to unlimited — the sample already
+    * bounds the quadratic cost): with the prune, true pairs whose shared
+    * shingles are all boilerplate-frequent would vanish from the
+    * denominator and the estimator would overstate recall on
+    * boilerplate-heavy corpora.
     */
   def lshRecallEstimate(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, sampleFraction: Double = 0.01, shingleSize: Int = 3,
-      numHashes: Int = 48, bands: Int = 12): DataFrame = {
+      numHashes: Int = 48, bands: Int = 12,
+      truthMaxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sample = RelOps.hashSample(df, idCol, sampleFraction)
-    val truth = jaccardPairs(sample, idCol, textCol, threshold, shingleSize)
+    val truth = jaccardPairs(sample, idCol, textCol, threshold, shingleSize,
+        maxDocFreq = truthMaxDocFreq)
       .select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lsh = minhashPairs(sample, idCol, textCol, threshold, shingleSize,
@@ -481,19 +490,29 @@ object Dedup {
     * Output: the surviving rows of `df`, original schema.
     *
     * Scale: clustering is the `clusters` pipeline (LSH, never O(n²));
-    * the keep decision is a window partitioned by `cluster_id`, whose
+    * the keep decision is a window partitioned by the cluster id, whose
     * cardinality is ~|docs| (singletons included) — parallelism scales
     * with the corpus, unlike a low-cardinality group rank.
+    *
+    * `precomputedClusters` (schema: idCol, cluster_id) lets a composed
+    * caller that already ran `clusters` — the common case when both the
+    * cluster report and the deduped corpus are wanted — pay LSH+CC once
+    * instead of twice. Working columns are `__kb_`-prefixed so a `df` that
+    * already carries a `cluster_id` (e.g. the output of `clusters` itself)
+    * joins without an AnalysisException.
     */
   def dedupKeepBest(df: DataFrame, idCol: String, textCol: String,
       scoreCol: String, threshold: Double, shingleSize: Int = 3,
-      numHashes: Int = 48, bands: Int = 12): DataFrame = {
-    val cl = clusters(df, idCol, textCol, threshold, shingleSize, numHashes, bands)
+      numHashes: Int = 48, bands: Int = 12,
+      precomputedClusters: Option[DataFrame] = None): DataFrame = {
+    val cl = precomputedClusters
+      .getOrElse(clusters(df, idCol, textCol, threshold, shingleSize, numHashes, bands))
+      .select(col(idCol), col("cluster_id").as("__kb_cluster"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id")).orderBy(col(scoreCol).desc, col(idCol))
+      .partitionBy(col("__kb_cluster")).orderBy(col(scoreCol).desc, col(idCol))
     df.join(cl, Seq(idCol))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
+      .withColumn("__kb_rn", row_number().over(w))
+      .where(col("__kb_rn") === 1)
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 

@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side contract is real and tested: schema, partition-parallel
   * batch processing (`mapPartitions` over typed rows — the Scala analog of
-  * a Pandas-UDF `mapInPandas` batch), deterministic output shapes. The
-  * actual media decoding is STUBBED (this container has no image/audio
-  * codecs): `decodeStub` derives a deterministic fake feature vector /
-  * frame set from the bytes, so tests pin the plumbing end-to-end while a
-  * real deployment swaps in a codec inside the same partition iterator.
+  * a Pandas-UDF `mapInPandas` batch), deterministic output shapes.
+  *
+  * IMAGE decoding is REAL: `decodeImage` reads PNG/BMP/GIF/JPEG through
+  * pure-JDK `javax.imageio` (no container codecs needed) and
+  * `imageFeatures` computes mean-channel + luma-histogram features from
+  * actual pixels; `resize` rescales decodable images and re-encodes PNG.
+  * Payloads ImageIO cannot parse — and audio/video, which have no pure-JDK
+  * codec — fall back to `decodeStub`, a deterministic fake that keeps the
+  * batch shape testable end-to-end; a real deployment swaps the stub for a
+  * codec inside the same partition iterator.
   *
   * Scale notes: each asset is processed exactly once inside its partition —
   * no shuffle, no driver traffic; heavy per-row work parallelizes with the
@@ -63,12 +68,69 @@ object Multimodal {
     out
   }
 
-  /** Feature extraction over a partition-parallel batch iterator. */
+  /** Pure-JDK image decode: PNG/BMP/GIF/JPEG via `javax.imageio`. None for
+    * anything ImageIO can't parse (including non-image payloads). The
+    * in-memory stream keeps executors off ImageIO's tmp-file cache.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    } catch { case _: Throwable => None }
+
+  /** Real pixel features from a decoded image:
+    * [meanR, meanG, meanB, meanLuma, luma histogram over dims-4 bins...],
+    * every component in [0,1]. Deterministic in the pixel data.
+    */
+  def imageFeatures(img: java.awt.image.BufferedImage, dims: Int): Array[Float] = {
+    val out = new Array[Float](dims)
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = (w.toLong * h).toDouble
+    val histBins = math.max(dims - 4, 0)
+    val hist = new Array[Double](math.max(histBins, 1))
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF
+        val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        sr += r; sg += g; sb += b
+        if (histBins > 0) {
+          val luma = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+          val bin = math.min((luma * histBins).toInt, histBins - 1)
+          hist(bin) += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (dims > 0) out(0) = (sr / n / 255.0).toFloat
+    if (dims > 1) out(1) = (sg / n / 255.0).toFloat
+    if (dims > 2) out(2) = (sb / n / 255.0).toFloat
+    if (dims > 3) out(3) = ((0.299 * sr + 0.587 * sg + 0.114 * sb) / n / 255.0).toFloat
+    var i = 0
+    while (i < histBins) { out(4 + i) = (hist(i) / n).toFloat; i += 1 }
+    out
+  }
+
+  /** Feature extraction over a partition-parallel batch iterator: real
+    * pixel features for decodable images, deterministic stub otherwise.
+    */
   def extractFeatures(assets: Dataset[Asset], dims: Int = 64): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // per-partition setup happens once (codec init in a real deployment)
-      it.map(a => AssetFeatures(a.asset_id, a.kind, a.bytes.length.toLong, decodeStub(a.bytes, dims)))
+      it.map { a =>
+        val feats =
+          if (a.kind == "image")
+            decodeImage(a.bytes).map(imageFeatures(_, dims)).getOrElse(decodeStub(a.bytes, dims))
+          else decodeStub(a.bytes, dims)
+        AssetFeatures(a.asset_id, a.kind, a.bytes.length.toLong, feats)
+      }
     }
   }
 
@@ -87,12 +149,32 @@ object Multimodal {
     }
   }
 
-  /** "Resize" stub for images: passes bytes through and rewrites metadata;
-    * real impl decodes + scales inside the same map.
+  /** Resize images: decodable payloads are really rescaled (area-average
+    * scaling, re-encoded as PNG — deterministic); undecodable "image" rows
+    * keep their bytes and only the metadata moves, preserving the
+    * pre-codec behavior for synthetic payloads.
     */
   def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
-    assets.map(a => if (a.kind == "image") a.copy(width = w, height = h) else a)
+    assets.map { a =>
+      if (a.kind != "image") a
+      else decodeImage(a.bytes) match {
+        case Some(img) =>
+          val scaled = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = scaled.createGraphics()
+          try {
+            g2.drawImage(
+              img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING),
+              0, 0, null)
+          } finally g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.setUseCache(false)
+          javax.imageio.ImageIO.write(scaled, "png", bos)
+          a.copy(bytes = bos.toByteArray, width = w, height = h)
+        case None => a.copy(width = w, height = h)
+      }
+    }
   }
 
   /** Build a synthetic asset table from the documents testdata (payload =

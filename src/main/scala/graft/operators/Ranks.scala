@@ -49,11 +49,24 @@ object Ranks {
   // row, so no group-limit pushdown exists and the two-pass plan is real.
 
   def rankFamily(df: DataFrame, groupCol: String, sortCols: Seq[String],
-      ntileN: Int = 4, nBuckets: Int = 32): DataFrame = {
+      ntileN: Int = 4, nBuckets: Int = 32, maxGroups: Int = 100000): DataFrame = {
     require(sortCols.nonEmpty, "rankFamily needs at least one sort column")
     val spark = df.sparkSession
     import spark.implicits._
     val lead = sortCols.head
+
+    // The driver-side boundary/offset maps key groups by string, but pass
+    // 2's window partitions by the raw column — and groupBy/Window
+    // normalize -0.0 == 0.0 while cast("string") yields "-0.0" vs "0.0".
+    // Adding 0.0 to fractional group keys applies the same IEEE
+    // normalization BEFORE the cast, so the string-keyed maps can never
+    // split (and double-count) a window partition.
+    val gNorm = df.schema(groupCol).dataType match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => col(groupCol) + lit(0.0)
+      case _ => col(groupCol)
+    }
+    val gStr = gNorm.cast("string")
 
     // pass 1a: per-group range boundaries of the leading sort column.
     // Accuracy doesn't matter for correctness — any monotone split works —
@@ -66,9 +79,22 @@ object Ranks {
     // groups × nBuckets doubles, the operator's stated contract.
     val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     val spark0 = df.sparkSession
-    val boundaryRows = df.groupBy(col(groupCol).cast("string").as("__g"))
+    val boundaryRows = df.groupBy(gStr.as("__g"))
       .agg(expr(s"approx_percentile($lead, array(${probs.mkString(",")}), 10000)")
         .as("__bnd"))
+    // Loud guard on the driver-side contract: the two collects below hold
+    // groups × nBuckets rows on the driver. The probe is a map-side-partial
+    // distinct + CollectLimit over the key column only (stops at
+    // maxGroups+1), so a high-cardinality misuse fails with this message
+    // instead of an OOM mid-collect — and the guard never re-runs the
+    // percentile aggregate.
+    val probe = df.select(gStr.as("__g")).distinct().limit(maxGroups + 1).count()
+    require(probe <= maxGroups,
+      s"rankFamily saw more than $maxGroups distinct '$groupCol' groups; " +
+        "this operator trades driver memory (groups x nBuckets rows) for " +
+        "parallelism within LOW-cardinality groups. For high-cardinality " +
+        "keys use a plain Window.partitionBy (it already parallelizes), " +
+        "or raise maxGroups if the driver has headroom.")
     val boundaries = spark0.createDataFrame(
       spark0.sparkContext.parallelize(boundaryRows.collect().toIndexedSeq, 1),
       boundaryRows.schema)
@@ -82,7 +108,7 @@ object Ranks {
     val bucketed = df
       // null-safe join: a null group is a group like any other to a window
       // function — plain === would silently drop its rows
-      .join(broadcast(boundaries), col(groupCol).cast("string") <=> col("__g"))
+      .join(broadcast(boundaries), gStr <=> col("__g"))
       .withColumn("__bkt",
         aggregate(coalesce(col("__bnd"), array()), lit(0),
           (acc, b) => acc + when(col(lead) > b, 1).otherwise(0)))
@@ -90,7 +116,7 @@ object Ranks {
 
     // pass 1b: per-(group, bucket) counts → driver (groups × nBuckets rows)
     // → per-bucket global offsets and per-group totals
-    val counts = bucketed.groupBy(col(groupCol).cast("string").as("g"), col("__bkt").as("b"))
+    val counts = bucketed.groupBy(gStr.as("g"), col("__bkt").as("b"))
       .agg(count(lit(1)).as("n"))
       .as[(String, Int, Long)]
       .collect()
@@ -112,7 +138,7 @@ object Ranks {
       .orderBy(sortCols.map(col).toIndexedSeq: _*)
     val ranked = bucketed
       .join(broadcast(offsetDf),
-        col(groupCol).cast("string") <=> col("__og") && col("__bkt") === col("__ob"))
+        gStr <=> col("__og") && col("__bkt") === col("__ob"))
       .withColumn("__rank", row_number().over(w) + col("__off"))
 
     val n = col("__n")

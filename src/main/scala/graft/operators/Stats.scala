@@ -160,9 +160,13 @@ object Stats {
       hi: Double = 0.99, as: String = "clipped"): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo <= hi, s"bad clip range [$lo, $hi]")
     val bounds = percentiles(df, valueCol, Seq(lo, hi), Seq("__lo", "__hi"))
+    // least/greatest skip nulls, so an unguarded clip would coerce a null
+    // input to __lo — fabricated data in the exact stats this operator
+    // protects. Nulls stay null.
     df.crossJoin(broadcast(bounds))
       .withColumn(as,
-        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 }

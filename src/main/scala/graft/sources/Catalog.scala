@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -44,6 +45,20 @@ object Catalog {
   /** S2: table scan. */
   def table(spark: SparkSession, root: String, ref: String): DataFrame =
     spark.read.parquet(path(root, ref))
+
+  /** The filesystem owning `p`, from the session's Hadoop conf — local
+    * file://, HDFS, or an object store, all through the same API, so the
+    * maintenance paths below (compact / upsert / swap) run unchanged on a
+    * cluster. Resolution is per-path: a catalog can span filesystems.
+    */
+  private def fsFor(spark: SparkSession, p: HPath): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Does the table exist on its filesystem? */
+  def tableExists(spark: SparkSession, root: String, ref: String): Boolean = {
+    val p = new HPath(path(root, ref))
+    fsFor(spark, p).exists(p)
+  }
 
   /** S1: header CSV scan with a declared schema (no inference job). */
   def csv(spark: SparkSession, p: String, schema: StructType): DataFrame =
@@ -107,40 +122,47 @@ object Catalog {
     */
   def compact(spark: SparkSession, root: String, ref: String,
       targetFileMB: Int = 128): Unit = {
-    val dir = new java.io.File(path(root, ref))
-    val children = Option(dir.listFiles).getOrElse(Array.empty)
+    val dir = new HPath(path(root, ref))
+    val f = fsFor(spark, dir)
+    val children = if (f.exists(dir)) f.listStatus(dir) else Array.empty[org.apache.hadoop.fs.FileStatus]
     // A Hive-partitioned table has key=value subdirectories instead of
     // top-level parquet files; a flat coalesce-rewrite would fold the
     // partition columns into the data files and silently destroy the
     // layout (and the partition pruning) writePartitioned created.
-    val partDirs = children.filter(f => f.isDirectory && f.getName.contains("="))
+    val partDirs = children.filter(st => st.isDirectory && st.getPath.getName.contains("="))
     require(partDirs.isEmpty,
-      s"compact: $dir is Hive-partitioned (${partDirs.head.getName}, ...); " +
+      s"compact: $dir is Hive-partitioned (${partDirs.head.getPath.getName}, ...); " +
         "rewrite it with writePartitioned instead of a flat compact")
     val bytes = children
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
-    val staged = new java.io.File(dir.getParent, s".${dir.getName}.compacting")
+    val staged = new HPath(dir.getParent, s".${dir.getName}.compacting")
     spark.read.parquet(dir.toString).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(staged.toString)
-    atomicSwap(staged, dir, "compact")
+    atomicSwap(f, staged, dir, "compact")
   }
 
   /** Replace `dst` with `staged` via rename-out → rename-in → rollback:
     * the destination is renamed aside before the staging directory moves
     * in, so a crash at any point leaves either the old table or the new
     * one on disk — never neither.
+    *
+    * Runs through the Hadoop `FileSystem` API, so the same code works on
+    * local disk and HDFS, where a directory rename is an atomic namenode
+    * metadata operation. CAVEAT — S3/GCS have NO atomic directory rename
+    * (the connectors emulate it as copy-then-delete: O(data), and a reader
+    * can observe the half-moved state). On object stores, swap-by-rename
+    * is only safe for single-writer maintenance jobs with retry-on-crash;
+    * concurrent readers need a table format (Iceberg/Delta/Hudi) whose
+    * metadata commit replaces this swap — the merge/compact PLANS above
+    * stay identical. See SCALE.md.
     */
-  private def atomicSwap(staged: java.io.File, dst: java.io.File, op: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    val old = new java.io.File(dst.getParent, s".${dst.getName}.old")
-    rm(old) // leftover from a crashed earlier swap
-    if (dst.exists() && !dst.renameTo(old)) sys.error(s"$op: cannot stage out $dst")
-    if (!staged.renameTo(dst)) { old.renameTo(dst); sys.error(s"$op: swap failed for $dst") }
-    rm(old)
+  private def atomicSwap(f: FileSystem, staged: HPath, dst: HPath, op: String): Unit = {
+    val old = new HPath(dst.getParent, s".${dst.getName}.old")
+    if (f.exists(old)) f.delete(old, true) // leftover from a crashed earlier swap
+    if (f.exists(dst) && !f.rename(dst, old)) sys.error(s"$op: cannot stage out $dst")
+    if (!f.rename(staged, dst)) { f.rename(old, dst); sys.error(s"$op: swap failed for $dst") }
+    if (f.exists(old)) { f.delete(old, true); () }
   }
 
   /** K1: CSV sink with header. */
@@ -220,20 +242,21 @@ object Catalog {
     */
   def upsert(spark: SparkSession, root: String, ref: String,
       updates: DataFrame, keys: Seq[String]): Unit = {
-    val dst = new java.io.File(path(root, ref))
+    val dst = new HPath(path(root, ref))
+    val f = fsFor(spark, dst)
     // Fresh target: the first batch of a CDC/streaming upsert simply
     // creates the table — "new keys are inserted" includes all of them.
-    if (!dst.exists()) {
-      updates.write.mode(SaveMode.Overwrite).parquet(dst.getPath)
+    if (!f.exists(dst)) {
+      updates.write.mode(SaveMode.Overwrite).parquet(dst.toString)
       return
     }
     val target = table(spark, root, ref)
     val merged = updates.unionByName(
       target.join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti"))
-    val staging = new java.io.File(dst.getParent, s".${dst.getName}.staging")
-    merged.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
-    atomicSwap(staging, dst, "upsert")
+    val staging = new HPath(dst.getParent, s".${dst.getName}.staging")
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    atomicSwap(f, staging, dst, "upsert")
   }
 
   /** K5: multi-sink fan-out — one source feeds several sinks without

@@ -57,7 +57,14 @@ object CorpusIngest {
     */
   def ingestStream(spark: SparkSession, srcDir: String, root: String,
       ref: String, threshold: Double = 0.9, shingleSize: Int = 3,
-      numHashes: Int = 48, bands: Int = 12): StreamingQuery =
+      numHashes: Int = 48, bands: Int = 12): StreamingQuery = {
+    // Index self-heal runs ONCE per stream start, not per micro-batch: the
+    // crash window it bounds is a restart event, and the corpus-sized
+    // anti-join would otherwise make every batch's work corpus-sized —
+    // contradicting this file's own scaling contract. The flag lives in the
+    // foreachBatch closure (driver-side, one per query run), so a restart
+    // naturally re-arms it.
+    val reconciled = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
@@ -66,7 +73,7 @@ object CorpusIngest {
         val s = batch.sparkSession
         val idxRef = s"${ref}_lsh"
         val fresh = dedupWithinBatch(batch)
-        val corpusExists = new java.io.File(Catalog.path(root, ref)).exists()
+        val corpusExists = Catalog.tableExists(s, root, ref)
         // composed inline (not via incrementalDedup) so the persisted
         // matches frame is unpersisted per micro-batch — a long-running
         // stream must not accrete cached blocks batch after batch
@@ -74,17 +81,18 @@ object CorpusIngest {
           if (!corpusExists) None
           else {
             val corpus = Catalog.table(s, root, ref)
-            // Self-heal the index before matching: the corpus append and
-            // the index append below are two writes, and a crash between
-            // them leaves corpus rows unindexed — near-duplicates of those
-            // rows would be admitted FOREVER. Reconciling (ids-only
-            // anti-join, both scans column-pruned) bounds that window to
-            // one micro-batch instead.
-            val idxExists = new java.io.File(Catalog.path(root, idxRef)).exists()
+            // Self-heal the index before the first match of this run: the
+            // corpus append and the index append below are two writes, and
+            // a crash between them leaves corpus rows unindexed —
+            // near-duplicates of those rows would be admitted FOREVER.
+            // Reconciling (ids-only anti-join, both scans column-pruned)
+            // once at start closes that window; within a run the two
+            // appends stay in sync by construction.
+            val idxExists = Catalog.tableExists(s, root, idxRef)
             if (!idxExists)
               Catalog.writeAppend(Dedup.lshBuckets(corpus, "doc_id", "text",
                 shingleSize, numHashes, bands), root, idxRef)
-            else {
+            else if (reconciled.compareAndSet(false, true)) {
               val unindexed = corpus.join(
                 Catalog.table(s, root, idxRef).select(col("doc_id")).distinct(),
                 Seq("doc_id"), "left_anti")
@@ -120,4 +128,5 @@ object CorpusIngest {
       }
       .outputMode("append")
       .start()
+  }
 }

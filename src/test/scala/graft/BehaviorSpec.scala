@@ -37,6 +37,20 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out === Seq((0, "view", 3L), (1, "click", 2L), (2, "buy", 1L)))
   }
 
+  test("funnel fails loudly when a user's history exceeds maxEventsPerUser") {
+    val events = (1 to 6).map(i =>
+      (1L, ts(f"2024-01-01 10:0$i:00"), "view")).toDF("user_id", "ts", "event_type")
+    val ex = intercept[Throwable] {
+      Behavior.funnel(events, Seq("view"), maxEventsPerUser = 3).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(ex).contains("maxEventsPerUser"),
+      s"expected the actionable raise_error message, got: ${msgs(ex)}")
+    // at the default cap the same history is fine
+    assert(Behavior.funnel(events, Seq("view")).count() === 1)
+  }
+
   test("funnel first-touch uses the earliest qualifying event per stage") {
     // Two views: the funnel chains from the FIRST view, so the click
     // between them still qualifies (it is after view #1).

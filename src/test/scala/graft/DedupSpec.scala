@@ -208,4 +208,39 @@ class DedupSpec extends AnyFunSuite {
     val out = Dedup.dedupKeepBest(docs, "doc_id", "text", "score", 0.7)
     assert(out.columns.toSeq === Seq("doc_id", "text", "score"))
   }
+
+  test("dedupKeepBest: precomputed clusters reused, cluster_id collision safe") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base, 10),
+      (2L, base + " extra", 50),
+      (3L, base, 10),
+      (4L, "completely different content about spark plans", 5))
+      .toDF("doc_id", "text", "score")
+    val cl = Dedup.clusters(docs, "doc_id", "text", threshold = 0.7)
+    // a composed caller pays LSH+CC once: same survivors via the
+    // precomputed frame as via the self-contained path
+    val viaPre = Dedup.dedupKeepBest(docs, "doc_id", "text", "score",
+        threshold = 0.7, precomputedClusters = Some(cl))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaPre === Set(2L, 4L))
+    // a df that already carries cluster_id (e.g. the clusters output
+    // itself) must not trip an ambiguous-column AnalysisException
+    val decorated = docs.join(cl, Seq("doc_id"))
+    val survivors = Dedup.dedupKeepBest(decorated, "doc_id", "text", "score",
+        threshold = 0.7, precomputedClusters = Some(cl))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(2L, 4L))
+  }
+
+  test("lshRecallEstimate truth side ignores the posting prune by default") {
+    // two identical docs whose every shingle is shared by ALL docs would
+    // vanish from a pruned truth at maxDocFreq=1; the unlimited default
+    // must keep them in the denominator
+    val boiler = "same boilerplate text repeated across the corpus exactly"
+    val docs = (1L to 6L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val est = Dedup.lshRecallEstimate(docs, "doc_id", "text",
+      threshold = 0.9, sampleFraction = 1.0)
+    assert(est.collect().head.getLong(1) === 15L) // C(6,2) true pairs
+  }
 }

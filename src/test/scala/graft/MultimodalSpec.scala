@@ -47,4 +47,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.filter(a => a.kind == "image" && a.width != 224).count() === 0)
     assert(out.filter(a => a.kind == "video" && a.width == 224).count() === 0)
   }
+
+  // 4×2 PNG, left half pure red, right half pure blue — every feature is
+  // hand-computable: meanR = meanB = 0.5, meanG = 0,
+  // meanLuma = 0.5·(0.299 + 0.114), and with 4 luma-histogram bins the
+  // blue half (luma 0.114) lands in bin 0 and the red half (0.299·4 =
+  // 1.196) in bin 1.
+  private def redBluePng: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decode: pixel features match hand-computed values") {
+    val feats = Multimodal.decodeImage(redBluePng)
+      .map(Multimodal.imageFeatures(_, 8))
+      .getOrElse(fail("generated PNG did not decode"))
+    assert(math.abs(feats(0) - 0.5) < 1e-6, "mean R")
+    assert(feats(1) === 0.0f, "mean G")
+    assert(math.abs(feats(2) - 0.5) < 1e-6, "mean B")
+    assert(math.abs(feats(3) - 0.5 * (0.299 + 0.114)) < 1e-6, "mean luma")
+    assert(math.abs(feats(4) - 0.5) < 1e-6, "luma hist bin 0 = blue half")
+    assert(math.abs(feats(5) - 0.5) < 1e-6, "luma hist bin 1 = red half")
+    assert(feats(6) === 0.0f && feats(7) === 0.0f, "upper luma bins empty")
+  }
+
+  test("extractFeatures: real pixels for decodable images, stub for the rest") {
+    val png = redBluePng
+    val ds = Seq(
+      Multimodal.Asset(1L, "image", png, 4, 2, 0L),
+      Multimodal.Asset(2L, "image", "not an image".getBytes("UTF-8"), 0, 0, 0L)).toDS()
+    val out = Multimodal.extractFeatures(ds, dims = 8).collect().sortBy(_.asset_id)
+    val real = Multimodal.decodeImage(png).map(Multimodal.imageFeatures(_, 8)).get
+    assert(out(0).features.toSeq === real.toSeq)
+    assert(out(1).features.toSeq ===
+      Multimodal.decodeStub("not an image".getBytes("UTF-8"), 8).toSeq)
+  }
+
+  test("resize really rescales decodable images and re-encodes") {
+    val ds = Seq(Multimodal.Asset(1L, "image", redBluePng, 4, 2, 0L)).toDS()
+    val out = Multimodal.resize(ds, 2, 2).collect().head
+    assert(out.width === 2 && out.height === 2)
+    val img = Multimodal.decodeImage(out.bytes)
+      .getOrElse(fail("resized payload did not decode"))
+    assert(img.getWidth === 2 && img.getHeight === 2)
+    // area-averaged halves keep their dominant channel
+    val left = img.getRGB(0, 0)
+    val right = img.getRGB(1, 0)
+    assert(((left >> 16) & 0xFF) > ((left) & 0xFF), "left stays red-dominant")
+    assert((right & 0xFF) > ((right >> 16) & 0xFF), "right stays blue-dominant")
+  }
 }

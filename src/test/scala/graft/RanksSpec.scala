@@ -27,6 +27,25 @@ class RanksSpec extends AnyFunSuite {
     assert(fast.count() === orders.count())
   }
 
+  test("rankFamily fails loudly past the maxGroups driver-memory contract") {
+    val wide = spark.range(50)
+      .select($"id".as("g"), $"id".as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Ranks.rankFamily(wide, "g", Seq("v"), maxGroups = 10)
+    }
+    assert(e.getMessage.contains("more than 10 distinct 'g' groups"))
+    assert(e.getMessage.contains("Window.partitionBy"))
+  }
+
+  test("rankFamily -0.0/0.0 double group keys stay one group (IEEE normalization)") {
+    // groupBy/Window treat -0.0 == 0.0; the string-keyed driver maps must
+    // agree or offsets double-count within the merged window partition
+    val df = Seq((-0.0, 1L), (0.0, 2L), (0.0, 3L)).toDF("g", "v")
+    val out = Ranks.rankFamily(df, "g", Seq("v"))
+      .select($"v", $"rank").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("rankFamily handles tiny, 1-row, and NULL groups (and N < ntileN)") {
     val df = Seq(
       ("a", 10.0, 1L), ("a", 20.0, 2L), ("a", 20.0, 3L), // tie on lead col

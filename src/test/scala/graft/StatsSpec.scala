@@ -86,4 +86,14 @@ class StatsSpec extends AnyFunSuite {
     assert(out(50.0) === 50.0)                 // inlier untouched
     assert(out.values.forall(c => c >= 10.9 - 1e-9 && c <= 90.1 + 1e-9))
   }
+
+  test("winsorize leaves NULL values null instead of clipping them to the floor") {
+    // least/greatest skip nulls — an unguarded clip would fabricate the
+    // lower percentile bound for every null input
+    val df = ((1 to 100).map(i => Some(i.toDouble)) :+ None).toDF("v")
+    val out = Stats.winsorize(df, "v", lo = 0.1, hi = 0.9)
+    assert(out.where($"v".isNull && $"clipped".isNotNull).count() === 0)
+    assert(out.where($"v".isNull).count() === 1)
+    assert(out.where($"clipped".isNotNull).count() === 100)
+  }
 }

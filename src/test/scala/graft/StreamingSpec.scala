@@ -220,21 +220,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(Catalog.table(spark, root, "corpus").select("doc_id")
         .as[Long].collect().toSet === Set(1L, 2L, 12L))
       // simulate a crash between the corpus append and the index append:
-      // doc 20 lands in the corpus but never in the LSH index
+      // doc 20 lands in the corpus but never in the LSH index. A crash
+      // implies a restart, and the self-heal reconcile runs once per
+      // stream START (not per batch — that would make every batch's work
+      // corpus-sized), so stop this run and start a fresh one.
+      q.stop()
       val orphan = "an orphaned document that reached the corpus unindexed somehow"
       Catalog.writeAppend(Seq(doc(20, orphan))
         .toDF("doc_id", "text", "lang", "source", "n_chars"), root, "corpus")
-      // next batch: the self-heal reconcile must index doc 20 BEFORE
-      // matching, so its near-duplicate is rejected instead of admitted
       stage("b2.parquet", Seq(
         doc(21, orphan.replace("somehow", "SOMEHOW"))))
-      q.processAllAvailable()
-      assert(Catalog.table(spark, root, "corpus").select("doc_id")
-        .as[Long].collect().toSet === Set(1L, 2L, 12L, 20L))
-      // and the healed index now covers every corpus doc
-      val indexed = Catalog.table(spark, root, "corpus_lsh")
-        .select("doc_id").distinct().as[Long].collect().toSet
-      assert(indexed === Set(1L, 2L, 12L, 20L))
+      // restart: the reconcile must index doc 20 BEFORE matching, so its
+      // near-duplicate is rejected instead of admitted. The restarted
+      // source re-reads b0/b1 too (no durable checkpoint here) — the
+      // dedup itself makes that reprocessing idempotent.
+      val q2 = CorpusIngest.ingestStream(spark, src.toString, root, "corpus",
+        threshold = 0.5)
+      try {
+        q2.processAllAvailable()
+        assert(Catalog.table(spark, root, "corpus").select("doc_id")
+          .as[Long].collect().toSet === Set(1L, 2L, 12L, 20L))
+        // and the healed index now covers every corpus doc
+        val indexed = Catalog.table(spark, root, "corpus_lsh")
+          .select("doc_id").distinct().as[Long].collect().toSet
+        assert(indexed === Set(1L, 2L, 12L, 20L))
+      } finally q2.stop()
     } finally q.stop()
   }
 }
