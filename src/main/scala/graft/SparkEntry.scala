@@ -1213,6 +1213,71 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // Efraimidis–Spirakis weighted sample without replacement, 10 docs per
+    // source weighted by length: priority u^(1/w) from the deterministic
+    // md5 uniform, rounded so the oracle replays the exact ranking.
+    // WindowGroupLimit keeps the map-side forward bounded, like x69.
+    "x73_weighted_sample" -> ((s, dir) =>
+      Training.weightedSampleNPerGroup(t(s, dir, "documents"), Seq("source"),
+          "doc_id", "n_chars", nPerGroup = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // Token-budget corpus mixing: whole docs per source in md5-rank order
+    // until the source budget is spent (src3's zero budget keeps nothing;
+    // unlisted sources keep nothing). The per-source prefix sum runs
+    // bucketed (sources × 16 partitions), never as one serial window.
+    "x74_token_budget_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("n_tok", TextStats.tokenCount(col("text")).cast("long"))
+      Training.tokenBudgetMix(d, "source", "doc_id", "n_tok",
+          budgets = Map("src0" -> 800L, "src1" -> 500L, "src2" -> 300L, "src3" -> 0L))
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental SCD2: merge the last third of the change log into the
+    // dimension built from the first two thirds — must equal the full
+    // rebuild exactly (the oracle IS x54's full-rebuild SQL). Unaffected
+    // keys pass through untouched; only batch keys replay.
+    "x75_scd2_incremental" -> ((s, dir) => {
+      val ev = Catalog.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val cut = "2024-01-20 00:00:00"
+      val existing = Temporal.scd2(ev.where(col("ts") < cut),
+        Seq("user_id"), "ts", Seq("event_type"), tieBreak = Seq("event_id"))
+      Temporal.scd2Merge(existing, ev.where(col("ts") >= cut),
+          Seq("user_id"), "ts", Seq("event_type"), tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("eff_from"),
+          col("eff_to"), col("is_current"))
+        .orderBy(col("user_id"), col("eff_from"), col("event_type"))
+    }),
+
+    // Product quantization (m=8 × k=16 over 64 dims = 64× compression):
+    // Lloyd-trained sub-codebooks, narrow-map encode, reconstruction
+    // audited against the raw vectors in the same plan. The synthetic
+    // embeddings are near-random (the hardest case for PQ), so the
+    // distortion bound is mse/energy ≤ 0.75 — observed 0.56 (sf0.01) /
+    // 0.60 (sf0.1), while a broken quantizer sits at ~1.0. The oracle
+    // asserts the bound literally; EmbeddingsSpec pins codes and
+    // exact-reconstruction cases.
+    "x76_pq_quantize" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val books = Embeddings.pqTrain(e, m = 8, k = 16, iters = 3)
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val enc = Embeddings.pqEncode(e, books)
+        .withColumn("__recon", Embeddings.pqDecode(col("pq_codes"), books))
+        .withColumn("__err",
+          aggregate(zip_with(v, col("__recon"), (a, b) => (a - b) * (a - b)),
+            lit(0.0d), (acc, x) => acc + x))
+        .withColumn("__en",
+          aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+      enc.agg(count(lit(1)).as("n_vecs"),
+          avg(col("__err")).as("__mse"), avg(col("__en")).as("__mean_en"))
+        .select(col("n_vecs"), lit(8).as("m"), lit(16).as("k"),
+          (col("__mse") <= col("__mean_en") * 0.75).as("mse_ratio_ok"))
+    }),
+
     // TPC-H Q6 shape: every predicate (date range, discount band, quantity)
     // pushes into the parquet scan — the forecast-revenue aggregate then
     // reads a fraction of the table. PlanSpec pins the pushdown.
@@ -2142,6 +2207,53 @@ object SparkEntry {
         |SELECT user_id, event_type, eff_from, eff_to,
         |  (eff_to IS NULL) AS is_current
         |FROM f ORDER BY user_id, eff_from, event_type""".stripMargin,
+    // the incremental merge must equal the full rebuild — same SQL as x54
+    "x75_scd2_incremental" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_type, ts, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |f AS (
+        |  SELECT user_id, event_type, ts AS eff_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+        |  FROM r)
+        |SELECT user_id, event_type, eff_from, eff_to,
+        |  (eff_to IS NULL) AS is_current
+        |FROM f ORDER BY user_id, eff_from, event_type""".stripMargin,
+    "x73_weighted_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |    round(pow(
+        |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+        |        / 4294967296.0,
+        |      1.0 / n_chars), 9) AS pr
+        |  FROM documents)
+        |SELECT doc_id, source FROM p
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY pr DESC, doc_id) <= 10
+        |ORDER BY source, doc_id""".stripMargin,
+    "x74_token_budget_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+        |      AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS mk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY mk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cumb
+        |  FROM d)
+        |SELECT doc_id, source, n_tok FROM c
+        |WHERE cumb < CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
+        |  WHEN 'src2' THEN 300 WHEN 'src3' THEN 0 ELSE -1 END
+        |ORDER BY doc_id""".stripMargin,
+    "x76_pq_quantize" ->
+      """SELECT count(*) AS n_vecs, 8 AS m, 16 AS k, TRUE AS mse_ratio_ok
+        |FROM embeddings""".stripMargin,
     "x53_source_cap" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10

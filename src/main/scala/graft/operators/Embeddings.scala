@@ -51,4 +51,117 @@ object Embeddings {
   /** Reconstruct doubles from an int8-quantized vector and its scale. */
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
+
+  // ------------------------------------------------ product quantization
+
+  /** Product-quantization codebooks (Jégou et al. 2011): the vector space
+    * splits into `m` contiguous subspaces; each subspace trains its own
+    * `k`-codeword codebook with plain Lloyd L2 k-means. A vector then
+    * stores m small codes instead of `dims` floats — with m=8, k=16 a
+    * 64-dim float32 vector compresses 64× (8 nibbles), the standard
+    * billion-vector ANN memory layout.
+    *
+    * Distributed shape per iteration: ONE narrow assignment map over the
+    * corpus (all m subspace argmins in a single projection) and ONE
+    * (subspace, cell, position) partial aggregation whose result —
+    * exactly dims × k doubles — comes back to the driver. Nothing
+    * data-sized leaves the executors; init is the deterministic
+    * hash-order sample, so training is reproducible run-to-run.
+    */
+  def pqTrain(df: DataFrame, m: Int, k: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    require(m > 0 && k > 0 && iters >= 0, s"pqTrain: bad m=$m k=$k iters=$iters")
+    val base = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .where(size(col("__v")) > 0)
+    val first = base.select(size(col("__v")).as("d")).limit(1).collect()
+    require(first.nonEmpty, s"pqTrain: no non-empty '$vecCol' vectors")
+    val dims = first.head.getInt(0)
+    require(dims % m == 0, s"pqTrain: dims=$dims not divisible by m=$m")
+    val subDim = dims / m
+    var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+      val seed = base.orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
+        .select(col("__v")).collect()
+        .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      (0 until m).map(j => seed.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+    }
+    for (_ <- 1 to iters) {
+      val staged = stageSubvectors(base, books, subDim)
+      val cells = array((0 until m).map(j =>
+        nearestCode(col(s"__sub$j"), books(j))): _*)
+      val stats = staged.withColumn("__cells", cells)
+        .select(col("__cells"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .withColumn("__sub", (col("__pos") / subDim).cast("int"))
+        .withColumn("__cell", element_at(col("__cells"), col("__sub") + 1))
+        .groupBy(col("__sub"), col("__cell"), (col("__pos") % subDim).as("__p"))
+        .agg(sum(col("__x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = stats.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = books.zipWithIndex.map { case (book, j) =>
+        book.zipWithIndex.map { case (old, c) =>
+          byCell.get((j, c)) match {
+            case Some(rows) =>
+              val mean = new Array[Double](subDim)
+              rows.foreach(r => mean(r.getInt(2)) = r.getDouble(3) / r.getLong(4))
+              mean.toIndexedSeq
+            case None => old // empty cell keeps its codeword
+          }
+        }
+      }
+    }
+    books
+  }
+
+  private def subDot(sub: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(sub, typedLit(c), (a, b) => a * b), lit(0.0d), _ + _)
+
+  /** argmin_c ‖sub − c‖² as argmax_c (2·sub·c − ‖c‖²): one fold over the
+    * scored codewords (each score computed once — see the langId note on
+    * interpreted HOFs), ties to the lowest code.
+    */
+  private def nearestCode(sub: Column, book: IndexedSeq[IndexedSeq[Double]]): Column = {
+    val scored = array(book.zipWithIndex.map { case (c, i) =>
+      struct((lit(2.0d) * subDot(sub, c) - lit(c.map(x => x * x).sum)).as("s"),
+        lit(i).as("idx"))
+    }: _*)
+    aggregate(scored,
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1).as("idx")),
+      (acc, e) => when(e.getField("s") > acc.getField("s"), e).otherwise(acc),
+      acc => acc.getField("idx"))
+  }
+
+  /** Stage each subspace slice as its own attribute so the per-codeword
+    * dot products read attributes (interpreted HOFs re-evaluate non-cheap
+    * inputs per reference — `slice` would otherwise run k times each).
+    */
+  private def stageSubvectors(df: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], subDim: Int): DataFrame =
+    books.indices.foldLeft(df) { case (d, j) =>
+      d.withColumn(s"__sub$j", slice(col("__v"), j * subDim + 1, subDim))
+    }
+
+  /** Encode vectors against trained codebooks: adds `as` = array<int> of m
+    * codes. A narrow map — broadcastable codebook literals, no shuffle.
+    */
+  def pqEncode(df: DataFrame, books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      vecCol: String = "embedding", as: String = "pq_codes"): DataFrame = {
+    require(books.nonEmpty && books.head.nonEmpty, "pqEncode: empty codebooks")
+    val subDim = books.head.head.size
+    val staged = stageSubvectors(df.withColumn("__v", asDouble(col(vecCol))), books, subDim)
+    staged
+      .withColumn(as, array(books.indices.map(j =>
+        nearestCode(col(s"__sub$j"), books(j))): _*))
+      .drop("__v" +: books.indices.map(j => s"__sub$j"): _*)
+  }
+
+  /** Reconstruct the quantized approximation from PQ codes (codeword
+    * concatenation) — the decode side of `pqEncode`, for asymmetric
+    * distance computation or error audits.
+    */
+  def pqDecode(codes: Column,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column =
+    flatten(array(books.indices.map { j =>
+      element_at(typedLit(books(j).map(_.toSeq).toSeq),
+        element_at(codes, j + 1) + 1)
+    }: _*))
 }

@@ -149,6 +149,53 @@ object Temporal {
     * to/from NULL is a change. `tieBreak` must make the per-key ordering
     * total or interval boundaries are nondeterministic.
     */
+  /** Incremental SCD2 merge: fold a new batch of change events into an
+    * existing SCD2 table WITHOUT rebuilding unaffected history — the
+    * standing CDC maintenance job once the dimension is too large to
+    * rebuild nightly.
+    *
+    * Shape: keys untouched by the batch pass through AS-IS (anti join —
+    * zero recompute); for affected keys only, the existing interval
+    * starts replay as a change log (eff_from is exactly the surviving
+    * change's timestamp, and scd2 output retains every other input
+    * column, so the replay is lossless), union the batch, and re-run
+    * `scd2`. Cost scales with the batch's key footprint, not the table.
+    *
+    * Contract (guarded in-plan, loud): batch changes must be strictly
+    * LATER than the affected key's newest existing version. Out-of-order
+    * arrivals can flip which historical rows collapsed as no-ops, which
+    * an incremental replay cannot reconstruct — rebuild those keys from
+    * the raw log instead. Under the contract,
+    * `scd2Merge(scd2(a), b) == scd2(a ∪ b)` exactly (TemporalSpec pins
+    * this; the x75 oracle recomputes the full rebuild in SQL).
+    */
+  def scd2Merge(existing: DataFrame, batch: DataFrame, keyCols: Seq[String],
+      tsCol: String, valueCols: Seq[String],
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty, "scd2Merge needs keys and tracked values")
+    val affectedKeys = batch.select(keyCols.map(col): _*).distinct()
+    val untouched = existing.join(affectedKeys, keyCols, "left_anti")
+    val affected = existing.join(affectedKeys, keyCols, "left_semi")
+    val latest = affected.groupBy(keyCols.map(col): _*)
+      .agg(max(col("eff_from")).as("__max_from"))
+    val guarded = batch.join(latest, keyCols, "left")
+      .withColumn(tsCol,
+        when(col("__max_from").isNull || col(tsCol) > col("__max_from"), col(tsCol))
+          .otherwise(raise_error(concat(
+            lit(s"scd2Merge: batch change at or before the newest existing "),
+            lit(s"version for its key (column '$tsCol'); out-of-order merges "),
+            lit("cannot be replayed incrementally - rebuild the affected "),
+            lit("keys from the raw change log")))))
+      .drop("__max_from")
+    val replayed = affected
+      .drop("eff_to", "is_current")
+      .withColumnRenamed("eff_from", tsCol)
+    val merged = scd2(
+      replayed.select(guarded.columns.map(col).toIndexedSeq: _*).unionByName(guarded),
+      keyCols, tsCol, valueCols, tieBreak)
+    untouched.unionByName(merged)
+  }
+
   def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
       valueCols: Seq[String], tieBreak: Seq[String] = Seq.empty): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "scd2 needs keys and tracked values")

@@ -99,6 +99,84 @@ object Training {
       .drop("__rn")
   }
 
+  /** Weighted sample WITHOUT replacement, `nPerGroup` rows per group, by
+    * the Efraimidis–Spirakis priority: each row draws a deterministic
+    * uniform u from the md5 of its key and ranks by u^(1/weight) — the
+    * classic one-pass reservoir order in which the top-n per group is an
+    * exact weighted sample without replacement. The training-mix builder:
+    * "sample documents proportional to quality score" without collecting
+    * anything.
+    *
+    * Determinism and engine-portability: u = (md5-bucket + 0.5) / 2³²
+    * (never exactly 0 or 1), and the priority is rounded to 9 decimals so
+    * any engine replaying the same formula ranks identical values (ties
+    * broken by key). Plan shape: rank-filtered window →
+    * WindowGroupLimit(Partial) below the exchange, same as
+    * `sampleNPerGroup`. Weights must be strictly positive.
+    */
+  def weightedSampleNPerGroup(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, weightCol: String, nPerGroup: Int): DataFrame = {
+    require(nPerGroup > 0, "weightedSampleNPerGroup needs nPerGroup > 0")
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    val priority = round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(priority.desc, col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nPerGroup)
+      .drop("__rn")
+  }
+
+  /** Token-budget mixing: keep whole documents per source, in
+    * deterministic md5-rank order, while the source's running token total
+    * stays under its budget — how a pretraining mix hits target
+    * per-source token proportions. A document is kept iff the total
+    * BEFORE it is under budget, so the last kept document may overshoot
+    * by at most one document; sources absent from `budgets` keep nothing.
+    *
+    * Scale shape: the per-source prefix sum does NOT run as one serial
+    * window per source (sources are few — that plan dies at 100 TB the
+    * same way a 5-partition rank window does). Instead the first md5 hex
+    * digit splits every source into 16 range buckets that are monotone in
+    * the sampling order; per-(source, bucket) token sums come back to the
+    * driver (sources × 16 rows), prefix-sum into bucket offsets, and the
+    * window runs per (source, bucket) — parallelism = sources × 16, the
+    * `rankFamily` trick applied to a cumulative sum.
+    */
+  def tokenBudgetMix(df: DataFrame, sourceCol: String, keyCol: String,
+      tokenCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetMix needs at least one source budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mk = md5(col(keyCol).cast("string"))
+    // first hex digit: 16 buckets, monotone in the (md5, key) sample order
+    // because the md5 string sorts lexicographically over hex chars
+    val bkt = conv(substring(mk, 1, 1), 16, 10).cast("int")
+    val budget = budgets.foldLeft(lit(-1L)) { case (acc, (s, b)) =>
+      when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    val withB = df.withColumn("__bkt", bkt)
+    val perBucket = withB.groupBy(col(sourceCol).cast("string").as("s"), col("__bkt").as("b"))
+      .agg(sum(col(tokenCol).cast("long")).as("t"))
+      .as[(String, Int, Long)].collect()
+    val offsets = perBucket.groupBy(_._1).iterator.flatMap { case (s, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val offs = sorted.scanLeft(0L)(_ + _._3)
+      sorted.zip(offs).map { case ((_, b, _), off) => (s, b, off) }
+    }.toSeq
+    val offsetDf = offsets.toDF("__os", "__ob", "__off")
+    val w = Window.partitionBy(col(sourceCol), col("__bkt"))
+      .orderBy(mk, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .join(broadcast(offsetDf),
+        col(sourceCol).cast("string") <=> col("__os") && col("__bkt") === col("__ob"))
+      .withColumn("__before",
+        sum(col(tokenCol).cast("long")).over(w) - col(tokenCol) + col("__off"))
+      .where(col("__before") < budget)
+      .drop("__bkt", "__os", "__ob", "__off", "__before")
+  }
+
   /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1:
     * repetitious documents are low-quality):
     *   - `dup_token_frac`: 1 − distinct/total tokens — pure per-row array

@@ -37,4 +37,49 @@ class EmbeddingsSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  private def pqMse(books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      vecs: Seq[Seq[Double]]): Double = {
+    val subDim = books.head.head.size
+    vecs.map { v =>
+      books.indices.map { j =>
+        val sub = v.slice(j * subDim, (j + 1) * subDim)
+        books(j).map(c => sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }.sum
+    }.sum / vecs.size
+  }
+
+  test("pqTrain/pqEncode: shapes, code range, determinism") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .limit(100)
+    val books = Embeddings.pqTrain(e, m = 8, k = 4, iters = 1)
+    assert(books.size === 8)
+    assert(books.forall(_.size === 4))
+    assert(books.forall(_.forall(_.size === 8))) // 64 dims / 8 subspaces
+    val again = Embeddings.pqTrain(e, m = 8, k = 4, iters = 1)
+    assert(books === again, "training must be deterministic run-to-run")
+    val codes = Embeddings.pqEncode(e, books)
+      .select(col("pq_codes")).as[Seq[Int]].collect()
+    assert(codes.forall(c => c.size == 8 && c.forall(x => x >= 0 && x < 4)))
+  }
+
+  test("pq reconstructs a constant corpus exactly") {
+    val df = (1L to 20L).map(i => (i, Seq.fill(8)(1.5f))).toDF("vec_id", "embedding")
+    val books = Embeddings.pqTrain(df, m = 2, k = 2, iters = 2)
+    val recon = Embeddings.pqEncode(df, books)
+      .select(Embeddings.pqDecode(col("pq_codes"), books).as("r"))
+      .as[Seq[Double]].collect()
+    assert(recon.forall(_ === Seq.fill(8)(1.5)))
+  }
+
+  test("pq Lloyd iterations never increase distortion") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .limit(200)
+    val vecs = e.select(transform(col("embedding"), _.cast("double")).as("v"))
+      .as[Seq[Double]].collect().toSeq
+    val b0 = Embeddings.pqTrain(e, m = 8, k = 8, iters = 0)
+    val b3 = Embeddings.pqTrain(e, m = 8, k = 8, iters = 3)
+    assert(pqMse(b3, vecs) <= pqMse(b0, vecs) + 1e-9,
+      "trained codebooks must not be worse than the sampled init")
+  }
 }

@@ -129,4 +129,49 @@ class TemporalSpec extends AnyFunSuite {
       (1L, Some("a"), ts(10), None),
       (2L, None, ts(0), None)))
   }
+
+  test("scd2Merge equals the full rebuild; untouched keys pass through") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    val early = Seq(
+      (7L, ts(0), 1L, "bronze"), (7L, ts(10), 2L, "bronze"),
+      (7L, ts(20), 3L, "gold"),
+      (8L, ts(5), 4L, "silver"),   // untouched by the batch
+      (9L, ts(0), 5L, "a"))
+      .toDF("user_id", "ts", "event_id", "tier")
+    val late = Seq(
+      (7L, ts(40), 6L, "bronze"),  // new version for an existing key
+      (9L, ts(30), 7L, "a"),       // no-op change → must collapse
+      (5L, ts(50), 8L, "fresh"))   // brand-new key
+      .toDF("user_id", "ts", "event_id", "tier")
+    val existing = Temporal.scd2(early, Seq("user_id"), "ts", Seq("tier"),
+      tieBreak = Seq("event_id"))
+    val merged = Temporal.scd2Merge(existing, late, Seq("user_id"), "ts",
+        Seq("tier"), tieBreak = Seq("event_id"))
+      .select($"user_id", $"tier", $"eff_from", $"eff_to", $"is_current")
+    val full = Temporal.scd2(early.unionByName(late), Seq("user_id"), "ts",
+        Seq("tier"), tieBreak = Seq("event_id"))
+      .select($"user_id", $"tier", $"eff_from", $"eff_to", $"is_current")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "incremental merge diverged from the full rebuild")
+  }
+
+  test("scd2Merge rejects out-of-order batches loudly") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    val early = Seq((7L, ts(0), 1L, "bronze"), (7L, ts(20), 2L, "gold"))
+      .toDF("user_id", "ts", "event_id", "tier")
+    val existing = Temporal.scd2(early, Seq("user_id"), "ts", Seq("tier"),
+      tieBreak = Seq("event_id"))
+    // a change BETWEEN existing versions can't be replayed incrementally
+    val stale = Seq((7L, ts(10), 3L, "silver"))
+      .toDF("user_id", "ts", "event_id", "tier")
+    val ex = intercept[Throwable] {
+      Temporal.scd2Merge(existing, stale, Seq("user_id"), "ts", Seq("tier"),
+        tieBreak = Seq("event_id")).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(ex).contains("scd2Merge"), s"expected loud guard, got ${msgs(ex)}")
+  }
 }

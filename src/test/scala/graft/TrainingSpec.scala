@@ -111,4 +111,45 @@ class TrainingSpec extends AnyFunSuite {
     val all = Training.sampleNPerGroup(df, Seq("g"), "id", 1000).count()
     assert(all === 100L)
   }
+
+  test("weightedSampleNPerGroup: deterministic, n per group, weights matter") {
+    val df = (1L to 200L).map(i => (i, s"g${i % 2}", if (i <= 100L) 1000.0 else 0.001))
+      .toDF("id", "g", "w")
+    val s1 = Training.weightedSampleNPerGroup(df, Seq("g"), "id", "w", 10)
+      .as[(Long, String, Double)].collect().toSet
+    assert(s1.size === 20)
+    assert(s1.groupBy(_._2).forall(_._2.size === 10))
+    // reproducible
+    val s2 = Training.weightedSampleNPerGroup(df, Seq("g"), "id", "w", 10)
+      .as[(Long, String, Double)].collect().toSet
+    assert(s1 === s2)
+    // heavy weights dominate: u^(1/1000) ≈ 1 vs u^(1000) ≈ 0, so every
+    // selected row should come from the heavy half
+    assert(s1.forall(_._1 <= 100L), s"light-weight rows leaked into: $s1")
+    // and unlike the unweighted sampler, the selection respects weights
+    val unweighted = Training.sampleNPerGroup(df, Seq("g"), "id", 10)
+      .as[(Long, String, Double)].collect().toSet
+    assert(s1 !== unweighted)
+  }
+
+  test("tokenBudgetMix keeps whole docs in md5 order until the budget spends") {
+    val df = (1L to 40L).map(i => (i, s"s${i % 2}", 10L)).toDF("id", "src", "tok")
+    // budget 55 → cum-before < 55 keeps docs at offsets 0,10,20,30,40,50:
+    // exactly 6 docs of 10 tokens (overshoot by one doc allowed)
+    val out = Training.tokenBudgetMix(df, "src", "id", "tok",
+      Map("s0" -> 55L, "s1" -> 0L))
+    val kept = out.as[(Long, String, Long)].collect()
+    assert(kept.forall(_._2 == "s0"), "zero-budget source must keep nothing")
+    assert(kept.length === 6)
+    // deterministic md5 order: the kept set is the 6 smallest md5 ranks
+    val expect = (1L to 40L).filter(_ % 2 == 0)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+      .take(6).toSet
+    assert(kept.map(_._1).toSet === expect)
+    // absent source: dropped entirely
+    val none = Training.tokenBudgetMix(df, "src", "id", "tok", Map("zz" -> 100L))
+    assert(none.count() === 0)
+  }
 }
