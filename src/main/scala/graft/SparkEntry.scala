@@ -861,19 +861,30 @@ object SparkEntry {
     // HLL at rsd=0.02 must land within 10% relative, the quantile sketch
     // at accuracy=5000 within 2%. The oracle asserts the booleans
     // literally TRUE, so sketch drift flips the hash.
-    "x38_approx_stats" -> ((s, dir) =>
-      t(s, dir, "orders").agg(
-        count(lit(1)).as("n_orders"),
-        countDistinct(col("o_custkey")).as("n_buyers"),
-        approx_count_distinct(col("o_custkey"), 0.02).as("__hll"),
-        expr("percentile(o_totalprice, array(0.5, 0.95))").as("__pe"),
-        expr("approx_percentile(o_totalprice, array(0.5, 0.95), 5000)").as("__pa"))
-      .select(col("n_orders"), col("n_buyers"),
-        (abs(col("__hll") - col("n_buyers")) <= col("n_buyers") * 0.1).as("hll_ok"),
-        (abs(element_at(col("__pa"), 1) - element_at(col("__pe"), 1))
-          <= abs(element_at(col("__pe"), 1)) * 0.02).as("p50_ok"),
-        (abs(element_at(col("__pa"), 2) - element_at(col("__pe"), 2))
-          <= abs(element_at(col("__pe"), 2)) * 0.02).as("p95_ok"))),
+    // Three tiny frames cross-joined instead of one mega-agg: countDistinct
+    // next to other aggregates plans an Expand that doubles the scanned
+    // rows through every buffer, and the exact percentile goes through
+    // Stats.percentiles' adaptive path (single-task below 4M values,
+    // distributed above) rather than a one-group percentile buffer.
+    "x38_approx_stats" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val exact = Stats.percentiles(o, "o_totalprice", Seq(0.5, 0.95),
+        Seq("__p50e", "__p95e"))
+      val buyers = o.select(col("o_custkey")).distinct()
+        .agg(count(lit(1)).as("n_buyers"))
+      o.agg(
+          count(lit(1)).as("n_orders"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("__hll"),
+          expr("approx_percentile(o_totalprice, array(0.5, 0.95), 5000)").as("__pa"))
+        .crossJoin(broadcast(buyers))
+        .crossJoin(broadcast(exact))
+        .select(col("n_orders"), col("n_buyers"),
+          (abs(col("__hll") - col("n_buyers")) <= col("n_buyers") * 0.1).as("hll_ok"),
+          (abs(element_at(col("__pa"), 1) - col("__p50e"))
+            <= abs(col("__p50e")) * 0.02).as("p50_ok"),
+          (abs(element_at(col("__pa"), 2) - col("__p95e"))
+            <= abs(col("__p95e")) * 0.02).as("p95_ok"))
+    }),
 
     // Structured JSON extraction from a string column (events.props) —
     // from_json into a typed struct, then a grouped aggregate over it.
@@ -1263,7 +1274,10 @@ object SparkEntry {
     // exact-reconstruction cases.
     "x76_pq_quantize" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val books = Embeddings.pqTrain(e, m = 8, k = 16, iters = 3)
+      // train on a deterministic 25% hash-sample — at billion-vector scale
+      // PQ codebooks always train on a sample; encode runs over everything
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
       val v = transform(col("embedding"), x => x.cast("double"))
       val enc = Embeddings.pqEncode(e, books)
         .withColumn("__recon", Embeddings.pqDecode(col("pq_codes"), books))
