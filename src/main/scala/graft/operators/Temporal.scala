@@ -173,6 +173,9 @@ object Temporal {
       tsCol: String, valueCols: Seq[String],
       tieBreak: Seq[String] = Seq.empty): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "scd2Merge needs keys and tracked values")
+    require(Seq("eff_from", "eff_to", "is_current").forall(existing.columns.contains),
+      "scd2Merge: 'existing' must be an scd2 output (eff_from/eff_to/is_current); " +
+        s"got columns [${existing.columns.mkString(", ")}]")
     val affectedKeys = batch.select(keyCols.map(col): _*).distinct()
     val untouched = existing.join(affectedKeys, keyCols, "left_anti")
     val affected = existing.join(affectedKeys, keyCols, "left_semi")

@@ -119,7 +119,14 @@ object Training {
     require(nPerGroup > 0, "weightedSampleNPerGroup needs nPerGroup > 0")
     val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
       .cast("double") + 0.5) / 4294967296.0
-    val priority = round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9)
+    // u^(1/w) with w ≤ 0 silently inverts the ranking (u^negative > 1) —
+    // fail loudly in-plan instead
+    val wPos = when(col(weightCol).cast("double") > 0, col(weightCol).cast("double"))
+      .otherwise(raise_error(concat(
+        lit("weightedSampleNPerGroup: non-positive weight in '"),
+        lit(weightCol), lit("' ("), col(weightCol).cast("string"),
+        lit(") - weights must be strictly positive"))))
+    val priority = round(pow(u, lit(1.0) / wPos), 9)
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(priority.desc, col(keyCol))
     df.withColumn("__rn", row_number().over(w))

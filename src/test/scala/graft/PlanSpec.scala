@@ -108,4 +108,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("x73 weighted sample: partial WindowGroupLimit bounds the map-side forward") {
+    // same contract as x69: each map task forwards at most n rows per
+    // group, so the weighted sample never funnels a source's full rows
+    // through one reducer
+    val p = planOf("x73_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("Partial"), p.take(2000))
+  }
+
+  test("x74 token budget: the prefix sum windows by (source, bucket), never by source alone") {
+    val p = planOf("x74_token_budget_mix")
+    assert(p.contains("windowspecdefinition(source"), p.take(2000))
+    assert(p.contains("__bkt"), p.take(2000))
+    // offsets arrive by broadcast, not a shuffled join
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("x75 incremental SCD2: untouched keys leave via anti join, affected via semi") {
+    val p = planOf("x75_scd2_incremental")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("x76 PQ encode is a narrow map: no exchange, codebooks live as literals") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val books = graft.operators.Embeddings.pqTrain(
+      e.limit(64), m = 8, k = 4, iters = 0)
+    val enc = graft.operators.Embeddings.pqEncode(e, books)
+    val p = enc.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
 }
