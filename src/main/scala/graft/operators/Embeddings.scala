@@ -164,4 +164,35 @@ object Embeddings {
       element_at(typedLit(books(j).map(_.toSeq).toSeq),
         element_at(codes, j + 1) + 1)
     }: _*))
+
+  /** Asymmetric-distance kNN over PQ codes: queries keep their EXACT
+    * vectors, candidates are scored through their compressed
+    * reconstructions — the ADC scheme every IVF-PQ index uses (half the
+    * quantization error of symmetric code-vs-code scoring). The scan
+    * streams m-byte codes instead of dims floats, which is the point at
+    * billion-vector scale: the candidate side's I/O shrinks by the PQ
+    * ratio while the plan stays `bruteForceKnn`'s broadcast-NL shape.
+    *
+    * `rerank > k` adds the production second stage: the ADC pass only
+    * SHORTLISTS `rerank` candidates per query, and the final top-k comes
+    * from an exact re-rank of that shortlist against the raw vectors
+    * (`Similarity.rerankExact`) — quantization noise then only has to
+    * keep true neighbors inside the shortlist, not rank them perfectly,
+    * and the exact math touches |queries| × rerank rows instead of the
+    * corpus.
+    */
+  def pqAdcKnn(candidates: DataFrame, queries: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], k: Int,
+      rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val compressed = pqEncode(candidates, books, vecCol, as = "__pq")
+      .withColumn(vecCol, pqDecode(col("__pq"), books))
+      .drop("__pq")
+    if (rerank <= k)
+      Similarity.bruteForceKnn(compressed, queries, k, idCol, vecCol)
+    else {
+      val shortlist = Similarity.bruteForceKnn(compressed, queries, rerank, idCol, vecCol)
+      Similarity.rerankExact(shortlist, candidates, queries, k, idCol, vecCol)
+    }
+  }
 }

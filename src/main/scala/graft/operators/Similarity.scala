@@ -108,6 +108,32 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 
+  /** Exact cosine re-rank of a candidate shortlist: `pairs` (qid, nid)
+    * joins back to the raw vectors and only those |queries| × shortlist
+    * rows are scored exactly — the second stage of every
+    * approximate-then-exact ANN scheme (ADC or IVF shortlist → exact
+    * top-k). The candidate join is an equi-join on id (hash, prunable);
+    * queries broadcast.
+    */
+  def rerankExact(pairs: DataFrame, candidates: DataFrame, queries: DataFrame,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = dotFor(candidates)
+    val c = candidates.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cn", sqrt(d(col("cvec"), col("cvec"))))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qn", sqrt(d(col("qvec"), col("qvec"))))
+    val scored = pairs.select(col("qid"), col("nid"))
+      .join(c, Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        when(col("cn") * col("qn") === 0, lit(0.0d))
+          .otherwise(d(col("qvec"), col("cvec")) / (col("cn") * col("qn"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
   /** Deterministic Rademacher (±1) hyperplanes for sign-random-projection
     * LSH, seeded — the same plane set on every executor and every run.
     */

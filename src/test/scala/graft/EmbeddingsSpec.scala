@@ -72,6 +72,19 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(recon.forall(_ === Seq.fill(8)(1.5)))
   }
 
+  test("pqAdcKnn with a corpus-wide shortlist equals exact brute force") {
+    // rerank >= |corpus| makes the ADC stage a pure pass-through filter:
+    // the exact re-rank then must reproduce bruteForceKnn bit for bit
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .limit(100)
+    val q = e.where(col("vec_id") < 4)
+    val books = Embeddings.pqTrain(e, m = 8, k = 4, iters = 1)
+    val adc = Embeddings.pqAdcKnn(e, q, books, k = 5, rerank = 100)
+    val brute = graft.operators.Similarity.bruteForceKnn(e, q, k = 5)
+    assert(adc.exceptAll(brute).isEmpty && brute.exceptAll(adc).isEmpty,
+      "full-shortlist ADC diverged from exact brute force")
+  }
+
   test("pq Lloyd iterations never increase distortion") {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
       .limit(200)
