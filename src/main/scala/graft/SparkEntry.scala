@@ -37,8 +37,13 @@ object SparkEntry {
     * is deterministic (seeded planes/centroids) and is what the method
     * contracts. `minRecall` floors hits / |brute results|.
     */
-  private def annRecallCheck(ann: DataFrame, brute: DataFrame,
+  private def annRecallCheck(ann0: DataFrame, brute0: DataFrame,
       minRecall: Double): DataFrame = {
+    // both result lists are referenced twice below (overlap + totals);
+    // persisting the tiny (|q|×k-row) frames keeps the full ANN and brute
+    // pipelines from executing twice per reference
+    val ann = ann0.persist()
+    val brute = brute0.persist()
     val hitsN = ann.select(col("qid"), col("nid"))
       .join(brute.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
       .agg(count(lit(1)).as("__h"))
@@ -339,8 +344,12 @@ object SparkEntry {
         .select(col("a"), col("b"), col("jaccard"))
       val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
         .select(col("a"), col("b"), lit(true).as("__f"))
+      // persisted: the pair frame feeds both the recall aggregate and the
+      // row output — without the cache the jaccard-truth and simhash
+      // pipelines would each execute twice
       val marked = truth.join(sim, Seq("a", "b"), "left")
         .withColumn("__found", coalesce(col("__f"), lit(false)))
+        .persist()
       val rec = marked.agg(
         (sum(when(col("__found"), 1).otherwise(0)) >= count(lit(1)) * 0.4)
           .as("simhash_recall_ok"))
@@ -1255,8 +1264,10 @@ object SparkEntry {
       val ev = Catalog.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       val cut = "2024-01-20 00:00:00"
+      // persisted: scd2Merge reads `existing` three times (anti, semi, max)
       val existing = Temporal.scd2(ev.where(col("ts") < cut),
-        Seq("user_id"), "ts", Seq("event_type"), tieBreak = Seq("event_id"))
+          Seq("user_id"), "ts", Seq("event_type"), tieBreak = Seq("event_id"))
+        .persist()
       Temporal.scd2Merge(existing, ev.where(col("ts") >= cut),
           Seq("user_id"), "ts", Seq("event_type"), tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_type"), col("eff_from"),

@@ -82,21 +82,21 @@ object Ranks {
     val boundaryRows = df.groupBy(gStr.as("__g"))
       .agg(expr(s"approx_percentile($lead, array(${probs.mkString(",")}), 10000)")
         .as("__bnd"))
-    // Loud guard on the driver-side contract: the two collects below hold
-    // groups × nBuckets rows on the driver. The probe is a map-side-partial
-    // distinct + CollectLimit over the key column only (stops at
-    // maxGroups+1), so a high-cardinality misuse fails with this message
-    // instead of an OOM mid-collect — and the guard never re-runs the
-    // percentile aggregate.
-    val probe = df.select(gStr.as("__g")).distinct().limit(maxGroups + 1).count()
-    require(probe <= maxGroups,
+    // Loud guard on the driver-side contract, folded into the collect the
+    // pass already makes: CollectLimit stops pulling at maxGroups+1 rows,
+    // so a high-cardinality misuse fails with this message after fetching
+    // a BOUNDED number of boundary rows instead of OOMing the driver —
+    // and the guarded path costs zero extra jobs (when the limit isn't
+    // hit, the limited collect IS the complete boundary set).
+    val collected = boundaryRows.limit(maxGroups + 1).collect().toIndexedSeq
+    require(collected.size <= maxGroups,
       s"rankFamily saw more than $maxGroups distinct '$groupCol' groups; " +
         "this operator trades driver memory (groups x nBuckets rows) for " +
         "parallelism within LOW-cardinality groups. For high-cardinality " +
         "keys use a plain Window.partitionBy (it already parallelizes), " +
         "or raise maxGroups if the driver has headroom.")
     val boundaries = spark0.createDataFrame(
-      spark0.sparkContext.parallelize(boundaryRows.collect().toIndexedSeq, 1),
+      spark0.sparkContext.parallelize(collected, 1),
       boundaryRows.schema)
 
     // bucket = #boundaries strictly below the row's leading value: monotone
