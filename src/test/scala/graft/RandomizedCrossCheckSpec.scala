@@ -81,6 +81,81 @@ class RandomizedCrossCheckSpec extends AnyFunSuite {
     assert(got === expected.toSeq, s"got $got expected ${expected.toSeq}")
   }
 
+  test("scd2Merge equals the full rebuild on random change logs") {
+    val rnd = new scala.util.Random(20260813L)
+    // random keys/values with duplicate timestamps resolved by event_id;
+    // split at a time threshold (the operator's append-only contract)
+    val rows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(20).toLong,
+        new java.sql.Timestamp(1704067200000L + rnd.nextInt(1000) * 1000L),
+        i.toLong,
+        s"v${rnd.nextInt(4)}"))
+      .toDF("k", "ts", "event_id", "v")
+    val cut = new java.sql.Timestamp(1704067200000L + 600 * 1000L)
+    val existing = Temporal.scd2(rows.where($"ts" < cut), Seq("k"), "ts",
+      Seq("v"), tieBreak = Seq("event_id"))
+    val merged = Temporal.scd2Merge(existing, rows.where($"ts" >= cut),
+        Seq("k"), "ts", Seq("v"), tieBreak = Seq("event_id"))
+      .select($"k", $"v", $"eff_from", $"eff_to", $"is_current")
+    val full = Temporal.scd2(rows, Seq("k"), "ts", Seq("v"),
+        tieBreak = Seq("event_id"))
+      .select($"k", $"v", $"eff_from", $"eff_to", $"is_current")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "random incremental merge diverged from the full rebuild")
+  }
+
+  test("tokenBudgetMix equals the naive serial-window formulation on random data") {
+    val rnd = new scala.util.Random(31337L)
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, s"s${rnd.nextInt(5)}", (rnd.nextInt(40) + 1).toLong))
+    val df = rows.toDF("id", "src", "tok")
+    val budgets = Map("s0" -> 120L, "s1" -> 1L, "s2" -> 0L, "s3" -> 100000L)
+    val got = graft.operators.Training
+      .tokenBudgetMix(df, "src", "id", "tok", budgets)
+      .select($"id").as[Long].collect().toSet
+    // naive: per source, md5-rank order, keep while running total-before
+    // stays under budget — computed locally
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = rows.groupBy(_._2).flatMap { case (src, rs) =>
+      val budget = budgets.getOrElse(src, -1L)
+      var cum = 0L
+      rs.sortBy(r => (md5hex(r._1.toString), r._1)).flatMap { r =>
+        val keep = cum < budget
+        cum += r._3
+        if (keep) Some(r._1) else None
+      }
+    }.toSet
+    assert(got === expect,
+      s"bucketed mix diverged: extra=${got -- expect} missing=${expect -- got}")
+  }
+
+  test("weightedSampleNPerGroup equals a local priority computation on random data") {
+    val rnd = new scala.util.Random(4242L)
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, s"g${rnd.nextInt(4)}", rnd.nextDouble() * 100 + 0.5))
+    val df = rows.toDF("id", "g", "w")
+    val got = graft.operators.Training
+      .weightedSampleNPerGroup(df, Seq("g"), "id", "w", 7)
+      .select($"id").as[Long].collect().toSet
+    // local replay of the exact formula: u from the first 8 md5 hex chars,
+    // priority = round(u^(1/w), 9), top-7 per group (priority desc, id asc)
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    }
+    val expect = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.map(r => (r._1, BigDecimal(math.pow(u(r._1), 1.0 / r._3))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (id, p) => (-p, id) }
+        .take(7).map(_._1)
+    }.toSet
+    assert(got === expect,
+      s"weighted sample diverged: extra=${got -- expect} missing=${expect -- got}")
+  }
+
   test("transpose then untranspose returns the original rows on random data") {
     val rnd = new scala.util.Random(7L)
     val classes = Seq("AAA", "BBB", "CCC", "DDD")
