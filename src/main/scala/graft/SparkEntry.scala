@@ -1319,6 +1319,22 @@ object SparkEntry {
         Similarity.bruteForceKnn(e, q, k = 5), minRecall = 0.3)
     }),
 
+    // IVF-PQ composed kNN: coarse cells prune the corpus, PQ codes score
+    // the probed cells (ADC), exact re-rank finishes — the full
+    // billion-vector serving shape. Two stacked approximations, so the
+    // floor is 0.2; observed 0.43 (sf0.01) / 0.28 (sf0.1), deterministic
+    // (seeded centroids + codebooks).
+    "x78_knn_ivf_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      annRecallCheck(
+        Embeddings.ivfPqKnn(e, q, books, k = 5, rerank = 50,
+          nCentroids = 16, nProbe = 4),
+        Similarity.bruteForceKnn(e, q, k = 5), minRecall = 0.2)
+    }),
+
     // TPC-H Q6 shape: every predicate (date range, discount band, quantity)
     // pushes into the parquet scan — the forecast-revenue aggregate then
     // reads a fraction of the table. PlanSpec pins the pushdown.
@@ -2296,6 +2312,9 @@ object SparkEntry {
       """SELECT count(*) AS n_vecs, 8 AS m, 16 AS k, TRUE AS mse_ratio_ok
         |FROM embeddings""".stripMargin,
     "x77_knn_pq_adc" ->
+      """SELECT count(*) AS n_queries, 5 * count(*) AS n_results, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "x78_knn_ivf_pq" ->
       """SELECT count(*) AS n_queries, 5 * count(*) AS n_results, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "x53_source_cap" ->

@@ -195,4 +195,35 @@ object Embeddings {
       Similarity.rerankExact(shortlist, candidates, queries, k, idCol, vecCol)
     }
   }
+
+  /** IVF-PQ kNN — the composed billion-vector serving shape: an IVF
+    * coarse quantizer prunes the corpus to the query's nProbe cells, PQ
+    * codes stand in for the raw vectors inside those cells (ADC
+    * scoring), and the exact re-rank recovers the final top-k from raw
+    * vectors fetched for the shortlist only. Next to `pqAdcKnn` the scan
+    * also drops from the whole corpus to nProbe/nCentroids of it; next
+    * to plain `ivfKnn` the probed cells stream m-byte codes, not
+    * dims-float vectors.
+    */
+  def ivfPqKnn(candidates: DataFrame, queries: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], k: Int,
+      rerank: Int = 50, nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank > k, s"ivfPqKnn: rerank=$rerank must exceed k=$k")
+    // The reconstruction is MATERIALIZED (persist = InMemoryRelation
+    // barrier), not left as an expression: IVF's centroid scoring
+    // references the candidate vector 16+ times, and inlining the
+    // decode expression into every reference blows the plan up
+    // combinatorially (observed as a driver OOM). This mirrors the real
+    // system too — an IVF-PQ index IS the stored materialization of
+    // (cell, codes); at cluster scale this frame would be the persisted
+    // index table, written once and scanned per query batch.
+    val compressed = pqEncode(candidates, books, vecCol, as = "__pq")
+      .withColumn(vecCol, pqDecode(col("__pq"), books))
+      .drop("__pq")
+      .persist()
+    val shortlist = Similarity.ivfKnn(compressed, queries, rerank,
+      nCentroids, nProbe, idCol, vecCol)
+    Similarity.rerankExact(shortlist, candidates, queries, k, idCol, vecCol)
+  }
 }

@@ -85,6 +85,21 @@ class EmbeddingsSpec extends AnyFunSuite {
       "full-shortlist ADC diverged from exact brute force")
   }
 
+  test("ivfPqKnn returns full k-length, self-free, deterministic results") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val q = e.where(col("vec_id") < 4)
+    val books = Embeddings.pqTrain(e, m = 8, k = 4, iters = 1)
+    val out = Embeddings.ivfPqKnn(e, q, books, k = 3, rerank = 20)
+      .select(col("qid"), col("nid"), col("rank"))
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(out.length === 12) // 4 queries × k=3
+    assert(out.forall(r => r._1 != r._2), "self-matches must be excluded")
+    val again = Embeddings.ivfPqKnn(e, q, books, k = 3, rerank = 20)
+      .select(col("qid"), col("nid"), col("rank"))
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(out.toSeq === again.toSeq, "IVF-PQ must be deterministic")
+  }
+
   test("pq Lloyd iterations never increase distortion") {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
       .limit(200)
