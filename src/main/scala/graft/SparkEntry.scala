@@ -1335,6 +1335,28 @@ object SparkEntry {
         Similarity.bruteForceKnn(e, q, k = 5), minRecall = 0.2)
     }),
 
+    // Robust standardization: (x − median) / (1.4826·MAD) — the
+    // outlier-resistant z-score. Two exact-percentile broadcasts, no
+    // data shuffle; the oracle replays the same interpolated quantiles.
+    "x79_robust_scale" -> ((s, dir) =>
+      Stats.robustScale(t(s, dir, "lineitem"), "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("robust_z"), 4).as("robust_z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // Per-group OLS trend (closed-form regr_* aggregates): value drift per
+    // event type over the month — both engines compute the same
+    // sum-of-products math, map-side partial-agged.
+    "x80_trend_per_type" -> ((s, dir) =>
+      Catalog.events(s, dir)
+        .withColumn("x", datediff(col("ts"), lit("2024-01-01")).cast("double"))
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("regr_slope(value, x)"), 4).as("slope"),
+          round(expr("regr_intercept(value, x)"), 4).as("intercept"),
+          expr("regr_count(value, x)").as("n"))
+        .orderBy(col("event_type"))),
+
     // TPC-H Q6 shape: every predicate (date range, discount band, quantity)
     // pushes into the parquet scan — the forecast-revenue aggregate then
     // reads a fraction of the table. PlanSpec pins the pushdown.
@@ -2317,6 +2339,24 @@ object SparkEntry {
     "x78_knn_ivf_pq" ->
       """SELECT count(*) AS n_queries, 5 * count(*) AS n_results, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "x79_robust_scale" ->
+      """WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem),
+        |d AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, m.med,
+        |    abs(l_extendedprice - m.med) AS adev
+        |  FROM lineitem, m),
+        |md AS (SELECT quantile_cont(adev, 0.5) AS mad FROM d)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(CASE WHEN l_extendedprice IS NOT NULL AND md.mad > 0
+        |    THEN (l_extendedprice - d.med) / (1.4826 * md.mad) END, 4) AS robust_z
+        |FROM d, md ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "x80_trend_per_type" ->
+      """SELECT event_type,
+        |  round(regr_slope(value, date_diff('day', DATE '2024-01-01', ts)), 4) AS slope,
+        |  round(regr_intercept(value, date_diff('day', DATE '2024-01-01', ts)), 4)
+        |    AS intercept,
+        |  regr_count(value, date_diff('day', DATE '2024-01-01', ts)) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x53_source_cap" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10

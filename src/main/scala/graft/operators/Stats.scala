@@ -169,4 +169,24 @@ object Stats {
           least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
+
+  /** Robust z-score: (x − median) / (1.4826 · MAD), the outlier-resistant
+    * standardization (median absolute deviation instead of the stddev a
+    * single extreme value can dominate; 1.4826 rescales MAD to σ under
+    * normality). Two exact-percentile passes, each a 1-row broadcast —
+    * the data itself never shuffles. Nulls stay null; a degenerate
+    * MAD = 0 (over half the values identical) yields null rather than
+    * ±∞.
+    */
+  def robustScale(df: DataFrame, valueCol: String, as: String = "robust_z"): DataFrame = {
+    val med = percentiles(df, valueCol, Seq(0.5), Seq("__med"))
+    val dev = df.crossJoin(broadcast(med))
+      .withColumn("__absdev", abs(col(valueCol).cast("double") - col("__med")))
+    val mad = percentiles(dev, "__absdev", Seq(0.5), Seq("__mad"))
+    dev.crossJoin(broadcast(mad))
+      .withColumn(as,
+        when(col(valueCol).isNotNull && col("__mad") > 0,
+          (col(valueCol).cast("double") - col("__med")) / (lit(1.4826) * col("__mad"))))
+      .drop("__med", "__absdev", "__mad")
+  }
 }

@@ -87,6 +87,21 @@ class StatsSpec extends AnyFunSuite {
     assert(out.values.forall(c => c >= 10.9 - 1e-9 && c <= 90.1 + 1e-9))
   }
 
+  test("robustScale: median-centered, MAD-scaled, null-safe, degenerate-safe") {
+    val df = ((1 to 99).map(i => Some(i.toDouble)) :+ None).toDF("v")
+    val out = Stats.robustScale(df, "v")
+      .select($"v", $"robust_z").as[(Option[Double], Option[Double])]
+      .collect().toMap
+    // median 50, MAD 25: rz(50) = 0, rz(75) = 25/(1.4826*25) = 1/1.4826
+    assert(math.abs(out(Some(50.0)).get) < 1e-12)
+    assert(math.abs(out(Some(75.0)).get - 1.0 / 1.4826) < 1e-9)
+    assert(out(None).isEmpty, "null input must stay null")
+    // constant column: MAD = 0 → null, never ±Infinity
+    val const = Seq.fill(10)(7.0).toDF("v")
+    assert(Stats.robustScale(const, "v")
+      .where($"robust_z".isNotNull).count() === 0)
+  }
+
   test("winsorize leaves NULL values null instead of clipping them to the floor") {
     // least/greatest skip nulls — an unguarded clip would fabricate the
     // lower percentile bound for every null input
