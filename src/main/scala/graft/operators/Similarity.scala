@@ -296,6 +296,25 @@ object Similarity {
     * touches nProbe/nCentroids of the data instead of all of it, and the
     * centroid table (nCentroids × dims doubles) broadcasts everywhere.
     */
+  /** Nearest-centroid ids for a vector, as a sorted-by-score idx array —
+    * max inner product ≈ nearest for same-norm centroids; deterministic
+    * tie-break on idx. Shared by `ivfKnn` and the streaming index
+    * maintenance (`VectorIngest`), so batch assignment and online
+    * assignment can never drift apart.
+    */
+  def centroidRanks(vec: Column, centroids: Seq[(Int, Seq[Double])],
+      dotFn: (Column, Column) => Column = dot): Column = {
+    val scored = array(centroids.map { case (i, cv) =>
+      struct(dotFn(vec, typedLit(cv)).as("s"), lit(i).as("idx"))
+    }: _*)
+    transform(
+      array_sort(scored, (a, b) =>
+        when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1)
+          .otherwise(a.getField("idx") - b.getField("idx"))),
+      x => x.getField("idx"))
+  }
+
   def ivfKnn(candidates: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -318,26 +337,12 @@ object Similarity {
         .zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }
 
-    // nearest-centroid ids for a vector, as a sorted-by-distance idx array
-    def centroidRanks(vec: Column): Column = {
-      val scored = array(centroids.map { case (i, cv) =>
-        struct(d(vec, typedLit(cv)).as("s"), lit(i).as("idx"))
-      }: _*)
-      // max inner product ~ nearest for same-norm centroids; deterministic
-      // tie-break on idx
-      transform(
-        array_sort(scored, (a, b) =>
-          when(a.getField("s") > b.getField("s"), -1)
-            .when(a.getField("s") < b.getField("s"), 1)
-            .otherwise(a.getField("idx") - b.getField("idx"))),
-        x => x.getField("idx"))
-    }
-
-    val assigned = c.withColumn("cell", element_at(centroidRanks(col("cvec")), 1))
+    val assigned = c.withColumn("cell",
+      element_at(centroidRanks(col("cvec"), centroids, d), 1))
     val probed = queries
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
       .withColumn("qn", sqrt(d(col("qvec"), col("qvec"))))
-      .withColumn("__ranks", centroidRanks(col("qvec")))
+      .withColumn("__ranks", centroidRanks(col("qvec"), centroids, d))
       .withColumn("cell", explode(slice(graft.functions.Staging.pin(col("__ranks")), 1, nProbe)))
       .drop("__ranks")
     val scored = assigned.join(probed, Seq("cell"))

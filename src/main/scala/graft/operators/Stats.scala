@@ -179,14 +179,22 @@ object Stats {
     * ±∞.
     */
   def robustScale(df: DataFrame, valueCol: String, as: String = "robust_z"): DataFrame = {
-    val med = percentiles(df, valueCol, Seq(0.5), Seq("__med"))
-    val dev = df.crossJoin(broadcast(med))
-      .withColumn("__absdev", abs(col(valueCol).cast("double") - col("__med")))
-    val mad = percentiles(dev, "__absdev", Seq(0.5), Seq("__mad"))
-    dev.crossJoin(broadcast(mad))
-      .withColumn(as,
-        when(col(valueCol).isNotNull && col("__mad") > 0,
-          (col(valueCol).cast("double") - col("__med")) / (lit(1.4826) * col("__mad"))))
-      .drop("__med", "__absdev", "__mad")
+    // the two medians are SCALARS — collect each (1 row) and re-enter them
+    // as literals, so the output is one narrow scan. The earlier
+    // crossJoin-chained form re-computed the deviation frame inside every
+    // downstream pass (~5 scans; measured 8.2 s vs winsorize's 3.2 s on
+    // the same column) — this shape pays exactly the two percentile
+    // passes plus one output scan.
+    val medRow = percentiles(df, valueCol, Seq(0.5), Seq("m")).collect().head
+    if (medRow.isNullAt(0)) return df.withColumn(as, lit(null).cast("double"))
+    val med = medRow.getDouble(0)
+    val dev = df.select(abs(col(valueCol).cast("double") - med).as("__absdev"))
+    val madRow = percentiles(dev, "__absdev", Seq(0.5), Seq("m")).collect().head
+    val mad = if (madRow.isNullAt(0)) 0.0 else madRow.getDouble(0)
+    if (mad > 0)
+      df.withColumn(as,
+        when(col(valueCol).isNotNull,
+          (col(valueCol).cast("double") - med) / (1.4826 * mad)))
+    else df.withColumn(as, lit(null).cast("double"))
   }
 }

@@ -111,17 +111,22 @@ object CorpusIngest {
             fresh.join(exactIds, Seq("doc_id"), "left_anti")
               .join(near.select(col("new_id").as("doc_id")), Seq("doc_id"), "left_anti")
         }
-        // materialize before the append: `kept` reads the corpus table the
-        // write is about to extend
-        val rows = kept.persist()
+        // materialize WITH lineage truncation before the append: `kept`
+        // reads the corpus table the first write extends, and a plain
+        // persist is not enough — writeAppend's refreshByPath invalidates
+        // every cache whose plan contains the corpus path, so the index
+        // append would silently recompute the anti-joins against the
+        // already-extended corpus and index NOTHING (every batch would
+        // manufacture exactly the unindexed-orphan window the start-time
+        // reconcile exists to repair). localCheckpoint rebases the kept
+        // rows onto a materialized RDD with no file-source lineage.
+        val rows = kept.localCheckpoint(true)
         try {
-          rows.count()
           Catalog.writeAppend(rows, root, ref)
           Catalog.writeAppend(
             Dedup.lshBuckets(rows, "doc_id", "text", shingleSize, numHashes, bands),
             root, idxRef)
         } finally {
-          rows.unpersist()
           matches.foreach { case (_, near) => near.unpersist(); () }
           ()
         }

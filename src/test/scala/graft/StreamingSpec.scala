@@ -187,6 +187,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming vector ingest maintains the IVF index with frozen centroids") {
+    import graft.streaming.VectorIngest
+    import graft.operators.Similarity
+    val src = Files.createTempDirectory("graft_vec_src")
+    val root = Files.createTempDirectory("graft_vec_root").toString
+    val rnd = new scala.util.Random(7L)
+    def vec(id: Long) = (id, Seq.fill(8)(rnd.nextFloat()))
+    def stage(name: String, ids: Seq[Long]): Unit = {
+      val tmp = Files.createTempDirectory("graft_vec_stage")
+      ids.map(vec).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    stage("b0.parquet", 0L until 20L)
+    val q = VectorIngest.ingestStream(spark, src.toString, root, "vectors",
+      nCentroids = 4)
+    try {
+      q.processAllAvailable()
+      val cents1 = VectorIngest.loadCentroids(spark, root, "vectors")
+      assert(cents1.size === 4)
+      stage("b1.parquet", 20L until 35L)
+      q.processAllAvailable()
+      // centroids frozen across batches
+      assert(VectorIngest.loadCentroids(spark, root, "vectors") === cents1)
+      // index covers exactly the table, with valid cells
+      val tableIds = Catalog.table(spark, root, "vectors")
+        .select("vec_id").as[Long].collect().toSet
+      val idx = Catalog.table(spark, root, "vectors_ivf")
+        .as[(Long, Int)].collect()
+      assert(tableIds === (0L until 35L).toSet)
+      assert(idx.map(_._1).toSet === tableIds)
+      assert(idx.forall(r => r._2 >= 0 && r._2 < 4))
+      // online cells match what the batch assignment computes on the table
+      import org.apache.spark.sql.functions.{col, element_at, transform}
+      val batchCells = Catalog.table(spark, root, "vectors")
+        .select(col("vec_id"),
+          element_at(Similarity.centroidRanks(
+            transform(col("embedding"), x => x.cast("double")), cents1), 1)
+            .as("cell"))
+        .as[(Long, Int)].collect().toMap
+      assert(idx.toMap === batchCells)
+    } finally q.stop()
+    // crash-orphan heal: vectors appended to the table but never indexed
+    // get cells on the next stream start, with the SAME frozen centroids
+    Catalog.writeAppend(Seq(vec(100L), vec(101L)).toDF("vec_id", "embedding"),
+      root, "vectors")
+    stage("b2.parquet", Seq(102L))
+    val q2 = VectorIngest.ingestStream(spark, src.toString, root, "vectors",
+      nCentroids = 4)
+    try {
+      q2.processAllAvailable()
+      val idx2 = Catalog.table(spark, root, "vectors_ivf")
+        .select("vec_id").distinct().as[Long].collect().toSet
+      val ids2 = Catalog.table(spark, root, "vectors")
+        .select("vec_id").distinct().as[Long].collect().toSet
+      assert(idx2 === ids2, "restart reconcile must index the orphans")
+      assert(Set(100L, 101L, 102L).subsetOf(idx2))
+      // the restart re-read b0/b1 (no durable checkpoint here): the id
+      // anti-join must have kept ingestion exactly-once per vector
+      assert(Catalog.table(spark, root, "vectors").count() === ids2.size)
+    } finally q2.stop()
+  }
+
   test("streaming corpus ingest decontaminates each micro-batch against the table") {
     import graft.streaming.CorpusIngest
     val src = Files.createTempDirectory("graft_docs_src")
@@ -219,6 +284,12 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(Catalog.table(spark, root, "corpus").select("doc_id")
         .as[Long].collect().toSet === Set(1L, 2L, 12L))
+      // the LSH index must cover batch-1's admitted doc NOW, mid-run: the
+      // first append's refreshByPath once invalidated the kept-rows cache
+      // and the index append silently recomputed an empty anti-join — the
+      // start-time reconcile would mask that hole, so pin it here
+      assert(Catalog.table(spark, root, "corpus_lsh").select("doc_id")
+        .distinct().as[Long].collect().toSet === Set(1L, 2L, 12L))
       // simulate a crash between the corpus append and the index append:
       // doc 20 lands in the corpus but never in the LSH index. A crash
       // implies a restart, and the self-heal reconcile runs once per
