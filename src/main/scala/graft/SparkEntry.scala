@@ -1335,6 +1335,32 @@ object SparkEntry {
         Similarity.bruteForceKnn(e, q, k = 5), minRecall = 0.2)
     }),
 
+    // Leakage-safe split: hashSplit keyed by the NEAR-DUP CLUSTER id, so a
+    // test doc's paraphrase can never land in train — the contamination
+    // guard a row-keyed split cannot give. SQL-verifiable properties: the
+    // doc spine and counts are exact; purity (one split per cluster) and
+    // hash-balance of the train fraction are literal-TRUE bound flags
+    // (clusters themselves aren't SQL-replayable — seeded MinHash).
+    "x81_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cl = Dedup.clusters(docs, "doc_id", "text", threshold = 0.9)
+      val split = Training.hashSplit(
+        docs.join(cl, Seq("doc_id")), "cluster_id")
+      val splitP = split.persist()
+      val checks = splitP.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("__n_splits"))
+        .agg(
+          (max(col("__n_splits")) === 1).as("purity_ok"),
+          count(lit(1)).as("n_clusters"))
+      val frac = splitP.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(when(col("split") === "train", 1).otherwise(0))
+          .between(count(lit(1)) * 0.7, count(lit(1)) * 0.9)).as("train_frac_ok"))
+      frac.crossJoin(broadcast(checks))
+        .select(col("n_docs"), col("n_clusters"), col("purity_ok"),
+          col("train_frac_ok"))
+    }),
+
     // Robust standardization: (x − median) / (1.4826·MAD) — the
     // outlier-resistant z-score. Two exact-percentile broadcasts, no
     // data shuffle; the oracle replays the same interpolated quantiles.
@@ -2339,6 +2365,38 @@ object SparkEntry {
     "x78_knn_ivf_pq" ->
       """SELECT count(*) AS n_queries, 5 * count(*) AS n_results, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // same recursive-CTE clustering as x41, reduced to the split audit
+    "x81_leakage_safe_split" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM p
+        |  UNION SELECT b, a FROM p),
+        |reach(x, y) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y),
+        |labels AS (
+        |  SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x)
+        |SELECT count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters,
+        |  TRUE AS purity_ok, TRUE AS train_frac_ok
+        |FROM labels""".stripMargin,
     "x79_robust_scale" ->
       """WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem),
         |d AS (

@@ -132,6 +132,21 @@ class TrainingSpec extends AnyFunSuite {
     assert(s1 !== unweighted)
   }
 
+  test("cluster-keyed hashSplit keeps every near-dup group on one side") {
+    // the leakage-safe composition (x81): split by group key → members of
+    // a group can never straddle train/test
+    val df = (1L to 100L).map(i => (i, s"c${i % 7}")).toDF("id", "cluster_id")
+    val split = Training.hashSplit(df, "cluster_id")
+    val perCluster = split.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("n")).select($"n").as[Long].collect()
+    assert(perCluster.forall(_ == 1L), "a cluster straddled splits")
+    // and the same rows split by row id DO straddle (the guard matters)
+    val rowKeyed = Training.hashSplit(df, "id")
+    val straddling = rowKeyed.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("n")).where($"n" > 1).count()
+    assert(straddling > 0)
+  }
+
   test("tokenBudgetMix keeps whole docs in md5 order until the budget spends") {
     val df = (1L to 40L).map(i => (i, s"s${i % 2}", 10L)).toDF("id", "src", "tok")
     // budget 55 → cum-before < 55 keeps docs at offsets 0,10,20,30,40,50:
