@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num.roundz
+
 import graft.functions.TextStats
 import graft.operators.{Behavior, Dedup, Embeddings, Multimodal, Profile, Ranks, RelOps, Similarity, Stats, Temporal, Training, Transpose}
 import graft.pipelines.Pipelines
@@ -59,10 +61,10 @@ object SparkEntry {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        roundz(sum(col("l_quantity")), 2).as("sum_qty"),
+        roundz(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        roundz(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        roundz(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -80,7 +82,7 @@ object SparkEntry {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(cust, ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(roundz(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -169,7 +171,7 @@ object SparkEntry {
     // P10: arithmetic map (`AddTen` draft).
     "p10_arith_map" -> ((s, dir) =>
       t(s, dir, "part")
-        .select(col("p_partkey"), round(col("p_retailprice") + 10, 2).as("adj_price"))
+        .select(col("p_partkey"), roundz(col("p_retailprice") + 10, 2).as("adj_price"))
         .orderBy(col("p_partkey"))),
 
     // P11: square map over a generated range (`data_transpose.ipynb` cell 3).
@@ -202,7 +204,7 @@ object SparkEntry {
     "a2_mean_per_key" -> ((s, dir) =>
       t(s, dir, "customer")
         .groupBy(col("c_mktsegment"))
-        .agg(round(avg(col("c_acctbal")), 4).as("avg_acctbal"))
+        .agg(roundz(avg(col("c_acctbal")), 4).as("avg_acctbal"))
         .orderBy(col("c_mktsegment"))),
 
     // A3: group-by collect to list (GroupByKey; sorted for determinism).
@@ -233,7 +235,7 @@ object SparkEntry {
     "a6_transpose" -> ((s, dir) => {
       val base = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(roundz(sum(col("l_quantity")), 2).as("sum_qty"))
       Transpose(base, Seq("l_returnflag"), "l_linestatus", Seq("sum_qty"))
         .orderBy(col("l_returnflag"))
     }),
@@ -243,8 +245,8 @@ object SparkEntry {
       val base = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          roundz(sum(col("l_quantity")), 2).as("sum_qty"),
+          roundz(sum(col("l_extendedprice")), 2).as("sum_price"))
       Transpose(base, Seq("l_returnflag"), "l_linestatus", Seq("sum_qty", "sum_price"))
         .orderBy(col("l_returnflag"))
     }),
@@ -254,7 +256,7 @@ object SparkEntry {
     "a6_transpose_multikey" -> ((s, dir) => {
       val base = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linenumber"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(roundz(sum(col("l_quantity")), 2).as("sum_qty"))
       Transpose(base, Seq("l_returnflag", "l_linenumber"), "l_linestatus", Seq("sum_qty"))
         .orderBy(col("l_returnflag"), col("l_linenumber"))
     }),
@@ -312,7 +314,7 @@ object SparkEntry {
         .withColumn("n_nationkey", (col("user_id") % 25).cast("int"))
       RelOps.broadcastLookup(durations, nat, Seq("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(avg(col("duration")), 2).as("time_duration"))
+        .agg(roundz(avg(col("duration")), 2).as("time_duration"))
         .orderBy(col("n_name"))
     }),
 
@@ -429,7 +431,7 @@ object SparkEntry {
         .select(col("a"), col("b"), size(array_intersect(col("sh_a"), col("sh_b"))).as("common"),
           col("sza"), col("szb"))
         .select(col("a"), col("b"),
-          round(col("common").cast("double") /
+          roundz(col("common").cast("double") /
             (col("sza") + col("szb") - col("common")), 4).as("jaccard"))
         .where(col("jaccard") >= 0.3)
         .orderBy(col("a"), col("b"))
@@ -439,7 +441,7 @@ object SparkEntry {
     "x8_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 8), k = 5)
-        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
+        .select(col("qid"), col("nid"), roundz(col("sim"), 4).as("sim"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -518,7 +520,7 @@ object SparkEntry {
     "x12_events_hourly" -> ((s, dir) =>
       EventsStream.hourlyCounts(Catalog.events(s, dir))
         .select(col("hour"), col("event_type"), col("n"),
-          round(col("total_value"), 2).as("total_value"))
+          roundz(col("total_value"), 2).as("total_value"))
         .orderBy(col("hour"), col("event_type"))),
 
     // Event-time sessionization (30-min inactivity gap) via the native
@@ -528,7 +530,7 @@ object SparkEntry {
     "x18_sessionize" -> ((s, dir) =>
       EventsStream.sessionize(Catalog.events(s, dir), gapSec = 1800)
         .select(col("user_id"), col("session_start"), col("session_end"),
-          col("n_events"), round(col("total_value"), 2).as("total_value"),
+          col("n_events"), roundz(col("total_value"), 2).as("total_value"),
           col("duration_sec"))
         .orderBy(col("user_id"), col("session_start"))),
 
@@ -541,8 +543,8 @@ object SparkEntry {
       val ord = t(s, dir, "orders")
       Stats.percentiles(ord, "o_totalprice", Seq(0.5, 0.95, 0.99),
           Seq("p50", "p95", "p99"))
-        .select(round(col("p50"), 2).as("p50"), round(col("p95"), 2).as("p95"),
-          round(col("p99"), 2).as("p99"))
+        .select(roundz(col("p50"), 2).as("p50"), roundz(col("p95"), 2).as("p95"),
+          roundz(col("p99"), 2).as("p99"))
         .crossJoin(ord.agg(
           countDistinct(col("o_custkey")).as("n_buyers"),
           count(lit(1)).as("n_orders")))
@@ -582,7 +584,7 @@ object SparkEntry {
         .select(col("user_id"), col("ts").as("pts"), col("value"))
       Temporal.asofJoinBackward(clicks, purchases, Seq("user_id"), "ts", "pts", Seq("value"))
         .select(col("event_id"), col("user_id"), col("ts"), col("asof_pts"),
-          round(col("asof_value"), 4).as("asof_value"))
+          roundz(col("asof_value"), 4).as("asof_value"))
         .orderBy(col("event_id"))
     }),
 
@@ -598,7 +600,7 @@ object SparkEntry {
         ("large", 150000.0, 1.0e9)).toDF("band", "lo", "hi")
       Temporal.broadcastRangeJoin(t(s, dir, "orders"), bands, "o_totalprice", "lo", "hi")
         .groupBy(col("band"))
-        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"), roundz(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy(col("band"))
     }),
 
@@ -612,7 +614,7 @@ object SparkEntry {
       c.join(n, c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(round(sum(col("c_acctbal")), 2).as("total_bal"), count(lit(1)).as("n_cust"))
+        .agg(roundz(sum(col("c_acctbal")), 2).as("total_bal"), count(lit(1)).as("n_cust"))
         .select(coalesce(col("r_name"), lit("ALL")).as("region"),
           coalesce(col("n_name"), lit("ALL")).as("nation"),
           col("total_bal"), col("n_cust"))
@@ -658,17 +660,17 @@ object SparkEntry {
       val wl = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
       t(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("d"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        .agg(roundz(sum(col("o_totalprice")), 2).as("revenue"))
         .select(col("d"), col("revenue"),
-          round(avg(col("revenue")).over(w7), 2).as("ma7"),
-          round(col("revenue") - lag(col("revenue"), 1).over(wl), 2).as("delta"))
+          roundz(avg(col("revenue")).over(w7), 2).as("ma7"),
+          roundz(col("revenue") - lag(col("revenue"), 1).over(wl), 2).as("delta"))
         .orderBy(col("d"))
     }),
     // SQL surface: the same engine through `spark.sql` over registered
     // catalog views — proof that a reference user can bring plain SQL.
     "q4_sql" -> ((s, dir) => {
       Catalog.registerViews(s, dir, Seq("orders", "customer", "nation"))
-      s.sql("""SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+      s.sql("""SELECT n_name, (round(sum(o_totalprice), 2) + 0) AS revenue,
               |  count(*) AS n_orders
               |FROM orders
               |JOIN customer ON o_custkey = c_custkey
@@ -682,7 +684,7 @@ object SparkEntry {
     "x28_unpivot" -> ((s, dir) => {
       val base = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(roundz(sum(col("l_quantity")), 2).as("sum_qty"))
       val piv = Transpose(base, Seq("l_returnflag"), "l_linestatus", Seq("sum_qty"))
       Transpose.untranspose(piv, Seq("l_returnflag"), "l_linestatus", Seq("sum_qty"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -693,7 +695,7 @@ object SparkEntry {
     "x29_cube" -> ((s, dir) =>
       t(s, dir, "customer")
         .cube(col("c_mktsegment"), col("c_nationkey"))
-        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .agg(count(lit(1)).as("n_cust"), roundz(sum(col("c_acctbal")), 2).as("total_bal"))
         .select(
           coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
           coalesce(col("c_nationkey"), lit(-1L)).as("nationkey"),
@@ -712,7 +714,7 @@ object SparkEntry {
         .orderBy(col("tfidf").desc, col("token"))
       scored.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-        .select(col("doc_id"), col("token"), col("tf"), round(col("tfidf"), 4).as("tfidf"))
+        .select(col("doc_id"), col("token"), col("tf"), roundz(col("tfidf"), 4).as("tfidf"))
         .orderBy(col("doc_id"))
     }),
 
@@ -735,19 +737,19 @@ object SparkEntry {
     // Bivariate statistics in one aggregate pass.
     "x32_corr_stats" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"),
-        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
-        round(var_samp(col("l_quantity")), 4).as("var_qty"))),
+        roundz(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        roundz(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"),
+        roundz(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        roundz(var_samp(col("l_quantity")), 4).as("var_qty"))),
 
     // Per-group interpolated percentiles (x20's global summary, grouped).
     "x33_group_quantiles" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
-          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+          roundz(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+          roundz(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          roundz(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))),
 
@@ -789,14 +791,14 @@ object SparkEntry {
       val sup = t(s, dir, "supplier")
       Catalog.writeTruncate(sup, root, "supplier_upsert")
       val updates = sup.where(col("s_suppkey") < 10)
-        .withColumn("s_acctbal", round(col("s_acctbal") + 1000, 2))
+        .withColumn("s_acctbal", roundz(col("s_acctbal") + 1000, 2))
         .unionByName(
           Seq((900001L, "NEW SUPP 1", 0, 1.23), (900002L, "NEW SUPP 2", 1, 4.56))
             .toDF(sup.columns: _*)
             .withColumn("s_nationkey", col("s_nationkey").cast("int")))
       Catalog.upsert(s, root, "supplier_upsert", updates, Seq("s_suppkey"))
       Catalog.table(s, root, "supplier_upsert")
-        .select(col("s_suppkey"), col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+        .select(col("s_suppkey"), col("s_name"), roundz(col("s_acctbal"), 2).as("s_acctbal"))
         .orderBy(col("s_suppkey"))
     }),
 
@@ -806,7 +808,7 @@ object SparkEntry {
     "k4_enforced_transpose" -> ((s, dir) => {
       val base = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linenumber"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(roundz(sum(col("l_quantity")), 2).as("sum_qty"))
       val out = Transpose.withEnforcedSchema(base,
         Seq("l_returnflag", "l_linenumber"), "l_linestatus", Seq("sum_qty"))
       val root = s"/tmp/graft/k4t_${dir.replaceAll("[^0-9.]", "")}"
@@ -901,7 +903,7 @@ object SparkEntry {
       Catalog.events(s, dir)
         .select(col("event_type"), expr("from_json(props, 'k INT').k").as("k"))
         .groupBy(col("event_type"))
-        .agg(round(avg(col("k")), 4).as("avg_k"),
+        .agg(roundz(avg(col("k")), 4).as("avg_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
 
@@ -944,7 +946,7 @@ object SparkEntry {
           Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
             Seq(col("o_orderstatus")), Seq.empty),
           col("o_orderstatus"), col("o_orderpriority"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        .agg(roundz(sum(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -1005,8 +1007,8 @@ object SparkEntry {
             Embeddings.dequantize(col("qvec"), col("scale")),
             transform(col("embedding"), x => x.cast("double")),
             (a, b) => abs(a - b))).as("__err"))
-        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-          round(col("__err"), 6).as("max_err"))
+        .select(col("vec_id"), roundz(col("scale"), 6).as("scale"),
+          roundz(col("__err"), 6).as("max_err"))
         .orderBy(col("vec_id"))
     }),
 
@@ -1035,7 +1037,7 @@ object SparkEntry {
       Catalog.events(s, dir)
         .select(col("event_id"), col("user_id"),
           count(lit(1)).over(w).as("n_1h"),
-          round(sum(col("value")).over(w), 2).as("sum_1h"))
+          roundz(sum(col("value")).over(w), 2).as("sum_1h"))
         .orderBy(col("event_id"))
     }),
 
@@ -1050,8 +1052,8 @@ object SparkEntry {
           Seq("o_totalprice", "o_orderkey"), ntileN = 4)
         .select(col("o_orderpriority"), col("o_orderkey"),
           col("ntile").as("quartile"),
-          round(col("percent_rank"), 6).as("pct_rank"),
-          round(col("cume_dist"), 6).as("cume"))
+          roundz(col("percent_rank"), 6).as("pct_rank"),
+          roundz(col("cume_dist"), 6).as("cume"))
         .orderBy(col("o_orderpriority"), col("o_orderkey"))),
 
     // Daily resample + gap fill: every user gets a contiguous day grid
@@ -1151,7 +1153,7 @@ object SparkEntry {
     // mean/stddev — tiny stats frame broadcast back over the stream.
     "x66_value_anomalies" -> ((s, dir) =>
       Behavior.valueAnomalies(Catalog.events(s, dir), z = 3.0)
-        .select(col("event_id"), round(col("zscore"), 4).as("zscore"),
+        .select(col("event_id"), roundz(col("zscore"), 4).as("zscore"),
           col("is_anomaly"))
         .orderBy(col("event_id"))),
 
@@ -1168,7 +1170,7 @@ object SparkEntry {
       Stats.winsorize(t(s, dir, "lineitem"), "l_extendedprice",
           lo = 0.05, hi = 0.95)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("clipped"), 2).as("clipped"))
+          roundz(col("clipped"), 2).as("clipped"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     // Equi-width 20-bin histogram: 1-row min/max broadcast into the
@@ -1197,7 +1199,7 @@ object SparkEntry {
     "x60_unigram_lp" -> ((s, dir) =>
       TextStats.unigramLogProb(t(s, dir, "documents"), "doc_id", "text",
           vocabSize = 20)
-        .select(col("doc_id"), round(col("unigram_lp"), 6).as("unigram_lp"))
+        .select(col("doc_id"), roundz(col("unigram_lp"), 6).as("unigram_lp"))
         .orderBy(col("doc_id"))),
 
     // Strict ordered funnel over the event stream: one shuffle on user_id
@@ -1367,7 +1369,7 @@ object SparkEntry {
     "x79_robust_scale" -> ((s, dir) =>
       Stats.robustScale(t(s, dir, "lineitem"), "l_extendedprice")
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("robust_z"), 4).as("robust_z"))
+          roundz(col("robust_z"), 4).as("robust_z"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     // Per-group OLS trend (closed-form regr_* aggregates): value drift per
@@ -1378,8 +1380,8 @@ object SparkEntry {
         .withColumn("x", datediff(col("ts"), lit("2024-01-01")).cast("double"))
         .groupBy(col("event_type"))
         .agg(
-          round(expr("regr_slope(value, x)"), 4).as("slope"),
-          round(expr("regr_intercept(value, x)"), 4).as("intercept"),
+          roundz(expr("regr_slope(value, x)"), 4).as("slope"),
+          roundz(expr("regr_intercept(value, x)"), 4).as("intercept"),
           expr("regr_count(value, x)").as("n"))
         .orderBy(col("event_type"))),
 
@@ -1392,7 +1394,7 @@ object SparkEntry {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .agg(roundz(sum(col("l_extendedprice") * col("l_discount")), 2)
           .as("revenue"))),
 
     // Correlated scalar subquery through the SQL surface — Catalyst
@@ -1416,16 +1418,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  (round(sum(l_quantity), 2) + 0) AS sum_qty,
+        |  (round(sum(l_extendedprice), 2) + 0) AS sum_base_price,
+        |  (round(sum(l_extendedprice * (1 - l_discount)), 2) + 0) AS sum_disc_price,
+        |  (round(avg(l_quantity), 4) + 0) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top_orders" ->
       """SELECT l_orderkey, o_orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  (round(sum(l_extendedprice * (1 - l_discount)), 2) + 0) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1474,7 +1476,7 @@ object SparkEntry {
         |FROM k LEFT JOIN nation ON lower(n_name) = k.qname
         |ORDER BY qname""".stripMargin,
     "p10_arith_map" ->
-      """SELECT p_partkey, round(p_retailprice + 10, 2) AS adj_price
+      """SELECT p_partkey, (round(p_retailprice + 10, 2) + 0) AS adj_price
         |FROM part ORDER BY p_partkey""".stripMargin,
     "j1_broadcast_lookup" ->
       """SELECT s_suppkey, s_name, n_name
@@ -1485,7 +1487,7 @@ object SparkEntry {
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY c_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
     "a2_mean_per_key" ->
-      """SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_acctbal
+      """SELECT c_mktsegment, (round(avg(c_acctbal), 4) + 0) AS avg_acctbal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "a3_collect_per_key" ->
       """SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
@@ -1499,7 +1501,7 @@ object SparkEntry {
         |  AS priorities FROM orders""".stripMargin,
     "a6_transpose" ->
       """WITH base AS (
-        |  SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        |  SELECT l_returnflag, l_linestatus, (round(sum(l_quantity), 2) + 0) AS sum_qty
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT l_returnflag,
         |  max(CASE WHEN l_linestatus = 'F' THEN sum_qty END) AS F_sum_qty,
@@ -1508,8 +1510,8 @@ object SparkEntry {
     "a6_transpose_multi" ->
       """WITH base AS (
         |  SELECT l_returnflag, l_linestatus,
-        |    round(sum(l_quantity), 2) AS sum_qty,
-        |    round(sum(l_extendedprice), 2) AS sum_price
+        |    (round(sum(l_quantity), 2) + 0) AS sum_qty,
+        |    (round(sum(l_extendedprice), 2) + 0) AS sum_price
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT l_returnflag,
         |  max(CASE WHEN l_linestatus = 'F' THEN sum_qty END) AS F_sum_qty,
@@ -1520,7 +1522,7 @@ object SparkEntry {
     "a6_transpose_multikey" ->
       """WITH base AS (
         |  SELECT l_returnflag, l_linenumber, l_linestatus,
-        |    round(sum(l_quantity), 2) AS sum_qty
+        |    (round(sum(l_quantity), 2) + 0) AS sum_qty
         |  FROM lineitem GROUP BY 1, 2, 3)
         |SELECT l_returnflag, l_linenumber,
         |  max(CASE WHEN l_linestatus = 'F' THEN sum_qty END) AS F_sum_qty,
@@ -1555,7 +1557,7 @@ object SparkEntry {
         |    date_diff('second', min(ts), max(ts)) AS duration,
         |    CAST(user_id % 25 AS INTEGER) AS n_nationkey
         |  FROM events GROUP BY user_id)
-        |SELECT n_name, round(avg(duration), 2) AS time_duration
+        |SELECT n_name, (round(avg(duration), 2) + 0) AS time_duration
         |FROM durations JOIN nation USING (n_nationkey)
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "x1_dedup_exact" ->
@@ -1577,8 +1579,8 @@ object SparkEntry {
         |  FROM t),
         |p AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b,
-        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |    (round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))), 4) + 0) AS jaccard
         |  FROM s a, s b WHERE a.doc_id < b.doc_id)
         |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.9 ORDER BY a, b""".stripMargin,
     "x3_dedup_simhash" ->
@@ -1597,8 +1599,8 @@ object SparkEntry {
         |  FROM t),
         |p AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b,
-        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |    (round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))), 4) + 0) AS jaccard
         |  FROM s a, s b WHERE a.doc_id < b.doc_id)
         |SELECT a, b, jaccard, TRUE AS simhash_recall_ok
         |FROM p WHERE jaccard >= 0.95 ORDER BY a, b""".stripMargin,
@@ -1638,8 +1640,8 @@ object SparkEntry {
         |  FROM t),
         |p AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b,
-        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |      len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |    (round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))), 4) + 0) AS jaccard
         |  FROM s a, s b WHERE a.doc_id < b.doc_id)
         |SELECT (SELECT count(*) FROM d) AS n_docs,
         |  count(*) AS n_true_pairs, TRUE AS recall_ok
@@ -1661,13 +1663,13 @@ object SparkEntry {
         |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
         |      x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS stop_hits
         |  FROM documents)
-        |SELECT doc_id, round(
+        |SELECT doc_id, (round(
         |    (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END) +
         |    (CASE WHEN n_tok > 0 AND (n_nonspace::DOUBLE / n_tok) BETWEEN 2.0 AND 12.0
         |      THEN 0.25 ELSE 0.0 END) +
         |    (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END) < 0.2
         |      THEN 0.25 ELSE 0.0 END) +
-        |    (CASE WHEN stop_hits > 0 THEN 0.25 ELSE 0.0 END), 2) AS quality
+        |    (CASE WHEN stop_hits > 0 THEN 0.25 ELSE 0.0 END), 2) + 0) AS quality
         |FROM b ORDER BY doc_id""".stripMargin,
     "x7_text_fingerprint" ->
       """SELECT count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_fp,
@@ -1688,8 +1690,8 @@ object SparkEntry {
         |    END AS sh
         |  FROM t)
         |SELECT a.doc_id AS a, b.doc_id AS b,
-        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |    len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  (round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    len(list_distinct(list_concat(a.sh, b.sh))), 4) + 0) AS jaccard
         |FROM s a, s b
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -1705,7 +1707,7 @@ object SparkEntry {
         |  SELECT qid, nid, sim,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
         |  FROM scored)
-        |SELECT qid, nid, round(sim, 4) AS sim, CAST(rank AS INTEGER) AS rank
+        |SELECT qid, nid, (round(sim, 4) + 0) AS sim, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "x10_cosine_neardup" ->
       """SELECT vec_id AS a, vec_id + 100000 AS b, CAST(1.0 AS DOUBLE) AS sim
@@ -1719,7 +1721,7 @@ object SparkEntry {
         |FROM documents ORDER BY asset_id""".stripMargin,
     "x12_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-        |  round(sum(value), 2) AS total_value
+        |  (round(sum(value), 2) + 0) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "p11_square_map" ->
       """SELECT CAST(range AS BIGINT) AS id, CAST(range * range AS BIGINT) AS squared
@@ -1772,7 +1774,7 @@ object SparkEntry {
         |  min(ts) AS session_start,
         |  max(ts) + INTERVAL 1800 SECOND AS session_end,
         |  count(*) AS n_events,
-        |  round(sum(value), 2) AS total_value,
+        |  (round(sum(value), 2) + 0) AS total_value,
         |  (epoch(date_trunc('second', max(ts)) + INTERVAL 1800 SECOND)
         |    - epoch(date_trunc('second', min(ts))) - 1800)::DOUBLE AS duration_sec
         |FROM s GROUP BY user_id, sid
@@ -1785,9 +1787,9 @@ object SparkEntry {
         |QUALIFY rn <= 3
         |ORDER BY o_orderpriority, rn""".stripMargin,
     "x20_stats_summary" ->
-      """SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
-        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+      """SELECT (round(quantile_cont(o_totalprice, 0.5), 2) + 0) AS p50,
+        |  (round(quantile_cont(o_totalprice, 0.95), 2) + 0) AS p95,
+        |  (round(quantile_cont(o_totalprice, 0.99), 2) + 0) AS p99,
         |  count(DISTINCT o_custkey) AS n_buyers,
         |  count(*) AS n_orders
         |FROM orders""".stripMargin,
@@ -1817,7 +1819,7 @@ object SparkEntry {
         |ORDER BY "column"""".stripMargin,
     "x22_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts, p.ts AS asof_pts,
-        |  round(p.value, 4) AS asof_value
+        |  (round(p.value, 4) + 0) AS asof_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') e
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
@@ -1827,12 +1829,12 @@ object SparkEntry {
         |  ('small', 0.0, 50000.0),
         |  ('medium', 50000.0, 150000.0),
         |  ('large', 150000.0, 1000000000.0))
-        |SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |SELECT band, count(*) AS n_orders, (round(sum(o_totalprice), 2) + 0) AS revenue
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
     "x24_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-        |  round(sum(c_acctbal), 2) AS total_bal, count(*) AS n_cust
+        |  (round(sum(c_acctbal), 2) + 0) AS total_bal, count(*) AS n_cust
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -1864,27 +1866,27 @@ object SparkEntry {
     "x27_moving_avg" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', o_orderdate)::DATE AS d,
-        |    round(sum(o_totalprice), 2) AS revenue
+        |    (round(sum(o_totalprice), 2) + 0) AS revenue
         |  FROM orders GROUP BY 1)
         |SELECT d, revenue,
-        |  round(avg(revenue) OVER (ORDER BY d
-        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7,
-        |  round(revenue - lag(revenue, 1) OVER (ORDER BY d), 2) AS delta
+        |  (round(avg(revenue) OVER (ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) + 0) AS ma7,
+        |  (round(revenue - lag(revenue, 1) OVER (ORDER BY d), 2) + 0) AS delta
         |FROM daily ORDER BY d""".stripMargin,
     "q4_sql" ->
-      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+      """SELECT n_name, (round(sum(o_totalprice), 2) + 0) AS revenue,
         |  count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "x28_unpivot" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+      """SELECT l_returnflag, l_linestatus, (round(sum(l_quantity), 2) + 0) AS sum_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x29_cube" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
         |  coalesce(c_nationkey, -1) AS nationkey,
-        |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+        |  count(*) AS n_cust, (round(sum(c_acctbal), 2) + 0) AS total_bal
         |FROM customer
         |GROUP BY CUBE (c_mktsegment, c_nationkey)
         |ORDER BY segment, nationkey""".stripMargin,
@@ -1899,10 +1901,10 @@ object SparkEntry {
         |n AS (SELECT count(*) AS n FROM documents),
         |scored AS (
         |  SELECT doc_id, tf.token AS token, tf,
-        |    tf * round(ln(n.n::DOUBLE / df), 8) AS tfidf
+        |    tf * (round(ln(n.n::DOUBLE / df), 8) + 0) AS tfidf
         |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
         |  WHERE doc_id < 50)
-        |SELECT doc_id, token, tf, round(tfidf, 4) AS tfidf FROM (
+        |SELECT doc_id, token, tf, (round(tfidf, 4) + 0) AS tfidf FROM (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, token) AS rn
         |  FROM scored)
@@ -1919,7 +1921,7 @@ object SparkEntry {
         |n AS (SELECT count(*) AS n FROM d),
         |w AS (
         |  SELECT doc_id, tf.token AS token,
-        |    tf * round(ln(n.n::DOUBLE / df), 8) AS w
+        |    tf * (round(ln(n.n::DOUBLE / df), 8) + 0) AS w
         |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
         |  WHERE df <= 1000),
         |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
@@ -1927,25 +1929,25 @@ object SparkEntry {
         |  SELECT wa.doc_id AS a, wb.doc_id AS b, sum(wa.w * wb.w) AS dot
         |  FROM w wa JOIN w wb ON wa.token = wb.token AND wa.doc_id < wb.doc_id
         |  GROUP BY 1, 2)
-        |SELECT a, b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+        |SELECT a, b, (round(dot / (na.nrm * nb.nrm), 4) + 0) AS cosine
         |FROM pr JOIN nrm na ON pr.a = na.doc_id JOIN nrm nb ON pr.b = nb.doc_id
-        |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.5
+        |WHERE (round(dot / (na.nrm * nb.nrm), 4) + 0) >= 0.5
         |ORDER BY a, b""".stripMargin,
     "x31_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE (o_orderkey & 2147483647) * 2654435761 % 1000000 < 10000
         |ORDER BY o_orderkey""".stripMargin,
     "x32_corr_stats" ->
-      """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
-        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
-        |  round(var_samp(l_quantity), 4) AS var_qty
+      """SELECT (round(corr(l_quantity, l_extendedprice), 4) + 0) AS corr_qty_price,
+        |  (round(covar_samp(l_quantity, l_discount), 4) + 0) AS covar_qty_disc,
+        |  (round(stddev_samp(l_extendedprice), 2) + 0) AS sd_price,
+        |  (round(var_samp(l_quantity), 4) + 0) AS var_qty
         |FROM lineitem""".stripMargin,
     "x33_group_quantiles" ->
       """SELECT o_orderpriority,
-        |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
-        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        |  (round(quantile_cont(o_totalprice, 0.25), 2) + 0) AS p25,
+        |  (round(quantile_cont(o_totalprice, 0.5), 2) + 0) AS p50,
+        |  (round(quantile_cont(o_totalprice, 0.75), 2) + 0) AS p75,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "x34_bigrams" ->
@@ -1968,7 +1970,7 @@ object SparkEntry {
     "s5_json_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "x39_json_extract" ->
-      """SELECT event_type, round(avg(k), 4) AS avg_k,
+      """SELECT event_type, (round(avg(k), 4) + 0) AS avg_k,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, 'k') AS INTEGER) AS k
@@ -1982,7 +1984,7 @@ object SparkEntry {
         |ORDER BY batch, n_nationkey""".stripMargin,
     "k4_upsert" ->
       """SELECT s_suppkey, s_name,
-        |  round(CASE WHEN s_suppkey < 10 THEN s_acctbal + 1000 ELSE s_acctbal END, 2)
+        |  (round(CASE WHEN s_suppkey < 10 THEN s_acctbal + 1000 ELSE s_acctbal END, 2) + 0)
         |    AS s_acctbal
         |FROM supplier
         |UNION ALL
@@ -1993,7 +1995,7 @@ object SparkEntry {
     "k4_enforced_transpose" ->
       """WITH base AS (
         |  SELECT l_returnflag, l_linenumber, l_linestatus,
-        |    round(sum(l_quantity), 2) AS sum_qty
+        |    (round(sum(l_quantity), 2) + 0) AS sum_qty
         |  FROM lineitem GROUP BY 1, 2, 3)
         |SELECT l_returnflag, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  max(CASE WHEN l_linestatus = 'F' THEN sum_qty END) AS F_sum_qty,
@@ -2056,7 +2058,7 @@ object SparkEntry {
     "x40_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
-        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+        |  (round(sum(o_totalprice), 2) + 0) AS revenue, count(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderstatus), ())
@@ -2140,8 +2142,8 @@ object SparkEntry {
         |h AS (SELECT doc_id, count(*) AS hits FROM e JOIN b USING (sg) GROUP BY doc_id)
         |SELECT s.doc_id, len(s.sh) AS n_shingles,
         |  coalesce(hits, 0) AS contaminated,
-        |  round(CASE WHEN len(s.sh) = 0 THEN 0.0
-        |    ELSE coalesce(hits, 0)::DOUBLE / len(s.sh) END, 4) AS contaminated_frac
+        |  (round(CASE WHEN len(s.sh) = 0 THEN 0.0
+        |    ELSE coalesce(hits, 0)::DOUBLE / len(s.sh) END, 4) + 0) AS contaminated_frac
         |FROM s LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
     "x43_embed_quantize" ->
       """WITH v AS (
@@ -2153,9 +2155,9 @@ object SparkEntry {
         |      ELSE list_max(list_transform(emb, x -> abs(x))) / 127.0
         |    END AS scale
         |  FROM v)
-        |SELECT vec_id, round(scale, 6) AS scale,
-        |  round(list_max(list_transform(emb,
-        |    x -> abs(round(x / scale) * scale - x))), 6) AS max_err
+        |SELECT vec_id, (round(scale, 6) + 0) AS scale,
+        |  (round(list_max(list_transform(emb,
+        |    x -> abs((round(x / scale) + 0) * scale - x))), 6) + 0) AS max_err
         |FROM m ORDER BY vec_id""".stripMargin,
     "x44_attribution" ->
       """WITH c AS (
@@ -2171,7 +2173,7 @@ object SparkEntry {
         |      ORDER BY cus DESC, click_id DESC) AS rn
         |  FROM p JOIN c ON p.user_id = c.user_id
         |    AND pus >= cus AND pus <= cus + 3600000000::BIGINT)
-        |SELECT user_id, purchase_id, click_id, round(value, 2) AS value
+        |SELECT user_id, purchase_id, click_id, (round(value, 2) + 0) AS value
         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
     "x45_curation" ->
       """WITH lt AS (
@@ -2230,7 +2232,7 @@ object SparkEntry {
     "x46_range_window" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_1h,
-        |  round(sum(value) OVER w, 2) AS sum_1h
+        |  (round(sum(value) OVER w, 2) + 0) AS sum_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -2238,8 +2240,8 @@ object SparkEntry {
     "x47_rank_family" ->
       """SELECT o_orderpriority, o_orderkey,
         |  ntile(4) OVER w AS quartile,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cume
+        |  (round(percent_rank() OVER w, 6) + 0) AS pct_rank,
+        |  (round(cume_dist() OVER w, 6) + 0) AS cume
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_totalprice, o_orderkey)
@@ -2247,7 +2249,7 @@ object SparkEntry {
     "x48_gapfill" ->
       """WITH daily AS (
         |  SELECT user_id, date_trunc('day', ts)::DATE AS day,
-        |    count(*) AS n, round(sum(value), 2) AS day_value
+        |    count(*) AS n, (round(sum(value), 2) + 0) AS day_value
         |  FROM events GROUP BY 1, 2),
         |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
         |  FROM daily GROUP BY 1),
@@ -2256,14 +2258,14 @@ object SparkEntry {
         |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
         |  FROM spans)
         |SELECT g.user_id, g.day, coalesce(n, 0) AS n,
-        |  round(coalesce(last_value(day_value IGNORE NULLS) OVER (
+        |  (round(coalesce(last_value(day_value IGNORE NULLS) OVER (
         |    PARTITION BY g.user_id ORDER BY g.day
-        |    ROWS UNBOUNDED PRECEDING), 0.0), 2) AS carried_value
+        |    ROWS UNBOUNDED PRECEDING), 0.0), 2) + 0) AS carried_value
         |FROM grid g LEFT JOIN daily d
         |  ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, g.day""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT (round(sum(l_extendedprice * l_discount), 2) + 0) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -2332,10 +2334,10 @@ object SparkEntry {
     "x73_weighted_sample" ->
       """WITH p AS (
         |  SELECT doc_id, source,
-        |    round(pow(
+        |    (round(pow(
         |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
         |        / 4294967296.0,
-        |      1.0 / n_chars), 9) AS pr
+        |      1.0 / n_chars), 9) + 0) AS pr
         |  FROM documents)
         |SELECT doc_id, source FROM p
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY pr DESC, doc_id) <= 10
@@ -2405,13 +2407,13 @@ object SparkEntry {
         |  FROM lineitem, m),
         |md AS (SELECT quantile_cont(adev, 0.5) AS mad FROM d)
         |SELECT l_orderkey, l_linenumber,
-        |  round(CASE WHEN l_extendedprice IS NOT NULL AND md.mad > 0
-        |    THEN (l_extendedprice - d.med) / (1.4826 * md.mad) END, 4) AS robust_z
+        |  (round(CASE WHEN l_extendedprice IS NOT NULL AND md.mad > 0
+        |    THEN (l_extendedprice - d.med) / (1.4826 * md.mad) END, 4) + 0) AS robust_z
         |FROM d, md ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "x80_trend_per_type" ->
       """SELECT event_type,
-        |  round(regr_slope(value, date_diff('day', DATE '2024-01-01', ts)), 4) AS slope,
-        |  round(regr_intercept(value, date_diff('day', DATE '2024-01-01', ts)), 4)
+        |  (round(regr_slope(value, date_diff('day', DATE '2024-01-01', ts)), 4) + 0) AS slope,
+        |  (round(regr_intercept(value, date_diff('day', DATE '2024-01-01', ts)), 4) + 0)
         |    AS intercept,
         |  regr_count(value, date_diff('day', DATE '2024-01-01', ts)) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -2430,7 +2432,7 @@ object SparkEntry {
         |    avg(value) AS mu, stddev_samp(value) AS sd
         |  FROM events GROUP BY 1, 2)
         |SELECT e.event_id,
-        |  round(CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd END, 4)
+        |  (round(CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd END, 4) + 0)
         |    AS zscore,
         |  abs(CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd END) > 3
         |    AS is_anomaly
@@ -2452,7 +2454,7 @@ object SparkEntry {
         |  FROM d2 a JOIN d2 b ON a.doc_id = b.doc_id AND a.tok < b.tok
         |  GROUP BY 1, 2 HAVING count(*) >= 50)
         |SELECT ta, tb, c,
-        |  round(ln(c::DOUBLE * n.nd / (fa.df * fb.df)), 6) AS pmi
+        |  (round(ln(c::DOUBLE * n.nd / (fa.df * fb.df)), 6) + 0) AS pmi
         |FROM pr
         |JOIN f fa ON pr.ta = fa.tok
         |JOIN f fb ON pr.tb = fb.tok
@@ -2469,8 +2471,8 @@ object SparkEntry {
         |    END AS INT) AS bucket
         |  FROM orders, m)
         |SELECT bucket,
-        |  round(m.mn + bucket * ((m.mx - m.mn) / 20), 4) AS lo,
-        |  round(m.mn + (bucket + 1) * ((m.mx - m.mn) / 20), 4) AS hi,
+        |  (round(m.mn + bucket * ((m.mx - m.mn) / 20), 4) + 0) AS lo,
+        |  (round(m.mn + (bucket + 1) * ((m.mx - m.mn) / 20), 4) + 0) AS hi,
         |  count(*) AS n
         |FROM b, m GROUP BY 1, m.mn, m.mx ORDER BY bucket""".stripMargin,
     "x62_winsorize" ->
@@ -2479,8 +2481,8 @@ object SparkEntry {
         |    quantile_cont(l_extendedprice, 0.95) AS hi
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber,
-        |  round(CASE WHEN l_extendedprice IS NOT NULL
-        |    THEN least(greatest(l_extendedprice, b.lo), b.hi) END, 2) AS clipped
+        |  (round(CASE WHEN l_extendedprice IS NOT NULL
+        |    THEN least(greatest(l_extendedprice, b.lo), b.hi) END, 2) + 0) AS clipped
         |FROM lineitem, b
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "x63_key_skew" ->
@@ -2489,8 +2491,8 @@ object SparkEntry {
         |s AS (
         |  SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS nkeys FROM c)
         |SELECT c.key, c.n,
-        |  round(c.n / s.total, 6) AS share,
-        |  round(c.n * s.nkeys / s.total, 4) AS skew
+        |  (round(c.n / s.total, 6) + 0) AS share,
+        |  (round(c.n * s.nkeys / s.total, 4) + 0) AS skew
         |FROM c, s ORDER BY c.n DESC, c.key LIMIT 10""".stripMargin,
     "x60_unigram_lp" ->
       """WITH tk AS (
@@ -2507,7 +2509,7 @@ object SparkEntry {
         |    avg(log10((coalesce(voc.c, 0) + 1) / (tot.n + vn.v + 1.0))) AS lp
         |  FROM tk LEFT JOIN voc USING (tok), tot, vn
         |  GROUP BY 1)
-        |SELECT d.doc_id, round(sc.lp, 6) AS unigram_lp
+        |SELECT d.doc_id, (round(sc.lp, 6) + 0) AS unigram_lp
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "x56_funnel" ->
@@ -2547,7 +2549,7 @@ object SparkEntry {
         |  FROM a),
         |wau AS (SELECT day, count(DISTINCT u) AS wau FROM e GROUP BY 1)
         |SELECT dau.day, dau.dau, wau.wau,
-        |  round(dau.dau::DOUBLE / wau.wau, 4) AS stickiness
+        |  (round(dau.dau::DOUBLE / wau.wau, 4) + 0) AS stickiness
         |FROM dau JOIN wau ON dau.day = wau.day
         |ORDER BY dau.day""".stripMargin,
     "x57_retention" ->
@@ -2635,8 +2637,8 @@ object SparkEntry {
         |  FROM c GROUP BY 1),
         |f AS (
         |  SELECT doc_id,
-        |    round(1.0 - CAST(n_distinct AS DOUBLE) / n_tok, 6) AS dup_token_frac,
-        |    round(CAST(top_c AS DOUBLE) / n_tok, 6) AS top_token_frac
+        |    (round(1.0 - CAST(n_distinct AS DOUBLE) / n_tok, 6) + 0) AS dup_token_frac,
+        |    (round(CAST(top_c AS DOUBLE) / n_tok, 6) + 0) AS top_token_frac
         |  FROM d)
         |SELECT doc_id, dup_token_frac, top_token_frac,
         |  (dup_token_frac <= 0.75 AND top_token_frac <= 0.30) AS keep

@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import Num.roundz
+
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, document fingerprinting.
   *
@@ -107,7 +109,7 @@ object TextStats {
     val wordLenOk = when(meanWordLen.between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0))
     val punctOk = when(punctRatio < 0.2, lit(0.25)).otherwise(lit(0.0))
     val stopOk = when(wordHits(text, stopwords) > 0, lit(0.25)).otherwise(lit(0.0))
-    round(lengthOk + wordLenOk + punctOk + stopOk, 2)
+    roundz(lengthOk + wordLenOk + punctOk + stopOk, 2)
   }
 
   /** `(df + <as>)` quality score via staged intermediates — the scale shape
@@ -148,7 +150,7 @@ object TextStats {
       when(meanWordLen.between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0)) +
       when(punctRatio < 0.2, lit(0.25)).otherwise(lit(0.0)) +
       when(col("__stophits") > 0, lit(0.25)).otherwise(lit(0.0))
-    staged.withColumn(as, round(score, 2))
+    staged.withColumn(as, roundz(score, 2))
       .drop("__ntok", "__nonspace", "__npunct", "__nchars", "__stophits")
   }
 
@@ -174,7 +176,7 @@ object TextStats {
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(dfreq, Seq("token"))
       .select(col(idCol), col("token"), col("tf"),
-        (col("tf") * round(log(lit(n.toDouble) / col("df")), 8)).as("tfidf"))
+        (col("tf") * roundz(log(lit(n.toDouble) / col("df")), 8)).as("tfidf"))
   }
 
   /** Sparse TF-IDF cosine similarity pairs via a posting-list join — the
@@ -202,7 +204,7 @@ object TextStats {
     val w = tf.join(dfreq, Seq("token"))
       .where(col("df") <= maxDocFreq)
       .select(col(idCol), col("token"),
-        (col("tf") * round(log(lit(n.toDouble) / col("df")), 8)).as("__w"))
+        (col("tf") * roundz(log(lit(n.toDouble) / col("df")), 8)).as("__w"))
     val norms = w.groupBy(col(idCol))
       .agg(sqrt(sum(col("__w") * col("__w"))).as("__nrm"))
     w.select(col("token"), col(idCol).as("a"), col("__w").as("__wa"))
@@ -213,7 +215,7 @@ object TextStats {
       .join(norms.select(col(idCol).as("a"), col("__nrm").as("__na")), Seq("a"))
       .join(norms.select(col(idCol).as("b"), col("__nrm").as("__nb")), Seq("b"))
       .select(col("a"), col("b"),
-        round(col("__dot") / (col("__na") * col("__nb")), 4).as("cosine"))
+        roundz(col("__dot") / (col("__na") * col("__nb")), 4).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 
@@ -307,7 +309,7 @@ object TextStats {
         .join(f.select(col("tok").as("tb"), col("df").as("__dfb")), Seq("tb"))
         .crossJoin(broadcast(nd))
         .select(col("ta"), col("tb"), col("c"),
-          round(log(col("c").cast("double") * col("__nd") / (col("__dfa") * col("__dfb"))), 6)
+          roundz(log(col("c").cast("double") * col("__nd") / (col("__dfa") * col("__dfb"))), 6)
             .as("pmi"))
         .orderBy(col("c").desc, col("ta"), col("tb")).limit(topK)
       val spark = docs.sparkSession
@@ -431,7 +433,7 @@ object TextStats {
       .withColumn("n_tokens", tokenCount(t))
       .withColumn("n_chars_m", charCount(t))
       .withColumn("punct_ratio",
-        round(when(length(t) > 0, punctCount(t).cast("double") / length(t)).otherwise(0.0), 4))
+        roundz(when(length(t) > 0, punctCount(t).cast("double") / length(t)).otherwise(0.0), 4))
       .withColumn("quality", qualityScore(t))
       .withColumn("lang_guess", langIdFromTokens(col("__toks")))
       .withColumn("fp", fingerprint(t))

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num.roundz
+
 /** Behavioral analytics over an event stream: ordered funnels and cohort
   * retention. The reference's weblog pipeline (reference `pipeline.py:13-31`)
   * stops at per-key mean duration; these are the two next questions every
@@ -129,7 +131,7 @@ object Behavior {
       .groupBy(col("day")).agg(countDistinct(col("u")).as("wau"))
     dau.join(wau, Seq("day"))
       .select(col("day"), col("dau"), col("wau"),
-        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+        roundz(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
   }
 
   /** Per-bucket z-score anomaly flags: each event's value is scored

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num.roundz
+
 import graft.functions.{Staging, TextStats}
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -233,7 +235,7 @@ object Dedup {
       val pairs = cands
         .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
         .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))
-        .select(col("a"), col("b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .select(col("a"), col("b"), roundz(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
         .where(col("jaccard") >= threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pairs.count() // materialize: the LSH+verify pipeline runs exactly once,
@@ -274,7 +276,7 @@ object Dedup {
       .join(sizes.select(col("id").as("a"), col("sz").as("sza")), Seq("a"))
       .join(sizes.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
       .select(col("a"), col("b"),
-        round(col("common").cast("double") /
+        roundz(col("common").cast("double") /
           (col("sza") + col("szb") - col("common")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
@@ -355,7 +357,7 @@ object Dedup {
       .agg(count(col("__s")).cast("int").as("n_shingles"),
         count(col("__hit")).as("contaminated"))
       .select(col(idCol), col("n_shingles"), col("contaminated"),
-        round(when(col("n_shingles") === 0, lit(0.0))
+        roundz(when(col("n_shingles") === 0, lit(0.0))
           .otherwise(col("contaminated").cast("double") / col("n_shingles")), 4)
           .as("contaminated_frac"))
   }
@@ -586,7 +588,7 @@ object Dedup {
         .join(shNew.select(col(idCol).as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
         .join(shCorp.select(col(idCol).as("corpus_id"), col("sh").as("sh_c")), Seq("corpus_id"))
         .select(col("new_id"), col("corpus_id"),
-          round(jaccard(col("sh_n"), col("sh_c")), 4).as("jaccard"))
+          roundz(jaccard(col("sh_n"), col("sh_c")), 4).as("jaccard"))
         .where(col("jaccard") >= threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pairs.count()

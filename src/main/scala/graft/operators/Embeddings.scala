@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num.roundz
+
 /** Embedding-column transforms for vector corpora: unit normalization and
   * symmetric int8 quantization (4× smaller than float32 at ~0.4% max
   * error) — at 100 TB the storage/shuffle saving IS the feature.
@@ -45,7 +47,7 @@ object Embeddings {
         when(col("__mx") === 0, lit(1.0d)).otherwise(col("__mx") / 127.0d))
       .withColumn(qCol,
         transform(col(vecCol),
-          x => round(x.cast("double") / col(scaleCol)).cast("tinyint")))
+          x => roundz(x.cast("double") / col(scaleCol)).cast("tinyint")))
       .drop("__mx")
 
   /** Reconstruct doubles from an int8-quantized vector and its scale. */

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num.roundz
+
 /** Data-profiling pass: per-column row/null/distinct counts and min/max,
   * in ONE scan — the data-quality report a training-data pipeline runs
   * before trusting a new drop of documents.
@@ -63,9 +65,9 @@ object Profile {
     counts.orderBy(col("n").desc, col("key")).limit(k)
       .crossJoin(broadcast(totals))
       .select(col("key"), col("n"),
-        round(col("n") / col("__total"), 6).as("share"),
+        roundz(col("n") / col("__total"), 6).as("share"),
         // n and nkeys are both data-sized longs — multiply in double space
         // or the very skew this diagnostic exists to catch overflows it
-        round(col("n").cast("double") * col("__nkeys") / col("__total"), 4).as("skew"))
+        roundz(col("n").cast("double") * col("__nkeys") / col("__total"), 4).as("skew"))
   }
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num.roundz
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Baseline: brute-force cosine top-k — exact, O(|queries| × n), right
@@ -377,7 +379,7 @@ object Similarity {
         when(col("na") * col("nb") === 0, lit(0.0d))
           .otherwise(d(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .where(col("sim") >= threshold)
-      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+      .select(col("a"), col("b"), roundz(col("sim"), 4).as("sim"))
       .distinct()
   }
 }

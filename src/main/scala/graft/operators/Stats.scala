@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.Num.roundz
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed EXACT order statistics.
@@ -143,8 +145,8 @@ object Stats {
       .agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(mm))
       .select(col("bucket"),
-        round(col("__mn") + col("bucket") * width, 4).as("lo"),
-        round(col("__mn") + (col("bucket") + 1) * width, 4).as("hi"),
+        roundz(col("__mn") + col("bucket") * width, 4).as("lo"),
+        roundz(col("__mn") + (col("bucket") + 1) * width, 4).as("hi"),
         col("n"))
   }
 

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num.roundz
+
 /** Temporal / ordering-aware joins Spark has no built-in operator for:
   * as-of (most-recent-prior match) and interval/range joins.
   *
@@ -123,7 +125,7 @@ object Temporal {
       tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
     val daily = events
       .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("day_value"))
+      .agg(count(lit(1)).as("n"), roundz(sum(col(valueCol)), 2).as("day_value"))
     val spans = daily.groupBy(col(keyCol))
       .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
     val grid = spans.select(col(keyCol),
@@ -133,7 +135,7 @@ object Temporal {
     grid.join(daily, Seq(keyCol, "day"), "left")
       .select(col(keyCol), col("day"),
         coalesce(col("n"), lit(0L)).as("n"),
-        round(coalesce(last(col("day_value"), ignoreNulls = true).over(w),
+        roundz(coalesce(last(col("day_value"), ignoreNulls = true).over(w),
           lit(0.0)), 2).as("carried_value"))
   }
 

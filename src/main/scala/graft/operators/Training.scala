@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num.roundz
+
 import graft.functions.{Staging, TextStats}
 
 /** Training-data assembly: the last mile between a curated corpus and a
@@ -126,7 +128,7 @@ object Training {
         lit("weightedSampleNPerGroup: non-positive weight in '"),
         lit(weightCol), lit("' ("), col(weightCol).cast("string"),
         lit(") - weights must be strictly positive"))))
-    val priority = round(pow(u, lit(1.0) / wPos), 9)
+    val priority = roundz(pow(u, lit(1.0) / wPos), 9)
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(priority.desc, col(keyCol))
     df.withColumn("__rn", row_number().over(w))
@@ -207,9 +209,9 @@ object Training {
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"),
         count(lit(1)).as("n_distinct"))
       .select(col(idCol),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tok"), 6)
+        roundz(lit(1.0) - col("n_distinct").cast("double") / col("n_tok"), 6)
           .as("dup_token_frac"),
-        round(col("top_c").cast("double") / col("n_tok"), 6)
+        roundz(col("top_c").cast("double") / col("n_tok"), 6)
           .as("top_token_frac"))
       .withColumn("keep",
         col("dup_token_frac") <= maxDupFrac && col("top_token_frac") <= maxTopFrac)

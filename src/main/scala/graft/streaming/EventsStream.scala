@@ -2,6 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.functions.Num.roundz
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the events table: the streaming counterpart of
@@ -116,7 +118,7 @@ object EventsStream {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .select(col("user_id"), col("purchase_id"), col("click_id"),
-        round(col("value"), 2).as("value"))
+        roundz(col("value"), 2).as("value"))
   }
 
   /** Stream-static enrichment: a stream joined against a bounded dimension

@@ -5,20 +5,57 @@ against the DuckDB oracle on the same parquet tables, compare per query.
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
 """
+import decimal
 import glob
 import json
 import math
 import os
+import struct
 import sys
 
 import duckdb
 
 
+class F:
+    """Float wrapper: sign-aware bitwise identity (after the round-6
+    tolerance), so -0.0 != +0.0 — matching the driver, which hashes
+    serialized values. Python's == treats -0.0 == 0.0, which masked the
+    x79 signed-zero divergence in round 5."""
+
+    __slots__ = ("v", "bits")
+
+    def __init__(self, v):
+        self.v = round(v, 6)
+        self.bits = struct.pack("<d", self.v)
+
+    def __eq__(self, other):
+        return isinstance(other, F) and self.bits == other.bits
+
+    def __hash__(self):
+        return hash(self.bits)
+
+    def __repr__(self):
+        return repr(self.v) if not (self.v == 0.0 and self.bits[7] & 0x80) else "-0.0"
+
+
 def norm(rows):
+    # DECIMAL oracle outputs (DuckDB round() on a DECIMAL expression stays
+    # DECIMAL) compare as floats, matching the driver (x5 passed r5 with a
+    # Decimal oracle vs a double Spark column).
     out = []
     for r in rows:
-        out.append(tuple(round(v, 6) if isinstance(v, float) else v for v in r))
+        out.append(tuple(
+            F(float(v)) if isinstance(v, (float, decimal.Decimal)) else v
+            for v in r))
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def selftest():
+    assert norm([(0.0,)]) != norm([(-0.0,)]), "signed-zero fixture not flagged"
+    assert norm([(1.0000001,)]) == norm([(1.0000004,)]), "round-6 tolerance lost"
+    assert norm([(0.5, "a")]) == norm([(0.5, "a")])
+    print("selftest OK: -0.0 != +0.0, round-6 tolerance kept")
+    return 0
 
 
 def main(sf_dir, out_dir):
@@ -77,4 +114,6 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
