@@ -971,17 +971,39 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
-    // LSH recall estimate on a 50% hash-sample. The seeded MinHash isn't
+    // Composed cluster + keep-best: ONE LSH+CC pass (`clusters`, persisted)
+    // feeds both the survivor decision (via `precomputedClusters`) and the
+    // cluster_id attached to each kept doc — the composition x41 and x61
+    // each pay for separately as standalone queries. The persist is tiny
+    // (two longs per doc) and is what makes the shared pass actually
+    // shared: without it the second reference would re-join the corpus
+    // against the materialized CC labels.
+    "x82_cluster_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cl = Dedup.clusters(docs, "doc_id", "text", threshold = 0.9).persist()
+      Dedup.dedupKeepBest(docs, "doc_id", "text", "n_chars", threshold = 0.9,
+          precomputedClusters = Some(cl))
+        .join(cl, Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LSH recall estimate on a 15% hash-sample. The seeded MinHash isn't
     // replayable in SQL, but the estimator's inputs and contract are: the
     // deterministic hash-sample membership and the exact-Jaccard truth
     // pair count are both recomputed by the oracle (x2-style O(n²) within
     // the sample), and recall — planted near-identical duplicates at
     // threshold 0.9 — must clear 0.95 (observed 1.0). A sampling, truth,
-    // or banding regression each flips a different column.
+    // or banding regression each flips a different column. 15% keeps the
+    // quadratic truth side ~11× cheaper than round 5's 50% while the
+    // planted dups keep n_true_pairs > 0 at both gate SFs (2 at sf0.01,
+    // 5 at sf0.1) — and `has_truth` vs the oracle's literal TRUE turns
+    // that into an assertion: an empty truth set goes red, not vacuous.
     "x67_lsh_recall" -> ((s, dir) =>
       Dedup.lshRecallEstimate(t(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.9, sampleFraction = 0.5)
+          threshold = 0.9, sampleFraction = 0.15)
         .select(col("n_docs"), col("n_true_pairs"),
+          (col("n_true_pairs") > 0).as("has_truth"),
           ((col("recall").isNull && col("n_true_pairs") === 0) ||
             col("recall") >= 0.95).as("recall_ok"))),
 
@@ -1624,7 +1646,7 @@ object SparkEntry {
     "x67_lsh_recall" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE ((doc_id & 2147483647) * 2654435761) % 1000000 < 500000),
+        |  WHERE ((doc_id & 2147483647) * 2654435761) % 1000000 < 150000),
         |t AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
@@ -1644,7 +1666,7 @@ object SparkEntry {
         |      len(list_distinct(list_concat(a.sh, b.sh))), 4) + 0) AS jaccard
         |  FROM s a, s b WHERE a.doc_id < b.doc_id)
         |SELECT (SELECT count(*) FROM d) AS n_docs,
-        |  count(*) AS n_true_pairs, TRUE AS recall_ok
+        |  count(*) AS n_true_pairs, TRUE AS has_truth, TRUE AS recall_ok
         |FROM p WHERE jaccard >= 0.9""".stripMargin,
     "x4_text_tokens" ->
       """SELECT doc_id,
@@ -2121,6 +2143,38 @@ object SparkEntry {
         |SELECT d.doc_id, d.n_chars
         |FROM documents d JOIN lbl USING (doc_id)
         |QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |  ORDER BY d.n_chars DESC, d.doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "x82_cluster_keep_best" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM p
+        |  UNION SELECT b, a FROM p),
+        |reach(x, y) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y),
+        |lbl AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x)
+        |SELECT d.doc_id, lbl.cluster_id, d.n_chars
+        |FROM documents d JOIN lbl USING (doc_id)
+        |QUALIFY row_number() OVER (PARTITION BY lbl.cluster_id
         |  ORDER BY d.n_chars DESC, d.doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
     "x42_contamination" ->

@@ -501,7 +501,11 @@ object Dedup {
     * cluster report and the deduped corpus are wanted — pay LSH+CC once
     * instead of twice. Working columns are `__kb_`-prefixed so a `df` that
     * already carries a `cluster_id` (e.g. the output of `clusters` itself)
-    * joins without an AnalysisException.
+    * joins without an AnalysisException. The cluster frame is LEFT-joined:
+    * a doc absent from it (a stale or subset cluster snapshot) falls back
+    * to its own singleton cluster — it survives rather than silently
+    * vanishing from the corpus, mirroring the self-contained path where
+    * `clusters` covers every doc.
     */
   def dedupKeepBest(df: DataFrame, idCol: String, textCol: String,
       scoreCol: String, threshold: Double, shingleSize: Int = 3,
@@ -512,7 +516,8 @@ object Dedup {
       .select(col(idCol), col("cluster_id").as("__kb_cluster"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__kb_cluster")).orderBy(col(scoreCol).desc, col(idCol))
-    df.join(cl, Seq(idCol))
+    df.join(cl, Seq(idCol), "left")
+      .withColumn("__kb_cluster", coalesce(col("__kb_cluster"), col(idCol)))
       .withColumn("__kb_rn", row_number().over(w))
       .where(col("__kb_rn") === 1)
       .select(df.columns.map(col).toIndexedSeq: _*)

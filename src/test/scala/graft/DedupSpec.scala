@@ -233,6 +233,22 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors === Set(2L, 4L))
   }
 
+  test("dedupKeepBest: docs absent from precomputed clusters survive as singletons") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base, 10),
+      (2L, base + " extra", 50),
+      (3L, "brand new doc the cluster snapshot has never seen", 7))
+      .toDF("doc_id", "text", "score")
+    // stale snapshot: covers only docs 1 and 2 (one cluster, 2 wins)
+    val stale = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val kept = Dedup.dedupKeepBest(docs, "doc_id", "text", "score",
+        threshold = 0.7, precomputedClusters = Some(stale))
+      .select("doc_id").as[Long].collect().toSet
+    // doc 3 is not silently dropped: it falls back to its own singleton
+    assert(kept === Set(2L, 3L))
+  }
+
   test("lshRecallEstimate truth side ignores the posting prune by default") {
     // two identical docs whose every shingle is shared by ALL docs would
     // vanish from a pruned truth at maxDocFreq=1; the unlimited default
