@@ -120,9 +120,19 @@ object Dedup {
     * to the Long.MaxValue init, exactly like the HOF fold).
     */
   private def minhashSlots(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, k: Int): DataFrame = {
-    val hashed = shingled(ensureParallelism(df), idCol, textCol, shingleSize, "__sh")
-      .select(col(idCol), explode_outer(Staging.pin(col("__sh"))).as("__s"))
+      shingleSize: Int, k: Int): DataFrame =
+    minhashSlotsFrom(
+      shingled(ensureParallelism(df), idCol, textCol, shingleSize, "__sh"),
+      idCol, k, "__sh")
+
+  /** `minhashSlots` over an ALREADY-SHINGLED `(idCol, shCol)` frame — lets
+    * a caller that also needs the shingles for something else (the recall
+    * estimator's exact truth side) pay the tokenizer once.
+    */
+  private def minhashSlotsFrom(sh: DataFrame, idCol: String, k: Int,
+      shCol: String): DataFrame = {
+    val hashed = sh
+      .select(col(idCol), explode_outer(Staging.pin(col(shCol))).as("__s"))
       .select(col(idCol),
         when(col("__s").isNotNull,
           xxhash64(col("__s")).bitwiseAND(lit(0xFFFFFFFFL))).as("__h1"),
@@ -139,10 +149,14 @@ object Dedup {
     * (same comma-joined decimal string under xxhash64).
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
+      shingleSize: Int, numHashes: Int, bands: Int): DataFrame =
+    bucketsFromSlots(minhashSlots(df, idCol, textCol, shingleSize, numHashes),
+      idCol, numHashes, bands)
+
+  private def bucketsFromSlots(slots: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must be divisible by bands=$bands")
     val r = numHashes / bands
-    val slots = minhashSlots(df, idCol, textCol, shingleSize, numHashes)
     val bandStructs = array((0 until bands).map { j =>
       struct(lit(j).as("band"),
         xxhash64(concat_ws(",", (j * r until (j + 1) * r).map(i => col(s"__m$i").cast("string")): _*))
@@ -178,8 +192,25 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 48, bands: Int = 12,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val buckets = lshBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
+      maxBucketSize: Int = 1000): DataFrame =
+    candidatesFromBuckets(
+      lshBuckets(df, idCol, textCol, shingleSize, numHashes, bands),
+      idCol, maxBucketSize)
+
+  /** `minhashCandidates` over an already-shingled `(idCol, shCol)` frame
+    * (same banding, same skew guard) — shares the tokenizer pass with
+    * other consumers of the shingles.
+    */
+  private def minhashCandidatesFrom(sh: DataFrame, idCol: String,
+      numHashes: Int, bands: Int, maxBucketSize: Int,
+      shCol: String): DataFrame =
+    candidatesFromBuckets(
+      bucketsFromSlots(minhashSlotsFrom(sh, idCol, numHashes, shCol),
+        idCol, numHashes, bands),
+      idCol, maxBucketSize)
+
+  private def candidatesFromBuckets(buckets: DataFrame, idCol: String,
+      maxBucketSize: Int): DataFrame = {
     val grouped = buckets.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
@@ -258,9 +289,15 @@ object Dedup {
     * affects boilerplate n-grams, and the drop mirrors the LSH skew guard.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleSize: Int = 3, maxDocFreq: Int = 1000): DataFrame = {
-    val base = shingled(ensureParallelism(df), idCol, textCol, shingleSize)
-      .withColumnRenamed(idCol, "id")
+      threshold: Double, shingleSize: Int = 3, maxDocFreq: Int = 1000): DataFrame =
+    jaccardPairsFrom(
+      shingled(ensureParallelism(df), idCol, textCol, shingleSize),
+      idCol, threshold, maxDocFreq)
+
+  /** `jaccardPairs` over an already-shingled `(idCol, sh)` frame. */
+  private def jaccardPairsFrom(shFrame: DataFrame, idCol: String,
+      threshold: Double, maxDocFreq: Int): DataFrame = {
+    val base = shFrame.withColumnRenamed(idCol, "id")
     val sizes = base.select(col("id"), size(col("sh")).as("sz"))
     val postings = base.select(col("id"), explode(Staging.pin(col("sh"))).as("s"))
     val rare = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -284,8 +321,10 @@ object Dedup {
   /** Estimated recall of the MinHash-LSH banding parameters on THIS corpus,
     * from a deterministic hash-sample: ground truth is exact posting-list
     * Jaccard within the sample (quadratic cost confined to the sample),
-    * measured is `minhashPairs` over the same sample with the same
-    * parameters. The observability check to run before trusting
+    * measured is the production banding + exact verify (`minhashPairs`
+    * semantics) over the same sample with the same parameters — computed
+    * off one shared shingle pass. The observability check to run before
+    * trusting
     * (numHashes, bands) on the full corpus — a 1% sample prices recall at
     * ~0.01% of the brute-force cost.
     *
@@ -303,25 +342,43 @@ object Dedup {
       threshold: Double, sampleFraction: Double = 0.01, shingleSize: Int = 3,
       numHashes: Int = 48, bands: Int = 12,
       truthMaxDocFreq: Int = Int.MaxValue): DataFrame = {
+    // ONE shingling pass feeds everything: the exact truth (posting-list
+    // join), the LSH banding (minhash over the same shingle sets — which
+    // is also what makes the comparison apples-to-apples), the candidate
+    // verify, and n_docs. The persisted frame is sample-sized by
+    // construction. The old shape shingled the sample three times and
+    // drove 5 driver actions; this one drives 2.
     val sample = RelOps.hashSample(df, idCol, sampleFraction)
-    val truth = jaccardPairs(sample, idCol, textCol, threshold, shingleSize,
-        maxDocFreq = truthMaxDocFreq)
-      .select(col("a"), col("b"))
+    val sh = shingled(ensureParallelism(sample), idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lsh = minhashPairs(sample, idCol, textCol, threshold, shingleSize,
-      numHashes, bands)
     try {
-      val nDocs = sample.count()
-      val nTrue = truth.count()
-      val lshPairs = lsh.select(col("a"), col("b"))
-      val nLsh = lshPairs.count()
-      val hits = truth.join(lshPairs, Seq("a", "b"), "left_semi").count()
+      val nDocs = sh.count()
+      val truth = jaccardPairsFrom(sh, idCol, threshold, truthMaxDocFreq)
+        .select(col("a"), col("b"))
+      // candidates verified against the SAME persisted shingles — the
+      // production banding + verify semantics of `minhashPairs`, minus its
+      // corpus-scale candidate-pruning machinery (pointless on a sample
+      // whose shingles are already cached)
+      val verified = minhashCandidatesFrom(sh, idCol, numHashes, bands,
+          maxBucketSize = 1000, shCol = "sh")
+        .join(sh.select(col(idCol).as("a"), col("sh").as("__sha")), Seq("a"))
+        .join(sh.select(col(idCol).as("b"), col("sh").as("__shb")), Seq("b"))
+        .where(jaccard(col("__sha"), col("__shb")) >= threshold)
+        .select(col("a"), col("b"))
+      // |truth|, |verified|, and |truth ∩ verified| in ONE full-outer
+      // flag-join aggregate — one driver action instead of three counts
+      val row = truth.withColumn("__t", lit(1))
+        .join(verified.withColumn("__v", lit(1)), Seq("a", "b"), "full_outer")
+        .agg(count(col("__t")).as("t"), count(col("__v")).as("v"),
+          count(when(col("__t").isNotNull && col("__v").isNotNull, 1)).as("h"))
+        .head()
+      val (nTrue, nLsh, hits) = (row.getLong(0), row.getLong(1), row.getLong(2))
       val spark = df.sparkSession
       import spark.implicits._
       Seq((nDocs, nTrue, nLsh, hits,
         if (nTrue == 0) Option.empty[Double] else Some(hits.toDouble / nTrue)))
         .toDF("n_docs", "n_true_pairs", "n_lsh_pairs", "n_hit_pairs", "recall")
-    } finally { truth.unpersist(); lsh.unpersist(); () }
+    } finally { sh.unpersist(); () }
   }
 
   // ------------------------------------------ train/test contamination scan
