@@ -164,7 +164,14 @@ object Training {
     val budget = budgets.foldLeft(lit(-1L)) { case (acc, (s, b)) =>
       when(col(sourceCol) === s, lit(b)).otherwise(acc)
     }
-    val withB = df.withColumn("__bkt", bkt)
+    // unbudgeted sources keep nothing by contract, so drop them BEFORE the
+    // per-bucket aggregate, the driver collect, and the window: this
+    // bounds the collected counts to |budgets|×16 rows regardless of how
+    // many sources the corpus has, and the window never sorts rows that
+    // were headed for the filter anyway
+    val withB = df
+      .where(col(sourceCol).cast("string").isin(budgets.keys.toSeq: _*))
+      .withColumn("__bkt", bkt)
     val perBucket = withB.groupBy(col(sourceCol).cast("string").as("s"), col("__bkt").as("b"))
       .agg(sum(col(tokenCol).cast("long")).as("t"))
       .as[(String, Int, Long)].collect()

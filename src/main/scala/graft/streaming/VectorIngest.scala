@@ -94,16 +94,27 @@ object VectorIngest {
         }
         val centroids = loadCentroids(s, root, ref)
         // self-heal: vectors that reached the table but never the index
-        // (crash between the appends) re-assign with the SAME frozen
-        // centroids — ids-only anti-join, both scans column-pruned
-        if (reconciled.compareAndSet(false, true) &&
-            Catalog.tableExists(s, root, ref) &&
-            Catalog.tableExists(s, root, idxRef)) {
-          val unindexed = Catalog.table(s, root, ref).join(
-            Catalog.table(s, root, idxRef).select(col("vec_id")).distinct(),
-            Seq("vec_id"), "left_anti")
-          if (!unindexed.isEmpty)
-            Catalog.writeAppend(assignCells(unindexed, centroids), root, idxRef)
+        // re-assign with the SAME frozen centroids. The existence check
+        // gates the CAS (not the reverse): consuming the one-shot flag on
+        // a batch where the table doesn't exist yet would burn the heal
+        // before it could ever run. Two shapes:
+        //   - no index at all (stream started over a pre-existing corpus,
+        //     or crash between the FIRST-ever table append and its index
+        //     append): bootstrap the index over the whole table;
+        //   - index exists (crash between any later pair of appends):
+        //     ids-only anti-join, both scans column-pruned.
+        if (Catalog.tableExists(s, root, ref) &&
+            reconciled.compareAndSet(false, true)) {
+          if (!Catalog.tableExists(s, root, idxRef)) {
+            Catalog.writeAppend(
+              assignCells(Catalog.table(s, root, ref), centroids), root, idxRef)
+          } else {
+            val unindexed = Catalog.table(s, root, ref).join(
+              Catalog.table(s, root, idxRef).select(col("vec_id")).distinct(),
+              Seq("vec_id"), "left_anti")
+            if (!unindexed.isEmpty)
+              Catalog.writeAppend(assignCells(unindexed, centroids), root, idxRef)
+          }
         }
         // idempotent by id: replays (restart without a durable checkpoint,
         // redelivered files) must not duplicate vectors — the guard is an

@@ -252,6 +252,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("vector ingest over a pre-existing corpus bootstraps the index; restart loads, not retrains") {
+    import graft.streaming.VectorIngest
+    val src = Files.createTempDirectory("graft_vec2_src")
+    val root = Files.createTempDirectory("graft_vec2_root").toString
+    val rnd = new scala.util.Random(11L)
+    def vec(id: Long) = (id, Seq.fill(8)(rnd.nextFloat()))
+    def stage(name: String, ids: Seq[Long]): Unit = {
+      val tmp = Files.createTempDirectory("graft_vec2_stage")
+      ids.map(vec).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    // a corpus that predates the stream: vectors only — no index, no
+    // frozen centroids (the batch-loaded-then-streamed deployment shape)
+    Catalog.writeAppend((0L until 30L).map(vec).toDF("vec_id", "embedding"),
+      root, "vectors")
+    stage("b0.parquet", Seq(30L))
+    val q = VectorIngest.ingestStream(spark, src.toString, root, "vectors",
+      nCentroids = 4)
+    val cents1 =
+      try {
+        q.processAllAvailable()
+        // the WHOLE pre-existing corpus must be indexed (bootstrap branch),
+        // not just the streamed batch — without it, ANN probes silently
+        // miss every pre-existing vector for the life of the stream
+        val idx = Catalog.table(spark, root, "vectors_ivf")
+          .as[(Long, Int)].collect().toMap
+        assert(idx.keySet === (0L to 30L).toSet,
+          "bootstrap must index the pre-existing corpus, not only the batch")
+        VectorIngest.loadCentroids(spark, root, "vectors")
+      } finally q.stop()
+    // restart: the quantizer must be LOADED from its side table, never
+    // retrained (retraining would re-cell the whole index), and cells
+    // assigned before the restart must be byte-identical after it
+    val idxBefore = Catalog.table(spark, root, "vectors_ivf")
+      .as[(Long, Int)].collect().toMap
+    stage("b1.parquet", Seq(31L))
+    val q2 = VectorIngest.ingestStream(spark, src.toString, root, "vectors",
+      nCentroids = 4)
+    try {
+      q2.processAllAvailable()
+      assert(VectorIngest.loadCentroids(spark, root, "vectors") === cents1,
+        "restart must load the frozen quantizer, not retrain it")
+      val idxAfter = Catalog.table(spark, root, "vectors_ivf")
+        .as[(Long, Int)].collect().toMap
+      assert(idxAfter.keySet === (0L to 31L).toSet)
+      assert(idxBefore.forall { case (id, cell) => idxAfter(id) === cell },
+        "cell assignments must be unchanged across restart")
+    } finally q2.stop()
+  }
+
   test("streaming corpus ingest decontaminates each micro-batch against the table") {
     import graft.streaming.CorpusIngest
     val src = Files.createTempDirectory("graft_docs_src")
