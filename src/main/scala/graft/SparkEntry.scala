@@ -506,6 +506,26 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    // REAL audio decode through pure-JDK javax.sound.sampled: synthesized
+    // RIFF/WAV PCM16 payloads (500 Hz seeded-amplitude sine — no audio in
+    // the testdata) decoded back to measured facts. Everything the oracle
+    // checks is exact: sample rate and count come from the decoder and
+    // must equal the synthesis arithmetic; rms_ok asserts the measured
+    // RMS sits within int16-quantization distance of the analytic amp/√2
+    // (8 samples/cycle ⇒ mean square is exactly 1/2) against the oracle's
+    // literal TRUE — a decoder, container, or channel-fold regression
+    // flips a column.
+    "x83_audio_decode" -> ((s, dir) => {
+      val audio = Multimodal.audioAssetsFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.decodeAudioInfo(audio).toDF()
+        .select(col("asset_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms_decoded"),
+          (col("decoded") &&
+            abs(col("rms") - (pmod(col("asset_id"), lit(50)) / lit(100.0) + lit(0.25))
+              / lit(math.sqrt(2.0))) < lit(1e-3)).as("rms_ok"))
+        .orderBy(col("asset_id"))
+    }),
+
     // Multimodal frame sampling: 1 frame/second of video duration,
     // 0..n rows per asset (flatMap shape).
     "x15_multimodal_frames" -> ((s, dir) => {
@@ -1466,6 +1486,14 @@ object SparkEntry {
         |    unnest(range(CAST(doc_id % 10 AS INT) + 1)) AS frame_idx
         |  FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    // every column is exact synthesis arithmetic except rms_ok, whose
+    // literal TRUE the Spark side must earn from actually-decoded samples
+    "x83_audio_decode" ->
+      """SELECT doc_id AS asset_id, 4000 AS sample_rate,
+        |  ((doc_id % 10) + 1) * 200 * 4 AS n_samples,
+        |  ((doc_id % 10) + 1) * 200 AS duration_ms_decoded,
+        |  TRUE AS rms_ok
+        |FROM documents ORDER BY asset_id""".stripMargin,
     "s1_csv_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "s4_csv_allstrings" ->

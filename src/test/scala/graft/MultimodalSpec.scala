@@ -88,6 +88,46 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeStub("not an image".getBytes("UTF-8"), 8).toSeq)
   }
 
+  test("real WAV decode: synthesized PCM16 round-trips to exact sample facts") {
+    val wav = Multimodal.synthWav(seed = 7L, durationMs = 400L) // 4 kHz default
+    val (samples, rate) = Multimodal.decodeWav(wav)
+      .getOrElse(fail("generated WAV did not decode"))
+    assert(rate === 4000.0f)
+    assert(samples.length === 1600, "400 ms at 4 kHz")
+    // 8 samples/cycle sine: mean square exactly amp²/2 up to int16 rounding
+    val rms = math.sqrt(samples.map(s => s.toDouble * s).sum / samples.length)
+    assert(math.abs(rms - Multimodal.ampFor(7L) / math.sqrt(2.0)) < 1e-3)
+    assert(Multimodal.decodeWav("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeWav(wav.take(20)).isEmpty, "truncated header rejected")
+  }
+
+  test("extractFeatures: real signal features for decodable audio, stub for the rest") {
+    val wav = Multimodal.synthWav(seed = 3L, durationMs = 200L)
+    val ds = Seq(
+      Multimodal.Asset(1L, "audio", wav, 0, 0, 200L),
+      Multimodal.Asset(2L, "audio", "not audio".getBytes("UTF-8"), 0, 0, 200L)).toDS()
+    val out = Multimodal.extractFeatures(ds, dims = 8).collect().sortBy(_.asset_id)
+    val amp = Multimodal.ampFor(3L)
+    assert(math.abs(out(0).features(0) - amp / math.sqrt(2.0)) < 1e-3, "rms")
+    assert(math.abs(out(0).features(1) - amp) < 1e-3, "peak")
+    // constant-envelope sine: every energy window carries the global RMS
+    (4 until 8).foreach(i =>
+      assert(math.abs(out(0).features(i) - out(0).features(0)) < 1e-2, s"envelope $i"))
+    assert(out(1).features.toSeq ===
+      Multimodal.decodeStub("not audio".getBytes("UTF-8"), 8).toSeq)
+  }
+
+  test("decodeAudioInfo measures rate, count, duration, rms; flags undecodable") {
+    val ds = Seq(
+      Multimodal.Asset(10L, "audio", Multimodal.synthWav(10L, 600L), 0, 0, 600L),
+      Multimodal.Asset(11L, "audio", Array[Byte](1, 2, 3), 0, 0, 0L)).toDS()
+    val out = Multimodal.decodeAudioInfo(ds).collect().sortBy(_.asset_id)
+    assert(out(0).decoded && out(0).sample_rate === 4000 &&
+      out(0).n_samples === 2400L && out(0).duration_ms_decoded === 600L)
+    assert(math.abs(out(0).rms - Multimodal.ampFor(10L) / math.sqrt(2.0)) < 1e-3)
+    assert(!out(1).decoded && out(1).n_samples === 0L)
+  }
+
   test("resize really rescales decodable images and re-encodes") {
     val ds = Seq(Multimodal.Asset(1L, "image", redBluePng, 4, 2, 0L)).toDS()
     val out = Multimodal.resize(ds, 2, 2).collect().head
