@@ -1244,6 +1244,20 @@ object SparkEntry {
         .select(col("doc_id"), roundz(col("unigram_lp"), 6).as("unigram_lp"))
         .orderBy(col("doc_id"))),
 
+    // DSIR importance weights: target LM fitted on the deterministic 10%
+    // in-domain slice (doc_id % 10 = 0 — the same slice x42 uses as its
+    // benchmark set), source LM on the whole corpus; per-doc weight is the
+    // avg token log-likelihood ratio. Oracle replays both LMs in SQL (the
+    // x60 estimator twice) and the exact ratio.
+    "x84_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextStats.importanceWeights(docs,
+          docs.where(col("doc_id") % 10 === 0), "doc_id", "text",
+          vocabSize = 20)
+        .select(col("doc_id"), roundz(col("dsir_w"), 6).as("dsir_w"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Strict ordered funnel over the event stream: one shuffle on user_id
     // builds each user's sorted history, a fold chains first-touch stage
     // times. Oracle is the classic per-stage conditional-min join chain.
@@ -2592,6 +2606,31 @@ object SparkEntry {
         |  FROM tk LEFT JOIN voc USING (tok), tot, vn
         |  GROUP BY 1)
         |SELECT d.doc_id, (round(sc.lp, 6) + 0) AS unigram_lp
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "x84_dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |scnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |stot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM scnt),
+        |svoc AS (SELECT tok, c FROM scnt ORDER BY c DESC, tok LIMIT 20),
+        |svn AS (SELECT count(*) AS v FROM svoc),
+        |ttk AS (SELECT tok FROM tk WHERE doc_id % 10 = 0),
+        |tcnt AS (SELECT tok, count(*) AS c FROM ttk GROUP BY 1),
+        |ttot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tcnt),
+        |tvoc AS (SELECT tok, c FROM tcnt ORDER BY c DESC, tok LIMIT 20),
+        |tvn AS (SELECT count(*) AS v FROM tvoc),
+        |sc AS (
+        |  SELECT tk.doc_id,
+        |    avg(log10((coalesce(tvoc.c, 0) + 1) / (ttot.n + tvn.v + 1.0))
+        |      - log10((coalesce(svoc.c, 0) + 1) / (stot.n + svn.v + 1.0))) AS w
+        |  FROM tk LEFT JOIN tvoc USING (tok) LEFT JOIN svoc USING (tok),
+        |    stot, svn, ttot, tvn
+        |  GROUP BY 1)
+        |SELECT d.doc_id, (round(sc.w, 6) + 0) AS dsir_w
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "x56_funnel" ->

@@ -361,6 +361,68 @@ object TextStats {
     } finally { cnt.unpersist(); () }
   }
 
+  /** DSIR-style importance weight per source document (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"): the
+    * average per-token log-likelihood ratio between a TARGET-domain
+    * unigram LM and the SOURCE (raw-corpus) LM —
+    * `avg_tok [ log p_target(tok) − log p_source(tok) ]` — positive means
+    * the document reads more like the target domain than like the raw
+    * corpus. Feed the weights to `Training.weightedSampleNPerGroup` (via
+    * `exp`) for the actual importance RESAMPLING step of the recipe.
+    *
+    * Both LMs use the `unigramLogProb` estimator: top-`vocabSize` vocab by
+    * count (count-desc, token-asc tiebreak), add-one smoothing over
+    * denominator `n + v + 1`, OOV tokens count 0. Averaging (not summing)
+    * keeps the weight length-invariant, so resampling doesn't
+    * systematically prefer short documents.
+    *
+    * Plan shape at 100 TB: the raw corpus explodes to tokens ONCE; both
+    * vocab tables are top-K-bounded broadcasts (the only driver traffic:
+    * two K-row collects + two 1-row sums); the per-doc average reduces
+    * with map-side partial agg. The target corpus is the in-domain quality
+    * sample — small by definition — and is never joined row-to-row against
+    * the source.
+    *
+    * Output: (idCol, dsir_w) for every source document — null for
+    * tokenless ones, same convention as `unigramLogProb`.
+    */
+  def importanceWeights(source: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, s"vocabSize=$vocabSize must be positive")
+    val spark = source.sparkSession
+
+    // (top-K vocab frame, smoothing denominator) of one corpus
+    def lmOf(df: DataFrame, cntCol: String): (DataFrame, Double) = {
+      val cnt = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val top = cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize).collect()
+        val nRow = cnt.agg(sum(col("c"))).collect()(0)
+        val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+        val vocab = spark.createDataFrame(
+          spark.sparkContext.parallelize(top.toIndexedSeq, 1),
+          new org.apache.spark.sql.types.StructType()
+            .add("tok", "string").add("c", "long"))
+          .select(col("tok"), col("c").as(cntCol))
+        (vocab, (n + top.length + 1).toDouble)
+      } finally { cnt.unpersist(); () }
+    }
+
+    val (srcVocab, srcDenom) = lmOf(source, "__cs")
+    val (tgtVocab, tgtDenom) = lmOf(target, "__ct")
+    val scored = source
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
+      .join(broadcast(tgtVocab), Seq("tok"), "left")
+      .join(broadcast(srcVocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(avg(
+        log10((coalesce(col("__ct"), lit(0L)) + 1).cast("double") / lit(tgtDenom)) -
+          log10((coalesce(col("__cs"), lit(0L)) + 1).cast("double") / lit(srcDenom)))
+        .as("dsir_w"))
+    source.select(col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
   /** Lines (non-blank, trimmed-for-matching is NOT applied — matching is
     * exact) appearing in at least `minDocs` DISTINCT documents: the
     * C4/RefinedWeb boilerplate signal (nav menus, cookie banners, footers

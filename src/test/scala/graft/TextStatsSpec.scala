@@ -133,6 +133,41 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(3L) < out(1L) && out(3L) < out(2L), out.toString)
   }
 
+  test("importanceWeights: target-domain docs score above off-domain, null for empty") {
+    val source = Seq(
+      (1L, "spark plans shuffle exchange spark plans"),  // target-domain
+      (2L, "cooking pasta with tomato sauce and basil"), // off-domain
+      (3L, "spark shuffle"),                             // target-domain, short
+      (4L, ""))                                          // tokenless
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "spark plans shuffle exchange partitions"))
+      .toDF("doc_id", "text")
+    val out = TextStats.importanceWeights(source, target, "doc_id", "text",
+        vocabSize = 10)
+      .orderBy("doc_id").collect()
+    val w = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(w(1L) > w(2L), s"target-domain must outweigh off-domain: $w")
+    assert(w(3L) > w(2L), s"length-invariant: short on-domain still wins: $w")
+    assert(out(3).isNullAt(1), "tokenless doc keeps a row with null weight")
+  }
+
+  test("importanceWeights matches the hand-computed two-LM ratio") {
+    // source: tokens a a b c (N=4); target: a b (N=2); vocab big enough for all
+    val source = Seq((1L, "a a b c")).toDF("doc_id", "text")
+    val target = Seq((9L, "a b")).toDF("doc_id", "text")
+    val out = TextStats.importanceWeights(source, target, "doc_id", "text",
+        vocabSize = 10).collect().head.getDouble(1)
+    // source LM: V=3, denom=8: p(a)=(2+1)/8, p(b)=p(c)=(1+1)/8
+    // target LM: V=2, denom=5: p(a)=p(b)=(1+1)/5, p(c OOV)=1/5
+    val exp = (
+      math.log10(2.0 / 5) - math.log10(3.0 / 8) +
+      math.log10(2.0 / 5) - math.log10(3.0 / 8) +
+      math.log10(2.0 / 5) - math.log10(2.0 / 8) +
+      math.log10(1.0 / 5) - math.log10(2.0 / 8)) / 4
+    assert(math.abs(out - exp) < 1e-12)
+  }
+
   test("tfidfCosinePairs: identical docs hit 1.0, disjoint docs never pair, df prune works") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
