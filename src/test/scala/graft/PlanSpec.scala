@@ -93,6 +93,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("x84 DSIR weights: both LM vocabs broadcast into the scoring join, no loop join") {
+    // same contract as x60 doubled: the corpus-sized token stream joins two
+    // K-bounded vocab tables — both must broadcast, and a vocab collapsing
+    // to a nested loop would be corpus × vocab
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.functions.TextStats.importanceWeights(
+        docs, docs.where(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+        "doc_id", "text", 20)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("x62 winsorize: the clip is a broadcast bounds join, the data never re-shuffles") {
     val df = graft.operators.Stats.winsorize(
       spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_extendedprice")
