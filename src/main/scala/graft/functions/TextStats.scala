@@ -335,30 +335,43 @@ object TextStats {
     *
     * Output: (idCol, unigram_lp) — null for tokenless documents.
     */
-  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
-      vocabSize: Int = 1000): DataFrame = {
-    require(vocabSize > 0, s"vocabSize=$vocabSize must be positive")
-    val spark = docs.sparkSession
-    val tk = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
-    val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+  /** Fit a smoothed unigram LM over a `tok` token stream: the
+    * top-`vocabSize` counts (count-desc, token-asc tiebreak; the count
+    * column named `cntCol`) plus the add-one denominator `n + v + 1`.
+    * This is THE LM-fitting convention both `unigramLogProb` and
+    * `importanceWeights` mirror into their DuckDB oracles — change it
+    * here and the x60/x84 oracles must follow, or the gate catches the
+    * drift. Driver traffic: one K-row collect + one 1-row sum.
+    */
+  private def unigramLm(toks: DataFrame, vocabSize: Int,
+      cntCol: String): (DataFrame, Double) = {
+    val spark = toks.sparkSession
+    val cnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val top = cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize).collect()
-      val v = top.length
       val nRow = cnt.agg(sum(col("c"))).collect()(0)
       val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
-      val denom = (n + v + 1).toDouble
       val vocabDf = spark.createDataFrame(
         spark.sparkContext.parallelize(top.toIndexedSeq, 1),
         new org.apache.spark.sql.types.StructType()
           .add("tok", "string").add("c", "long"))
-      val scored = tk.join(broadcast(vocabDf), Seq("tok"), "left")
-        .groupBy(col(idCol))
-        .agg(avg(log10((coalesce(col("c"), lit(0L)) + 1).cast("double") / lit(denom)))
-          .as("unigram_lp"))
-      // left join back: tokenless documents keep a row with a null score
-      docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+        .select(col("tok"), col("c").as(cntCol))
+      (vocabDf, (n + top.length + 1).toDouble)
     } finally { cnt.unpersist(); () }
+  }
+
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, s"vocabSize=$vocabSize must be positive")
+    val tk = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
+    val (vocabDf, denom) = unigramLm(tk.select(col("tok")), vocabSize, "c")
+    val scored = tk.join(broadcast(vocabDf), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(avg(log10((coalesce(col("c"), lit(0L)) + 1).cast("double") / lit(denom)))
+        .as("unigram_lp"))
+    // left join back: tokenless documents keep a row with a null score
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
   }
 
   /** DSIR-style importance weight per source document (Xie et al. 2023,
@@ -389,28 +402,10 @@ object TextStats {
   def importanceWeights(source: DataFrame, target: DataFrame, idCol: String,
       textCol: String, vocabSize: Int = 1000): DataFrame = {
     require(vocabSize > 0, s"vocabSize=$vocabSize must be positive")
-    val spark = source.sparkSession
-
-    // (top-K vocab frame, smoothing denominator) of one corpus
-    def lmOf(df: DataFrame, cntCol: String): (DataFrame, Double) = {
-      val cnt = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val top = cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize).collect()
-        val nRow = cnt.agg(sum(col("c"))).collect()(0)
-        val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
-        val vocab = spark.createDataFrame(
-          spark.sparkContext.parallelize(top.toIndexedSeq, 1),
-          new org.apache.spark.sql.types.StructType()
-            .add("tok", "string").add("c", "long"))
-          .select(col("tok"), col("c").as(cntCol))
-        (vocab, (n + top.length + 1).toDouble)
-      } finally { cnt.unpersist(); () }
-    }
-
-    val (srcVocab, srcDenom) = lmOf(source, "__cs")
-    val (tgtVocab, tgtDenom) = lmOf(target, "__ct")
+    def toksOf(df: DataFrame) =
+      df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+    val (srcVocab, srcDenom) = unigramLm(toksOf(source), vocabSize, "__cs")
+    val (tgtVocab, tgtDenom) = unigramLm(toksOf(target), vocabSize, "__ct")
     val scored = source
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
       .join(broadcast(tgtVocab), Seq("tok"), "left")

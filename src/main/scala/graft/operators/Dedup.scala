@@ -167,18 +167,8 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
-  /** Heavy per-row compute wants every core even when the input is one
-    * small parquet file (one partition): fan out to default parallelism.
-    * At cluster scale inputs already carry enough partitions, so this is a
-    * no-op there — no shuffle of a 100 TB corpus.
-    */
-  private def ensureParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // probe the physical partition count via the internal-row RDD — same
-    // number as df.rdd but without building the row deserializer plan the
-    // public .rdd conversion pays on every call
-    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def ensureParallelism(df: DataFrame): DataFrame =
+    RelOps.ensureParallelism(df)
 
   /** Candidate near-dup pairs (a < b on id) from MinHash-LSH banding.
     * Distinct across bands. Buckets larger than `maxBucketSize` are dropped
@@ -359,11 +349,15 @@ object Dedup {
       // production banding + verify semantics of `minhashPairs`, minus its
       // corpus-scale candidate-pruning machinery (pointless on a sample
       // whose shingles are already cached)
+      // verify on the ROUNDED jaccard, exactly like minhashPairs and the
+      // posting-list truth side: a borderline pair (e.g. exact 0.89995 at
+      // threshold 0.9) must land on the same side of the threshold in both
+      // sets or it would register as a phantom LSH miss
       val verified = minhashCandidatesFrom(sh, idCol, numHashes, bands,
           maxBucketSize = 1000, shCol = "sh")
         .join(sh.select(col(idCol).as("a"), col("sh").as("__sha")), Seq("a"))
         .join(sh.select(col(idCol).as("b"), col("sh").as("__shb")), Seq("b"))
-        .where(jaccard(col("__sha"), col("__shb")) >= threshold)
+        .where(roundz(jaccard(col("__sha"), col("__shb")), 4) >= threshold)
         .select(col("a"), col("b"))
       // |truth|, |verified|, and |truth ∩ verified| in ONE full-outer
       // flag-join aggregate — one driver action instead of three counts

@@ -319,12 +319,7 @@ object Multimodal {
     // one partition, which would serialize the whole media pass — fan the
     // id spine out to every core first (no-op at cluster scale, where the
     // source already carries enough partitions)
-    val ids = documents.select(col("doc_id"))
-    val spread =
-      if (ids.queryExecution.toRdd.getNumPartitions < spark.sparkContext.defaultParallelism)
-        ids.repartition(spark.sparkContext.defaultParallelism)
-      else ids
-    spread.as[Long].map { id =>
+    RelOps.ensureParallelism(documents.select(col("doc_id"))).as[Long].map { id =>
       val durationMs = (math.floorMod(id, 10L) + 1L) * 200L
       Asset(id, "audio", synthWav(id, durationMs), 0, 0, durationMs)
     }

@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object RelOps {
 
+  /** Heavy per-row compute wants every core even when the input is one
+    * small parquet file (one partition): fan out to default parallelism.
+    * At cluster scale inputs already carry enough partitions, so this is a
+    * no-op there — no shuffle of a 100 TB corpus. Shared by the shingling
+    * pipelines (Dedup) and the media synth/decode passes (Multimodal).
+    */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // probe the physical partition count via the internal-row RDD — same
+    // number as df.rdd but without building the row deserializer plan the
+    // public .rdd conversion pays on every call
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** P2: positional→named projection (`dict(zip(names, values))`,
     * reference `csv_to_bq.py:17-19`). */
   def nameBind(df: DataFrame, names: Seq[String]): DataFrame =
