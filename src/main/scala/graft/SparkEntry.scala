@@ -1258,6 +1258,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The DSIR RESAMPLING step the weights exist for: per-source top-5 by
+    // Efraimidis–Spirakis priority u^(1/exp(w)) — in-domain-looking docs
+    // oversampled, md5-deterministic, engine-replayable. The weight is
+    // double-rounded (w to 6, then exp to 6) so both engines rank on
+    // bit-identical weights — exp/pow differ by ~1 ulp across libm
+    // implementations, and an unrounded weight would let a 9th-digit
+    // priority boundary flip a rank (the residual pow exposure is the
+    // same one x73 has carried green since round 5).
+    "x85_dsir_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = TextStats.importanceWeights(docs,
+          docs.where(col("doc_id") % 10 === 0), "doc_id", "text",
+          vocabSize = 20)
+        .where(col("dsir_w").isNotNull)
+        .select(col("doc_id"), roundz(exp(roundz(col("dsir_w"), 6)), 6).as("w"))
+      Training.weightedSampleNPerGroup(docs.join(w, Seq("doc_id")),
+          Seq("source"), "doc_id", "w", nPerGroup = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Strict ordered funnel over the event stream: one shuffle on user_id
     // builds each user's sorted history, a fold chains first-touch stage
     // times. Oracle is the classic per-stage conditional-min join chain.
@@ -2633,6 +2654,41 @@ object SparkEntry {
         |SELECT d.doc_id, (round(sc.w, 6) + 0) AS dsir_w
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "x85_dsir_resample" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |scnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |stot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM scnt),
+        |svoc AS (SELECT tok, c FROM scnt ORDER BY c DESC, tok LIMIT 20),
+        |svn AS (SELECT count(*) AS v FROM svoc),
+        |ttk AS (SELECT tok FROM tk WHERE doc_id % 10 = 0),
+        |tcnt AS (SELECT tok, count(*) AS c FROM ttk GROUP BY 1),
+        |ttot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tcnt),
+        |tvoc AS (SELECT tok, c FROM tcnt ORDER BY c DESC, tok LIMIT 20),
+        |tvn AS (SELECT count(*) AS v FROM tvoc),
+        |sc AS (
+        |  SELECT tk.doc_id,
+        |    avg(log10((coalesce(tvoc.c, 0) + 1) / (ttot.n + tvn.v + 1.0))
+        |      - log10((coalesce(svoc.c, 0) + 1) / (stot.n + svn.v + 1.0))) AS w
+        |  FROM tk LEFT JOIN tvoc USING (tok) LEFT JOIN svoc USING (tok),
+        |    stot, svn, ttot, tvn
+        |  GROUP BY 1),
+        |wts AS (
+        |  SELECT doc_id, (round(exp((round(w, 6) + 0)), 6) + 0) AS w
+        |  FROM sc WHERE w IS NOT NULL),
+        |p AS (
+        |  SELECT d.doc_id, d.source,
+        |    (round(pow(
+        |      (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+        |        / 4294967296.0,
+        |      1.0 / wts.w), 9) + 0) AS pr
+        |  FROM documents d JOIN wts USING (doc_id))
+        |SELECT doc_id, source FROM p
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY pr DESC, doc_id) <= 5
+        |ORDER BY source, doc_id""".stripMargin,
     "x56_funnel" ->
       """WITH s0 AS (
         |  SELECT user_id, min(ts) AS t0 FROM events
