@@ -156,6 +156,78 @@ class RandomizedCrossCheckSpec extends AnyFunSuite {
       s"weighted sample diverged: extra=${got -- expect} missing=${expect -- got}")
   }
 
+  test("importanceWeights equals a local two-LM computation on random corpora") {
+    val rnd = new scala.util.Random(777L)
+    val vocabPool = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc() = Seq.fill(1 + rnd.nextInt(12))(vocabPool(rnd.nextInt(vocabPool.size)))
+    val srcRows = Seq.tabulate(40)(i => (i.toLong, doc().mkString(" "))) :+ (40L, "")
+    val tgtRows = Seq.tabulate(8)(i => (100L + i, doc().mkString(" ")))
+    val got = graft.functions.TextStats.importanceWeights(
+        srcRows.toDF("doc_id", "text"), tgtRows.toDF("doc_id", "text"),
+        "doc_id", "text", vocabSize = 6)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // local replay: top-6 vocab (count desc, token asc), denom n+v+1, avg ratio
+    def lm(rows: Seq[(Long, String)]): (Map[String, Long], Double) = {
+      val toks = rows.flatMap(_._2.toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+      val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(6).toMap
+      (top, (toks.size + top.size + 1).toDouble)
+    }
+    val (sv, sd) = lm(srcRows)
+    val (tv, td) = lm(tgtRows)
+    srcRows.foreach { case (id, text) =>
+      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) assert(got(id).isEmpty, s"doc $id: tokenless must be null")
+      else {
+        val exp = toks.map(t =>
+          math.log10((tv.getOrElse(t, 0L) + 1) / td) -
+            math.log10((sv.getOrElse(t, 0L) + 1) / sd)).sum / toks.size
+        assert(math.abs(got(id).get - exp) < 1e-12, s"doc $id")
+      }
+    }
+  }
+
+  test("dedupKeepBest invariants on random clusters: one survivor per cluster, best wins") {
+    val rnd = new scala.util.Random(31337L)
+    val docs = Seq.tabulate(50)(i =>
+      (i.toLong, s"text $i", rnd.nextInt(100))).toDF("doc_id", "text", "score")
+    // random precomputed clusters over a SUBSET of docs (0..39); 40..49 absent
+    val clusterOf = (0L until 40L).map(id => id -> (id % 7)).toMap
+    val cl = clusterOf.toSeq.toDF("doc_id", "cluster_id")
+    val kept = graft.operators.Dedup.dedupKeepBest(docs, "doc_id", "text",
+        "score", threshold = 0.9, precomputedClusters = Some(cl))
+      .select($"doc_id").as[Long].collect().toSet
+    // absent docs are singletons: all survive
+    assert((40L until 50L).forall(kept.contains), "absent-from-clusters docs must survive")
+    // each cluster keeps exactly its (max score, min id) member
+    val scores = docs.select($"doc_id", $"score").as[(Long, Int)].collect().toMap
+    (0L until 7L).foreach { c =>
+      val members = clusterOf.collect { case (id, cc) if cc == c => id }.toSeq
+      val best = members.map(id => (id, scores(id)))
+        .sortBy { case (id, s) => (-s, id) }.head._1
+      assert(kept.intersect(members.toSet) === Set(best), s"cluster $c")
+    }
+  }
+
+  test("WAV synth/decode round-trips exact counts and analytic RMS over random seeds") {
+    val rnd = new scala.util.Random(555L)
+    (1 to 15).foreach { _ =>
+      val seed = rnd.nextLong()
+      val durationMs = (1 + rnd.nextInt(20)) * 100L
+      val wav = graft.operators.Multimodal.synthWav(seed, durationMs)
+      val (samples, rate) = graft.operators.Multimodal.decodeWav(wav)
+        .getOrElse(fail(s"seed=$seed did not decode"))
+      assert(rate === 4000.0f)
+      assert(samples.length === (durationMs * 4).toInt, s"seed=$seed ms=$durationMs")
+      val rms = math.sqrt(samples.map(s => s.toDouble * s).sum / samples.length)
+      assert(math.abs(rms - graft.operators.Multimodal.ampFor(seed) / math.sqrt(2.0)) < 1e-3,
+        s"seed=$seed")
+    }
+  }
+
   test("transpose then untranspose returns the original rows on random data") {
     val rnd = new scala.util.Random(7L)
     val classes = Seq("AAA", "BBB", "CCC", "DDD")
