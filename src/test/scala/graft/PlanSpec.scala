@@ -132,6 +132,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Partial"), p.take(2000))
   }
 
+  test("x82 composed keep-best: the persisted cluster pass is reused, not recomputed") {
+    // the whole point of the composition is ONE LSH+CC pass feeding both
+    // the survivor decision and the attached cluster_id — both references
+    // must read the InMemoryRelation, or the plan pays clustering twice
+    val p = planOf("x82_cluster_keep_best")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      p.take(2000))
+  }
+
+  test("x85 DSIR resample: top-k per source bounds map-side rows via WindowGroupLimit") {
+    // same contract as x73: the weighted sample must never funnel a
+    // source's full rows through one reducer
+    val p = planOf("x85_dsir_resample")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("x74 token budget: the prefix sum windows by (source, bucket), never by source alone") {
     val p = planOf("x74_token_budget_mix")
     assert(p.contains("windowspecdefinition(source"), p.take(2000))
