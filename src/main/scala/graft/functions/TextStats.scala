@@ -401,21 +401,44 @@ object TextStats {
     */
   def importanceWeights(source: DataFrame, target: DataFrame, idCol: String,
       textCol: String, vocabSize: Int = 1000): DataFrame = {
+    val (srcVocab, srcDenom) = fitUnigramLm(source, textCol, vocabSize)
+    val (tgtVocab, tgtDenom) = fitUnigramLm(target, textCol, vocabSize)
+    scoreImportance(source, idCol, textCol, tgtVocab, tgtDenom, srcVocab, srcDenom)
+  }
+
+  /** Fit the smoothed unigram LM of a corpus (the `unigramLm` convention):
+    * the `(tok, c)` top-K vocab frame plus the add-one denominator —
+    * exactly what `DsirStream.freezeLms` persists as side tables so a
+    * stream can score against LMs fitted once, offline.
+    */
+  def fitUnigramLm(docs: DataFrame, textCol: String,
+      vocabSize: Int): (DataFrame, Double) = {
     require(vocabSize > 0, s"vocabSize=$vocabSize must be positive")
-    def toksOf(df: DataFrame) =
-      df.select(explode(tokens(lower(col(textCol)))).as("tok"))
-    val (srcVocab, srcDenom) = unigramLm(toksOf(source), vocabSize, "__cs")
-    val (tgtVocab, tgtDenom) = unigramLm(toksOf(target), vocabSize, "__ct")
-    val scored = source
+    unigramLm(docs.select(explode(tokens(lower(col(textCol)))).as("tok")),
+      vocabSize, "c")
+  }
+
+  /** Score documents against ALREADY-FITTED target/source LMs (each a
+    * `(tok, c)` frame + denominator, per `fitUnigramLm`): the stateless
+    * stage of the DSIR recipe, shared verbatim by the batch
+    * `importanceWeights` and the streaming `DsirStream` scorer so the two
+    * can never drift. Both vocab frames broadcast (K-bounded).
+    */
+  def scoreImportance(docs: DataFrame, idCol: String, textCol: String,
+      tgtVocab: DataFrame, tgtDenom: Double,
+      srcVocab: DataFrame, srcDenom: Double): DataFrame = {
+    val scored = docs
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
-      .join(broadcast(tgtVocab), Seq("tok"), "left")
-      .join(broadcast(srcVocab), Seq("tok"), "left")
+      .join(broadcast(tgtVocab.select(col("tok"), col("c").as("__ct"))),
+        Seq("tok"), "left")
+      .join(broadcast(srcVocab.select(col("tok"), col("c").as("__cs"))),
+        Seq("tok"), "left")
       .groupBy(col(idCol))
       .agg(avg(
         log10((coalesce(col("__ct"), lit(0L)) + 1).cast("double") / lit(tgtDenom)) -
           log10((coalesce(col("__cs"), lit(0L)) + 1).cast("double") / lit(srcDenom)))
         .as("dsir_w"))
-    source.select(col(idCol)).join(scored, Seq(idCol), "left")
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
   }
 
   /** Lines (non-blank, trimmed-for-matching is NOT applied — matching is

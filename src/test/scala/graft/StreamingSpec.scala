@@ -305,6 +305,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("DSIR score stream: frozen LMs, scores match the batch scorer, once per doc") {
+    import graft.streaming.DsirStream
+    import graft.functions.TextStats
+    val src = Files.createTempDirectory("graft_dsir_src")
+    val root = Files.createTempDirectory("graft_dsir_root").toString
+    def doc(id: Long, text: String) = (id, text, "en", "s0", text.length.toLong)
+    def stage(name: String, docs: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_dsir_stage")
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    // LMs fitted offline from a static corpus + in-domain target, frozen
+    val corpus = Seq(
+      (1L, "spark plans shuffle exchange broadcast"),
+      (2L, "cooking pasta with tomato and basil"),
+      (3L, "gardens need water and sunlight daily")).toDF("doc_id", "text")
+    val target = Seq((9L, "spark shuffle broadcast partitions")).toDF("doc_id", "text")
+    DsirStream.freezeLms(corpus, target, "text", vocabSize = 10, root, "corpus")
+    val svoc1 = Catalog.table(spark, root, "corpus_dsir_svoc")
+      .as[(String, Long)].collect().toSet
+
+    stage("b0.parquet", Seq(
+      doc(10L, "spark shuffle exchange all day"),
+      doc(11L, "tomato basil pasta recipe")))
+    val q = DsirStream.scoreStream(spark, src.toString, root, "corpus", "scored")
+    try {
+      q.processAllAvailable()
+      // replayed/duplicate doc 10 must not be re-scored
+      stage("b1.parquet", Seq(
+        doc(10L, "spark shuffle exchange all day"),
+        doc(12L, "sunlight gardens water")))
+      q.processAllAvailable()
+      val scored = Catalog.table(spark, root, "scored")
+        .as[(Long, Double)].collect().toMap
+      assert(scored.keySet === Set(10L, 11L, 12L))
+      // scores equal the shared batch scorer run against the SAME frozen LMs
+      val (sv, sd, tv, td) = DsirStream.loadLms(spark, root, "corpus")
+      val expect = TextStats.scoreImportance(
+          Seq((10L, "spark shuffle exchange all day"),
+            (11L, "tomato basil pasta recipe"),
+            (12L, "sunlight gardens water")).toDF("doc_id", "text"),
+          "doc_id", "text", tv, td, sv, sd)
+        .as[(Long, Double)].collect().toMap
+      scored.foreach { case (id, w) =>
+        assert(math.abs(w - expect(id)) < 1e-12, s"doc $id") }
+      // in-domain stream doc outranks the off-domain one
+      assert(scored(10L) > scored(11L))
+      // LMs stayed frozen across batches
+      assert(Catalog.table(spark, root, "corpus_dsir_svoc")
+        .as[(String, Long)].collect().toSet === svoc1)
+    } finally q.stop()
+  }
+
   test("streaming corpus ingest decontaminates each micro-batch against the table") {
     import graft.streaming.CorpusIngest
     val src = Files.createTempDirectory("graft_docs_src")
