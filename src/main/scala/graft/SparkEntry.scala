@@ -118,6 +118,16 @@ object SparkEntry {
       Catalog.csvAllStrings(s, p).orderBy(col("n_name"))
     }),
 
+    // Beyond-reference source format: ORC round-trip (Spark-core native
+    // reader — same pushdown/pruning contract as parquet). Types survive
+    // the container, so the oracle is the parquet table itself.
+    "s8_orc_roundtrip" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val p = s"/tmp/graft/s8_orc_${dir.replaceAll("[^0-9.]", "")}"
+      Catalog.writeOrc(nation, p)
+      Catalog.orc(s, p).orderBy(col("n_nationkey"))
+    }),
+
     // S3: in-memory literal source (`beam.Create`), fixture F1.
     "s3_literal_rows" -> ((s, _) => {
       import s.implicits._
@@ -1530,6 +1540,8 @@ object SparkEntry {
         |  TRUE AS rms_ok
         |FROM documents ORDER BY asset_id""".stripMargin,
     "s1_csv_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "s8_orc_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "s4_csv_allstrings" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,

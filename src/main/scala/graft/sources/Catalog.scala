@@ -169,6 +169,17 @@ object Catalog {
   def writeCsv(df: DataFrame, p: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(p)
 
+  /** ORC source/sink (built into Spark core — no extra dependency): the
+    * columnar alternative when a consumer stack is ORC-native. Same
+    * pushdown/pruning contract as parquet (predicate pushdown + column
+    * pruning via the native ORC reader).
+    */
+  def orc(spark: SparkSession, p: String): DataFrame =
+    spark.read.orc(p)
+
+  def writeOrc(df: DataFrame, p: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(p)
+
   /** JSON-lines source with a declared schema (no inference job — an
     * inference pass over 100 TB of JSON is a full extra scan).
     */
