@@ -1010,6 +1010,10 @@ object SparkEntry {
     // against the materialized CC labels.
     "x82_cluster_keep_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // Lifecycle: the persist can't be unpersisted here (the returned frame
+      // is lazy), so the harness owns cleanup — Bench clears the cache after
+      // EVERY rep (Bench.scala, timed loop) and Verify after every query.
+      // Library callers composing this repeatedly should clearCache likewise.
       val cl = Dedup.clusters(docs, "doc_id", "text", threshold = 0.9).persist()
       Dedup.dedupKeepBest(docs, "doc_id", "text", "n_chars", threshold = 0.9,
           precomputedClusters = Some(cl))

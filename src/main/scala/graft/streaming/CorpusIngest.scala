@@ -57,7 +57,8 @@ object CorpusIngest {
     */
   def ingestStream(spark: SparkSession, srcDir: String, root: String,
       ref: String, threshold: Double = 0.9, shingleSize: Int = 3,
-      numHashes: Int = 48, bands: Int = 12): StreamingQuery = {
+      numHashes: Int = 48, bands: Int = 12,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     // Index self-heal runs ONCE per stream start, not per micro-batch: the
     // crash window it bounds is a restart event, and the corpus-sized
     // anti-join would otherwise make every batch's work corpus-sized —
@@ -65,10 +66,15 @@ object CorpusIngest {
     // foreachBatch closure (driver-side, one per query run), so a restart
     // naturally re-arms it.
     val reconciled = new java.util.concurrent.atomic.AtomicBoolean(false)
-    spark.readStream.schema(schema)
+    // without a durable checkpointDir Spark uses a temp checkpoint: restarts
+    // re-read all of srcDir (the dedup anti-joins keep results correct; the
+    // start-time reconcile plus per-batch work make the rescan only costly,
+    // never wrong)
+    val w = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
       .writeStream
+    checkpointDir.fold(w)(w.option("checkpointLocation", _))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
         val idxRef = s"${ref}_lsh"

@@ -21,8 +21,9 @@ import graft.sources.Catalog
   * Scale: per-batch work is batch-sized (token explode + two K-bounded
   * broadcast joins + one partial-agged groupBy); the scored table IS the
   * state — no streaming state store grows with the corpus, and restarts
-  * resume from the source checkpoint plus the table (id anti-join keeps
-  * scoring exactly-once per document across replays).
+  * resume from the source checkpoint (when the caller supplies a durable
+  * `checkpointDir` — see `scoreStream`) plus the table (id anti-join keeps
+  * scoring exactly-once per document across replays either way).
   */
 object DsirStream {
 
@@ -55,13 +56,20 @@ object DsirStream {
     * at `root`/`ref`, appending (doc_id, dsir_w) to `scoredRef`. Fails
     * loudly if the LMs were never frozen — falling back to per-batch LMs
     * would make every score depend on arrival order.
+    *
+    * Pass `checkpointDir` for restart-resume from the source offset log.
+    * Without it Spark uses a TEMP checkpoint: a restart re-reads every
+    * file in `srcDir` (the doc_id anti-join keeps results correct, but the
+    * rescan cost grows with the directory).
     */
   def scoreStream(spark: SparkSession, srcDir: String, root: String,
-      ref: String, scoredRef: String): StreamingQuery =
-    spark.readStream.schema(CorpusIngest.schema)
+      ref: String, scoredRef: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = spark.readStream.schema(CorpusIngest.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
       .writeStream
+    checkpointDir.fold(w)(w.option("checkpointLocation", _))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
         require(Catalog.tableExists(s, root, s"${ref}_dsir_meta"),
@@ -86,4 +94,5 @@ object DsirStream {
       }
       .outputMode("append")
       .start()
+  }
 }

@@ -71,15 +71,18 @@ object VectorIngest {
           .as("cell"))
 
   def ingestStream(spark: SparkSession, srcDir: String, root: String,
-      ref: String, nCentroids: Int = 16): StreamingQuery = {
+      ref: String, nCentroids: Int = 16,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     // index self-heal runs once per stream START (a crash between the two
     // appends below is a restart event) — same cadence contract as
-    // CorpusIngest
+    // CorpusIngest. checkpointDir: same contract as CorpusIngest — temp
+    // checkpoint restarts rescan srcDir (costly, not wrong).
     val reconciled = new java.util.concurrent.atomic.AtomicBoolean(false)
-    spark.readStream.schema(schema)
+    val w = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
       .writeStream
+    checkpointDir.fold(w)(w.option("checkpointLocation", _))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
         val ctRef = s"${ref}_centroids"

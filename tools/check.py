@@ -42,6 +42,10 @@ def norm(rows):
     # DECIMAL oracle outputs (DuckDB round() on a DECIMAL expression stays
     # DECIMAL) compare as floats, matching the driver (x5 passed r5 with a
     # Decimal oracle vs a double Spark column).
+    # Ints are deliberately NOT wrapped: an int column on one engine vs a
+    # float column on the other (Python 1 == 1.0) must register as a
+    # mismatch because the driver hashes SERIALIZED values, where
+    # bigint(1) != double(1.0). Cast both sides in the query instead.
     out = []
     for r in rows:
         out.append(tuple(
