@@ -536,12 +536,23 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
-    // Multimodal frame sampling: 1 frame/second of video duration,
-    // 0..n rows per asset (flatMap shape).
+    // REAL video frame decode through the pure-JDK MJPEG-in-AVI path:
+    // synthesized RIFF/AVI containers (2 fps, seeded solid-gray JPEG
+    // frames — no video in the testdata) are container-parsed, seeked at
+    // 1 frame/second, and each sampled frame's pixels are measured.
+    // Row count is the sampling arithmetic as before, but `decoded` and
+    // `luma_ok` must now be EARNED from real decoded frames: luma_ok
+    // asserts the measured mean luma sits within JPEG-DC-quantization
+    // distance of frameGray(asset, 2·frame_idx)/255 — a container-walk,
+    // frame-seek (2 fps ⇒ source frame 2i), or JPEG-decode regression
+    // each flips the column against the oracle's literal TRUE.
     "x15_multimodal_frames" -> ((s, dir) => {
-      val assets = Multimodal.assetsFromDocuments(s, t(s, dir, "documents"))
-      Multimodal.sampleFrames(assets, everyMs = 1000L).toDF()
-        .select(col("asset_id"), col("frame_idx"))
+      val vids = Multimodal.videoAssetsFromDocuments(s, t(s, dir, "documents"))
+      val expectedLuma =
+        (pmod(col("asset_id") * 31 + col("frame_idx") * 14, lit(200)) + lit(28)) / lit(255.0)
+      Multimodal.frameStats(Multimodal.sampleFrames(vids, everyMs = 1000L)).toDF()
+        .select(col("asset_id"), col("frame_idx"), col("decoded"),
+          (col("decoded") && abs(col("mean_luma") - expectedLuma) < lit(0.02)).as("luma_ok"))
         .orderBy(col("asset_id"), col("frame_idx"))
     }),
 
@@ -1529,8 +1540,10 @@ object SparkEntry {
       """SELECT s_suppkey, s_name, n_name
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY s_suppkey""".stripMargin,
+    // row shape is the sampling arithmetic; decoded/luma_ok are literal
+    // TRUE the Spark side must earn from actually-decoded AVI frames
     "x15_multimodal_frames" ->
-      """SELECT asset_id, frame_idx FROM (
+      """SELECT asset_id, frame_idx, TRUE AS decoded, TRUE AS luma_ok FROM (
         |  SELECT doc_id AS asset_id,
         |    unnest(range(CAST(doc_id % 10 AS INT) + 1)) AS frame_idx
         |  FROM documents WHERE doc_id % 3 = 2)

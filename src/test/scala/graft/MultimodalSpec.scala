@@ -128,6 +128,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(1).decoded && out(1).n_samples === 0L)
   }
 
+  test("real AVI decode: synthesized MJPEG container round-trips exactly") {
+    val avi = Multimodal.synthAvi(seed = 5L, durationMs = 3000L, fps = 2)
+    val v = Multimodal.decodeAvi(avi).getOrElse(fail("generated AVI did not decode"))
+    assert(v.frames.length === 6, "3 s at 2 fps")
+    assert(v.microSecPerFrame === 500000)
+    assert(v.width === 16 && v.height === 16)
+    // every frame is a decodable JPEG whose mean gray matches the seeded
+    // synthesis level up to DC quantization
+    v.frames.zipWithIndex.foreach { case (f, i) =>
+      val img = Multimodal.decodeImage(f).getOrElse(fail(s"frame $i not a JPEG"))
+      val luma = Multimodal.imageFeatures(img, 4)(3)
+      val expected = Multimodal.frameGray(5L, i) / 255.0
+      assert(math.abs(luma - expected) < 0.02, s"frame $i luma $luma vs $expected")
+    }
+    assert(Multimodal.decodeAvi("not a video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAvi(avi.take(40)).isEmpty, "truncated container rejected")
+  }
+
+  test("sampleFrames seeks real frames: 2 fps container sampled at 1 s ticks") {
+    val seed = 9L
+    val ds = Seq(
+      Multimodal.Asset(seed, "video", Multimodal.synthAvi(seed, 4000L, fps = 2),
+        16, 16, 4000L)).toDS()
+    val out = Multimodal.sampleFrames(ds, everyMs = 1000L).collect().sortBy(_.frame_idx)
+    assert(out.length === 4)
+    out.foreach { f =>
+      // tick i must land on SOURCE frame 2i — the luma proves the seek
+      val img = Multimodal.decodeImage(f.frame_bytes)
+        .getOrElse(fail(s"sampled frame ${f.frame_idx} not decodable"))
+      val luma = Multimodal.imageFeatures(img, 4)(3)
+      val expected = Multimodal.frameGray(seed, 2 * f.frame_idx) / 255.0
+      assert(math.abs(luma - expected) < 0.02, s"tick ${f.frame_idx}")
+    }
+  }
+
+  test("frameStats measures decoded pixels and flags undecodable frames") {
+    val frames = Seq(
+      Multimodal.AssetFrames(1L, 0, Multimodal.synthJpeg(100)),
+      Multimodal.AssetFrames(1L, 1, "garbage".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.frameStats(frames).collect().sortBy(_.frame_idx)
+    assert(out(0).decoded && math.abs(out(0).mean_luma - 100.0 / 255.0) < 0.02)
+    assert(!out(1).decoded && out(1).mean_luma === 0.0)
+  }
+
   test("resize really rescales decodable images and re-encodes") {
     val ds = Seq(Multimodal.Asset(1L, "image", redBluePng, 4, 2, 0L)).toDS()
     val out = Multimodal.resize(ds, 2, 2).collect().head
