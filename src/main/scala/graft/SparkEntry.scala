@@ -128,6 +128,24 @@ object SparkEntry {
       Catalog.orc(s, p).orderBy(col("n_nationkey"))
     }),
 
+    // The first-order 100 TB scan saver: a Hive date-partitioned events
+    // table (writePartitioned) + a partition-pruned scan. The date filter
+    // is satisfied at FILE LISTING — the plan carries it as
+    // PartitionFilters (pinned in PlanSpec), so 23 of 30 day-directories
+    // are never opened, let alone decoded. On a real deployment this is
+    // the difference between scanning 100 TB and scanning the week you
+    // asked for.
+    "s9_partitioned_prune" -> ((s, dir) => {
+      val sfTag = dir.replaceAll("[^0-9.]", "")
+      val ev = Catalog.events(s, dir).withColumn("event_date", to_date(col("ts")))
+      Catalog.writePartitioned(ev, "/tmp/graft", s"s9_part_$sfTag", Seq("event_date"))
+      Catalog.table(s, "/tmp/graft", s"s9_part_$sfTag")
+        .where(col("event_date").between("2024-01-08", "2024-01-14"))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"), roundz(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_date"), col("event_type"))
+    }),
+
     // S3: in-memory literal source (`beam.Create`), fixture F1.
     "s3_literal_rows" -> ((s, _) => {
       import s.implicits._
@@ -1560,6 +1578,14 @@ object SparkEntry {
       "SELECT * FROM nation ORDER BY n_nationkey",
     "s8_orc_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    // the oracle scans the flat table with the same week filter; the Spark
+    // side must produce identical numbers from the pruned partitioned copy
+    "s9_partitioned_prune" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n,
+        |  (round(sum(value), 2) + 0) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s4_csv_allstrings" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS VARCHAR) AS n_regionkey

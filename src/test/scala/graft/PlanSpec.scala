@@ -18,6 +18,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("c_mktsegment"), p.take(2000))
   }
 
+  test("s9: the date filter prunes partitions at listing, not per-row") {
+    // PartitionFilters (not just PushedFilters) is what turns a 100 TB
+    // table scan into a 7-directory scan — the filter must bind to the
+    // Hive partition column, and the executed scan must touch exactly the
+    // 7 of 30 day-directories the week filter selects
+    val df = SparkEntry.queries("s9_partitioned_prune")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date"), s"no partition filter bound: $pf")
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // the executed scan sits inside AQE query stages — descend through them
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec    => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case other                    => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no FileSourceScanExec in executed plan"))
+    assert(scan.metrics("numPartitions").value === 7,
+      s"expected 7 hive partitions read, got ${scan.metrics("numPartitions").value}")
+  }
+
   test("x42 contamination: benchmark index joins broadcast, never shuffles the corpus side") {
     val p = planOf("x42_contamination")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
