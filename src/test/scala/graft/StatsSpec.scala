@@ -102,6 +102,20 @@ class StatsSpec extends AnyFunSuite {
       .where($"robust_z".isNotNull).count() === 0)
   }
 
+  test("robustScale: distributed (ranged-reuse) path agrees with the driver path") {
+    val df = ((1 to 99).map(i => Some(i.toDouble)) :+ None).toDF("v")
+    // threshold 0 forces the range-partitioned plan the 100 TB case takes;
+    // both paths must produce identical z-scores (same med/MAD arithmetic)
+    val big = Stats.robustScale(df, "v", threshold = 0L)
+      .select($"v", $"robust_z").as[(Option[Double], Option[Double])]
+      .collect().toMap
+    val small = Stats.robustScale(df, "v")
+      .select($"v", $"robust_z").as[(Option[Double], Option[Double])]
+      .collect().toMap
+    assert(big === small)
+    assert(math.abs(big(Some(50.0)).get) < 1e-12)
+  }
+
   test("winsorize leaves NULL values null instead of clipping them to the floor") {
     // least/greatest skip nulls — an unguarded clip would fabricate the
     // lower percentile bound for every null input
