@@ -1322,6 +1322,17 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Sequence-level (substring) exact dedup: maximal runs of word 8-grams
+    // occurring ≥2 times anywhere in the corpus — the within-doc
+    // boilerplate pass doc-level dedup can't see. Positional shingles →
+    // map-side-combined duplicate counts → AQE-splittable semi-join →
+    // per-doc gaps-and-islands run merge. The whole construction is
+    // SQL-replayable (string shingles; the oracle rebuilds runs with the
+    // same list-slice + row_number recipe).
+    "x86_substring_dedup" -> ((s, dir) =>
+      Dedup.repeatedRuns(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"), col("run_start"))),
+
     // Strict ordered funnel over the event stream: one shuffle on user_id
     // builds each user's sorted history, a fold chains first-touch stage
     // times. Oracle is the classic per-stage conditional-min join chain.
@@ -2744,6 +2755,26 @@ object SparkEntry {
         |SELECT doc_id, source FROM p
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY pr DESC, doc_id) <= 5
         |ORDER BY source, doc_id""".stripMargin,
+    // same positional-shingle + gaps-and-islands recipe in SQL: list slice
+    // rebuilds each 8-gram, HAVING count>=2 marks duplicates, p-row_number
+    // groups consecutive positions into runs
+    "x86_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(range(len(t) - 7)) AS p, t
+        |  FROM d WHERE len(t) >= 8),
+        |sh AS (
+        |  SELECT doc_id, p, array_to_string(t[p+1:p+8], ' ') AS s FROM sh0),
+        |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, p FROM sh WHERE s IN (SELECT s FROM dup)),
+        |r AS (
+        |  SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+        |  FROM m)
+        |SELECT doc_id, min(p) AS run_start, max(p) + 7 AS run_end,
+        |  count(*) AS n_shingles
+        |FROM r GROUP BY doc_id, g
+        |ORDER BY doc_id, run_start""".stripMargin,
     "x56_funnel" ->
       """WITH s0 AS (
         |  SELECT user_id, min(ts) AS t0 FROM events

@@ -766,6 +766,52 @@ object Dedup {
       .where(col("dist") <= maxDist)
   }
 
+  /** Sequence-level (substring) exact dedup — the within-doc complement of
+    * the doc-level passes: find every maximal run of word `n`-grams that
+    * occurs at least `minCount` times ANYWHERE in the corpus (across docs
+    * or repeated inside one), the standard "repeated boilerplate spans"
+    * training-corpus pass (headers, licence blocks, templated chrome).
+    *
+    * Suffix-array-free, expression-only plan:
+    *   1. positional shingles: `split` → `transform(sequence)` per-position
+    *      `element_at` reads → `posexplode` (pos, n-gram) — no slice copies;
+    *   2. duplicate marking via groupBy(shingle).count + semi-join back.
+    *      Deliberately NOT a `count over (partition by shingle)` window: the
+    *      groupBy count is map-side partial-agged (a billion-copy boilerplate
+    *      shingle arrives at its reducer as per-partition counts), and the
+    *      join back is AQE-skew-splittable, while a window pins every copy of
+    *      a hot shingle into one unsplittable task;
+    *   3. run-length merge per doc: gaps-and-islands (pos − row_number) —
+    *      windows partition by doc, so no global sort.
+    *
+    * Output: (idCol, run_start, run_end, n_shingles) — token positions,
+    * 0-based inclusive; a run spans run_end − run_start + n tokens.
+    * Downstream: join spans back to strip/mask, or filter docs by
+    * repeated-span fraction.
+    */
+  def repeatedRuns(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Long = 2): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .where(size(col("__t")) >= n)
+    val sh = toks.select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("__t"), i + lit(j))): _*))))
+      .toDF(idCol, "p", "s")
+    val dupShingles = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount)
+      .select(col("s"))
+    val marked = sh.join(dupShingles, Seq("s"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("p")
+    marked
+      .withColumn("__g", col("p") - row_number().over(w))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("p")).cast("long").as("run_start"),
+        (max(col("p")) + (n - 1)).cast("long").as("run_end"),
+        count(lit(1)).as("n_shingles"))
+      .drop("__g")
+  }
+
   private def pairStructs(xs: Column): Column =
     flatten(transform(sequence(lit(0), size(xs) - 2), i =>
       transform(slice(xs, i + 2, size(xs)), y =>

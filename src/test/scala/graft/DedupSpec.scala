@@ -249,6 +249,41 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Set(2L, 3L))
   }
 
+  test("repeatedRuns finds cross-doc and within-doc repeated spans, merges runs") {
+    val docs = Seq(
+      // doc 1 and 2 share exactly one 8-gram ("a b c d e f g h")
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g h z w"),
+      // doc 3 repeats its own 9-token prefix at position 9: 8-grams at
+      // positions 0,1 and 9,10 each occur twice → two 2-shingle runs
+      (3L, "m n o p q r s t u m n o p q r s t u"),
+      // doc 4: all unique, no output
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text")
+    val runs = Dedup.repeatedRuns(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id", "run_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(runs === Seq(
+      (1L, 0L, 7L, 1L),   // "a b c d e f g h" at token 0
+      (2L, 2L, 9L, 1L),   // same 8-gram at token 2
+      (3L, 0L, 8L, 2L),   // first copy: positions 0-1 merge, tokens 0..8
+      (3L, 9L, 17L, 2L))) // second copy — separate run, not merged across the gap
+  }
+
+  test("repeatedRuns merges consecutive duplicated positions into one span") {
+    // two docs share a 10-token span → 3 consecutive duplicated 8-gram
+    // positions (0,1,2) must merge into ONE run covering tokens 0..9
+    val span = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val docs = Seq(
+      (1L, s"$span u1 u2"),
+      (2L, s"v1 v2 $span")).toDF("doc_id", "text")
+    val runs = Dedup.repeatedRuns(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id", "run_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(runs === Seq(
+      (1L, 0L, 9L, 3L),
+      (2L, 2L, 11L, 3L)))
+  }
+
   test("lshRecallEstimate truth side ignores the posting prune by default") {
     // two identical docs whose every shingle is shared by ALL docs would
     // vanish from a pruned truth at maxDocFreq=1; the unlimited default
