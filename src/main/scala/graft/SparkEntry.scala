@@ -1468,6 +1468,32 @@ object SparkEntry {
         Similarity.bruteForceKnn(e, q, k = 5), minRecall = 0.2)
     }),
 
+    // FILTERED ANN — the retrieval-corpus query shape: top-k among
+    // candidates matching a metadata predicate (label < 5), with ONE
+    // shared IVF-PQ index (quantizer pinned, codes persisted) and the
+    // predicate pruning the inverted lists UNDER the cell-probe join
+    // (plan-pinned), never post-filtering the top-k. Oracle-checked
+    // properties: result shape, recall floor vs FILTERED brute force, and
+    // filter_ok — every returned neighbor must satisfy the predicate
+    // (a post-filter-shaped regression flips recall_ok; a filter-lost
+    // regression flips filter_ok).
+    "x87_filtered_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val pred = col("label") < 5
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      val ann = Embeddings.filteredIvfPqKnn(e, pred, q, books, k = 5,
+        rerank = 50, nCentroids = 16, nProbe = 6).persist()
+      val filterOk = ann
+        .join(e.select(col("vec_id").as("nid"), col("label")), Seq("nid"))
+        .agg((count(lit(1)) === sum(when(col("label") < 5, 1).otherwise(0)))
+          .as("filter_ok"))
+      annRecallCheck(ann,
+          Similarity.bruteForceKnn(e.where(pred), q, k = 5), minRecall = 0.2)
+        .crossJoin(broadcast(filterOk))
+    }),
+
     // Leakage-safe split: hashSplit keyed by the NEAR-DUP CLUSTER id, so a
     // test doc's paraphrase can never land in train — the contamination
     // guard a row-keyed split cannot give. SQL-verifiable properties: the
@@ -2549,6 +2575,12 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "x78_knn_ivf_pq" ->
       """SELECT count(*) AS n_queries, 5 * count(*) AS n_results, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // recall_ok is earned against FILTERED brute force; filter_ok against
+    // the label predicate on every returned neighbor
+    "x87_filtered_ann" ->
+      """SELECT count(*) AS n_queries, 5 * count(*) AS n_results,
+        |  TRUE AS recall_ok, TRUE AS filter_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     // same recursive-CTE clustering as x41, reduced to the split audit
     "x81_leakage_safe_split" ->

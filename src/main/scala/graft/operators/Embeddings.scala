@@ -228,4 +228,42 @@ object Embeddings {
       nCentroids, nProbe, idCol, vecCol)
     Similarity.rerankExact(shortlist, candidates, queries, k, idCol, vecCol)
   }
+
+  /** FILTERED IVF-PQ kNN — top-k among candidates satisfying a metadata
+    * `predicate`, the query shape every retrieval corpus needs (language =
+    * en, date > cutoff, label ∈ allowed). Two properties matter:
+    *
+    *   - the INDEX is shared: quantizer and codes are built over the FULL
+    *     corpus exactly as `ivfPqKnn` builds them (the persisted frame IS
+    *     the index table), so differently-filtered searches reuse one
+    *     index instead of re-training per filter — and the centroid set is
+    *     pinned via `precomputedCentroids` so the filter cannot move it;
+    *   - the predicate prunes the INVERTED LISTS (a filter on the index
+    *     frame UNDER the cell-probe join — plan-pinned), not the top-k
+    *     output. Post-filtering an unfiltered top-k under-returns exactly
+    *     when the filter is selective: k survivors of the filter may rank
+    *     below k unfiltered neighbors. Here every shortlisted candidate
+    *     already satisfies the predicate, so the k results are the best
+    *     MATCHING neighbors the probes saw.
+    *
+    * The exact re-rank joins raw vectors by shortlist id (all matching by
+    * construction); the predicate re-applies there only as a pushed-down
+    * scan guard.
+    */
+  def filteredIvfPqKnn(candidates: DataFrame, predicate: Column,
+      queries: DataFrame, books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      k: Int, rerank: Int = 50, nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank > k, s"filteredIvfPqKnn: rerank=$rerank must exceed k=$k")
+    val compressed = pqEncode(candidates, books, vecCol, as = "__pq")
+      .withColumn(vecCol, pqDecode(col("__pq"), books))
+      .drop("__pq")
+      .persist()
+    val centroids = Similarity.sampleCentroids(compressed, nCentroids, idCol, vecCol)
+    val shortlist = Similarity.ivfKnn(compressed.where(predicate), queries, rerank,
+      nCentroids, nProbe, idCol, vecCol,
+      precomputedCentroids = Some(centroids))
+    Similarity.rerankExact(shortlist, candidates.where(predicate), queries, k,
+      idCol, vecCol)
+  }
 }

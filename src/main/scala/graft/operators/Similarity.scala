@@ -317,27 +317,39 @@ object Similarity {
       x => x.getField("idx"))
   }
 
+  /** Deterministic coarse-quantizer sample: smallest `nCentroids` ids by
+    * hash order — the untrained (`trainIters = 0`) centroid set `ivfKnn`
+    * uses, exposed so a caller can build the quantizer ONCE over the full
+    * corpus and reuse it across differently-filtered searches
+    * (`Embeddings.filteredIvfPqKnn`).
+    */
+  def sampleCentroids(candidates: DataFrame, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] =
+    candidates
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCentroids)
+      .collect()
+      .toIndexedSeq
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }
+
   def ivfKnn(candidates: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainIters: Int = 0): DataFrame = {
+      trainIters: Int = 0,
+      precomputedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val d = dotFor(candidates)
     val c = candidates.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cvec"))
       .withColumn("cn", sqrt(d(col("cvec"), col("cvec"))))
     // deterministic sample: smallest nCentroids ids by hash order; trained
     // centroids are unit-norm, so max-inner-product ranking = max cosine
-    val centroids: Seq[(Int, Seq[Double])] =
+    val centroids: Seq[(Int, Seq[Double])] = precomputedCentroids.getOrElse {
       if (trainIters > 0)
         kmeansCentroids(candidates, nCentroids, trainIters, idCol, vecCol)
           .toIndexedSeq.zipWithIndex.map { case (cv, i) => (i, cv) }
-      else candidates
-        .select(col(idCol), asDouble(col(vecCol)).as("v"))
-        .orderBy(xxhash64(col(idCol)), col(idCol))
-        .limit(nCentroids)
-        .collect()
-        .toIndexedSeq
-        .zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }
+      else sampleCentroids(candidates, nCentroids, idCol, vecCol)
+    }
 
     val assigned = c.withColumn("cell",
       element_at(centroidRanks(col("cvec"), centroids, d), 1))

@@ -43,6 +43,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected 7 hive partitions read, got ${scan.metrics("numPartitions").value}")
   }
 
+  test("x87 filtered ANN: the label predicate prunes the index UNDER the cell-probe join") {
+    // filtered ANN must prune the inverted lists, not the top-k output: the
+    // label filter has to sit BELOW the join on cell (pushed into the
+    // persisted index scan). A post-filter-shaped regression would hoist it
+    // above the rank window — and under-return exactly when the filter is
+    // selective.
+    val p = planOf("x87_filtered_ann")
+    val lines = p.linesIterator.toIndexedSeq
+    val joinIdx = lines.indexWhere(_.contains("Join [cell"))
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("label"))
+    assert(joinIdx >= 0, "no cell-probe join in plan:\n" + p.take(2000))
+    assert(filterIdx > joinIdx,
+      s"label filter not under the probe join (filter@$filterIdx join@$joinIdx)")
+    val scanIdx = lines.indexWhere(
+      l => l.contains("InMemoryTableScan") && l.contains("label"), filterIdx)
+    assert(scanIdx > filterIdx, "filter does not read the persisted shared index")
+  }
+
   test("x42 contamination: benchmark index joins broadcast, never shuffles the corpus side") {
     val p = planOf("x42_contamination")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
