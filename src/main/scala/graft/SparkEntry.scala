@@ -1468,6 +1468,34 @@ object SparkEntry {
         Similarity.bruteForceKnn(e, q, k = 5), minRecall = 0.2)
     }),
 
+    // Image perceptual-hash near-dup: real PNG payloads with PLANTED
+    // near-identical twins (docs 2k / 2k+1 share a base pattern, the odd
+    // twin one-block-perturbed → dHash hamming ≤ 2 BY CONSTRUCTION),
+    // fingerprinted by the pure-JDK dHash and clustered through the same
+    // banded-hamming + connected-components machinery text dedup uses.
+    // Exact contract, not a floor: banding with bands > maxDist guarantees
+    // recall 1 by pigeonhole, and distinct seeded bases sit ~32 bits apart,
+    // so the verified pair set must equal the planted set — n_pairs is
+    // exact arithmetic, pairs_planted_ok/clusters_ok are earned TRUEs.
+    "x88_image_phash_neardup" -> ((s, dir) => {
+      val assets = Multimodal.imageAssetsFromDocuments(s, t(s, dir, "documents"))
+      val hashes = Multimodal.imageHashes(assets).where(col("decoded"))
+      val pairs = Dedup.hammingPairs(hashes, "asset_id", "phash",
+        maxDist = 3, bands = 4).persist()
+      val cl = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
+      val clusterStats = cl.groupBy(col("label")).agg(count(lit(1)).as("__sz"))
+        .agg(count(lit(1)).as("__ncl"), max(col("__sz")).as("__mx"))
+      val pairStats = pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        (coalesce(sum(when(col("b") === col("a") + 1 && col("a") % 2 === 0, 1)
+          .otherwise(0)), lit(0L)) === count(lit(1))).as("pairs_planted_ok"))
+      hashes.agg(count(lit(1)).as("n_assets"))
+        .crossJoin(broadcast(pairStats))
+        .crossJoin(broadcast(clusterStats))
+        .select(col("n_assets"), col("n_pairs"), col("pairs_planted_ok"),
+          (col("__ncl") === col("n_pairs") && col("__mx") === 2).as("clusters_ok"))
+    }),
+
     // FILTERED ANN — the retrieval-corpus query shape: top-k among
     // candidates matching a metadata predicate (label < 5), with ONE
     // shared IVF-PQ index (quantizer pinned, codes persisted) and the
@@ -2576,6 +2604,13 @@ object SparkEntry {
     "x78_knn_ivf_pq" ->
       """SELECT count(*) AS n_queries, 5 * count(*) AS n_results, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // n_pairs is the exact planted count (consecutive even/odd doc pairs);
+    // the booleans are earned from real PNG decode + dHash + banding + CC
+    "x88_image_phash_neardup" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_assets,
+        |  (SELECT count(*) FROM documents d1 JOIN documents d2
+        |     ON d2.doc_id = d1.doc_id + 1 AND d1.doc_id % 2 = 0) AS n_pairs,
+        |  TRUE AS pairs_planted_ok, TRUE AS clusters_ok""".stripMargin,
     // recall_ok is earned against FILTERED brute force; filter_ok against
     // the label predicate on every returned neighbor
     "x87_filtered_ann" ->

@@ -743,10 +743,23 @@ object Dedup {
     * guarantees an identical chunk when bands > d) and verifying exactly.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame =
+    hammingPairs(simhashFrame(df, idCol, textCol, "h"), idCol, "h",
+      maxDist, bands, maxBucketSize)
+
+  /** Banded near-dup pairs over ANY precomputed 64-bit hash column — the
+    * banding + bucket-join + exact-hamming-verify stage of `simhashPairs`,
+    * factored out so other fingerprint families (image dHash in
+    * `Multimodal.imageHashes`) feed the same machinery. Pigeonhole recall
+    * guarantee: with `bands > maxDist`, any pair within `maxDist` shares at
+    * least one untouched band, so recall over the verified distance is 1
+    * (modulo the `maxBucketSize` skew guard).
+    */
+  def hammingPairs(withH0: DataFrame, idCol: String, hashCol: String,
       maxDist: Int = 3, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
     require(bands > maxDist, "need bands > maxDist for the pigeonhole guarantee")
     val width = 64 / bands
-    val withH = simhashFrame(df, idCol, textCol, "h")
+    val withH = withH0.select(col(idCol), col(hashCol).as("h"))
     val chunks = array((0 until bands).map(j =>
       struct(lit(j).as("band"),
         shiftright(col("h"), j * width)

@@ -432,6 +432,139 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------ image perceptual hash
+
+  /** 64-bit dHash (difference hash): deterministic area-average downsample
+    * to a 9×8 grayscale grid, bit `gy·8+gx` set iff cell (gx+1, gy) is
+    * brighter than cell (gx, gy). Invariant to uniform brightness/contrast
+    * shifts (gradient SIGNS survive), robust to small localized edits
+    * (one source block moves at most its two adjacent comparisons) —
+    * the standard cheap image fingerprint for near-dup detection.
+    * Manual block averaging, not `getScaledInstance`: the hash must be
+    * bit-reproducible across JVMs/platforms.
+    */
+  def dHash(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9
+    val gh = 8
+    val w = img.getWidth
+    val h = img.getHeight
+    val means = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh
+      val y1 = math.max((gy + 1) * h / gh, y0 + 1)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = math.max((gx + 1) * w / gw, x0 + 1)
+        var s = 0.0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+              0.114 * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        means(gy)(gx) = s / ((math.min(y1, h) - y0) * (math.min(x1, w) - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (means(gy)(gx + 1) > means(gy)(gx)) bits |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Per-asset perceptual hashes, partition-parallel: (asset_id, phash,
+    * decoded). Undecodable payloads report `decoded = false` with hash 0 —
+    * filter on `decoded` before pairing.
+    */
+  def imageHashes(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        decodeImage(a.bytes) match {
+          case Some(img) => (a.asset_id, dHash(img), true)
+          case None      => (a.asset_id, 0L, false)
+        }
+      }
+    }.toDF("asset_id", "phash", "decoded")
+  }
+
+  /** Seeded block gray for `synthPng`: cell (gx, gy) of base `seed` —
+    * splitmix-style mixing so distinct bases give independent sign
+    * patterns (distinct dHashes, ~32 bits apart).
+    */
+  def blockGray(seed: Long, gx: Int, gy: Int): Int = {
+    var z = seed * 0x9E3779B97F4A7C15L + gx * 0xBF58476D1CE4E5B9L + gy * 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    (math.floorMod(z ^ (z >>> 31), 200L) + 28L).toInt
+  }
+
+  /** Deterministic PNG aligned to the dHash grid: 9×8 blocks of 4×4 px,
+    * block (gx, gy) filled with `blockGray(seed, gx, gy)`. With `perturb`,
+    * ONE seed-chosen block shifts +40 (clamped) — moving at most the two
+    * horizontal comparisons that touch it, so a (base, perturbed-base)
+    * pair sits within hamming distance 2 of each other BY CONSTRUCTION
+    * (the planted near-dup `synthWav`/`synthAvi` analog; PNG because a
+    * lossless container keeps the hash arithmetic exact).
+    */
+  def synthPng(seed: Long, perturb: Boolean): Array[Byte] = {
+    val gw = 9
+    val gh = 8
+    val cell = 4
+    val img = new java.awt.image.BufferedImage(
+      gw * cell, gh * cell, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = (math.floorMod(seed, gw.toLong)).toInt
+    val py = (math.floorMod(seed / gw, gh.toLong)).toInt
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        val base = blockGray(seed, gx, gy)
+        val g = if (perturb && gx == px && gy == py) math.min(base + 40, 255) else base
+        val rgb = (g << 16) | (g << 8) | g
+        var y = gy * cell
+        while (y < (gy + 1) * cell) {
+          var x = gx * cell
+          while (x < (gx + 1) * cell) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image assets with REAL PNG payloads, one per document, with PLANTED
+    * near-duplicates: docs 2k and 2k+1 share base pattern k, the odd twin
+    * carrying the one-block perturbation — so consecutive even/odd pairs
+    * are near-dups (dHash hamming ≤ 2) and distinct bases are far apart.
+    */
+  def imageAssetsFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    RelOps.ensureParallelism(documents.select(col("doc_id"))).as[Long].map { id =>
+      Asset(id, "image", synthPng(id / 2, perturb = id % 2 == 1), 36, 32, 0L)
+    }
+  }
+
   /** Seeded per-frame gray level shared by `synthAvi` and its checks:
     * frame `i` of video `seed` is a solid gray at this level, so the mean
     * luma of a decoded frame is exactly `frameGray/255` up to JPEG DC

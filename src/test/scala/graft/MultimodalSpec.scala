@@ -172,6 +172,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(1).decoded && out(1).mean_luma === 0.0)
   }
 
+  test("dHash: brightness-invariant, perturbation-bounded, base-separating") {
+    def hashOf(bytes: Array[Byte]): Long =
+      Multimodal.dHash(Multimodal.decodeImage(bytes).getOrElse(fail("png did not decode")))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = hashOf(Multimodal.synthPng(7L, perturb = false))
+    // planted twin: one block shifted → at most the 2 adjacent comparisons move
+    val twin = hashOf(Multimodal.synthPng(7L, perturb = true))
+    assert(ham(base, twin) <= 2, s"planted twin drifted ${ham(base, twin)} bits")
+    // a different base must be far away (independent sign pattern)
+    val other = hashOf(Multimodal.synthPng(8L, perturb = false))
+    assert(ham(base, other) > 10, s"bases only ${ham(base, other)} bits apart")
+    // deterministic
+    assert(base === hashOf(Multimodal.synthPng(7L, perturb = false)))
+  }
+
+  test("imageHashes + hammingPairs recover exactly the planted image twins") {
+    val ds = (0L until 12L).map(id =>
+      Multimodal.Asset(id, "image", Multimodal.synthPng(id / 2, perturb = id % 2 == 1),
+        36, 32, 0L)).toDS()
+    val hashes = Multimodal.imageHashes(ds)
+    assert(hashes.where($"decoded").count() === 12)
+    val pairs = graft.operators.Dedup.hammingPairs(hashes, "asset_id", "phash",
+        maxDist = 3, bands = 4)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs === (0L until 6L).map(k => (2 * k, 2 * k + 1)).toSet)
+  }
+
   test("resize really rescales decodable images and re-encodes") {
     val ds = Seq(Multimodal.Asset(1L, "image", redBluePng, 4, 2, 0L)).toDS()
     val out = Multimodal.resize(ds, 2, 2).collect().head
