@@ -1468,6 +1468,16 @@ object SparkEntry {
         Similarity.bruteForceKnn(e, q, k = 5), minRecall = 0.2)
     }),
 
+    // The ACTION side of x86: rebuild every document with its repeated
+    // spans stripped — corpus-wide boilerplate removal as one shingle
+    // pass + a narrow token-filter map. Oracle replays the same span
+    // arithmetic and string reassembly; untouched docs must come back
+    // byte-identical (hash compare covers the full rebuilt text).
+    "x89_strip_repeated" -> ((s, dir) =>
+      Dedup.stripRepeatedRuns(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("text_clean"))
+        .orderBy(col("doc_id"))),
+
     // Image perceptual-hash near-dup: real PNG payloads with PLANTED
     // near-identical twins (docs 2k / 2k+1 share a base pattern, the odd
     // twin one-block-perturbed → dHash hamming ≤ 2 BY CONSTRUCTION),
@@ -2604,6 +2614,37 @@ object SparkEntry {
     "x78_knn_ivf_pq" ->
       """SELECT count(*) AS n_queries, 5 * count(*) AS n_results, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // x86's span arithmetic replayed, then tokens outside every span are
+    // re-joined in position order; left join keeps untouched docs verbatim
+    "x89_strip_repeated" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(range(len(t) - 7)) AS p, t
+        |  FROM d WHERE len(t) >= 8),
+        |sh AS (
+        |  SELECT doc_id, p, array_to_string(t[p+1:p+8], ' ') AS s FROM sh0),
+        |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, p FROM sh WHERE s IN (SELECT s FROM dup)),
+        |r AS (
+        |  SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+        |  FROM m),
+        |runs AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 7 AS e FROM r GROUP BY doc_id, g),
+        |pos AS (SELECT doc_id, unnest(range(len(t))) AS i, t FROM d),
+        |keep AS (
+        |  SELECT p.doc_id, p.i, p.t[p.i+1] AS tok
+        |  FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM runs r2
+        |    WHERE r2.doc_id = p.doc_id AND p.i BETWEEN r2.s AND r2.e)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY i) AS text_clean
+        |  FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id, len(d.t) AS n_tokens,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  coalesce(a.text_clean, '') AS text_clean
+        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // n_pairs is the exact planted count (consecutive even/odd doc pairs);
     // the booleans are earned from real PNG decode + dHash + banding + CC
     "x88_image_phash_neardup" ->

@@ -825,6 +825,40 @@ object Dedup {
       .drop("__g")
   }
 
+  /** The ACTION side of `repeatedRuns`: rebuild each document with every
+    * repeated-span token REMOVED (headers, licence blocks, templated
+    * chrome stripped corpus-wide). Spans come from one `repeatedRuns`
+    * pass, collected per doc (bounded: runs per doc ≤ tokens/1, in
+    * practice a handful) and applied as an expression — keep token `i`
+    * iff no span covers it, then re-join. Docs with no repeated spans
+    * (left join miss) pass through byte-identical.
+    *
+    * Output: `df` plus `n_tokens` (pre-strip), `n_kept`, and `as` = the
+    * stripped text. One shingle pass + one narrow map; nothing collects.
+    */
+  def stripRepeatedRuns(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Long = 2, as: String = "text_clean"): DataFrame = {
+    val spans = repeatedRuns(df, idCol, textCol, n, minCount)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("run_start").as("s"), col("run_end").as("e")))
+        .as("__spans"))
+    val covered: Column => Column = i =>
+      exists(col("__spans"), sp => i >= sp.getField("s") && i <= sp.getField("e"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("__t", split(col(textCol), " "))
+      .withColumn("__keep",
+        filter(sequence(lit(0L), size(col("__t")).cast("long") - 1),
+          i => !covered(i)))
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+      .withColumn("n_kept", size(col("__keep")).cast("long"))
+      .withColumn(as,
+        concat_ws(" ", transform(col("__keep"),
+          i => element_at(col("__t"), (i + 1).cast("int")))))
+      .drop("__spans", "__t", "__keep")
+  }
+
   private def pairStructs(xs: Column): Column =
     flatten(transform(sequence(lit(0), size(xs) - 2), i =>
       transform(slice(xs, i + 2, size(xs)), y =>

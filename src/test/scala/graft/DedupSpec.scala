@@ -284,6 +284,22 @@ class DedupSpec extends AnyFunSuite {
       (2L, 2L, 11L, 3L)))
   }
 
+  test("stripRepeatedRuns removes exactly the repeated spans, keeps clean docs verbatim") {
+    val span = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (1L, s"$span tail1 tail2"),
+      (2L, s"head1 head2 $span"),
+      (3L, "clean c1 c2 c3 c4 c5 c6 c7 c8 c9")).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedRuns(docs, "doc_id", "text", n = 8)
+      .select($"doc_id", $"n_tokens", $"n_kept", $"text_clean")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 10L, 2L, "tail1 tail2"),
+      (2L, 10L, 2L, "head1 head2"),
+      (3L, 10L, 10L, "clean c1 c2 c3 c4 c5 c6 c7 c8 c9")))
+  }
+
   test("lshRecallEstimate truth side ignores the posting prune by default") {
     // two identical docs whose every shingle is shared by ALL docs would
     // vanish from a pruned truth at maxDocFreq=1; the unlimited default
