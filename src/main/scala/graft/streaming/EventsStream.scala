@@ -167,6 +167,33 @@ object EventsStream {
       .outputMode("update")
       .start()
 
+  /** Streaming ingest → Hive-partitioned append: each micro-batch lands
+    * in the `partitionCols` directory layout (`Catalog.writePartitioned`,
+    * Append mode), so the table a stream accretes is ALREADY the
+    * partition-pruned shape batch readers want (s9's scan saver, fed
+    * online). Writers of disjoint partitions never contend; a date-keyed
+    * stream touches only today's directory. Pair with `Catalog.compact`
+    * per closed partition for small-file hygiene — appends within a
+    * micro-batch are file-granular.
+    *
+    * Pass `checkpointDir` for restart-resume (same contract as the ingest
+    * streams: temp checkpoint restarts re-read the source; the append is
+    * NOT idempotent across replays, so a durable checkpoint is what makes
+    * this exactly-once end-to-end).
+    */
+  def partitionedAppendStream(stream: DataFrame, root: String, ref: String,
+      partitionCols: Seq[String],
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+    checkpointDir.fold(w)(w.option("checkpointLocation", _))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Catalog.writePartitioned(batch.toDF(), root, ref,
+          partitionCols, org.apache.spark.sql.SaveMode.Append)
+      }
+      .outputMode("append")
+      .start()
+  }
+
   /** Per-user event-time sessionization with an inactivity gap.
     *
     * Works identically on a batch DataFrame and on a watermarked stream

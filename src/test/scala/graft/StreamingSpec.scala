@@ -165,6 +165,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming partitioned append lands micro-batches in the pruned layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_part_stream").toString
+    val input = MemoryStream[(Long, String, Double)]
+    val q = EventsStream.partitionedAppendStream(
+      input.toDS().toDF("id", "day", "v"), root, "pt", Seq("day"))
+    try {
+      input.addData((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+      q.processAllAvailable()
+      input.addData((3L, "2024-01-01", 3.0)) // appends into an existing partition
+      q.processAllAvailable()
+      // Hive layout on disk: one day=... directory per distinct key
+      val dirs = new java.io.File(s"$root/pt.parquet").listFiles
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs === Set("day=2024-01-01", "day=2024-01-02"))
+      // data intact across both batches; the partition filter prunes to one dir
+      val back = spark.read.parquet(s"$root/pt.parquet")
+      assert(back.count() === 3)
+      assert(back.where($"day" === "2024-01-01")
+        .select(org.apache.spark.sql.functions.sum($"v")).as[Double].head() === 4.0)
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits closed sessions once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
