@@ -1506,6 +1506,32 @@ object SparkEntry {
           (col("__ncl") === col("n_pairs") && col("__mx") === 2).as("clusters_ok"))
     }),
 
+    // Audio perceptual-hash near-dup: the x88 construction on the audio
+    // column — amplitude-modulated WAV twins (docs 2k / 2k+1 share an
+    // envelope pattern, the odd twin one-window-perturbed → fingerprint
+    // hamming ≤ 2 BY CONSTRUCTION), fingerprinted by the energy-envelope
+    // sign hash and clustered through the same banded-hamming + CC
+    // machinery. Same exact contract: pigeonhole recall 1, seeded bases
+    // ~32 bits apart, so n_pairs is exact planted arithmetic.
+    "x90_audio_fp_neardup" -> ((s, dir) => {
+      val assets = Multimodal.audioPairAssetsFromDocuments(s, t(s, dir, "documents"))
+      val hashes = Multimodal.audioHashes(assets).where(col("decoded"))
+      val pairs = Dedup.hammingPairs(hashes, "asset_id", "ahash",
+        maxDist = 3, bands = 4).persist()
+      val cl = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
+      val clusterStats = cl.groupBy(col("label")).agg(count(lit(1)).as("__sz"))
+        .agg(count(lit(1)).as("__ncl"), max(col("__sz")).as("__mx"))
+      val pairStats = pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        (coalesce(sum(when(col("b") === col("a") + 1 && col("a") % 2 === 0, 1)
+          .otherwise(0)), lit(0L)) === count(lit(1))).as("pairs_planted_ok"))
+      hashes.agg(count(lit(1)).as("n_assets"))
+        .crossJoin(broadcast(pairStats))
+        .crossJoin(broadcast(clusterStats))
+        .select(col("n_assets"), col("n_pairs"), col("pairs_planted_ok"),
+          (col("__ncl") === col("n_pairs") && col("__mx") === 2).as("clusters_ok"))
+    }),
+
     // FILTERED ANN — the retrieval-corpus query shape: top-k among
     // candidates matching a metadata predicate (label < 5), with ONE
     // shared IVF-PQ index (quantizer pinned, codes persisted) and the
@@ -2648,6 +2674,13 @@ object SparkEntry {
     // n_pairs is the exact planted count (consecutive even/odd doc pairs);
     // the booleans are earned from real PNG decode + dHash + banding + CC
     "x88_image_phash_neardup" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_assets,
+        |  (SELECT count(*) FROM documents d1 JOIN documents d2
+        |     ON d2.doc_id = d1.doc_id + 1 AND d1.doc_id % 2 = 0) AS n_pairs,
+        |  TRUE AS pairs_planted_ok, TRUE AS clusters_ok""".stripMargin,
+    // same planted arithmetic as x88; the booleans are earned from real
+    // WAV decode + envelope fingerprint + banding + CC
+    "x90_audio_fp_neardup" ->
       """SELECT (SELECT count(*) FROM documents) AS n_assets,
         |  (SELECT count(*) FROM documents d1 JOIN documents d2
         |     ON d2.doc_id = d1.doc_id + 1 AND d1.doc_id % 2 = 0) AS n_pairs,

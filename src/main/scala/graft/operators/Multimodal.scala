@@ -656,6 +656,100 @@ object Multimodal {
       }
   }
 
+  // ---------------------------------------------- audio perceptual hash
+
+  /** 64-bit audio fingerprint: the energy-envelope analog of `dHash` —
+    * split the clip into 65 equal windows, bit `i` set iff window `i+1`
+    * carries more RMS energy than window `i`. Invariant to uniform gain
+    * (energy RATIOS survive), robust to localized edits (one window moves
+    * only its two adjacent comparisons) — the cheap clip fingerprint for
+    * near-dup audio detection.
+    */
+  def audioFingerprint(samples: Array[Float], windows: Int = 65): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val rms = new Array[Double](windows)
+    var w = 0
+    while (w < windows) {
+      val lo = (w.toLong * n / windows).toInt
+      val hi = math.max(((w + 1).toLong * n / windows).toInt, lo + 1)
+      var s = 0.0
+      var j = lo
+      while (j < math.min(hi, n)) { s += samples(j).toDouble * samples(j); j += 1 }
+      rms(w) = s / (math.min(hi, n) - lo)
+      w += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < windows - 1 && i < 64) {
+      if (rms(i + 1) > rms(i)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-asset audio fingerprints, partition-parallel: (asset_id, ahash,
+    * decoded). Undecodable payloads report `decoded = false`, hash 0.
+    */
+  def audioHashes(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        decodeWav(a.bytes) match {
+          case Some((samples, _)) => (a.asset_id, audioFingerprint(samples), true)
+          case None               => (a.asset_id, 0L, false)
+        }
+      }
+    }.toDF("asset_id", "ahash", "decoded")
+  }
+
+  /** Deterministic amplitude-modulated WAV aligned to the fingerprint
+    * grid: 65 windows of 25 ms (4 kHz PCM16 mono, 500 Hz carrier), window
+    * `w` at amplitude `blockGray(seed, w, 1)/255 · 0.9`. With `perturb`,
+    * ONE seed-chosen window's amplitude shifts up (clamped) — moving at
+    * most its two adjacent energy comparisons, so a (base, twin) pair
+    * sits within hamming distance 2 BY CONSTRUCTION. Untouched windows
+    * are sample-identical between base and twin, so quantization can
+    * never flip their comparisons.
+    */
+  def synthWavPattern(seed: Long, perturb: Boolean, windows: Int = 65,
+      winMs: Int = 25, sampleRate: Int = 4000): Array[Byte] = {
+    val perWin = winMs * sampleRate / 1000
+    val n = windows * perWin
+    val pw = math.floorMod(seed, windows.toLong).toInt
+    val data = new Array[Byte](44 + n * 2)
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n * 2)
+    bb.put("WAVE".getBytes("US-ASCII")); bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16); bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      val w = i / perWin
+      val base = blockGray(seed, w, 1) / 255.0 * 0.9
+      val amp = if (perturb && w == pw) math.min(base + 0.35, 0.95) else base
+      bb.putShort(math.round(
+        amp * math.sin(2 * math.Pi * (i % 8) / 8.0) * 32767).toShort)
+      i += 1
+    }
+    data
+  }
+
+  /** Audio assets with PLANTED near-duplicate twins, one per document:
+    * docs 2k and 2k+1 share envelope pattern k, the odd twin carrying the
+    * one-window perturbation — the audio analog of
+    * `imageAssetsFromDocuments`.
+    */
+  def audioPairAssetsFromDocuments(spark: SparkSession,
+      documents: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    RelOps.ensureParallelism(documents.select(col("doc_id"))).as[Long].map { id =>
+      Asset(id, "audio", synthWavPattern(id / 2, perturb = id % 2 == 1),
+        0, 0, 65L * 25L)
+    }
+  }
+
   /** Decoded per-asset audio facts. `decoded` is false (and the numeric
     * fields zero) when the payload isn't parseable audio.
     */

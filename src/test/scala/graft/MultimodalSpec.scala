@@ -199,6 +199,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === (0L until 6L).map(k => (2 * k, 2 * k + 1)).toSet)
   }
 
+  test("audioFingerprint: gain-invariant envelope hash, twin-bounded, base-separating") {
+    def hashOf(bytes: Array[Byte]): Long = {
+      val (samples, _) = Multimodal.decodeWav(bytes).getOrElse(fail("wav did not decode"))
+      Multimodal.audioFingerprint(samples)
+    }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = hashOf(Multimodal.synthWavPattern(11L, perturb = false))
+    val twin = hashOf(Multimodal.synthWavPattern(11L, perturb = true))
+    assert(ham(base, twin) <= 2, s"planted twin drifted ${ham(base, twin)} bits")
+    val other = hashOf(Multimodal.synthWavPattern(12L, perturb = false))
+    assert(ham(base, other) > 10, s"bases only ${ham(base, other)} bits apart")
+    assert(base === hashOf(Multimodal.synthWavPattern(11L, perturb = false)))
+  }
+
+  test("audioHashes + hammingPairs recover exactly the planted audio twins") {
+    val ds = (0L until 10L).map(id =>
+      Multimodal.Asset(id, "audio",
+        Multimodal.synthWavPattern(id / 2, perturb = id % 2 == 1), 0, 0, 1625L)).toDS()
+    val hashes = Multimodal.audioHashes(ds)
+    assert(hashes.where($"decoded").count() === 10)
+    val pairs = graft.operators.Dedup.hammingPairs(hashes, "asset_id", "ahash",
+        maxDist = 3, bands = 4)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs === (0L until 5L).map(k => (2 * k, 2 * k + 1)).toSet)
+  }
+
   test("resize really rescales decodable images and re-encodes") {
     val ds = Seq(Multimodal.Asset(1L, "image", redBluePng, 4, 2, 0L)).toDS()
     val out = Multimodal.resize(ds, 2, 2).collect().head
