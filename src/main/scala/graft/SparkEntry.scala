@@ -1506,6 +1506,30 @@ object SparkEntry {
           (col("__ncl") === col("n_pairs") && col("__mx") === 2).as("clusters_ok"))
     }),
 
+    // MULTIMODAL dedup clusters — the round-7 composition: a document is a
+    // duplicate if its TEXT is near-dup (MinHash-LSH + exact-Jaccard
+    // verify, x2/x41 machinery) OR its attached IMAGE is near-dup (dHash +
+    // banded hamming, x88 machinery); one CC pass over the UNION of both
+    // edge sets labels every doc with its multimodal cluster. The oracle
+    // replays text edges as exact O(n²) Jaccard (x41 recipe), image edges
+    // as the planted even/odd arithmetic, and the closure as a recursive
+    // CTE — the full 500-row (doc_id, cluster_id) map is hash-compared.
+    "x91_multimodal_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val textPairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9)
+        .select(col("a"), col("b"))
+      val imgPairs = Dedup.hammingPairs(
+          Multimodal.imageHashes(Multimodal.imageAssetsFromDocuments(s, docs))
+            .where(col("decoded")),
+          "asset_id", "phash", maxDist = 3, bands = 4)
+        .select(col("a"), col("b"))
+      val cc = Dedup.connectedComponents(textPairs.unionByName(imgPairs))
+      docs.select(col("doc_id"))
+        .join(cc.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Audio perceptual-hash near-dup: the x88 construction on the audio
     // column — amplitude-modulated WAV twins (docs 2k / 2k+1 share an
     // envelope pattern, the odd twin one-window-perturbed → fingerprint
@@ -2678,6 +2702,39 @@ object SparkEntry {
         |  (SELECT count(*) FROM documents d1 JOIN documents d2
         |     ON d2.doc_id = d1.doc_id + 1 AND d1.doc_id % 2 = 0) AS n_pairs,
         |  TRUE AS pairs_planted_ok, TRUE AS clusters_ok""".stripMargin,
+    // x41's exact-Jaccard text edges UNIONed with the planted image-pair
+    // arithmetic, closed transitively — min reachable id per doc
+    "x91_multimodal_dedup" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+        |  UNION
+        |  SELECT d1.doc_id, d2.doc_id FROM documents d1 JOIN documents d2
+        |    ON d2.doc_id = d1.doc_id + 1 AND d1.doc_id % 2 = 0),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM p
+        |  UNION SELECT b, a FROM p),
+        |reach(x, y) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y)
+        |SELECT x AS doc_id, min(y) AS cluster_id
+        |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
     // same planted arithmetic as x88; the booleans are earned from real
     // WAV decode + envelope fingerprint + banding + CC
     "x90_audio_fp_neardup" ->
