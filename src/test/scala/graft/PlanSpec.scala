@@ -61,6 +61,36 @@ class PlanSpec extends AnyFunSuite {
     assert(scanIdx > filterIdx, "filter does not read the persisted shared index")
   }
 
+  test("x86 substring dedup: duplicate counts partial-agg map-side, no window-by-shingle") {
+    // the dup marking must be groupBy(shingle)+semi-join (map-side combine,
+    // AQE-splittable), never `count over (partition by shingle)` — a window
+    // pins every copy of a hot boilerplate shingle into one task
+    val p = planOf("x86_substring_dedup")
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("perceptual-hash dedup (x88/x90/x91): banded pair joins never degrade to loops") {
+    for (q <- Seq("x88_image_phash_neardup", "x90_audio_fp_neardup",
+        "x91_multimodal_dedup")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(2000))
+      // pairing must stay keyed: the banded bucket groupBy (collect_list
+      // per (band, chunk)) is what makes pair generation non-quadratic.
+      // x91's pair stage sits behind connectedComponents' eager
+      // localCheckpoint and is not visible in its final plan — it shares
+      // hammingPairs with x88, whose plan pins it.
+      if (q != "x91_multimodal_dedup")
+        assert(p.contains("collect_list"), s"$q:\n" + p.take(2000))
+    }
+    // x88/x90 end in intended 1-row stat cross joins (broadcast-NL over
+    // single-row aggregates, the annRecallCheck shape); x91's cluster map
+    // has no such presentation stage, so there a BNLJ can only be an
+    // accidental unkeyed data join — ban it outright
+    assert(!planOf("x91_multimodal_dedup").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("x42 contamination: benchmark index joins broadcast, never shuffles the corpus side") {
     val p = planOf("x42_contamination")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
