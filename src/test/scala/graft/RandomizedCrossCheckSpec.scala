@@ -228,6 +228,63 @@ class RandomizedCrossCheckSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI synth/decode round-trips frame counts, header facts, and per-frame luma over random seeds") {
+    val rnd = new scala.util.Random(777L)
+    (1 to 10).foreach { _ =>
+      val seed = rnd.nextLong()
+      val durationMs = (1 + rnd.nextInt(8)) * 1000L
+      val fps = 1 + rnd.nextInt(4)
+      val avi = graft.operators.Multimodal.synthAvi(seed, durationMs, fps)
+      val v = graft.operators.Multimodal.decodeAvi(avi)
+        .getOrElse(fail(s"seed=$seed did not decode"))
+      assert(v.frames.length === math.max((durationMs * fps / 1000L).toInt, 1),
+        s"seed=$seed fps=$fps")
+      assert(v.microSecPerFrame === 1000000 / fps)
+      v.frames.zipWithIndex.foreach { case (f, i) =>
+        val img = graft.operators.Multimodal.decodeImage(f)
+          .getOrElse(fail(s"seed=$seed frame $i not decodable"))
+        val luma = graft.operators.Multimodal.imageFeatures(img, 4)(3)
+        val expected = graft.operators.Multimodal.frameGray(seed, i) / 255.0
+        assert(math.abs(luma - expected) < 0.02, s"seed=$seed frame $i")
+      }
+    }
+  }
+
+  test("dHash planted-twin bound and base separation hold over random seeds") {
+    val rnd = new scala.util.Random(888L)
+    def hashOf(seed: Long, p: Boolean): Long =
+      graft.operators.Multimodal.dHash(
+        graft.operators.Multimodal.decodeImage(
+          graft.operators.Multimodal.synthPng(seed, p)).get)
+    (1 to 20).foreach { _ =>
+      val s1 = rnd.nextLong()
+      val s2 = rnd.nextLong()
+      val base = hashOf(s1, p = false)
+      assert(java.lang.Long.bitCount(base ^ hashOf(s1, p = true)) <= 2, s"seed=$s1 twin")
+      if (s1 != s2)
+        assert(java.lang.Long.bitCount(base ^ hashOf(s2, p = false)) > 3,
+          s"seeds=$s1/$s2 too close for the maxDist=3 verify")
+    }
+  }
+
+  test("audio fingerprint planted-twin bound and base separation hold over random seeds") {
+    val rnd = new scala.util.Random(999L)
+    def hashOf(seed: Long, p: Boolean): Long = {
+      val (samples, _) = graft.operators.Multimodal.decodeWav(
+        graft.operators.Multimodal.synthWavPattern(seed, p)).get
+      graft.operators.Multimodal.audioFingerprint(samples)
+    }
+    (1 to 12).foreach { _ =>
+      val s1 = rnd.nextLong()
+      val s2 = rnd.nextLong()
+      val base = hashOf(s1, p = false)
+      assert(java.lang.Long.bitCount(base ^ hashOf(s1, p = true)) <= 2, s"seed=$s1 twin")
+      if (s1 != s2)
+        assert(java.lang.Long.bitCount(base ^ hashOf(s2, p = false)) > 3,
+          s"seeds=$s1/$s2 too close for the maxDist=3 verify")
+    }
+  }
+
   test("transpose then untranspose returns the original rows on random data") {
     val rnd = new scala.util.Random(7L)
     val classes = Seq("AAA", "BBB", "CCC", "DDD")
