@@ -142,6 +142,37 @@ object Catalog {
     atomicSwap(f, staged, dir, "compact")
   }
 
+  /** Per-partition compaction for Hive-partitioned tables — the
+    * maintenance complement to `writePartitioned` + the streaming
+    * partitioned append (each micro-batch adds files to the day it
+    * touches; closed partitions then compact INDEPENDENTLY). `partition`
+    * is the key=value directory spec (e.g. `Map("event_date" ->
+    * "2024-01-08")`, nested maps joined in order for multi-level
+    * layouts). Only that directory is read, rewritten shuffle-free via
+    * `coalesce`, and atomically swapped — concurrent readers of other
+    * partitions never see the rewrite at all, which is exactly why flat
+    * `compact` refuses partitioned tables.
+    */
+  def compactPartition(spark: SparkSession, root: String, ref: String,
+      partition: Seq[(String, String)], targetFileMB: Int = 128): Unit = {
+    require(partition.nonEmpty, "compactPartition: empty partition spec")
+    val dir = new HPath(
+      path(root, ref) + partition.map { case (k, v) => s"/$k=$v" }.mkString)
+    val f = fsFor(spark, dir)
+    require(f.exists(dir), s"compactPartition: no partition at $dir")
+    val bytes = f.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
+    val staged = new HPath(dir.getParent, s".${dir.getName}.compacting")
+    // read the leaf directory directly: partition columns live in the
+    // path, not the files, so the rewrite carries the data columns only —
+    // exactly what a partition directory holds
+    spark.read.parquet(dir.toString).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    atomicSwap(f, staged, dir, "compactPartition")
+  }
+
   /** Replace `dst` with `staged` via rename-out → rename-in → rollback:
     * the destination is renamed aside before the staging directory moves
     * in, so a crash at any point leaves either the old table or the new

@@ -87,6 +87,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.table(spark, root, "pt").where($"seg" === "A").count() === 50)
   }
 
+  test("compactPartition rewrites one partition's files, leaves siblings untouched") {
+    val root = Files.createTempDirectory("graft-compact-onepart").toString
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "A" else "B")).toDF("id", "seg")
+    // fragment both partitions (10 files each), then compact only seg=A
+    Catalog.writePartitioned(df.repartition(10), root, "pt", Seq("seg"))
+    def files(seg: String) = new java.io.File(s"$root/pt.parquet/seg=$seg")
+      .listFiles.count(f => f.getName.endsWith(".parquet"))
+    assert(files("A") === 10 && files("B") === 10)
+    Catalog.compactPartition(spark, root, "pt", Seq("seg" -> "A"))
+    assert(files("A") === 1, "compacted partition collapses to one file")
+    assert(files("B") === 10, "sibling partition untouched")
+    // table intact, layout still partitioned, pruning still works
+    val back = Catalog.table(spark, root, "pt")
+    assert(back.count() === 200)
+    assert(back.where($"seg" === "A").agg(sum("id")).as[Long].head() ===
+      (2L to 200L by 2).sum)
+    // unknown partition fails loudly instead of creating an empty dir
+    val e = intercept[IllegalArgumentException](
+      Catalog.compactPartition(spark, root, "pt", Seq("seg" -> "Z")))
+    assert(e.getMessage.contains("no partition"))
+  }
+
   test("upsert replaces matched keys, inserts new ones, creates fresh targets") {
     val root = Files.createTempDirectory("graft-upsert").toString
     // fresh target: first batch simply creates the table
