@@ -284,6 +284,19 @@ class DedupSpec extends AnyFunSuite {
       (2L, 2L, 11L, 3L)))
   }
 
+  test("repeatedRuns survives a corpus-wide heavy-hitter shingle (no pair blowup)") {
+    // every doc is the same text: the single shingle has count = n_docs —
+    // the groupBy+semi-join shape never materializes pairs, so a hot
+    // boilerplate shingle costs its count, not its count², and every doc
+    // reports the same full-span run
+    val boiler = "h1 h2 h3 h4 h5 h6 h7 h8 h9 h10"
+    val docs = (1L to 500L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val runs = Dedup.repeatedRuns(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(runs.length === 500)
+    assert(runs.forall { case (_, s, e, k) => s === 0L && e === 9L && k === 3L })
+  }
+
   test("stripRepeatedRuns removes exactly the repeated spans, keeps clean docs verbatim") {
     val span = "b1 b2 b3 b4 b5 b6 b7 b8"
     val docs = Seq(
