@@ -1506,6 +1506,33 @@ object SparkEntry {
           (col("__ncl") === col("n_pairs") && col("__mx") === 2).as("clusters_ok"))
     }),
 
+    // SEMANTIC dedup (SemDeDup shape): embedding-cosine near-dup pairs
+    // (sign-LSH buckets, x10 machinery) → CC clusters → keep the min-id
+    // member per cluster. Planted: exact copies of the first 50 vectors
+    // under shifted ids — identical vectors share every LSH sign bit, so
+    // bucketing recall on the planted pairs is 1 BY CONSTRUCTION, and at
+    // threshold 0.999 no distinct corpus vectors pair up. The exact
+    // contract: every original survives, every planted copy dies — the
+    // surviving id list IS the embeddings id list, hash-compared.
+    "x92_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .unionByName(e.where(col("vec_id") < 50)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val pairs = Similarity.cosineNearDupPairs(corpus, threshold = 0.999,
+          idCol = "vec_id")
+        .select(col("a"), col("b"))
+      val cc = Dedup.connectedComponents(pairs)
+        .select(col("id").as("vec_id"), col("label").as("__cluster"))
+      val clustered = corpus.join(cc, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("__cluster"), col("vec_id")).as("__cluster"))
+      val best = clustered.groupBy(col("__cluster"))
+        .agg(min(col("vec_id")).as("vec_id"))
+      clustered.join(best, Seq("__cluster", "vec_id"), "left_semi")
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // MULTIMODAL dedup clusters — the round-7 composition: a document is a
     // duplicate if its TEXT is near-dup (MinHash-LSH + exact-Jaccard
     // verify, x2/x41 machinery) OR its attached IMAGE is near-dup (dHash +
@@ -2702,6 +2729,11 @@ object SparkEntry {
         |  (SELECT count(*) FROM documents d1 JOIN documents d2
         |     ON d2.doc_id = d1.doc_id + 1 AND d1.doc_id % 2 = 0) AS n_pairs,
         |  TRUE AS pairs_planted_ok, TRUE AS clusters_ok""".stripMargin,
+    // survivors of semantic dedup = exactly the original id list: planted
+    // exact copies (ids +100000) must each cluster with their source and
+    // lose the min-id keep — earned from real LSH + cosine + CC
+    "x92_semantic_dedup" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id",
     // x41's exact-Jaccard text edges UNIONed with the planted image-pair
     // arithmetic, closed transitively — min reachable id per doc
     "x91_multimodal_dedup" ->
