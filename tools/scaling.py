@@ -27,7 +27,8 @@ FAMILIES = {
               "x41_dedup_clusters", "x52_incremental_dedup",
               "x61_dedup_keep_best", "x86_substring_dedup",
               "x88_image_phash_neardup", "x89_strip_repeated",
-              "x90_audio_fp_neardup", "x91_multimodal_dedup"],
+              "x90_audio_fp_neardup", "x91_multimodal_dedup",
+              "x92_semantic_dedup"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
               "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
