@@ -238,13 +238,19 @@ object Stats {
     val medMad: Option[(Double, Double)] =
       if (n == 0) None
       else if (n <= threshold) {
+        // `n` counts rows (footer-metadata count), not non-null values — an
+        // all-null column reaches here with an empty collect; that's the
+        // documented null-output case, not an index error.
         val xs = vals.collect().map(_.getDouble(0))
-        java.util.Arrays.sort(xs)
-        val med = interp(xs, 0.5)
-        var i = 0
-        while (i < xs.length) { xs(i) = math.abs(xs(i) - med); i += 1 }
-        java.util.Arrays.sort(xs)
-        Some((med, interp(xs, 0.5)))
+        if (xs.isEmpty) None
+        else {
+          java.util.Arrays.sort(xs)
+          val med = interp(xs, 0.5)
+          var i = 0
+          while (i < xs.length) { xs(i) = math.abs(xs(i) - med); i += 1 }
+          java.util.Arrays.sort(xs)
+          Some((med, interp(xs, 0.5)))
+        }
       } else {
         val ranged = rangeByValue(vals, "__v")
         try {

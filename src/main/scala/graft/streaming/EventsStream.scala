@@ -177,18 +177,33 @@ object EventsStream {
     * micro-batch are file-granular.
     *
     * Pass `checkpointDir` for restart-resume (same contract as the ingest
-    * streams: temp checkpoint restarts re-read the source; the append is
-    * NOT idempotent across replays, so a durable checkpoint is what makes
-    * this exactly-once end-to-end).
+    * streams: temp checkpoint restarts re-read the source). `foreachBatch`
+    * alone is at-least-once — a crash after the append lands but before
+    * the checkpoint records the batch replays it on restart — so the sink
+    * keeps its own batch-id ledger: a `_graft_commits/<batchId>` marker
+    * (underscore-prefixed → invisible to Spark's file listing, like
+    * `_SUCCESS`) written after each successful append, checked before.
+    * Replays of a fully-appended batch are skipped, which upgrades the
+    * common replay path to effectively-once. The residual window — a crash
+    * AFTER some batch files land but BEFORE the marker — still duplicates
+    * that one batch on restart; closing it needs a transactional table
+    * format, which plain parquet directories don't provide.
     */
   def partitionedAppendStream(stream: DataFrame, root: String, ref: String,
       partitionCols: Seq[String],
       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = stream.writeStream
     checkpointDir.fold(w)(w.option("checkpointLocation", _))
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sources.Catalog.writePartitioned(batch.toDF(), root, ref,
-          partitionCols, org.apache.spark.sql.SaveMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          graft.sources.Catalog.path(root, ref), s"_graft_commits/$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          graft.sources.Catalog.writePartitioned(batch.toDF(), root, ref,
+            partitionCols, org.apache.spark.sql.SaveMode.Append)
+          fs.create(marker, true).close()
+        }
       }
       .outputMode("append")
       .start()

@@ -100,6 +100,13 @@ class StatsSpec extends AnyFunSuite {
     val const = Seq.fill(10)(7.0).toDF("v")
     assert(Stats.robustScale(const, "v")
       .where($"robust_z".isNotNull).count() === 0)
+    // all-null column with rows: the row count clears the n==0 guard but
+    // the collected values are empty — must yield the documented null
+    // column, not an ArrayIndexOutOfBounds from indexing an empty sort
+    val allNull = Seq.fill(5)(Option.empty[Double]).toDF("v")
+    val nz = Stats.robustScale(allNull, "v")
+    assert(nz.count() === 5)
+    assert(nz.where($"robust_z".isNotNull).count() === 0)
   }
 
   test("robustScale: distributed (ranged-reuse) path agrees with the driver path") {

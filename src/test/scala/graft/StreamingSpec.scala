@@ -176,15 +176,27 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       input.addData((3L, "2024-01-01", 3.0)) // appends into an existing partition
       q.processAllAvailable()
-      // Hive layout on disk: one day=... directory per distinct key
+      // Hive layout on disk: one day=... directory per distinct key (the
+      // underscore-prefixed commit ledger is invisible to Spark's listing)
       val dirs = new java.io.File(s"$root/pt.parquet").listFiles
-        .filter(_.isDirectory).map(_.getName).toSet
+        .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_")).toSet
       assert(dirs === Set("day=2024-01-01", "day=2024-01-02"))
       // data intact across both batches; the partition filter prunes to one dir
       val back = spark.read.parquet(s"$root/pt.parquet")
       assert(back.count() === 3)
       assert(back.where($"day" === "2024-01-01")
         .select(org.apache.spark.sql.functions.sum($"v")).as[Double].head() === 4.0)
+      // batch-id ledger: one marker per committed batch...
+      val commits = new java.io.File(s"$root/pt.parquet/_graft_commits")
+      assert(commits.listFiles.map(_.getName).filterNot(_.startsWith("."))
+        .toSet === Set("0", "1")) // ignore local-FS .crc sidecars
+      // ...and a replay of an already-committed batch id is skipped: plant
+      // the marker the NEXT batch will get, then feed it — no rows land
+      new java.io.File(commits, "2").createNewFile()
+      input.addData((4L, "2024-01-01", 9.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$root/pt.parquet").count() === 3,
+        "pre-committed batch id must not append again")
     } finally q.stop()
   }
 
