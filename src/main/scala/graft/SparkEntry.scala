@@ -1557,6 +1557,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Video perceptual-hash near-dup — completes the modality dedup matrix
+    // (text x2/x41, image x88, audio x90, embedding x92): real MJPEG-in-AVI
+    // twins (docs 2k / 2k+1 share a frame-luma pattern, the odd twin
+    // one-frame-perturbed → temporal fingerprint hamming ≤ 2 BY
+    // CONSTRUCTION), decoded frame-by-frame (x15's decodeAvi), hashed by
+    // the luma-envelope sign fingerprint, and clustered through the same
+    // banded-hamming + CC machinery. Same exact contract as x88/x90:
+    // pigeonhole recall 1, splitmix bases ~32 bits apart, so n_pairs is
+    // exact planted arithmetic and the booleans are earned TRUEs.
+    "x93_video_phash_neardup" -> ((s, dir) => {
+      val assets = Multimodal.videoPairAssetsFromDocuments(s, t(s, dir, "documents"))
+      val hashes = Multimodal.videoHashes(assets).where(col("decoded"))
+      val pairs = Dedup.hammingPairs(hashes, "asset_id", "vhash",
+        maxDist = 3, bands = 4).persist()
+      val cl = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
+      val clusterStats = cl.groupBy(col("label")).agg(count(lit(1)).as("__sz"))
+        .agg(count(lit(1)).as("__ncl"), max(col("__sz")).as("__mx"))
+      val pairStats = pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        (coalesce(sum(when(col("b") === col("a") + 1 && col("a") % 2 === 0, 1)
+          .otherwise(0)), lit(0L)) === count(lit(1))).as("pairs_planted_ok"))
+      hashes.agg(count(lit(1)).as("n_assets"))
+        .crossJoin(broadcast(pairStats))
+        .crossJoin(broadcast(clusterStats))
+        .select(col("n_assets"), col("n_pairs"), col("pairs_planted_ok"),
+          (col("__ncl") === col("n_pairs") && col("__mx") === 2).as("clusters_ok"))
+    }),
+
     // Audio perceptual-hash near-dup: the x88 construction on the audio
     // column — amplitude-modulated WAV twins (docs 2k / 2k+1 share an
     // envelope pattern, the odd twin one-window-perturbed → fingerprint
@@ -2767,6 +2795,13 @@ object SparkEntry {
         |  SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y)
         |SELECT x AS doc_id, min(y) AS cluster_id
         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    // same planted arithmetic as x88; the booleans are earned from real
+    // AVI frame decode + temporal luma fingerprint + banding + CC
+    "x93_video_phash_neardup" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_assets,
+        |  (SELECT count(*) FROM documents d1 JOIN documents d2
+        |     ON d2.doc_id = d1.doc_id + 1 AND d1.doc_id % 2 = 0) AS n_pairs,
+        |  TRUE AS pairs_planted_ok, TRUE AS clusters_ok""".stripMargin,
     // same planted arithmetic as x88; the booleans are earned from real
     // WAV decode + envelope fingerprint + banding + CC
     "x90_audio_fp_neardup" ->

@@ -259,6 +259,12 @@ object Multimodal {
             while (bb.position() + 8 <= end) {
               val id = fourcc()
               val sz = bb.getInt
+              // A negative declared size would walk the position backwards
+              // (or hold it in place) — no exception, so the NonFatal net
+              // below never fires and the loop spins forever on a corrupt
+              // or adversarial payload. Malformed → abort the whole parse.
+              if (sz < 0) throw new IllegalArgumentException(
+                s"malformed AVI: chunk '$id' declares negative size $sz")
               val next = math.min(bb.position() + sz + (sz & 1), end)
               if (id == "LIST") {
                 val listType = fourcc()
@@ -603,7 +609,16 @@ object Multimodal {
   def synthAvi(seed: Long, durationMs: Long, fps: Int = 2,
       w: Int = 16, h: Int = 16): Array[Byte] = {
     val n = math.max((durationMs * fps / 1000L).toInt, 1)
-    val frames = (0 until n).map(i => synthJpeg(frameGray(seed, i), w, h))
+    aviContainer((0 until n).map(i => synthJpeg(frameGray(seed, i), w, h)), fps, w, h)
+  }
+
+  /** RIFF/AVI container assembly for an MJPEG frame sequence — the shared
+    * back half of `synthAvi` and `synthAviPattern` (same bytes, different
+    * frame arithmetic).
+    */
+  private def aviContainer(frames: IndexedSeq[Array[Byte]], fps: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val n = frames.length
     val microsPerFrame = 1000000 / fps
     val moviPayload = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
     val hdrlPayload = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40)) // avih + LIST strl
@@ -654,6 +669,78 @@ object Multimodal {
         val durationMs = (math.floorMod(id, 10L) + 1L) * 1000L
         Asset(id, "video", synthAvi(id, durationMs, fps), 16, 16, durationMs)
       }
+  }
+
+  // ---------------------------------------------- video perceptual hash
+
+  /** Deterministic MJPEG-in-AVI aligned to the temporal fingerprint grid:
+    * 65 solid-gray frames, frame `i` at `blockGray(seed, i, 2)` (splitmix
+    * mixing → independent luma-delta signs per seed, so distinct bases sit
+    * ~32 bits apart). With `perturb`, ONE seed-chosen frame's gray shifts
+    * +40 (clamped) — moving at most its two adjacent luma comparisons, so
+    * a (base, twin) pair sits within hamming distance 2 BY CONSTRUCTION.
+    * Untouched frames are byte-identical between base and twin, so JPEG
+    * quantization can never flip their comparisons — the video member of
+    * the `synthPng`/`synthWavPattern` planted-twin family.
+    */
+  def synthAviPattern(seed: Long, perturb: Boolean, nFrames: Int = 65,
+      fps: Int = 5, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val pf = math.floorMod(seed, nFrames.toLong).toInt
+    aviContainer((0 until nFrames).map { i =>
+      val base = blockGray(seed, i, 2)
+      synthJpeg(if (perturb && i == pf) math.min(base + 40, 255) else base, w, h)
+    }, fps, w, h)
+  }
+
+  /** Video assets with PLANTED near-duplicate twins, one per document:
+    * docs 2k and 2k+1 share frame-luma pattern k, the odd twin carrying
+    * the one-frame perturbation — the video analog of
+    * `imageAssetsFromDocuments`/`audioPairAssetsFromDocuments`.
+    */
+  def videoPairAssetsFromDocuments(spark: SparkSession,
+      documents: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    RelOps.ensureParallelism(documents.select(col("doc_id"))).as[Long].map { id =>
+      Asset(id, "video", synthAviPattern(id / 2, perturb = id % 2 == 1),
+        8, 8, 65L * 200L)
+    }
+  }
+
+  /** 64-bit video fingerprint: the TEMPORAL analog of `dHash` /
+    * `audioFingerprint` — mean luma per decoded frame (real pixels, via
+    * `imageFeatures` slot 3), bit `i` set iff frame `i+1` is brighter than
+    * frame `i`. Invariant to uniform brightness/contrast shifts (the
+    * luma-delta SIGNS survive), robust to single-frame edits (one frame
+    * moves only its two adjacent comparisons). A per-frame SPATIAL hash is
+    * the wrong clip fingerprint — degenerate on low-texture frames (a
+    * solid or smooth frame has no intra-frame gradient, so every clip
+    * hashes to 0); a clip's identity lives in its luma envelope over time.
+    */
+  def videoFingerprint(v: AviVideo): Long = {
+    val lumas = v.frames.map(f =>
+      decodeImage(f).map(img => imageFeatures(img, 4)(3).toDouble).getOrElse(-1.0))
+    var bits = 0L
+    var i = 0
+    while (i < lumas.length - 1 && i < 64) {
+      if (lumas(i + 1) > lumas(i)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-asset video fingerprints, partition-parallel: (asset_id, vhash,
+    * decoded). Undecodable payloads report `decoded = false`, hash 0.
+    */
+  def videoHashes(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        decodeAvi(a.bytes) match {
+          case Some(v) => (a.asset_id, videoFingerprint(v), true)
+          case None    => (a.asset_id, 0L, false)
+        }
+      }
+    }.toDF("asset_id", "vhash", "decoded")
   }
 
   // ---------------------------------------------- audio perceptual hash

@@ -144,6 +144,21 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(Multimodal.decodeAvi("not a video".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeAvi(avi.take(40)).isEmpty, "truncated container rejected")
+    // a negative declared chunk size must abort the walk (None), not spin
+    // the position backwards forever — corrupt the first movi-list frame
+    // chunk's size field in a real container and require prompt rejection
+    val corrupt = avi.clone()
+    val dcIdx = {
+      def find(pat: Array[Byte]): Int =
+        corrupt.indices.indexWhere(i => i + pat.length <= corrupt.length &&
+          pat.indices.forall(j => corrupt(i + j) == pat(j)))
+      find("00dc".getBytes("US-ASCII"))
+    }
+    assert(dcIdx > 0, "fixture must contain a frame chunk")
+    corrupt(dcIdx + 7) = 0x80.toByte // little-endian size → negative Int
+    val t0 = System.nanoTime()
+    assert(Multimodal.decodeAvi(corrupt).isEmpty, "negative chunk size rejected")
+    assert((System.nanoTime() - t0) < 2e9, "rejection must not hang")
   }
 
   test("sampleFrames seeks real frames: 2 fps container sampled at 1 s ticks") {
@@ -220,6 +235,32 @@ class MultimodalSpec extends AnyFunSuite {
     val hashes = Multimodal.audioHashes(ds)
     assert(hashes.where($"decoded").count() === 10)
     val pairs = graft.operators.Dedup.hammingPairs(hashes, "asset_id", "ahash",
+        maxDist = 3, bands = 4)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs === (0L until 5L).map(k => (2 * k, 2 * k + 1)).toSet)
+  }
+
+  test("videoFingerprint: temporal luma hash, twin-bounded, base-separating") {
+    def hashOf(bytes: Array[Byte]): Long =
+      Multimodal.videoFingerprint(
+        Multimodal.decodeAvi(bytes).getOrElse(fail("avi did not decode")))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = hashOf(Multimodal.synthAviPattern(11L, perturb = false))
+    val twin = hashOf(Multimodal.synthAviPattern(11L, perturb = true))
+    // one perturbed frame moves only its two adjacent luma comparisons
+    assert(ham(base, twin) <= 2, s"planted twin drifted ${ham(base, twin)} bits")
+    val other = hashOf(Multimodal.synthAviPattern(12L, perturb = false))
+    assert(ham(base, other) > 10, s"bases only ${ham(base, other)} bits apart")
+    assert(base === hashOf(Multimodal.synthAviPattern(11L, perturb = false)))
+  }
+
+  test("videoHashes + hammingPairs recover exactly the planted video twins") {
+    val ds = (0L until 10L).map(id =>
+      Multimodal.Asset(id, "video",
+        Multimodal.synthAviPattern(id / 2, perturb = id % 2 == 1), 8, 8, 13000L)).toDS()
+    val hashes = Multimodal.videoHashes(ds)
+    assert(hashes.where($"decoded").count() === 10)
+    val pairs = graft.operators.Dedup.hammingPairs(hashes, "asset_id", "vhash",
         maxDist = 3, bands = 4)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
     assert(pairs === (0L until 5L).map(k => (2 * k, 2 * k + 1)).toSet)
