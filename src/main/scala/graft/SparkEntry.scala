@@ -1506,6 +1506,32 @@ object SparkEntry {
           (col("__ncl") === col("n_pairs") && col("__mx") === 2).as("clusters_ok"))
     }),
 
+    // INCREMENTAL semantic dedup — x52's steady-state story for the x92
+    // family: a new embedding batch decontaminates against a PRECOMPUTED
+    // corpus sign-LSH bucket index (cosineLshIndex, stored once at
+    // ingest), batch meeting corpus only through bucket keys (plan-pinned
+    // — never corpus×batch). Planted, all SQL-replayable: cross-batch
+    // exact copies of corpus vectors 0–49 (ids +100000) share every sign
+    // bit with their source → recall 1 BY CONSTRUCTION → all die; negated
+    // vectors of 50–99 (ids +200000) are cosine −1 from their source and
+    // near nothing at 0.999 → survive; within-batch twins (ids +300000,
+    // same negated vectors) ALSO survive — within-batch dedup is a
+    // separate composable pass (x92 on the batch), exactly as in x52.
+    "x94_incremental_semantic_dedup" -> ((s, dir) => {
+      val corpus = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val neg = transform(col("embedding"),
+        x => (x.cast("double") * -1.0d).cast("float"))
+      val batch = corpus.where(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        .unionByName(corpus.where(col("vec_id") >= 50 && col("vec_id") < 100)
+          .select((col("vec_id") + 200000L).as("vec_id"), neg.as("embedding")))
+        .unionByName(corpus.where(col("vec_id") >= 50 && col("vec_id") < 60)
+          .select((col("vec_id") + 300000L).as("vec_id"), neg.as("embedding")))
+      val index = Similarity.cosineLshIndex(corpus)
+      Similarity.incrementalSemanticDedup(batch, corpus, index, threshold = 0.999)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // SEMANTIC dedup (SemDeDup shape): embedding-cosine near-dup pairs
     // (sign-LSH buckets, x10 machinery) → CC clusters → keep the min-id
     // member per cluster. Planted: exact copies of the first 50 vectors
@@ -2757,6 +2783,18 @@ object SparkEntry {
         |  (SELECT count(*) FROM documents d1 JOIN documents d2
         |     ON d2.doc_id = d1.doc_id + 1 AND d1.doc_id % 2 = 0) AS n_pairs,
         |  TRUE AS pairs_planted_ok, TRUE AS clusters_ok""".stripMargin,
+    // survivors of the incremental pass = exactly the planted non-dup
+    // batch ids: cross-batch exact copies (+100000) die against the stored
+    // index, negated uniques (+200000) and their within-batch twins
+    // (+300000) survive — earned from real sign-LSH bucketing + exact
+    // cosine verify against the precomputed corpus index
+    "x94_incremental_semantic_dedup" ->
+      """SELECT vec_id + 200000 AS vec_id FROM embeddings
+        |  WHERE vec_id >= 50 AND vec_id < 100
+        |UNION ALL
+        |SELECT vec_id + 300000 FROM embeddings
+        |  WHERE vec_id >= 50 AND vec_id < 60
+        |ORDER BY vec_id""".stripMargin,
     // survivors of semantic dedup = exactly the original id list: planted
     // exact copies (ids +100000) must each cluster with their source and
     // lose the min-id keep — earned from real LSH + cosine + CC

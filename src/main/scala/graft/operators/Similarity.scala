@@ -394,4 +394,94 @@ object Similarity {
       .select(col("a"), col("b"), roundz(col("sim"), 4).as("sim"))
       .distinct()
   }
+
+  // --------------------------------------- incremental (batch vs corpus)
+
+  /** Sign-LSH bucket index of a vector table: (idCol, bucket), one row per
+    * vector. The bucket is a pure function of the embedding and the seeded
+    * plane set, so a growing corpus computes it ONCE at ingest and stores
+    * it as a table — the semantic-dedup analog of `Dedup.lshBuckets`.
+    * Rebuild is only ever needed if (numPlanes, seed) change.
+    */
+  def cosineLshIndex(df: DataFrame, dims: Int = -1, numPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(if (dims > 0) dims else vecDims(df, vecCol), numPlanes, seed)
+    val d = dotFor(df)
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol), lshBucket(col("__v"), planes, d).as("bucket"))
+  }
+
+  /** Cosine near-dup matches of a new batch against a PRECOMPUTED corpus
+    * bucket index ((new_id, corpus_id, sim ≥ threshold)) — the steady-state
+    * ingest path of semantic dedup (x92's batch-over-batch shape, mirroring
+    * `Dedup.incrementalMinhashMatchesWithIndex`):
+    *   - the batch is bucketed with the SAME seeded planes ((numPlanes,
+    *     seed) must match the index build), and the join keys on bucket, so
+    *     a new vector only ever meets its bucket-mates — never corpus×batch;
+    *   - the corpus side is the 100 TB one, so its oversized buckets are
+    *     dropped by `maxBucketSize` (same skew policy as the index-less
+    *     `cosineNearDupPairs`);
+    *   - only vectors that appear in a candidate pair are re-read for the
+    *     exact cosine verify (semi-join pruning on both sides), so the
+    *     verify work is candidate-sized, not corpus-sized.
+    * Identical vectors agree on every sign bit, so an exact cross-batch
+    * copy ALWAYS meets its source (recall 1 on planted copies); recall on
+    * merely-near pairs is the usual (1 − θ/π)^planes LSH trade.
+    */
+  def incrementalCosineMatchesWithIndex(newDf: DataFrame, corpus: DataFrame,
+      corpusIndex: DataFrame, threshold: Double, dims: Int = -1,
+      numPlanes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
+    val planes = hyperplanes(if (dims > 0) dims else vecDims(newDf, vecCol), numPlanes, seed)
+    val d = dotFor(newDf)
+    val nb = newDf.select(col(idCol).as("new_id"), asDouble(col(vecCol)).as("__v"))
+      .select(col("new_id"), lshBucket(col("__v"), planes, d).as("bucket"))
+    val safeCb = corpusIndex
+      .select(col(idCol).as("corpus_id"), col("bucket"))
+      .withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket"))))
+      .where(col("__n") <= maxBucketSize).drop("__n")
+    val cands = nb.join(safeCb, Seq("bucket"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def pruned(side: DataFrame, keyAs: String): DataFrame =
+        side.join(cands.select(col(keyAs).as(idCol)).distinct(), Seq(idCol), "left_semi")
+          .select(col(idCol).as(keyAs), asDouble(col(vecCol)).as(s"__v_$keyAs"))
+          .withColumn(s"__n_$keyAs", sqrt(d(col(s"__v_$keyAs"), col(s"__v_$keyAs"))))
+      val verified = cands
+        .join(pruned(newDf, "new_id"), Seq("new_id"))
+        .join(pruned(corpus, "corpus_id"), Seq("corpus_id"))
+        .select(col("new_id"), col("corpus_id"),
+          when(col("__n_new_id") * col("__n_corpus_id") === 0, lit(0.0d))
+            .otherwise(d(col("__v_new_id"), col("__v_corpus_id")) /
+              (col("__n_new_id") * col("__n_corpus_id"))).as("sim"))
+        .where(col("sim") >= threshold)
+        .select(col("new_id"), col("corpus_id"), roundz(col("sim"), 4).as("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      verified.count()
+      verified
+    } finally cands.unpersist()
+  }
+
+  /** The new batch with semantic (cosine ≥ threshold) duplicates of the
+    * corpus removed — the per-ingest decontamination step of a continuously
+    * growing embedded corpus, against the stored `cosineLshIndex`.
+    * Within-batch duplicates are a separate, composable concern (x92's
+    * full-cluster pass on the batch itself), exactly as in
+    * `Dedup.incrementalDedup`.
+    */
+  def incrementalSemanticDedup(newDf: DataFrame, corpus: DataFrame,
+      corpusIndex: DataFrame, threshold: Double, dims: Int = -1,
+      numPlanes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
+    // matches are persisted+materialized (same contract as minhashPairs);
+    // one-shot callers free them with the session cache
+    val matched = incrementalCosineMatchesWithIndex(newDf, corpus, corpusIndex,
+      threshold, dims, numPlanes, idCol, vecCol, seed, maxBucketSize)
+    newDf.join(matched.select(col("new_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
 }

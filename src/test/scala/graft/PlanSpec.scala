@@ -150,6 +150,14 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("x94 incremental semantic dedup: batch meets corpus only through bucket keys") {
+    // the batch must reach the corpus via the precomputed bucket index —
+    // an all-pairs regression would surface as a loop join of batch×corpus
+    val p = planOf("x94_incremental_semantic_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("q6: all three predicates push into the lineitem parquet scan") {
     val p = planOf("q6_forecast_revenue")
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")

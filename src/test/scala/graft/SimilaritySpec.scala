@@ -203,4 +203,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.hyperplanes(8, 4, 7L) === Similarity.hyperplanes(8, 4, 7L))
     assert(Similarity.hyperplanes(8, 4, 7L) !== Similarity.hyperplanes(8, 4, 8L))
   }
+
+  test("incremental semantic dedup: copies die against the stored index, uniques survive") {
+    val base = (0L until 20L).map { i =>
+      val v = (0 until 8).map(d => math.sin(i * 1.7 + d).toFloat)
+      (i, v)
+    }
+    val corpus = base.toDF("vec_id", "embedding")
+    val index = Similarity.cosineLshIndex(corpus)
+    // batch: two exact copies of corpus vectors + two negated (cosine −1)
+    val batch = (base.take(2).map { case (i, v) => (i + 100L, v) } ++
+      base.slice(2, 4).map { case (i, v) => (i + 200L, v.map(x => -x)) })
+      .toDF("vec_id", "embedding")
+    val matches = Similarity.incrementalCosineMatchesWithIndex(
+      batch, corpus, index, threshold = 0.999)
+    val got = matches.select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((100L, 0L), (101L, 1L)),
+      s"expected exactly the planted copy matches, got $got")
+    assert(matches.where($"sim" < 0.999).count() === 0)
+    val kept = Similarity.incrementalSemanticDedup(
+        batch, corpus, index, threshold = 0.999)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(202L, 203L), "negated vectors must survive")
+  }
 }
