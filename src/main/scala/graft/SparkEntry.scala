@@ -146,6 +146,31 @@ object SparkEntry {
         .orderBy(col("event_date"), col("event_type"))
     }),
 
+    // The SECOND-order 100 TB scan saver (s9's partner): orders and
+    // lineitem both bucketed 8 ways on the order key, so the recurring
+    // fact-to-fact join reads co-located buckets directly — ZERO shuffle
+    // exchanges in the executed SortMergeJoin (pinned in PlanSpec). At
+    // 100 TB this is the difference between re-shuffling both fact tables
+    // on every recurring join and paying the partitioning once at write.
+    "s10_bucketed_join" -> ((s, dir) => {
+      val sfTag = dir.replaceAll("[^0-9.]", "").replace(".", "_")
+      val ot = s"s10_ord_$sfTag"
+      val lt = s"s10_li_$sfTag"
+      Catalog.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey").as("okey"), col("o_totalprice")),
+        ot, Seq("okey"), buckets = 8, path = Some(s"/tmp/graft/$ot"))
+      Catalog.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+          col("l_quantity"), col("l_extendedprice")),
+        lt, Seq("okey"), buckets = 8, path = Some(s"/tmp/graft/$lt"))
+      s.table(ot).join(s.table(lt), Seq("okey"))
+        .groupBy(pmod(col("okey"), lit(10L)).as("okey_mod"))
+        .agg(count(lit(1)).as("n_lines"),
+          roundz(sum(col("l_quantity")), 2).as("sum_qty"),
+          roundz(sum(col("o_totalprice")), 2).as("sum_order_price"))
+        .orderBy(col("okey_mod"))
+    }),
+
     // S3: in-memory literal source (`beam.Create`), fixture F1.
     "s3_literal_rows" -> ((s, _) => {
       import s.implicits._
@@ -1792,6 +1817,14 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the oracle joins the flat tables; the Spark side must produce the
+    // same numbers from the bucketed zero-exchange join
+    "s10_bucketed_join" ->
+      """SELECT o_orderkey % 10 AS okey_mod, count(*) AS n_lines,
+        |  (round(sum(l_quantity), 2) + 0) AS sum_qty,
+        |  (round(sum(o_totalprice), 2) + 0) AS sum_order_price
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s4_csv_allstrings" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS VARCHAR) AS n_regionkey

@@ -260,15 +260,20 @@ object Catalog {
     * join WITHOUT a shuffle (SortMergeJoin reads co-located buckets
     * directly) — the pre-shuffle pattern for a fact table joined on the
     * same key by many recurring queries. Requires `saveAsTable` (bucket
-    * metadata lives in the session catalog / metastore).
+    * metadata lives in the session catalog / metastore). Pass `path` to
+    * create the table EXTERNAL at an explicit location instead of under
+    * the session warehouse dir — sessions without a configured warehouse
+    * (e.g. a plain driver session) keep their cwd clean.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+      buckets: Int, mode: SaveMode = SaveMode.Overwrite,
+      path: Option[String] = None): Unit = {
+    val w = df.write.mode(mode)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** MERGE-style upsert into a parquet table: rows of `updates` replace
     * same-key rows of the target, new keys are inserted. Planned as

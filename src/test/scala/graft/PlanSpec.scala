@@ -150,6 +150,35 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("s10 bucketed join: zero exchanges in the executed SortMergeJoin") {
+    // the whole point of paying bucketBy at write time: the recurring join
+    // must read co-located buckets with NO shuffle on either side. Force
+    // the sort-merge path (broadcast would hide the exchange anyway) and
+    // plan with AQE off so the assertion targets the static bucketed shape.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // the aggregation/sort ABOVE the join legitimately shuffle; the pin
+      // is that the join subtree itself reads buckets with no exchange
+      val plan = SparkEntry.queries("s10_bucketed_join")(spark, sfDir)
+        .queryExecution.executedPlan
+      val smjs = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smjs.nonEmpty, "no SortMergeJoin in plan:\n" + plan.toString.take(2000))
+      val shuffles = smjs.flatMap(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      })
+      assert(shuffles.isEmpty,
+        "bucketed join shuffles:\n" + plan.toString.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("x94 incremental semantic dedup: batch meets corpus only through bucket keys") {
     // the batch must reach the corpus via the precomputed bucket index —
     // an all-pairs regression would surface as a loop join of batch×corpus
