@@ -1670,7 +1670,11 @@ object SparkEntry {
     // properties: result shape, recall floor vs FILTERED brute force, and
     // filter_ok — every returned neighbor must satisfy the predicate
     // (a post-filter-shaped regression flips recall_ok; a filter-lost
-    // regression flips filter_ok).
+    // regression flips filter_ok). Measured recall (deterministic: seeded
+    // quantizer/codebooks, tie-broken ranks): 0.45 / 0.525 / 0.5 at
+    // sf0.001/0.01/0.1 — floor 0.4 sits just under the weakest point, so
+    // a probe-path regression (e.g. a broken cell-prune or a post-filter
+    // under-return) trips it while the seeded pipeline keeps its margin.
     "x87_filtered_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 8)
@@ -1684,7 +1688,7 @@ object SparkEntry {
         .agg((count(lit(1)) === sum(when(col("label") < 5, 1).otherwise(0)))
           .as("filter_ok"))
       annRecallCheck(ann,
-          Similarity.bruteForceKnn(e.where(pred), q, k = 5), minRecall = 0.2)
+          Similarity.bruteForceKnn(e.where(pred), q, k = 5), minRecall = 0.4)
         .crossJoin(broadcast(filterOk))
     }),
 
