@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** THE cache-lifecycle pattern for operators that persist intermediates.
+  *
+  * Several operators cache a frame that the rest of the plan references
+  * more than once (LSH pair sets feeding both a cluster pass and a pair
+  * aggregate, a PQ-decoded index frame probed by every query cell, a
+  * cluster map joined back to its corpus). Left alone, each such persist
+  * leaks cached blocks into the caller's memory budget: a library user
+  * composing these operators in one session accumulates dead cache until
+  * something evicts or OOMs.
+  *
+  * `withMaterialized(inputs)(body)` is the single audited lifecycle:
+  *
+  *   1. persist every input frame;
+  *   2. evaluate `body` (whose plan may reference each input many times —
+  *      every reference hits the cache, the expensive pipeline runs once);
+  *   3. persist the result and EAGERLY materialize it (`count()`), so its
+  *      cached blocks no longer depend on the inputs;
+  *   4. unpersist the inputs (non-blocking) and return the result.
+  *
+  * Contract: the ONLY cached artifact that outlives the call is the
+  * returned frame — the caller owns exactly one unpersist. The declared
+  * query surface discharges that automatically: `Verify` and `Bench` run
+  * `spark.catalog.clearCache()` after every query / rep. Library callers
+  * composing operators repeatedly should `unpersist()` each returned frame
+  * (or `clearCache()` between compositions) the same way.
+  *
+  * Ownership is respected, not stolen: an input (or result) that arrives
+  * already persisted — e.g. the frame another `withMaterialized` call just
+  * returned — is left exactly as cached as it was; the helper persists and
+  * unpersists only the frames IT cached. Two sharp edges remain, by
+  * design:
+  *   - pass only frames the caller does NOT reuse after the call — the
+  *     helper unpersists the ones it persisted (re-evaluating them later
+  *     is still correct, just uncached);
+  *   - if a cached result block is evicted under memory pressure, Spark
+  *     recomputes it through the now-uncached input lineage — correctness
+  *     is unaffected, the cost is a re-run of that partition's pipeline.
+  *
+  * At cluster scale the eager `count()` is deliberately cheap relative to
+  * `body`: every wrapped site returns either a bounded aggregate (recall
+  * flags, pair counts) or a frame no larger than one pass over the input —
+  * the materialization job IS the operator's action, done once.
+  */
+object Lifecycle {
+  def withMaterialized(inputs: DataFrame*)(body: => DataFrame): DataFrame = {
+    val owned = inputs.filter(_.storageLevel == StorageLevel.NONE)
+    owned.foreach(_.persist())
+    val out = body
+    if (out.storageLevel == StorageLevel.NONE) out.persist()
+    out.count()
+    owned.foreach(_.unpersist(false))
+    out
+  }
+}

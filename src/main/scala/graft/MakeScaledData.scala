@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (not part of the driver contract): build an sf1-equivalent
+  * dataset for the scaling bench by replicating the driver's sf0.1 tables
+  * `reps`× with disjoint key ranges, so `tools/scaling.py` can extend the
+  * steep-slope family's curves a decade past the provided SFs.
+  *
+  * Replication, not resynthesis, on purpose:
+  *   - `lineitem` rows are replicated verbatim with the order key remapped
+  *     into a disjoint range per replica — the quantile/rewrite workloads
+  *     (winsorize, robust scale) see 10× the rows with the same value
+  *     distribution, which is exactly the scaling question being measured;
+  *   - `documents` keeps its text verbatim under a remapped `doc_id`, so
+  *     the sf1 corpus is DUPLICATE-HEAVY by construction (every doc has 10
+  *     exact copies). For the substring/boilerplate family that is the
+  *     conservative direction: repeated-run detection does strictly more
+  *     merging work per row than on a dedup'd corpus of the same size —
+  *     the measured slope upper-bounds the organic-corpus slope;
+  *   - the `doc_id` remap uses an EVEN stride (`r * N + doc_id`, N even),
+  *     preserving the (2k, 2k+1) adjacency the planted multimodal twins
+  *     derive from (`Multimodal.audioPairAssetsFromDocuments` et al. pair
+  *     by `id / 2` + parity), so the perceptual-hash workloads keep their
+  *     pair density while each replica block fingerprints distinct content
+  *     (payloads are seeded by the NEW id).
+  *
+  * Usage: `sbt "runMain graft.MakeScaledData [srcDir outDir reps]"`;
+  * defaults: /root/testdata/sf0.1 → /tmp/graft/sf1, reps = 10.
+  */
+object MakeScaledData {
+
+  /** Replica spine 0..reps-1, broadcast-joined so each source row fans out
+    * without a shuffle (the parquet write repartitions by nothing — the
+    * fan-out happens inside the scan's map stage).
+    */
+  private def replicate(spark: SparkSession, df: DataFrame, reps: Int): DataFrame = {
+    import spark.implicits._
+    df.crossJoin(broadcast((0 until reps).toDF("__r")))
+  }
+
+  def scaleLineitem(spark: SparkSession, src: DataFrame, reps: Int): DataFrame =
+    replicate(spark, src, reps)
+      .withColumn("l_orderkey",
+        col("l_orderkey") * reps + col("__r").cast("long"))
+      .drop("__r")
+
+  def scaleDocuments(spark: SparkSession, src: DataFrame, reps: Int): DataFrame = {
+    // even stride > max(doc_id): preserves twin adjacency and parity
+    val n = {
+      val mx = src.agg(max(col("doc_id"))).head.getLong(0) + 1L
+      if (mx % 2 == 0) mx else mx + 1L
+    }
+    replicate(spark, src, reps)
+      .withColumn("doc_id", col("__r").cast("long") * n + col("doc_id"))
+      .drop("__r")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft/sf1"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = Engine.session("make-scaled-data")
+    try {
+      val li = scaleLineitem(spark, spark.read.parquet(s"$src/lineitem.parquet"), reps)
+      li.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      val docs = scaleDocuments(spark, spark.read.parquet(s"$src/documents.parquet"), reps)
+      docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"[make-scaled-data] wrote $out (reps=$reps from $src)")
+    } finally spark.stop()
+  }
+}

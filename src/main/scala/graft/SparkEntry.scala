@@ -399,18 +399,19 @@ object SparkEntry {
         .select(col("a"), col("b"), col("jaccard"))
       val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
         .select(col("a"), col("b"), lit(true).as("__f"))
-      // persisted: the pair frame feeds both the recall aggregate and the
-      // row output — without the cache the jaccard-truth and simhash
-      // pipelines would each execute twice
+      // cached: the pair frame feeds both the recall aggregate and the
+      // row output — without it the jaccard-truth and simhash pipelines
+      // would each execute twice
       val marked = truth.join(sim, Seq("a", "b"), "left")
         .withColumn("__found", coalesce(col("__f"), lit(false)))
-        .persist()
-      val rec = marked.agg(
-        (sum(when(col("__found"), 1).otherwise(0)) >= count(lit(1)) * 0.4)
-          .as("simhash_recall_ok"))
-      marked.crossJoin(broadcast(rec))
-        .select(col("a"), col("b"), col("jaccard"), col("simhash_recall_ok"))
-        .orderBy(col("a"), col("b"))
+      Lifecycle.withMaterialized(marked) {
+        val rec = marked.agg(
+          (sum(when(col("__found"), 1).otherwise(0)) >= count(lit(1)) * 0.4)
+            .as("simhash_recall_ok"))
+        marked.crossJoin(broadcast(rec))
+          .select(col("a"), col("b"), col("jaccard"), col("simhash_recall_ok"))
+          .orderBy(col("a"), col("b"))
+      }
     }),
 
     // Token counting: whitespace + BPE-ish regex tokens + char count.
@@ -1064,16 +1065,14 @@ object SparkEntry {
     // against the materialized CC labels.
     "x82_cluster_keep_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // Lifecycle: the persist can't be unpersisted here (the returned frame
-      // is lazy), so the harness owns cleanup — Bench clears the cache after
-      // EVERY rep (Bench.scala, timed loop) and Verify after every query.
-      // Library callers composing this repeatedly should clearCache likewise.
-      val cl = Dedup.clusters(docs, "doc_id", "text", threshold = 0.9).persist()
-      Dedup.dedupKeepBest(docs, "doc_id", "text", "n_chars", threshold = 0.9,
-          precomputedClusters = Some(cl))
-        .join(cl, Seq("doc_id"))
-        .select(col("doc_id"), col("cluster_id"), col("n_chars"))
-        .orderBy(col("doc_id"))
+      val cl = Dedup.clusters(docs, "doc_id", "text", threshold = 0.9)
+      Lifecycle.withMaterialized(cl) {
+        Dedup.dedupKeepBest(docs, "doc_id", "text", "n_chars", threshold = 0.9,
+            precomputedClusters = Some(cl))
+          .join(cl, Seq("doc_id"))
+          .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      }
     }),
 
     // LSH recall estimate on a 15% hash-sample. The seeded MinHash isn't
@@ -1425,12 +1424,13 @@ object SparkEntry {
       // persisted: scd2Merge reads `existing` three times (anti, semi, max)
       val existing = Temporal.scd2(ev.where(col("ts") < cut),
           Seq("user_id"), "ts", Seq("event_type"), tieBreak = Seq("event_id"))
-        .persist()
-      Temporal.scd2Merge(existing, ev.where(col("ts") >= cut),
-          Seq("user_id"), "ts", Seq("event_type"), tieBreak = Seq("event_id"))
-        .select(col("user_id"), col("event_type"), col("eff_from"),
-          col("eff_to"), col("is_current"))
-        .orderBy(col("user_id"), col("eff_from"), col("event_type"))
+      Lifecycle.withMaterialized(existing) {
+        Temporal.scd2Merge(existing, ev.where(col("ts") >= cut),
+            Seq("user_id"), "ts", Seq("event_type"), tieBreak = Seq("event_id"))
+          .select(col("user_id"), col("event_type"), col("eff_from"),
+            col("eff_to"), col("is_current"))
+          .orderBy(col("user_id"), col("eff_from"), col("event_type"))
+      }
     }),
 
     // Product quantization (m=8 × k=16 over 64 dims = 64× compression):
@@ -1516,19 +1516,21 @@ object SparkEntry {
       val assets = Multimodal.imageAssetsFromDocuments(s, t(s, dir, "documents"))
       val hashes = Multimodal.imageHashes(assets).where(col("decoded"))
       val pairs = Dedup.hammingPairs(hashes, "asset_id", "phash",
-        maxDist = 3, bands = 4).persist()
-      val cl = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
-      val clusterStats = cl.groupBy(col("label")).agg(count(lit(1)).as("__sz"))
-        .agg(count(lit(1)).as("__ncl"), max(col("__sz")).as("__mx"))
-      val pairStats = pairs.agg(
-        count(lit(1)).as("n_pairs"),
-        (coalesce(sum(when(col("b") === col("a") + 1 && col("a") % 2 === 0, 1)
-          .otherwise(0)), lit(0L)) === count(lit(1))).as("pairs_planted_ok"))
-      hashes.agg(count(lit(1)).as("n_assets"))
-        .crossJoin(broadcast(pairStats))
-        .crossJoin(broadcast(clusterStats))
-        .select(col("n_assets"), col("n_pairs"), col("pairs_planted_ok"),
-          (col("__ncl") === col("n_pairs") && col("__mx") === 2).as("clusters_ok"))
+        maxDist = 3, bands = 4)
+      Lifecycle.withMaterialized(pairs) {
+        val cl = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
+        val clusterStats = cl.groupBy(col("label")).agg(count(lit(1)).as("__sz"))
+          .agg(count(lit(1)).as("__ncl"), max(col("__sz")).as("__mx"))
+        val pairStats = pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          (coalesce(sum(when(col("b") === col("a") + 1 && col("a") % 2 === 0, 1)
+            .otherwise(0)), lit(0L)) === count(lit(1))).as("pairs_planted_ok"))
+        hashes.agg(count(lit(1)).as("n_assets"))
+          .crossJoin(broadcast(pairStats))
+          .crossJoin(broadcast(clusterStats))
+          .select(col("n_assets"), col("n_pairs"), col("pairs_planted_ok"),
+            (col("__ncl") === col("n_pairs") && col("__mx") === 2).as("clusters_ok"))
+      }
     }),
 
     // INCREMENTAL semantic dedup — x52's steady-state story for the x92
@@ -1621,19 +1623,21 @@ object SparkEntry {
       val assets = Multimodal.videoPairAssetsFromDocuments(s, t(s, dir, "documents"))
       val hashes = Multimodal.videoHashes(assets).where(col("decoded"))
       val pairs = Dedup.hammingPairs(hashes, "asset_id", "vhash",
-        maxDist = 3, bands = 4).persist()
-      val cl = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
-      val clusterStats = cl.groupBy(col("label")).agg(count(lit(1)).as("__sz"))
-        .agg(count(lit(1)).as("__ncl"), max(col("__sz")).as("__mx"))
-      val pairStats = pairs.agg(
-        count(lit(1)).as("n_pairs"),
-        (coalesce(sum(when(col("b") === col("a") + 1 && col("a") % 2 === 0, 1)
-          .otherwise(0)), lit(0L)) === count(lit(1))).as("pairs_planted_ok"))
-      hashes.agg(count(lit(1)).as("n_assets"))
-        .crossJoin(broadcast(pairStats))
-        .crossJoin(broadcast(clusterStats))
-        .select(col("n_assets"), col("n_pairs"), col("pairs_planted_ok"),
-          (col("__ncl") === col("n_pairs") && col("__mx") === 2).as("clusters_ok"))
+        maxDist = 3, bands = 4)
+      Lifecycle.withMaterialized(pairs) {
+        val cl = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
+        val clusterStats = cl.groupBy(col("label")).agg(count(lit(1)).as("__sz"))
+          .agg(count(lit(1)).as("__ncl"), max(col("__sz")).as("__mx"))
+        val pairStats = pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          (coalesce(sum(when(col("b") === col("a") + 1 && col("a") % 2 === 0, 1)
+            .otherwise(0)), lit(0L)) === count(lit(1))).as("pairs_planted_ok"))
+        hashes.agg(count(lit(1)).as("n_assets"))
+          .crossJoin(broadcast(pairStats))
+          .crossJoin(broadcast(clusterStats))
+          .select(col("n_assets"), col("n_pairs"), col("pairs_planted_ok"),
+            (col("__ncl") === col("n_pairs") && col("__mx") === 2).as("clusters_ok"))
+      }
     }),
 
     // Audio perceptual-hash near-dup: the x88 construction on the audio
@@ -1647,19 +1651,21 @@ object SparkEntry {
       val assets = Multimodal.audioPairAssetsFromDocuments(s, t(s, dir, "documents"))
       val hashes = Multimodal.audioHashes(assets).where(col("decoded"))
       val pairs = Dedup.hammingPairs(hashes, "asset_id", "ahash",
-        maxDist = 3, bands = 4).persist()
-      val cl = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
-      val clusterStats = cl.groupBy(col("label")).agg(count(lit(1)).as("__sz"))
-        .agg(count(lit(1)).as("__ncl"), max(col("__sz")).as("__mx"))
-      val pairStats = pairs.agg(
-        count(lit(1)).as("n_pairs"),
-        (coalesce(sum(when(col("b") === col("a") + 1 && col("a") % 2 === 0, 1)
-          .otherwise(0)), lit(0L)) === count(lit(1))).as("pairs_planted_ok"))
-      hashes.agg(count(lit(1)).as("n_assets"))
-        .crossJoin(broadcast(pairStats))
-        .crossJoin(broadcast(clusterStats))
-        .select(col("n_assets"), col("n_pairs"), col("pairs_planted_ok"),
-          (col("__ncl") === col("n_pairs") && col("__mx") === 2).as("clusters_ok"))
+        maxDist = 3, bands = 4)
+      Lifecycle.withMaterialized(pairs) {
+        val cl = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
+        val clusterStats = cl.groupBy(col("label")).agg(count(lit(1)).as("__sz"))
+          .agg(count(lit(1)).as("__ncl"), max(col("__sz")).as("__mx"))
+        val pairStats = pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          (coalesce(sum(when(col("b") === col("a") + 1 && col("a") % 2 === 0, 1)
+            .otherwise(0)), lit(0L)) === count(lit(1))).as("pairs_planted_ok"))
+        hashes.agg(count(lit(1)).as("n_assets"))
+          .crossJoin(broadcast(pairStats))
+          .crossJoin(broadcast(clusterStats))
+          .select(col("n_assets"), col("n_pairs"), col("pairs_planted_ok"),
+            (col("__ncl") === col("n_pairs") && col("__mx") === 2).as("clusters_ok"))
+      }
     }),
 
     // FILTERED ANN — the retrieval-corpus query shape: top-k among
@@ -1681,8 +1687,11 @@ object SparkEntry {
       val pred = col("label") < 5
       val books = Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      // filteredIvfPqKnn returns a persisted, materialized frame (its own
+      // index intermediate is already unpersisted — graft.Lifecycle); the
+      // two references below hit that cache, and Verify/Bench clearCache it.
       val ann = Embeddings.filteredIvfPqKnn(e, pred, q, books, k = 5,
-        rerank = 50, nCentroids = 16, nProbe = 6).persist()
+        rerank = 50, nCentroids = 16, nProbe = 6)
       val filterOk = ann
         .join(e.select(col("vec_id").as("nid"), col("label")), Seq("nid"))
         .agg((count(lit(1)) === sum(when(col("label") < 5, 1).otherwise(0)))
@@ -1703,19 +1712,20 @@ object SparkEntry {
       val cl = Dedup.clusters(docs, "doc_id", "text", threshold = 0.9)
       val split = Training.hashSplit(
         docs.join(cl, Seq("doc_id")), "cluster_id")
-      val splitP = split.persist()
-      val checks = splitP.groupBy(col("cluster_id"))
-        .agg(countDistinct(col("split")).as("__n_splits"))
-        .agg(
-          (max(col("__n_splits")) === 1).as("purity_ok"),
-          count(lit(1)).as("n_clusters"))
-      val frac = splitP.agg(
-        count(lit(1)).as("n_docs"),
-        (sum(when(col("split") === "train", 1).otherwise(0))
-          .between(count(lit(1)) * 0.7, count(lit(1)) * 0.9)).as("train_frac_ok"))
-      frac.crossJoin(broadcast(checks))
-        .select(col("n_docs"), col("n_clusters"), col("purity_ok"),
-          col("train_frac_ok"))
+      Lifecycle.withMaterialized(split) {
+        val checks = split.groupBy(col("cluster_id"))
+          .agg(countDistinct(col("split")).as("__n_splits"))
+          .agg(
+            (max(col("__n_splits")) === 1).as("purity_ok"),
+            count(lit(1)).as("n_clusters"))
+        val frac = split.agg(
+          count(lit(1)).as("n_docs"),
+          (sum(when(col("split") === "train", 1).otherwise(0))
+            .between(count(lit(1)) * 0.7, count(lit(1)) * 0.9)).as("train_frac_ok"))
+        frac.crossJoin(broadcast(checks))
+          .select(col("n_docs"), col("n_clusters"), col("purity_ok"),
+            col("train_frac_ok"))
+      }
     }),
 
     // Robust standardization: (x − median) / (1.4826·MAD) — the

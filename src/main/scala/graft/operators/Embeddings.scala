@@ -206,6 +206,9 @@ object Embeddings {
     * also drops from the whole corpus to nProbe/nCentroids of it; next
     * to plain `ivfKnn` the probed cells stream m-byte codes, not
     * dims-float vectors.
+    *
+    * Returns a persisted, eagerly-materialized frame (k rows per query);
+    * the caller owns its one unpersist — see [[graft.Lifecycle]].
     */
   def ivfPqKnn(candidates: DataFrame, queries: DataFrame,
       books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], k: Int,
@@ -219,14 +222,18 @@ object Embeddings {
     // combinatorially (observed as a driver OOM). This mirrors the real
     // system too — an IVF-PQ index IS the stored materialization of
     // (cell, codes); at cluster scale this frame would be the persisted
-    // index table, written once and scanned per query batch.
+    // index table, written once and scanned per query batch. Lifecycle:
+    // the index frame is unpersisted once the (k×|queries|-row) result is
+    // materialized; the returned frame is the call's only cached artifact
+    // (see graft.Lifecycle).
     val compressed = pqEncode(candidates, books, vecCol, as = "__pq")
       .withColumn(vecCol, pqDecode(col("__pq"), books))
       .drop("__pq")
-      .persist()
-    val shortlist = Similarity.ivfKnn(compressed, queries, rerank,
-      nCentroids, nProbe, idCol, vecCol)
-    Similarity.rerankExact(shortlist, candidates, queries, k, idCol, vecCol)
+    graft.Lifecycle.withMaterialized(compressed) {
+      val shortlist = Similarity.ivfKnn(compressed, queries, rerank,
+        nCentroids, nProbe, idCol, vecCol)
+      Similarity.rerankExact(shortlist, candidates, queries, k, idCol, vecCol)
+    }
   }
 
   /** FILTERED IVF-PQ kNN — top-k among candidates satisfying a metadata
@@ -249,21 +256,29 @@ object Embeddings {
     * The exact re-rank joins raw vectors by shortlist id (all matching by
     * construction); the predicate re-applies there only as a pushed-down
     * scan guard.
+    *
+    * Returns a persisted, eagerly-materialized frame (k rows per query);
+    * the caller owns its one unpersist — see [[graft.Lifecycle]].
     */
   def filteredIvfPqKnn(candidates: DataFrame, predicate: Column,
       queries: DataFrame, books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
       k: Int, rerank: Int = 50, nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(rerank > k, s"filteredIvfPqKnn: rerank=$rerank must exceed k=$k")
+    // Same index-frame materialization (and lifecycle) as `ivfPqKnn`: the
+    // PQ-decoded frame is cached for the centroid sample + probe join, then
+    // unpersisted once the small result frame is materialized — the
+    // returned frame is the call's only cached artifact (graft.Lifecycle).
     val compressed = pqEncode(candidates, books, vecCol, as = "__pq")
       .withColumn(vecCol, pqDecode(col("__pq"), books))
       .drop("__pq")
-      .persist()
-    val centroids = Similarity.sampleCentroids(compressed, nCentroids, idCol, vecCol)
-    val shortlist = Similarity.ivfKnn(compressed.where(predicate), queries, rerank,
-      nCentroids, nProbe, idCol, vecCol,
-      precomputedCentroids = Some(centroids))
-    Similarity.rerankExact(shortlist, candidates.where(predicate), queries, k,
-      idCol, vecCol)
+    graft.Lifecycle.withMaterialized(compressed) {
+      val centroids = Similarity.sampleCentroids(compressed, nCentroids, idCol, vecCol)
+      val shortlist = Similarity.ivfKnn(compressed.where(predicate), queries, rerank,
+        nCentroids, nProbe, idCol, vecCol,
+        precomputedCentroids = Some(centroids))
+      Similarity.rerankExact(shortlist, candidates.where(predicate), queries, k,
+        idCol, vecCol)
+    }
   }
 }

@@ -1,8 +1,16 @@
 #!/usr/bin/env python3
 """Scaling-curve bench: run the dedup / ANN / stats query families at
-sf0.001 / sf0.01 / sf0.1 through graft.Bench (same warm-up + interleaved
+sf0.001 / 0.01 / 0.1 through graft.Bench (same warm-up + interleaved
 median-of-reps methodology as the per-round bench), fit a log-log slope
-per query, and emit SCALING.json.
+per query, emit SCALING.json, and RENDER the measured-scaling block in
+SCALE.md from the artifact — the prose is generated, so it cannot drift
+from the measurement.
+
+The steep full-rewrite family (STEEP below) additionally gets an sf1
+point: graft.MakeScaledData replicates the driver's sf0.1 tables 10×
+(disjoint key ranges, twin adjacency preserved — see its scaladoc) into
+/tmp/graft/sf1, extending those queries' curves a decade past the
+provided SFs.
 
 Interpretation: slope ~= d log(t) / d log(sf) over the measured range.
 Fixed per-query overhead (session jobs, planning, JIT) dominates at tiny
@@ -12,7 +20,11 @@ already dominates at these SFs and the query's 100 TB story deserves a
 second look. The per-SF times are in SCALING.json for inspection either
 way.
 
-Usage: python3 tools/scaling.py   (from the repo root; ~10 min)
+Usage:
+  python3 tools/scaling.py            # full run (~12 min), then render
+  python3 tools/scaling.py --no-sf1   # skip the sf1 stage
+  python3 tools/scaling.py --render   # re-render SCALE.md from the
+                                      # existing SCALING.json, no bench
 """
 import json
 import math
@@ -21,6 +33,7 @@ import subprocess
 import sys
 
 SFS = ["0.001", "0.01", "0.1"]
+SF1_DIR = "/tmp/graft/sf1"
 
 FAMILIES = {
     "dedup": ["x1_dedup_exact", "x2_dedup_minhash", "x3_dedup_simhash",
@@ -28,17 +41,27 @@ FAMILIES = {
               "x61_dedup_keep_best", "x86_substring_dedup",
               "x88_image_phash_neardup", "x89_strip_repeated",
               "x90_audio_fp_neardup", "x91_multimodal_dedup",
-              "x92_semantic_dedup"],
+              "x92_semantic_dedup", "x93_video_phash_neardup",
+              "x94_incremental_semantic_dedup"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
               "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
               "x79_robust_scale"],
 }
 
+# Steepest measured slopes = the full-output rewrites + the per-token
+# shingle passes + the audio decode; these get the extra sf1 decade.
+# Only queries reading lineitem/documents qualify (MakeScaledData scales
+# exactly those tables).
+STEEP = ["x62_winsorize", "x79_robust_scale", "x86_substring_dedup",
+         "x89_strip_repeated", "x90_audio_fp_neardup"]
 
-def bench_at(sf, names):
+BEGIN, END = "<!-- scaling:begin -->", "<!-- scaling:end -->"
+
+
+def bench_at(sf_dir, names):
     env = dict(os.environ,
-               SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
+               SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_ONLY=",".join(names),
                SPARK_GRAFT_REPS="3")
     subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
@@ -47,13 +70,13 @@ def bench_at(sf, names):
         return json.load(f)["queries"]
 
 
-def main():
-    names = [q for qs in FAMILIES.values() for q in qs]
-    times = {}
-    for sf in SFS:
-        print(f"[scaling] bench at sf{sf} ({len(names)} queries)...", flush=True)
-        for q, t in bench_at(sf, names).items():
-            times.setdefault(q, {})[sf] = t
+def make_sf1():
+    print("[scaling] building sf1 (10x sf0.1) at " + SF1_DIR, flush=True)
+    subprocess.run(["sbt", "-batch", "runMain graft.MakeScaledData"],
+                   check=True, capture_output=True, text=True)
+
+
+def fit_slopes(times):
     slopes = {}
     for q, ts in times.items():
         pts = [(math.log(float(sf)), math.log(t))
@@ -67,9 +90,94 @@ def main():
             slopes[q] = round(sxy / sxx, 3) if sxx else None
         else:
             slopes[q] = None
+    return slopes
+
+
+def render_block(data):
+    """The generated SCALE.md block: headline + per-family ranges + the
+    steepest tail, every number read from SCALING.json."""
+    slopes = {q: s for q, s in data["loglog_slope"].items() if s is not None}
+    fam = data["families"]
+    times = data.get("times_sec", {})
+    sup = sorted((q for q, s in slopes.items() if s > 1.0),
+                 key=lambda q: -slopes[q])
+    mx_q = max(slopes, key=lambda q: slopes[q])
+    out = []
+    if sup:
+        out.append("**SUPERLINEAR queries found — the 100 TB story of "
+                   + ", ".join(f"{q} (slope {slopes[q]})" for q in sup)
+                   + " needs a second look.**")
+    else:
+        out.append(f"**No query is superlinear over the measured range — "
+                   f"all {len(slopes)} measured queries sublinear, max "
+                   f"slope {slopes[mx_q]:.2f} ({mx_q}).**")
+    out.append("")
+    for f in ("dedup", "ann", "stats"):
+        qs = sorted((q for q in slopes if fam.get(q) == f),
+                    key=lambda q: slopes[q])
+        if not qs:
+            continue
+        out.append(f"- {f} ({len(qs)} queries): slopes "
+                   f"{slopes[qs[0]]:.3f} ({qs[0]}) to "
+                   f"{slopes[qs[-1]]:.3f} ({qs[-1]})")
+    out.append("")
+    out.append("Steepest five (the full-output / per-token passes whose "
+               "floor is linear-in-data):")
+    out.append("")
+    out.append("| query | slope | sf range | t(max sf) |")
+    out.append("|---|---|---|---|")
+    for q in sorted(slopes, key=lambda q: -slopes[q])[:5]:
+        ts = times.get(q, {})
+        sfs = sorted(ts, key=float) if ts else []
+        rng = f"{sfs[0]}–{sfs[-1]}" if sfs else "?"
+        tmax = f"{ts[sfs[-1]]:.2f} s" if sfs else "?"
+        out.append(f"| {q} | {slopes[q]:.3f} | {rng} | {tmax} |")
+    sf1_qs = sorted(q for q, ts in times.items() if "1" in ts)
+    if sf1_qs:
+        out.append("")
+        out.append(f"The sf1 decade (10×-replicated sf0.1, "
+                   f"{len(sf1_qs)} steep queries: {', '.join(sf1_qs)}) is "
+                   "included in those queries' fits — a slope that stays "
+                   "below 1 across THREE decades is the strongest "
+                   "empirical backing the local harness can give the "
+                   "linear-floor claim.")
+    return "\n".join(out)
+
+
+def render_scale_md(data, path="SCALE.md"):
+    with open(path) as f:
+        md = f.read()
+    if BEGIN not in md or END not in md:
+        print(f"[scaling] {path} has no {BEGIN} markers; skipping render")
+        return False
+    pre, rest = md.split(BEGIN, 1)
+    _, post = rest.split(END, 1)
+    with open(path, "w") as f:
+        f.write(pre + BEGIN + "\n" + render_block(data) + "\n" + END + post)
+    print(f"[scaling] rendered measured-scaling block into {path}")
+    return True
+
+
+def main():
+    if "--render" in sys.argv:
+        with open("SCALING.json") as f:
+            return 0 if render_scale_md(json.load(f)) else 1
+    names = [q for qs in FAMILIES.values() for q in qs]
+    times = {}
+    for sf in SFS:
+        print(f"[scaling] bench at sf{sf} ({len(names)} queries)...", flush=True)
+        for q, t in bench_at(f"/root/testdata/sf{sf}", names).items():
+            times.setdefault(q, {})[sf] = t
+    if "--no-sf1" not in sys.argv:
+        make_sf1()
+        print(f"[scaling] bench at sf1 ({len(STEEP)} steep queries)...",
+              flush=True)
+        for q, t in bench_at(SF1_DIR, STEEP).items():
+            times.setdefault(q, {})["1"] = t
+    slopes = fit_slopes(times)
     family_of = {q: f for f, qs in FAMILIES.items() for q in qs}
     out = {
-        "sfs": SFS,
+        "sfs": SFS + ([] if "--no-sf1" in sys.argv else ["1 (steep only)"]),
         "reps": 3,
         "times_sec": times,
         "loglog_slope": slopes,
@@ -83,6 +191,7 @@ def main():
                                         if s is not None), default=None)},
                      indent=2))
     print("[scaling] wrote SCALING.json")
+    render_scale_md(out)
     return 0
 
 
