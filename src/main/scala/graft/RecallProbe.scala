@@ -25,7 +25,19 @@ object RecallProbe {
         .join(brute.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
         .count()
       val b = brute.count()
-      println(s"[probe] $sf recall = $hits/$b = ${hits.toDouble / b}")
+      println(s"[probe] $sf x87 recall = $hits/$b = ${hits.toDouble / b}")
+      spark.catalog.clearCache()
+      // x95 stored-index serve, same construction as its declared query
+      val idx = s"/tmp/graft/probe_x95_$sf"
+      graft.operators.AnnIndex.write(e, books, idx, nCentroids = 16)
+      val ann95 = graft.operators.AnnIndex.knn(spark, idx, e, q, k = 5,
+        rerank = 50, nProbe = 6)
+      val brute95 = Similarity.bruteForceKnn(e, q, k = 5).persist()
+      val hits95 = ann95.select(col("qid"), col("nid"))
+        .join(brute95.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
+        .count()
+      val b95 = brute95.count()
+      println(s"[probe] $sf x95 recall = $hits95/$b95 = ${hits95.toDouble / b95}")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Num.roundz
 
 import graft.functions.TextStats
-import graft.operators.{Behavior, Dedup, Embeddings, Multimodal, Profile, Ranks, RelOps, Similarity, Stats, Temporal, Training, Transpose}
+import graft.operators.{AnnIndex, Behavior, Dedup, Embeddings, Multimodal, Profile, Ranks, RelOps, Similarity, Stats, Temporal, Training, Transpose}
 import graft.pipelines.Pipelines
 import graft.sources.Catalog
 import graft.streaming.EventsStream
@@ -1559,6 +1559,31 @@ object SparkEntry {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    // STORED ANN index — the index AS TABLES (AnnIndex): one write pass
+    // builds centroids/books/cell-PARTITIONED codes parquet; the serve is
+    // training-free (no Lloyd, no encode — the expensive work happened at
+    // write), reads the bounded quantizer+codebooks back, and scans ONLY
+    // the probed cell directories: the probe list is a static partition
+    // filter on the codes table (PlanSpec-pinned, the s9 mechanism applied
+    // to an ANN index). nProbe 6 of 16 cells → 6/16 of the codes on disk.
+    // Recall floor vs brute force set just under the measured margin
+    // (deterministic: stored quantizer/books, tie-broken ranks) — same
+    // contract family as x78/x87. Measured (RecallProbe): 0.475 / 0.475 /
+    // 0.25 at sf0.001/0.01/0.1, in line with the in-session unfiltered
+    // twin (x78 construction at the same nProbe 6 measures 0.30 at
+    // sf0.1) — floor 0.2 sits just under the weakest point.
+    "x95_stored_ann_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      val idx = s"/tmp/graft/x95_index_${dir.replaceAll("[^0-9.]", "")}"
+      AnnIndex.write(e, books, idx, nCentroids = 16)
+      val ann = AnnIndex.knn(s, idx, e, q, k = 5, rerank = 50, nProbe = 6)
+      annRecallCheck(ann, Similarity.bruteForceKnn(e, q, k = 5),
+        minRecall = 0.2)
+    }),
+
     // SEMANTIC dedup (SemDeDup shape): embedding-cosine near-dup pairs
     // (sign-LSH buckets, x10 machinery) → CC clusters → keep the min-id
     // member per cluster. Planted: exact copies of the first 50 vectors
@@ -2842,6 +2867,11 @@ object SparkEntry {
         |SELECT vec_id + 300000 FROM embeddings
         |  WHERE vec_id >= 50 AND vec_id < 60
         |ORDER BY vec_id""".stripMargin,
+    // shape contract like x78/x87: k results per query; recall_ok is the
+    // earned flag from the stored-index serve vs brute force
+    "x95_stored_ann_index" ->
+      """SELECT count(*) AS n_queries, 5 * count(*) AS n_results, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
     // survivors of semantic dedup = exactly the original id list: planted
     // exact copies (ids +100000) must each cluster with their source and
     // lose the min-id keep — earned from real LSH + cosine + CC

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIndex, Embeddings, RelOps, Similarity}
+
+class AnnIndexSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def trainedBooks = Embeddings.pqTrain(
+    RelOps.hashSample(embeddings, "vec_id", 0.5), m = 8, k = 16, iters = 2)
+
+  test("index tables round-trip: books and centroids read back exactly") {
+    val idx = "/tmp/graft/annindex_spec_rt"
+    val books = trainedBooks
+    AnnIndex.write(embeddings, books, idx, nCentroids = 8)
+    assert(AnnIndex.readBooks(spark, idx) == books)
+    val cents = AnnIndex.readCentroids(spark, idx)
+    assert(cents.map(_._1) == (0 until 8))
+    assert(cents == Similarity.sampleCentroids(embeddings, 8))
+  }
+
+  test("exhaustive serve (all cells probed, full rerank) equals brute force") {
+    // with every cell probed and the rerank wider than the corpus, the
+    // stored-index path degenerates to exact search — any deviation from
+    // bruteForceKnn means codes/cells/decode corrupted something
+    val idx = "/tmp/graft/annindex_spec_exact"
+    val corpus = embeddings.where(col("vec_id") < 200)
+    AnnIndex.write(corpus, trainedBooks, idx, nCentroids = 4)
+    val q = corpus.where(col("vec_id") < 3)
+    val got = AnnIndex.knn(spark, idx, corpus, q, k = 5, rerank = 300,
+        nProbe = 4)
+      .orderBy(col("qid"), col("rank")).collect()
+    val want = Similarity.bruteForceKnn(corpus, q, k = 5)
+      .orderBy(col("qid"), col("rank")).collect()
+    assert(got.length == want.length && got.length == 15)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1),
+        s"got $g want $w")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("serve scans only the probed cell partitions") {
+    val idx = "/tmp/graft/annindex_spec_prune"
+    AnnIndex.write(embeddings, trainedBooks, idx, nCentroids = 16)
+    val q = embeddings.where(col("vec_id") < 2)
+    val ann = AnnIndex.knn(spark, idx, embeddings, q, k = 3, rerank = 20,
+      nProbe = 3)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec    => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec       => scans(qs.plan)
+      // the serve result comes back persisted (Lifecycle) — the real plan
+      // lives behind the cache substitution
+      case m: InMemoryTableScanExec => scans(m.relation.cachedPlan)
+      case other                    => other.children.flatMap(scans)
+    }
+    val codesScan = scans(ann.queryExecution.executedPlan)
+      .find(_.toString.contains("codes.parquet"))
+      .getOrElse(fail("no codes.parquet scan in the serve plan"))
+    assert(codesScan.toString.contains("PartitionFilters"),
+      "probe list must bind as a partition filter")
+    val read = codesScan.metrics("numPartitions").value
+    // 2 queries × nProbe 3 probe at most 6 of the 16 cells — the scan must
+    // touch only those directories, never the whole index
+    assert(read > 0 && read <= 6,
+      s"expected <= 6 of 16 cell partitions read, got $read")
+    spark.catalog.clearCache()
+  }
+}
