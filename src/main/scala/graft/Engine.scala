@@ -24,6 +24,9 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // tolerance, not an assertion: lets TIMESTAMP(NANOS) files arrive as
+      // Long if the testdata unit flips back; inert for TIMESTAMP(MICROS).
+      // Catalog.normalizeTs dispatches on the arrived type either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

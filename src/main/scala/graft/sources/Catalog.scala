@@ -71,21 +71,29 @@ object Catalog {
   def csvAllStrings(spark: SparkSession, p: String): DataFrame =
     spark.read.option("header", "true").csv(p)
 
-  /** The `events` table ships with parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for (sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` to read it as Long).
-    * Normalize to microsecond TimestampType here so downstream operators see
-    * a real timestamp column.
+  /** Unit-robust `ts` normalizer, shared by the batch reader below and the
+    * streaming reader (`EventsStream`). The driver's testdata has shipped
+    * `events.ts` as parquet TIMESTAMP(NANOS) — which Spark reads as raw-nanos
+    * Long under `spark.sql.legacy.parquet.nanosAsLong=true` — and, since
+    * round 8, as TIMESTAMP(MICROS), which arrives as native TimestampType.
+    * Dispatch on the ARRIVED type so both (and any future unit flip back)
+    * normalize to microsecond TimestampType identically; batch and stream
+    * cannot drift because they call this one function.
     */
-  def events(spark: SparkSession, root: String): DataFrame = {
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    val raw = spark.read.parquet(path(root, "events"))
-    raw.schema("ts").dataType match {
+    df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+        df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case _ => df.withColumn(tsCol, col(tsCol).cast("timestamp"))
     }
   }
+
+  /** Batch scan of the `events` table with `ts` normalized via
+    * [[normalizeTs]] so downstream operators always see TimestampType.
+    */
+  def events(spark: SparkSession, root: String): DataFrame =
+    normalizeTs(spark.read.parquet(path(root, "events")))
 
   /** Driver testdata table names (TESTDATA.md). */
   val TestdataTables: Seq[String] = Seq(

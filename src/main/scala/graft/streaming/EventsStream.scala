@@ -30,20 +30,38 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events schema as streamed from parquet (ts raw nanos — the testdata is
-    * written with parquet TIMESTAMP(NANOS); sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong`, so it arrives as Long).
+  /** events schema as streamed from parquet, parameterized on the `ts`
+    * physical unit: TIMESTAMP(MICROS) files arrive as native TimestampType;
+    * TIMESTAMP(NANOS) files (read under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) arrive as raw-nanos Long.
+    * The driver's testdata has shipped BOTH units across rounds, so the
+    * streaming source must not hard-code either.
     */
-  val schema: StructType = StructType(Seq(
+  def schema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Pick the streaming schema by inspecting the directory's parquet footer
+    * with a throwaway BATCH read (schema resolution only — no data scan, no
+    * job). `readStream` needs the schema up front, so this is the streaming
+    * equivalent of `Catalog.events`' arrived-type dispatch.
+    */
+  def schemaFor(spark: SparkSession, dir: String): StructType =
+    schema(spark.read.parquet(dir).schema("ts").dataType match {
+      case LongType => LongType
+      case _ => TimestampType
+    })
+
+  /** Normalize `ts` to TimestampType — the SAME dispatcher the batch reader
+    * uses (`Catalog.normalizeTs`), so batch and stream cannot drift on the
+    * timestamp unit.
+    */
   def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Catalog.normalizeTs(df)
 
   /** Tumbling 1-hour counts + value sums per event type. */
   def hourlyCounts(events: DataFrame): DataFrame =
@@ -57,7 +75,7 @@ object EventsStream {
     * into one). State is bounded by the 2h watermark at any input rate.
     */
   def hourlyCountsStream(spark: SparkSession, dir: String): DataFrame = {
-    val src = spark.readStream.schema(schema)
+    val src = spark.readStream.schema(schemaFor(spark, dir))
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
     normalize(src)

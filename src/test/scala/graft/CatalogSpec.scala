@@ -166,6 +166,39 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.table(spark, root, "ct").count() === 10000)
   }
 
+  test("testdata-drift tripwire: events timestamps land in-era, batch AND streaming schema") {
+    // Round 8 regression, caught only by a streamed-vs-batch set diff: the
+    // driver flipped events.ts from TIMESTAMP(NANOS) to TIMESTAMP(MICROS)
+    // and the streaming path's hard-coded nanos schema put every window in
+    // 1970. This pins the symptom BY NAME at every shipped SF: whatever the
+    // file unit, both read paths must land in the data's era (2020-2030).
+    import graft.streaming.EventsStream
+    val eraLo = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val eraHi = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    Seq("0.001", "0.01", "0.1").map(sf => s"/root/testdata/sf$sf").foreach { dir =>
+      // batch path (Catalog.events → normalizeTs)
+      val b = Catalog.events(spark, dir)
+        .agg(min($"ts"), max($"ts"))
+        .collect().head
+      assert(!b.getTimestamp(0).before(eraLo) && b.getTimestamp(1).before(eraHi),
+        s"batch events ts out of era at $dir: $b")
+      // streaming path: the exact schema readStream would use, plus the
+      // shared normalizer — exercised via an equivalent batch read so the
+      // assertion stays cheap (no stream machinery; same schema+normalize)
+      val streamed = EventsStream.normalize(
+        spark.read.schema(EventsStream.schemaFor(spark, s"$dir/events.parquet"))
+          .parquet(s"$dir/events.parquet"))
+      val s = streamed.agg(min($"ts"), max($"ts")).collect().head
+      assert(!s.getTimestamp(0).before(eraLo) && s.getTimestamp(1).before(eraHi),
+        s"streaming-schema events ts out of era at $dir: $s")
+    }
+    // and the normalizer itself stays unit-robust if nanos-as-Long returns
+    val nanos = Seq((1L, 1704067200000000000L)).toDF("event_id", "ts")
+    val normed = Catalog.normalizeTs(nanos).select($"ts").collect().head.getTimestamp(0)
+    assert(normed === java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      s"nanos-Long normalization broken: $normed")
+  }
+
   test("fanOut feeds multiple sinks from one cached source") {
     val root = Files.createTempDirectory("graft-fan").toString
     val src = (1L to 10L).toDF("id")

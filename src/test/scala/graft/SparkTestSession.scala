@@ -11,6 +11,9 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
+      // tolerance, not an assertion: lets TIMESTAMP(NANOS) files arrive as
+      // Long if the testdata unit flips back; inert for TIMESTAMP(MICROS).
+      // Catalog.normalizeTs dispatches on the arrived type either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
       .config("spark.ui.enabled", "false")
