@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] packs 32 executor threads + the driver into ONE heap; at the
+  // old 8g default that is ~140 MB of execution+storage memory per task —
+  // media-decode and LSH queries spent whole reps in GC (the round-8 bench
+  // stalls: 206 s for a 5 s query). The box has 128 GiB; give the shared
+  // JVM a cluster-credible slice of it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

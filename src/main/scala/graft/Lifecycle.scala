@@ -42,9 +42,15 @@ import org.apache.spark.storage.StorageLevel
   *     is unaffected, the cost is a re-run of that partition's pipeline.
   *
   * At cluster scale the eager `count()` is deliberately cheap relative to
-  * `body`: every wrapped site returns either a bounded aggregate (recall
-  * flags, pair counts) or a frame no larger than one pass over the input —
-  * the materialization job IS the operator's action, done once.
+  * `body`: every `withMaterialized` site returns a BOUNDED aggregate
+  * (recall flags, pair counts, top-k) — the materialization job IS the
+  * operator's action, done once. Sites whose result is corpus-sized and
+  * consumed exactly once use [[withCachedInputs]] instead: eagerly
+  * persisting + `count()`ing a frame the caller will only ever read once
+  * adds a full extra action and floods the executor heap with cached
+  * blocks that exist only to be evicted (the round-8 bench regression:
+  * x82's full doc×cluster output cached under local[32]'s shared heap
+  * evicted its own input cache mid-plan).
   */
 object Lifecycle {
   def withMaterialized(inputs: DataFrame*)(body: => DataFrame): DataFrame = {
@@ -55,5 +61,32 @@ object Lifecycle {
     out.count()
     owned.foreach(_.unpersist(false))
     out
+  }
+
+  /** Lazy sibling of [[withMaterialized]] for corpus-sized, SINGLE-consumer
+    * results (the declared-query shape: the harness runs exactly one
+    * action on the returned frame, then `clearCache()`s).
+    *
+    * Persists the inputs — the body's plan references each one repeatedly,
+    * and the caller's one action populates their cache on first reference
+    * and hits it on the rest — but does NOT persist or materialize the
+    * result: no extra action, no corpus-sized cache blocks.
+    *
+    * Contract difference from `withMaterialized`: the INPUT caches outlive
+    * the call (they must — the result hasn't been computed yet when we
+    * return). Ownership passes to the caller: the declared query surface
+    * discharges it via `Verify`/`Bench`'s per-query `clearCache()`;
+    * library callers composing operators should do the same (or
+    * `unpersist()` the inputs) after consuming the result.
+    */
+  def withCachedInputs(inputs: DataFrame*)(body: => DataFrame): DataFrame = {
+    val owned = inputs.filter(_.storageLevel == StorageLevel.NONE)
+    owned.foreach(_.persist())
+    // eager: a lazily-persisted input referenced by two PARALLEL downstream
+    // stages of the caller's one job can be computed twice (both stages
+    // race on the uncached partitions); one count() runs the shared pass
+    // exactly once before anything forks off it
+    owned.foreach(_.count())
+    body
   }
 }

@@ -404,7 +404,7 @@ object SparkEntry {
       // would each execute twice
       val marked = truth.join(sim, Seq("a", "b"), "left")
         .withColumn("__found", coalesce(col("__f"), lit(false)))
-      Lifecycle.withMaterialized(marked) {
+      Lifecycle.withCachedInputs(marked) {
         val rec = marked.agg(
           (sum(when(col("__found"), 1).otherwise(0)) >= count(lit(1)) * 0.4)
             .as("simhash_recall_ok"))
@@ -1066,7 +1066,7 @@ object SparkEntry {
     "x82_cluster_keep_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cl = Dedup.clusters(docs, "doc_id", "text", threshold = 0.9)
-      Lifecycle.withMaterialized(cl) {
+      Lifecycle.withCachedInputs(cl) {
         Dedup.dedupKeepBest(docs, "doc_id", "text", "n_chars", threshold = 0.9,
             precomputedClusters = Some(cl))
           .join(cl, Seq("doc_id"))
@@ -1424,7 +1424,7 @@ object SparkEntry {
       // persisted: scd2Merge reads `existing` three times (anti, semi, max)
       val existing = Temporal.scd2(ev.where(col("ts") < cut),
           Seq("user_id"), "ts", Seq("event_type"), tieBreak = Seq("event_id"))
-      Lifecycle.withMaterialized(existing) {
+      Lifecycle.withCachedInputs(existing) {
         Temporal.scd2Merge(existing, ev.where(col("ts") >= cut),
             Seq("user_id"), "ts", Seq("event_type"), tieBreak = Seq("event_id"))
           .select(col("user_id"), col("event_type"), col("eff_from"),
@@ -1517,7 +1517,9 @@ object SparkEntry {
       val hashes = Multimodal.imageHashes(assets).where(col("decoded"))
       val pairs = Dedup.hammingPairs(hashes, "asset_id", "phash",
         maxDist = 3, bands = 4)
-      Lifecycle.withMaterialized(pairs) {
+      // hashes is cached too: the body's n_assets count would otherwise
+      // re-run the whole synthesize+decode pipeline a second time
+      Lifecycle.withMaterialized(hashes, pairs) {
         val cl = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
         val clusterStats = cl.groupBy(col("label")).agg(count(lit(1)).as("__sz"))
           .agg(count(lit(1)).as("__ncl"), max(col("__sz")).as("__mx"))
@@ -1649,7 +1651,9 @@ object SparkEntry {
       val hashes = Multimodal.videoHashes(assets).where(col("decoded"))
       val pairs = Dedup.hammingPairs(hashes, "asset_id", "vhash",
         maxDist = 3, bands = 4)
-      Lifecycle.withMaterialized(pairs) {
+      // hashes is cached too: the body's n_assets count would otherwise
+      // re-run the whole synthesize+decode pipeline a second time
+      Lifecycle.withMaterialized(hashes, pairs) {
         val cl = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
         val clusterStats = cl.groupBy(col("label")).agg(count(lit(1)).as("__sz"))
           .agg(count(lit(1)).as("__ncl"), max(col("__sz")).as("__mx"))
@@ -1677,7 +1681,9 @@ object SparkEntry {
       val hashes = Multimodal.audioHashes(assets).where(col("decoded"))
       val pairs = Dedup.hammingPairs(hashes, "asset_id", "ahash",
         maxDist = 3, bands = 4)
-      Lifecycle.withMaterialized(pairs) {
+      // hashes is cached too: the body's n_assets count would otherwise
+      // re-run the whole synthesize+decode pipeline a second time
+      Lifecycle.withMaterialized(hashes, pairs) {
         val cl = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
         val clusterStats = cl.groupBy(col("label")).agg(count(lit(1)).as("__sz"))
           .agg(count(lit(1)).as("__ncl"), max(col("__sz")).as("__mx"))

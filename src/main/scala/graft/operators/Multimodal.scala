@@ -79,11 +79,32 @@ object Multimodal {
     * anything ImageIO can't parse (including non-image payloads). The
     * in-memory stream keeps executors off ImageIO's tmp-file cache.
     */
+  /** `ImageIO.read` walks the plugin registry and instantiates a fresh
+    * reader per call — measurable when a video query decodes tens of JPEG
+    * frames per asset. JPEG payloads (SOI-sniffed) reuse one reader per
+    * executor thread instead; everything else keeps the generic path.
+    * ImageReader is not thread-safe, hence the ThreadLocal; a reader that
+    * throws is dropped (next call builds a fresh one) so no corrupted
+    * state survives a bad payload.
+    */
+  private val jpegReaderTl: ThreadLocal[javax.imageio.ImageReader] =
+    ThreadLocal.withInitial(() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next())
+
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try {
       javax.imageio.ImageIO.setUseCache(false)
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    } catch { case scala.util.control.NonFatal(_) => None }
+      if (bytes.length > 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) {
+        val reader = jpegReaderTl.get()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, true, true)
+          Option(reader.read(0))
+        } finally iis.close()
+      } else
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    } catch { case scala.util.control.NonFatal(_) => jpegReaderTl.remove(); None }
 
   /** Real pixel features from a decoded image:
     * [meanR, meanG, meanB, meanLuma, luma histogram over dims-4 bins...],
@@ -583,21 +604,34 @@ object Multimodal {
     * DC quantization to within a couple of luma levels, which is what makes
     * the decoded mean checkable against `frameGray`.
     */
-  def synthJpeg(gray: Int, w: Int = 16, h: Int = 16): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val rgb = (gray << 16) | (gray << 8) | gray
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.setUseCache(false)
-    javax.imageio.ImageIO.write(img, "jpg", bos)
-    bos.toByteArray
-  }
+  /** Solid-gray JPEG frames are fully determined by (gray, w, h) — 256
+    * grays × 2 frame sizes in practice — while a video asset EMITS tens of
+    * them, so the per-executor memo turns frame synthesis from the dominant
+    * ImageIO-encode cost of the video queries into an array copy. The memo
+    * is synthesis-side only (test-payload fabrication); decode stays a real
+    * per-frame JPEG parse. Entries are treated as immutable: every consumer
+    * (`aviContainer`'s buffer put) copies out of the shared array.
+    */
+  private val jpegMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Byte]]()
+
+  def synthJpeg(gray: Int, w: Int = 16, h: Int = 16): Array[Byte] =
+    jpegMemo.computeIfAbsent((gray, w, h), { key =>
+      val (g, kw, kh) = key
+      val img = new java.awt.image.BufferedImage(
+        kw, kh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < kh) {
+        var x = 0
+        while (x < kw) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.setUseCache(false)
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    })
 
   /** Deterministic MJPEG-in-AVI payload: a real RIFF/AVI container (hdrl
     * with avih + one 'vids'/'MJPG' stream, movi with one '00dc' JPEG chunk
