@@ -19,7 +19,7 @@ object RecallProbe {
       val books = Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
       val ann = Embeddings.filteredIvfPqKnn(e, pred, q, books, k = 5,
-        rerank = 50, nCentroids = 16, nProbe = 6).persist()
+        rerank = 150, nCentroids = 16, nProbe = 6, trainIters = 4, spill = 2).persist()
       val brute = Similarity.bruteForceKnn(e.where(pred), q, k = 5).persist()
       val hits = ann.select(col("qid"), col("nid"))
         .join(brute.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
@@ -29,15 +29,34 @@ object RecallProbe {
       spark.catalog.clearCache()
       // x95 stored-index serve, same construction as its declared query
       val idx = s"/tmp/graft/probe_x95_$sf"
-      graft.operators.AnnIndex.write(e, books, idx, nCentroids = 16)
+      graft.operators.AnnIndex.write(e, books, idx, nCentroids = 16,
+        trainIters = 4, spill = 2)
       val ann95 = graft.operators.AnnIndex.knn(spark, idx, e, q, k = 5,
-        rerank = 50, nProbe = 6)
+        rerank = 150, nProbe = 6)
       val brute95 = Similarity.bruteForceKnn(e, q, k = 5).persist()
       val hits95 = ann95.select(col("qid"), col("nid"))
         .join(brute95.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
         .count()
       val b95 = brute95.count()
       println(s"[probe] $sf x95 recall = $hits95/$b95 = ${hits95.toDouble / b95}")
+      spark.catalog.clearCache()
+      // x96 append-then-serve, same construction as its declared query
+      val base = e.where(col("vec_id") % 10 =!= 0)
+      val batch = e.where(col("vec_id") % 10 === 0)
+      val books96 = Embeddings.pqTrain(
+        RelOps.hashSample(base, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      val idx96 = s"/tmp/graft/probe_x96_$sf"
+      graft.operators.AnnIndex.write(base, books96, idx96, nCentroids = 16,
+        trainIters = 4, spill = 2)
+      graft.operators.AnnIndex.append(spark, idx96, batch, spill = 2)
+      val ann96 = graft.operators.AnnIndex.knn(spark, idx96, e, q, k = 5,
+        rerank = 150, nProbe = 6)
+      val brute96 = Similarity.bruteForceKnn(e, q, k = 5).persist()
+      val hits96 = ann96.select(col("qid"), col("nid"))
+        .join(brute96.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
+        .count()
+      val b96 = brute96.count()
+      println(s"[probe] $sf x96 recall = $hits96/$b96 = ${hits96.toDouble / b96}")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -42,14 +42,28 @@ object AnnIndex {
   /** Build + write the index tables. One pass over `candidates` computes
     * each vector's cell (nearest stored centroid) and PQ codes; the codes
     * land partitioned by cell so serves prune at the directory level.
+    *
+    * `trainIters > 0` trains the quantizer with that many spherical
+    * k-means rounds instead of the hash-order sample — trained cells
+    * follow the corpus's direction clusters, a per-index cost amortized
+    * over every serve. `spill > 1` writes each vector into its `spill`
+    * nearest cells (index grows spill×): boundary vectors stay reachable
+    * from their second-closest cell, which is where a single-assignment
+    * IVF loses recall at low nProbe. The serve side collapses the
+    * resulting duplicate (qid, nid) pairs.
     */
   def write(candidates: DataFrame,
       books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], dir: String,
-      nCentroids: Int = 16,
+      nCentroids: Int = 16, trainIters: Int = 0, spill: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(spill >= 1, s"AnnIndex.write: spill=$spill must be >= 1")
     val spark = candidates.sparkSession
     import spark.implicits._
-    val centroids = Similarity.sampleCentroids(candidates, nCentroids, idCol, vecCol)
+    val centroids =
+      if (trainIters > 0)
+        Similarity.kmeansCentroids(candidates, nCentroids, trainIters, idCol, vecCol)
+          .toIndexedSeq.zipWithIndex.map { case (cv, i) => (i, cv) }
+      else Similarity.sampleCentroids(candidates, nCentroids, idCol, vecCol)
     centroids.map { case (i, v) => (i, v) }.toDF("cell", "centroid")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
@@ -58,11 +72,47 @@ object AnnIndex {
     }.toDF("sub", "code", "centroid")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/books.parquet")
-    Embeddings.pqEncode(candidates, books, vecCol, as = "pq")
-      .withColumn("cell", element_at(
-        Similarity.centroidRanks(asDouble(col(vecCol)), centroids), 1))
-      .select(col(idCol), col("pq"), col("cell"))
+    encodeAssign(candidates, books, centroids, spill, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes.parquet")
+  }
+
+  /** (id, pq, cell) rows for a vector frame against a FROZEN quantizer +
+    * codebooks — the one shared encode step of `write` and `append`, so
+    * build-time and append-time assignment can never drift.
+    */
+  private def encodeAssign(vectors: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      centroids: Seq[(Int, Seq[Double])], spill: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val encoded = Embeddings.pqEncode(vectors, books, vecCol, as = "pq")
+    val ranks = Similarity.centroidRanks(asDouble(col(vecCol)), centroids)
+    val withCell =
+      if (spill == 1) encoded.withColumn("cell", element_at(ranks, 1))
+      else encoded.withColumn("cell",
+        explode(slice(graft.functions.Staging.pin(ranks), 1, spill)))
+    withCell.select(col(idCol), col("pq"), col("cell"))
+  }
+
+  /** INCREMENTAL maintenance: append a vector batch to the stored index
+    * WITHOUT retraining — the steady-state ingest path of a serving
+    * corpus. The quantizer and codebooks are read back FROZEN (so every
+    * existing code stays valid and serve-side cell planning is
+    * unchanged); the batch is PQ-encoded and cell-assigned through the
+    * exact same expressions as the original build (shared `encodeAssign`,
+    * same `spill` the index was built with), and its rows land as new
+    * files inside the existing cell directories (dynamic-partition
+    * append — untouched cells gain no files). Cost is one narrow map
+    * over the BATCH: nothing rescans or rewrites the existing corpus,
+    * which is the whole point at 100 TB.
+    */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+      spill: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = readCentroids(spark, dir)
+    val books = readBooks(spark, dir)
+    encodeAssign(batch, books, centroids, spill, idCol, vecCol)
+      .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/codes.parquet")
   }
 
@@ -111,12 +161,16 @@ object AnnIndex {
       .withColumn("cvec", asDouble(Embeddings.pqDecode(col("pq"), books)))
       .select(col(idCol).as("nid"), col("cell"), col("cvec"),
         sqrt(Similarity.dot(col("cvec"), col("cvec"))).as("cn"))
+    // a spill-built index holds a vector in several cells: overlapping
+    // probes then surface the same (qid, nid) more than once — collapse
+    // before ranking (the duplicates carry identical sims)
     val scored = decoded.join(probed, Seq("cell"))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         when(col("cn") * col("qn") === 0, lit(0.0d))
           .otherwise(Similarity.dot(col("qvec"), col("cvec"))
             / (col("cn") * col("qn"))).as("sim"))
+      .dropDuplicates("qid", "nid")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     val shortlist = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= rerank)

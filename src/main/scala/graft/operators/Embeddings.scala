@@ -244,7 +244,13 @@ object Embeddings {
     *     corpus exactly as `ivfPqKnn` builds them (the persisted frame IS
     *     the index table), so differently-filtered searches reuse one
     *     index instead of re-training per filter — and the centroid set is
-    *     pinned via `precomputedCentroids` so the filter cannot move it;
+    *     pinned via `precomputedCentroids` so the filter cannot move it.
+    *     The quantizer is TRAINED (spherical k-means over the decoded
+    *     index frame, `trainIters` rounds) rather than hash-sampled:
+    *     trained cells follow the corpus's direction clusters, so the
+    *     same nProbe recovers measurably more true neighbors — the
+    *     training cost is per-index, amortized across every filtered
+    *     search that reuses it;
     *   - the predicate prunes the INVERTED LISTS (a filter on the index
     *     frame UNDER the cell-probe join — plan-pinned), not the top-k
     *     output. Post-filtering an unfiltered top-k under-returns exactly
@@ -263,6 +269,7 @@ object Embeddings {
   def filteredIvfPqKnn(candidates: DataFrame, predicate: Column,
       queries: DataFrame, books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
       k: Int, rerank: Int = 50, nCentroids: Int = 16, nProbe: Int = 4,
+      trainIters: Int = 4, spill: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(rerank > k, s"filteredIvfPqKnn: rerank=$rerank must exceed k=$k")
     // Same index-frame materialization (and lifecycle) as `ivfPqKnn`: the
@@ -273,10 +280,14 @@ object Embeddings {
       .withColumn(vecCol, pqDecode(col("__pq"), books))
       .drop("__pq")
     graft.Lifecycle.withMaterialized(compressed) {
-      val centroids = Similarity.sampleCentroids(compressed, nCentroids, idCol, vecCol)
+      val centroids =
+        if (trainIters > 0)
+          Similarity.kmeansCentroids(compressed, nCentroids, trainIters, idCol, vecCol)
+            .toIndexedSeq.zipWithIndex.map { case (cv, i) => (i, cv) }
+        else Similarity.sampleCentroids(compressed, nCentroids, idCol, vecCol)
       val shortlist = Similarity.ivfKnn(compressed.where(predicate), queries, rerank,
         nCentroids, nProbe, idCol, vecCol,
-        precomputedCentroids = Some(centroids))
+        precomputedCentroids = Some(centroids), spill = spill)
       Similarity.rerankExact(shortlist, candidates.where(predicate), queries, k,
         idCol, vecCol)
     }

@@ -338,7 +338,9 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainIters: Int = 0,
-      precomputedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+      precomputedCentroids: Option[Seq[(Int, Seq[Double])]] = None,
+      spill: Int = 1): DataFrame = {
+    require(spill >= 1, s"ivfKnn: spill=$spill must be >= 1")
     val d = dotFor(candidates)
     val c = candidates.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cvec"))
       .withColumn("cn", sqrt(d(col("cvec"), col("cvec"))))
@@ -351,19 +353,31 @@ object Similarity {
       else sampleCentroids(candidates, nCentroids, idCol, vecCol)
     }
 
-    val assigned = c.withColumn("cell",
-      element_at(centroidRanks(col("cvec"), centroids, d), 1))
+    // spill > 1 = multi-cell assignment: a candidate lands in its `spill`
+    // nearest inverted lists (index grows spill×), so boundary vectors —
+    // the ones a single-cell IVF loses at low nProbe — stay reachable
+    // from their second-closest cell too. Duplicate (qid, nid) pairs from
+    // overlapping probes collapse before ranking.
+    val assigned =
+      if (spill == 1)
+        c.withColumn("cell",
+          element_at(centroidRanks(col("cvec"), centroids, d), 1))
+      else
+        c.withColumn("cell", explode(slice(
+          graft.functions.Staging.pin(centroidRanks(col("cvec"), centroids, d)),
+          1, spill)))
     val probed = queries
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
       .withColumn("qn", sqrt(d(col("qvec"), col("qvec"))))
       .withColumn("__ranks", centroidRanks(col("qvec"), centroids, d))
       .withColumn("cell", explode(slice(graft.functions.Staging.pin(col("__ranks")), 1, nProbe)))
       .drop("__ranks")
-    val scored = assigned.join(probed, Seq("cell"))
+    val joined = assigned.join(probed, Seq("cell"))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         when(col("cn") * col("qn") === 0, lit(0.0d))
           .otherwise(d(col("qvec"), col("cvec")) / (col("cn") * col("qn"))).as("sim"))
+    val scored = if (spill == 1) joined else joined.dropDuplicates("qid", "nid")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -44,6 +44,42 @@ class AnnIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("append without retraining: frozen quantizer, merged index = brute force") {
+    // build on 90% of a small corpus with spill 2, append the held-out 10%:
+    // the quantizer/books must not move (frozen on disk), the id set must
+    // cover the whole corpus, and an exhaustive serve (all cells, corpus-
+    // wide rerank) must equal brute force over the FULL corpus — i.e. the
+    // appended vectors are first-class index residents, and the spill
+    // duplicates collapse instead of double-counting a neighbor
+    val idx = "/tmp/graft/annindex_spec_append"
+    val corpus = embeddings.where(col("vec_id") < 200)
+    val base = corpus.where(col("vec_id") % 10 =!= 0)
+    val batch = corpus.where(col("vec_id") % 10 === 0)
+    val books = trainedBooks
+    AnnIndex.write(base, books, idx, nCentroids = 4, trainIters = 2, spill = 2)
+    val centsBefore = AnnIndex.readCentroids(spark, idx)
+    AnnIndex.append(spark, idx, batch, spill = 2)
+    assert(AnnIndex.readCentroids(spark, idx) == centsBefore,
+      "append must not move the stored quantizer")
+    assert(AnnIndex.readBooks(spark, idx) == books,
+      "append must not move the stored codebooks")
+    val indexed = spark.read.parquet(s"$idx/codes.parquet")
+      .select(col("vec_id")).distinct().count()
+    assert(indexed == corpus.count(), "index id set must cover the corpus")
+    val q = corpus.where(col("vec_id") < 3)
+    val got = AnnIndex.knn(spark, idx, corpus, q, k = 5, rerank = 500,
+        nProbe = 4)
+      .orderBy(col("qid"), col("rank")).collect()
+    val want = Similarity.bruteForceKnn(corpus, q, k = 5)
+      .orderBy(col("qid"), col("rank")).collect()
+    assert(got.length == want.length && got.length == 15)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1),
+        s"got $g want $w")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("serve scans only the probed cell partitions") {
     val idx = "/tmp/graft/annindex_spec_prune"
     AnnIndex.write(embeddings, trainedBooks, idx, nCentroids = 16)

@@ -78,6 +78,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf === again)
   }
 
+  test("ivfKnn spill: exhaustive probes = brute force, partial probes never lose recall") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .where($"vec_id" < 300)
+    val q = e.where($"vec_id" < 6)
+    val brute = Similarity.bruteForceKnn(e, q, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // all cells probed: the spilled duplicates must collapse, not shadow a
+    // distinct neighbor out of the top-k — result is exactly brute force
+    val exhaustive = Similarity.ivfKnn(e, q, k = 5, nCentroids = 4, nProbe = 4,
+        spill = 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(exhaustive === brute)
+    // partial probes: the spill-2 inverted lists contain every spill-1 list,
+    // so recall can only go up
+    def recallAt(spill: Int): Double = {
+      val got = Similarity.ivfKnn(e, q, k = 5, nCentroids = 8, nProbe = 2,
+          spill = spill)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    assert(recallAt(2) >= recallAt(1))
+  }
+
   test("kmeansCentroids recovers planted direction clusters") {
     // three tight blobs around orthogonal axes in 4-d
     val rnd = new scala.util.Random(7)

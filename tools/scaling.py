@@ -44,7 +44,8 @@ FAMILIES = {
               "x92_semantic_dedup", "x93_video_phash_neardup",
               "x94_incremental_semantic_dedup"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
-              "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann"],
+              "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann",
+              "x95_stored_ann_index", "x96_stored_index_append"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
               "x79_robust_scale"],
 }
