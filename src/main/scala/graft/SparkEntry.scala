@@ -1622,6 +1622,24 @@ object SparkEntry {
         .crossJoin(broadcast(appendedOk))
     }),
 
+    // BALANCED SHARDS (x97) — the shard-writer contract: a deterministic
+    // seeded corpus shuffle with EXACTLY balanced shard sizes (±1, the
+    // low shards carry the remainder), via the distributed two-pass rank
+    // (range-partition on the hash, local row_number, bounded per-
+    // partition offsets — no single-partition window anywhere). The
+    // oracle replays the arithmetic: with n docs dealt round-robin in
+    // hash order, shard s holds n/16 (+1 if s < n mod 16) rows — exact
+    // counts, not an expectation, which is precisely what hash(key) mod k
+    // CANNOT promise. Membership itself is seeded-hash order (not SQL-
+    // replayable); balance and totals are.
+    "x97_balanced_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Training.balancedShards(docs, "doc_id", nShards = 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("shard"))
+    }),
+
     // SEMANTIC dedup (SemDeDup shape): embedding-cosine near-dup pairs
     // (sign-LSH buckets, x10 machinery) → CC clusters → keep the min-id
     // member per cluster. Planted: exact copies of the first 50 vectors
@@ -2924,6 +2942,15 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, 5 * count(*) AS n_results, TRUE AS recall_ok,
         |       TRUE AS appended_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // exact balance is SQL arithmetic: n docs dealt round-robin over 16
+    // shards -> shard s holds n//16 + (s < n%16) rows
+    "x97_balanced_shards" ->
+      """SELECT CAST(t.shard AS INTEGER) AS shard,
+        |       (SELECT count(*) FROM documents) // 16
+        |         + CASE WHEN t.shard < (SELECT count(*) FROM documents) % 16
+        |                THEN 1 ELSE 0 END AS n_docs
+        |FROM generate_series(0, 15) AS t(shard)
+        |ORDER BY shard""".stripMargin,
     // survivors of semantic dedup = exactly the original id list: planted
     // exact copies (ids +100000) must each cluster with their source and
     // lose the min-id keep — earned from real LSH + cosine + CC

@@ -86,11 +86,12 @@ object AnnIndex {
       centroids: Seq[(Int, Seq[Double])], spill: Int,
       idCol: String, vecCol: String): DataFrame = {
     val encoded = Embeddings.pqEncode(vectors, books, vecCol, as = "pq")
-    val ranks = Similarity.centroidRanks(asDouble(col(vecCol)), centroids)
     val withCell =
-      if (spill == 1) encoded.withColumn("cell", element_at(ranks, 1))
+      if (spill == 1) encoded.withColumn("cell",
+        Similarity.nearestCentroid(asDouble(col(vecCol)), centroids))
       else encoded.withColumn("cell",
-        explode(slice(graft.functions.Staging.pin(ranks), 1, spill)))
+        explode(slice(graft.functions.Staging.pin(
+          Similarity.centroidRanks(asDouble(col(vecCol)), centroids)), 1, spill)))
     withCell.select(col(idCol), col("pq"), col("cell"))
   }
 

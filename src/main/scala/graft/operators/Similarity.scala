@@ -256,14 +256,8 @@ object Similarity {
     require(cents.nonEmpty, s"kmeansCentroids: no non-empty '$vecCol' vectors")
     val v = df.select(asDouble(col(vecCol)).as("vec")).where(size(col("vec")) > 0)
     for (_ <- 1 to iters) {
-      val scoredCells = array(cents.zipWithIndex.map { case (cv, i) =>
-        struct(d(col("vec"), typedLit(cv)).as("s"), lit(i).as("idx"))
-      }: _*)
-      val cell = element_at(transform(array_sort(scoredCells, (a, b) =>
-        when(a.getField("s") > b.getField("s"), -1)
-          .when(a.getField("s") < b.getField("s"), 1)
-          .otherwise(a.getField("idx") - b.getField("idx"))),
-        x => x.getField("idx")), 1)
+      val cell = nearestCentroid(col("vec"),
+        cents.zipWithIndex.map { case (cv, i) => (i, cv) }, d)
       val sums = v.withColumn("cell", cell)
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
@@ -317,6 +311,24 @@ object Similarity {
       x => x.getField("idx"))
   }
 
+  /** argmax_i dot(vec, c_i) as a single fold over the scored centroids —
+    * the top-1 special case of [[centroidRanks]] with the IDENTICAL tie
+    * rule (lowest idx wins), without materializing and sorting the full
+    * score array: O(k) comparisons instead of O(k log k) struct sorts,
+    * per row. Used everywhere only the nearest cell matters (k-means
+    * assignment, spill-1 index assignment, streaming ingest).
+    */
+  def nearestCentroid(vec: Column, centroids: Seq[(Int, Seq[Double])],
+      dotFn: (Column, Column) => Column = dot): Column = {
+    val scored = array(centroids.map { case (i, cv) =>
+      struct(dotFn(vec, typedLit(cv)).as("s"), lit(i).as("idx"))
+    }: _*)
+    aggregate(scored,
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1).as("idx")),
+      (acc, e) => when(e.getField("s") > acc.getField("s"), e).otherwise(acc),
+      acc => acc.getField("idx"))
+  }
+
   /** Deterministic coarse-quantizer sample: smallest `nCentroids` ids by
     * hash order — the untrained (`trainIters = 0`) centroid set `ivfKnn`
     * uses, exposed so a caller can build the quantizer ONCE over the full
@@ -360,8 +372,7 @@ object Similarity {
     // overlapping probes collapse before ranking.
     val assigned =
       if (spill == 1)
-        c.withColumn("cell",
-          element_at(centroidRanks(col("cvec"), centroids, d), 1))
+        c.withColumn("cell", nearestCentroid(col("cvec"), centroids, d))
       else
         c.withColumn("cell", explode(slice(
           graft.functions.Staging.pin(centroidRanks(col("cvec"), centroids, d)),

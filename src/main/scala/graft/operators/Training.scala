@@ -63,6 +63,61 @@ object Training {
       .withColumn("seq_off", (col("start_tok") % budget).cast("long"))
   }
 
+  /** Global dense 1-based rank in seeded-hash order WITHOUT a
+    * single-partition window — the two-pass offset pattern every
+    * distributed sharder uses: range-partition on the hash (partition i
+    * then holds a contiguous hash range), rank locally per partition,
+    * and shift each partition's local ranks by the total row count of
+    * the partitions before it (ONE bounded collect: a row per shuffle
+    * partition). The result is exactly the rank a global sort would
+    * assign, at ordinary-shuffle cost instead of a 1-partition
+    * bottleneck — and deterministic: ranks depend only on (hash, key)
+    * order, never on where the sampled range boundaries happen to land.
+    *
+    * The range-partitioned frame is persisted for the call (the offset
+    * pass and the rank pass must see the SAME boundaries — recomputing
+    * would re-sample them); ownership of that cache follows the
+    * [[graft.Lifecycle.withCachedInputs]] contract.
+    */
+  def globalHashRank(df: DataFrame, keyCol: String, seed: Long = 42L,
+      as: String = "rank"): DataFrame = {
+    val parted = df
+      .withColumn("__h", xxhash64(lit(seed), col(keyCol)))
+      .repartitionByRange(col("__h"), col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+    graft.Lifecycle.withCachedInputs(parted) {
+      val offsets = parted.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("__n"))
+        .collect().sortBy(_.getInt(0))
+      val cum = offsets.scanLeft(0L)((acc, r) => acc + r.getLong(1)).init
+      val offMap = map(offsets.zip(cum).flatMap { case (r, off) =>
+        Seq(lit(r.getInt(0)), lit(off))
+      }: _*)
+      val w = Window.partitionBy(col("__pid")).orderBy(col("__h"), col(keyCol))
+      parted.withColumn("__local", row_number().over(w))
+        .withColumn(as,
+          element_at(offMap, col("__pid")) + col("__local"))
+        .drop("__h", "__pid", "__local")
+    }
+  }
+
+  /** Deterministic, EXACTLY balanced shard assignment — the shard-writer
+    * contract for training corpora: shard sizes differ by at most one
+    * (shards 0 .. n mod k − 1 carry the extra row), membership is a pure
+    * function of (seed, key) so a re-run reproduces the same shards, and
+    * the seeded hash order IS the corpus shuffle (no RNG state). Built on
+    * `globalHashRank`: shard = (rank − 1) mod k, i.e. rows deal out
+    * round-robin in hash order — balance is exact BY CONSTRUCTION, not in
+    * expectation like a plain `hash(key) mod k`.
+    */
+  def balancedShards(df: DataFrame, keyCol: String, nShards: Int,
+      seed: Long = 42L, as: String = "shard"): DataFrame = {
+    require(nShards > 0, s"balancedShards: nShards=$nShards must be > 0")
+    globalHashRank(df, keyCol, seed, as = "__rank")
+      .withColumn(as, ((col("__rank") - 1) % nShards).cast("int"))
+      .drop("__rank")
+  }
+
   /** Dominance cap: at most `maxPerGroup` rows per group — bounds any one
     * source/domain's share of a training corpus (boilerplate-heavy domains
     * otherwise dominate by sheer volume). A rank-filtered window, which

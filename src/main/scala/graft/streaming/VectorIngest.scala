@@ -23,9 +23,9 @@ import graft.sources.Catalog
   * the quantizer is an offline maintenance job that rewrites the index
   * table, exactly like a compaction.
   *
-  * Cell assignment reuses `Similarity.centroidRanks` — the SAME expression
-  * `ivfKnn` uses for queries, so online-assigned cells and query probes
-  * can never drift apart.
+  * Cell assignment reuses `Similarity.nearestCentroid` — the SAME
+  * expression (and tie rule) `ivfKnn` uses for batch assignment, so
+  * online-assigned cells and query probes can never drift apart.
   *
   * Scale: per-batch work is batch-sized (one narrow assignment projection
   * + two appends). The index row is (vec_id, cell) — bytes per vector —
@@ -67,8 +67,7 @@ object VectorIngest {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("__v"))
       .select(col("vec_id"),
-        element_at(Similarity.centroidRanks(col("__v"), centroids), 1)
-          .as("cell"))
+        Similarity.nearestCentroid(col("__v"), centroids).as("cell"))
 
   def ingestStream(spark: SparkSession, srcDir: String, root: String,
       ref: String, nCentroids: Int = 16,

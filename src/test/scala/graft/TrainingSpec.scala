@@ -63,6 +63,47 @@ class TrainingSpec extends AnyFunSuite {
     assert(gaps.isEmpty)
   }
 
+  test("globalHashRank equals the single-partition-window rank, no gaps") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select("doc_id")
+    val ranked = Training.globalHashRank(docs, "doc_id", seed = 7L)
+    // dense 1..n: the offsets pass stitched the partitions seamlessly
+    val n = docs.count()
+    val agg = ranked.agg(min(col("rank")), max(col("rank")),
+      countDistinct(col("rank"))).collect().head
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == n && agg.getLong(2) == n)
+    // exactly the rank a global sort would give (reference: explicit
+    // 1-partition window over the same (hash, key) order)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(xxhash64(lit(7L), col("doc_id")), col("doc_id"))
+    val want = docs.withColumn("want", row_number().over(w))
+    val mismatches = ranked.join(want, "doc_id")
+      .where(col("rank") =!= col("want")).count()
+    assert(mismatches == 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("balancedShards: exact ±1 balance, deterministic, covers the corpus") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val k = 7
+    val sharded = Training.balancedShards(docs, "doc_id", nShards = k).persist()
+    val n = docs.count()
+    val sizes = sharded.groupBy(col("shard")).count()
+      .orderBy(col("shard")).as[(Int, Long)].collect()
+    assert(sizes.map(_._1).toSeq == (0 until k))
+    // shard s holds n/k rows, +1 for s < n mod k — exact, not expected
+    sizes.foreach { case (s, c) =>
+      assert(c == n / k + (if (s < n % k) 1L else 0L), s"shard $s size $c")
+    }
+    assert(sizes.map(_._2).sum == n)
+    // pure function of (seed, key): a re-run reproduces every assignment
+    val again = Training.balancedShards(docs, "doc_id", nShards = k)
+    assert(sharded.select("doc_id", "shard").exceptAll(
+      again.select("doc_id", "shard")).count() == 0L)
+    sharded.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("capPerGroup bounds every group and keeps the lowest-ordered rows") {
     val df = Seq(
       ("a", 3L), ("a", 1L), ("a", 2L), ("a", 4L), // capped to first 2 by id
