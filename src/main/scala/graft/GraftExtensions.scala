@@ -42,5 +42,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Literal(0.0),
           new Divide(VectorExpressions.DotProduct(a, b), denom))
       }))
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain as
+    // INTERNAL expressions (the runtime-row-group-filter machinery behind
+    // spark.sql.optimizer.runtime.bloomFilter) without a public SQL
+    // surface. Registering them here gives the incremental-dedup operators
+    // a codegen'd bloom build + probe with zero UDFs: `bloom_agg(xxhash64
+    // (x), est_items, num_bits)` folds a partition-local sketch per task
+    // and ORs them at the final aggregate (one bounded binary to the
+    // driver); `bloom_contains(<binary literal>, xxhash64(x))` then
+    // evaluates map-side inside whole-stage codegen.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"bloom_agg expects 3 arguments, got ${args.length}")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_contains"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"bloom_contains expects 2 arguments, got ${args.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
+      }))
   }
 }

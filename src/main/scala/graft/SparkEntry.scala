@@ -1216,6 +1216,25 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Bloom-prefiltered incremental exact dedup: the corpus folds to one
+    // bounded bloom sketch (native BloomFilterAggregate, registered as
+    // bloom_agg — no UDF), the batch probes it MAP-SIDE (bloom_contains
+    // inside codegen) and only the pass-through sliver reaches the exact
+    // hash semi-join. Planted: 20 even-corpus texts re-enter under
+    // shifted ids, so ≥ 20 dups exist by construction; the oracle is the
+    // plain EXISTS truth — bloom false positives must all die in the
+    // verify join for the hash to match.
+    "x98_bloom_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.where(col("doc_id") % 2 === 0)
+      val batch = d.where(col("doc_id") % 2 === 1)
+        .unionByName(corpus.where(col("doc_id") < 40)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.bloomPrefilterDupIds(batch, corpus, "doc_id", "text",
+          expectedItems = 100000L, fpp = 0.01)
+        .orderBy(col("doc_id"))
+    }),
+
     // Data-quality audit: N constraints over orders in ONE aggregation
     // pass (row predicates + key uniqueness), melted to one row per rule.
     "x55_quality_audit" -> ((s, dir) =>
@@ -3290,6 +3309,16 @@ object SparkEntry {
         |WHERE (doc_id & 2147483647) * 2654435761 % 1000000 <
         |  CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
         |    WHEN 'src2' THEN 250000 WHEN 'src3' THEN 100000 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+    "x98_bloom_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM corpus WHERE doc_id < 40)
+        |SELECT b.doc_id FROM batch b
+        |WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
         |ORDER BY doc_id""".stripMargin,
     "x52_incremental_dedup" ->
       """WITH t AS (

@@ -587,6 +587,45 @@ object Dedup {
       .join(corpus.select(sha2(col(textCol), 256).as("__h")), Seq("__h"), "left_semi")
       .select(col(idCol))
 
+  /** `incrementalExactDupIds` with a Bloom prefilter on the batch side —
+    * the 100 TB shape of "check a new batch against a resident corpus":
+    * the corpus folds to ONE bounded binary sketch (a partition-local
+    * bloom per task, OR-merged at the final aggregate —
+    * `optimalNumOfBits(expectedItems, fpp)` bits regardless of corpus
+    * row count), and the batch is probed map-side against that sketch
+    * BEFORE anything shuffles. Only the pass-through rows — true dups
+    * plus an `fpp` sliver of false positives — reach the exact semi-join,
+    * so the verify shuffle carries ~`|dups| + fpp·|batch|` rows instead
+    * of the whole batch. Result is EXACTLY `incrementalExactDupIds`
+    * (bloom has no false negatives; the semi-join kills the false
+    * positives), which is what the oracle checks.
+    *
+    * Sizing: the sketch is ~0.9 GB per 10⁹ corpus docs at fpp 1% — at
+    * larger corpora, shard the corpus by hash range and run one
+    * prefilter per shard (composition, not a new operator).
+    * Reference behavior: batch-vs-corpus duplicate check, re-expressed
+    * as sketch + semi-join instead of a full join.
+    */
+  def bloomPrefilterDupIds(newDf: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val h = xxhash64(col(textCol))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bf = corpus
+      .agg(call_function("bloom_agg", h, lit(expectedItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    if (bf == null) {
+      // empty corpus → the aggregate yields NULL, and nothing can be a dup
+      newDf.select(col(idCol)).limit(0)
+    } else {
+      val pass = newDf.where(call_function("bloom_contains", lit(bf), h))
+      pass.select(col(idCol), sha2(col(textCol), 256).as("__h"))
+        .join(corpus.select(sha2(col(textCol), 256).as("__h")), Seq("__h"), "left_semi")
+        .select(col(idCol))
+    }
+  }
+
   /** Near-duplicate matches of a new batch against an existing corpus:
     * (new_id, corpus_id, jaccard ≥ threshold) via shared MinHash-LSH
     * buckets, exact-verified. The batch-over-batch shape of `minhashPairs`:

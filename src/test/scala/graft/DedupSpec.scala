@@ -164,6 +164,35 @@ class DedupSpec extends AnyFunSuite {
     assert(viaIndex === direct)
   }
 
+  test("bloom prefilter dup ids = plain exact dup ids, and the sketch prunes") {
+    // 200 corpus docs; batch = 30 fresh + 5 exact copies of corpus texts.
+    val corpus = (0L until 200L).map(i => (i, s"corpus document number $i with some shared words"))
+      .toDF("doc_id", "text")
+    val batch = ((1000L until 1030L).map(i => (i, s"fresh novel batch doc $i nothing like the corpus"))
+      ++ (0L until 5L).map(i => (2000L + i, s"corpus document number $i with some shared words")))
+      .toDF("doc_id", "text")
+    val viaBloom = Dedup.bloomPrefilterDupIds(batch, corpus, "doc_id", "text",
+      expectedItems = 1000L, fpp = 0.01).as[Long].collect().toSet
+    val plain = Dedup.incrementalExactDupIds(batch, corpus, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(viaBloom === plain)
+    assert(viaBloom === (2000L until 2005L).toSet)
+    // the prefilter itself: true dups all pass (no false negatives), and
+    // the pass set stays near |dups| + fpp·|batch| — the sketch is doing
+    // the pruning the verify join then finishes
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(1000L, 0.01)
+    val bf = corpus.agg(call_function("bloom_agg",
+        xxhash64($"text"), lit(1000L), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val passed = batch.where(call_function("bloom_contains", lit(bf), xxhash64($"text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert((2000L until 2005L).toSet.subsetOf(passed))
+    assert(passed.size <= 5 + 5, s"bloom passed ${passed.size}/35 — not pruning")
+    // empty corpus → no dups (the aggregate's NULL sketch short-circuits)
+    assert(Dedup.bloomPrefilterDupIds(batch, corpus.limit(0), "doc_id", "text")
+      .count() === 0)
+  }
+
   test("lshRecallEstimate: planted duplicates give recall 1, empty truth gives null") {
     val base = "spark window shuffle partition broadcast join aggregate scan"
     val docs = Seq(

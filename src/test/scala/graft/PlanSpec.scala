@@ -61,6 +61,19 @@ class PlanSpec extends AnyFunSuite {
     assert(scanIdx > filterIdx, "filter does not read the persisted shared index")
   }
 
+  test("x98: bloom probe filters the batch UNDER the verify semi-join") {
+    // the sketch probe must run map-side on the batch scan, BELOW the
+    // exact semi-join — hoisted above it, the shuffle would carry the
+    // whole batch and the prefilter would prune nothing
+    val p = planOf("x98_bloom_incremental_dedup")
+    val lines = p.linesIterator.toIndexedSeq
+    val joinIdx = lines.indexWhere(_.contains("LeftSemi"))
+    val bloomIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(joinIdx >= 0, "no semi-join in plan:\n" + p.take(2000))
+    assert(bloomIdx > joinIdx,
+      s"bloom probe not under the verify join (bloom@$bloomIdx join@$joinIdx):\n" + p.take(2000))
+  }
+
   test("x86 substring dedup: duplicate counts partial-agg map-side, no window-by-shingle") {
     // the dup marking must be groupBy(shingle)+semi-join (map-side combine,
     // AQE-splittable), never `count over (partition by shingle)` — a window
