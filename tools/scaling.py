@@ -42,12 +42,14 @@ FAMILIES = {
               "x88_image_phash_neardup", "x89_strip_repeated",
               "x90_audio_fp_neardup", "x91_multimodal_dedup",
               "x92_semantic_dedup", "x93_video_phash_neardup",
-              "x94_incremental_semantic_dedup"],
+              "x94_incremental_semantic_dedup",
+              "x98_bloom_incremental_dedup"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
               "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann",
               "x95_stored_ann_index", "x96_stored_index_append"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
               "x79_robust_scale"],
+    "training": ["x97_balanced_shards"],
 }
 
 # Steepest measured slopes = the full-output rewrites + the per-token
@@ -113,7 +115,7 @@ def render_block(data):
                    f"all {len(slopes)} measured queries sublinear, max "
                    f"slope {slopes[mx_q]:.2f} ({mx_q}).**")
     out.append("")
-    for f in ("dedup", "ann", "stats"):
+    for f in ("dedup", "ann", "stats", "training"):
         qs = sorted((q for q in slopes if fam.get(q) == f),
                     key=lambda q: slopes[q])
         if not qs:
