@@ -171,6 +171,26 @@ object SparkEntry {
         .orderBy(col("okey_mod"))
     }),
 
+    // THIRD storage-layout saver (s9 prunes partitions, s10 pre-shuffles
+    // joins): Z-ORDER clustering localizes file min/max stats on TWO
+    // filter columns at once, so a predicate box on either or both
+    // row-group-prunes the scan — lexicographic sort only ever serves its
+    // leading column. The query result is layout-independent (the oracle
+    // scans the flat table); the narrow-span-on-both-dims property is
+    // pinned in CatalogSpec.
+    "s11_zorder_scan" -> ((s, dir) => {
+      val sfTag = dir.replaceAll("[^0-9.]", "").replace(".", "_")
+      val ref = s"s11_zorder_$sfTag"
+      Catalog.writeZOrdered(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        "/tmp/graft", ref, Seq("o_custkey", "o_totalprice"), nFiles = 16)
+      Catalog.table(s, "/tmp/graft", ref)
+        .where(col("o_custkey").between(100, 500) &&
+          col("o_totalprice").between(50000, 150000))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // S3: in-memory literal source (`beam.Create`), fixture F1.
     "s3_literal_rows" -> ((s, _) => {
       import s.implicits._
@@ -1947,6 +1967,13 @@ object SparkEntry {
         |  (round(sum(o_totalprice), 2) + 0) AS sum_order_price
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle scans the flat table with the same box predicate; the
+    // Spark side must return identical rows from the z-ordered rewrite
+    "s11_zorder_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 500
+        |  AND o_totalprice BETWEEN 50000 AND 150000
+        |ORDER BY o_orderkey""".stripMargin,
     "s4_csv_allstrings" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS VARCHAR) AS n_regionkey

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Table catalog + sources/sinks (SURVEY §2.1, §2.7).
@@ -261,6 +261,69 @@ object Catalog {
       if (nFiles > 0) df.repartitionByRange(nFiles, keys: _*)
       else df.repartitionByRange(keys: _*)
     ranged.sortWithinPartitions(keys: _*).write.mode(mode).parquet(path(root, ref))
+  }
+
+  /** Bit-interleaved Z-value over `coords`, each already normalized to a
+    * `bits`-bit non-negative Long. Bit `i` (msb-first) of coordinate `j`
+    * lands at output position `i*d + j` (msb-first), so rows close in
+    * EVERY dimension get close Z-values — the multi-dimensional locality
+    * that lexicographic sort only gives the leading column. Pure Column
+    * arithmetic (shift/and/or), codegen'd; `d*bits ≤ 62` keeps the value
+    * in a positive Long.
+    */
+  def zValue(coords: Seq[Column], bits: Int = 16): Column = {
+    require(coords.nonEmpty && coords.size * bits <= 62,
+      s"z-value needs d*bits <= 62, got ${coords.size} x $bits")
+    import org.apache.spark.sql.functions._
+    val d = coords.size
+    val terms = for {
+      i <- 0 until bits
+      j <- 0 until d
+    } yield shiftleft(
+        shiftright(coords(j), bits - 1 - i).bitwiseAND(lit(1L)),
+        d * bits - 1 - (i * d + j))
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order clustered layout: rows range-partitioned and sorted by the
+    * interleaved Z-value of `cols`, so every file's min/max footer stats
+    * stay narrow on ALL clustering columns at once — a predicate box on
+    * any subset of them row-group-prunes the scan. `writeClustered` is
+    * the 1-D special case (leading-column locality only); Z-order is what
+    * a 100 TB table wants when two or three columns share the filter
+    * traffic. Coordinates are min/max-scaled to `bits`-bit codes (bounds
+    * from one bounded aggregate — 2 doubles per column to the driver);
+    * NULL and constant columns code to 0. The rewrite is one range
+    * shuffle + local sort, no driver data path; rows are bit-identical to
+    * the input (the Z-value is dropped before the write).
+    */
+  def writeZOrdered(df: DataFrame, root: String, ref: String,
+      cols: Seq[String], bits: Int = 16, nFiles: Int = 0,
+      saveMode: SaveMode = SaveMode.Overwrite): Unit = {
+    // named saveMode: the wildcard functions import below carries the
+    // `mode` aggregate, which would make a `mode` parameter ambiguous
+    import org.apache.spark.sql.functions._
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    val maxCode = (1L << bits) - 1
+    val coords = cols.zipWithIndex.map { case (c, i) =>
+      if (b.isNullAt(2 * i)) lit(0L) // all-NULL column: no signal to cluster on
+      else {
+        val mn = b.getDouble(2 * i)
+        val mx = b.getDouble(2 * i + 1)
+        val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+        least(greatest(
+            (((coalesce(col(c).cast("double"), lit(mn)) - mn) / span) * maxCode)
+              .cast("long"), lit(0L)), lit(maxCode))
+      }
+    }
+    val withZ = df.withColumn("__z", zValue(coords, bits))
+    val ranged =
+      if (nFiles > 0) withZ.repartitionByRange(nFiles, col("__z"))
+      else withZ.repartitionByRange(col("__z"))
+    ranged.sortWithinPartitions(col("__z")).drop("__z")
+      .write.mode(saveMode).parquet(path(root, ref))
   }
 
   /** Bucketed + sorted managed table: rows hash-partitioned into `buckets`

@@ -17,6 +17,39 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.tableName("table") === "table")
   }
 
+  test("z-ordered layout keeps per-file spans narrow on BOTH dimensions") {
+    // 100x100 uniform grid → 16 z-range files should land near the 4x4
+    // quadrant split: every file narrow in x AND y. The 1-D clustered
+    // control is narrow in x only — y stays full-range per file, which is
+    // exactly the row-group-pruning gap z-order closes.
+    val root = Files.createTempDirectory("graft-z").toString
+    val grid = (0L until 10000L).map(i => (i, i % 100, i / 100))
+      .toDF("id", "x", "y")
+    Catalog.writeZOrdered(grid, root, "z", Seq("x", "y"), nFiles = 16)
+    Catalog.writeClustered(grid, root, "c1d", Seq("x"), nFiles = 16)
+    def avgSpanFrac(ref: String, dim: String): Double = {
+      val df = spark.read.parquet(Catalog.path(root, ref))
+      val spans = df.groupBy(input_file_name())
+        .agg((max(col(dim)) - min(col(dim))).cast("double").as("s"))
+      spans.agg(avg($"s")).head.getDouble(0) / 99.0
+    }
+    assert(avgSpanFrac("z", "x") < 0.6, s"x span ${avgSpanFrac("z", "x")}")
+    assert(avgSpanFrac("z", "y") < 0.6, s"y span ${avgSpanFrac("z", "y")}")
+    // the control: leading column narrow, second column full-range
+    assert(avgSpanFrac("c1d", "x") < 0.6)
+    assert(avgSpanFrac("z", "y") < avgSpanFrac("c1d", "y") / 2,
+      s"z y-span ${avgSpanFrac("z", "y")} vs 1-D ${avgSpanFrac("c1d", "y")}")
+    // the rewrite is row-preserving, byte-identical content
+    assert(spark.read.parquet(Catalog.path(root, "z"))
+      .orderBy($"id").collect().toSeq ===
+      grid.orderBy($"id").collect().toSeq)
+    // degenerate coordinates (constant / all-NULL) code to 0, still write
+    val weird = Seq((1L, 7L, Option.empty[Long]), (2L, 7L, None))
+      .toDF("id", "cst", "nul")
+    Catalog.writeZOrdered(weird, root, "w", Seq("cst", "nul"), nFiles = 2)
+    assert(spark.read.parquet(Catalog.path(root, "w")).count() === 2)
+  }
+
   test("partitioned write prunes at file listing on a partition filter") {
     val root = Files.createTempDirectory("graft-part").toString
     val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "A" else "B", i * 1.5))
