@@ -61,6 +61,17 @@ class PlanSpec extends AnyFunSuite {
     assert(scanIdx > filterIdx, "filter does not read the persisted shared index")
   }
 
+  test("s11: box predicates push into the z-ordered parquet scan") {
+    // both clustering columns' range predicates must reach the parquet
+    // reader as PushedFilters — that, plus the narrow per-file min/max
+    // spans the z-layout guarantees (CatalogSpec), is what row-group
+    // prunes the scan on EITHER column at 100 TB
+    val p = planOf("s11_zorder_scan")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("o_custkey") && pushed.contains("o_totalprice"),
+      s"box predicates not pushed:\n$pushed\n${p.take(1500)}")
+  }
+
   test("x98: bloom probe filters the batch UNDER the verify semi-join") {
     // the sketch probe must run map-side on the batch scan, BELOW the
     // exact semi-join — hoisted above it, the shuffle would carry the
