@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Temporal, Transpose}
+import graft.operators.{Dedup, Temporal, Transpose}
+import graft.sources.Catalog
 
 /** Randomized (fixed-seed, deterministic) cross-checks: each operator is
   * compared against an independent brute-force formulation on generated
@@ -282,6 +283,47 @@ class RandomizedCrossCheckSpec extends AnyFunSuite {
       if (s1 != s2)
         assert(java.lang.Long.bitCount(base ^ hashOf(s2, p = false)) > 3,
           s"seeds=$s1/$s2 too close for the maxDist=3 verify")
+    }
+  }
+
+  test("bloomPrefilterDupIds equals incrementalExactDupIds on random batches") {
+    // 125 possible sentences → corpus covers most, so batches mix real
+    // dups with fresh text; the bloom path must agree with the plain
+    // anti-join truth exactly (false positives all die in the verify)
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("alpha", "beta", "gamma", "delta", "eps")
+      def sentence() = Seq.fill(3)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val corpus = Seq.tabulate(150)(i => (i.toLong, sentence()))
+        .toDF("doc_id", "text")
+      val batch = Seq.tabulate(60)(i => (1000L + i, sentence()))
+        .toDF("doc_id", "text")
+      val viaBloom = Dedup.bloomPrefilterDupIds(batch, corpus, "doc_id", "text",
+        expectedItems = 500L, fpp = 0.05).as[Long].collect().toSet
+      val plain = Dedup.incrementalExactDupIds(batch, corpus, "doc_id", "text")
+        .as[Long].collect().toSet
+      assert(viaBloom === plain, s"seed=$seed")
+      assert(plain.nonEmpty, s"seed=$seed generated no dups — dead test")
+    }
+  }
+
+  test("zValue equals a local bit-interleave reference on random coordinates") {
+    val rnd = new scala.util.Random(77L)
+    val pts = Seq.fill(300)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+    val got = df.select($"id", Catalog.zValue(Seq($"x", $"y"), 16).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def local(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((x >> (15 - i)) & 1L) << (31 - 2 * i)
+        z |= ((y >> (15 - i)) & 1L) << (31 - (2 * i + 1))
+      }
+      z
+    }
+    pts.zipWithIndex.foreach { case ((x, y), i) =>
+      assert(got(i.toLong) === local(x, y), s"($x,$y)")
     }
   }
 
