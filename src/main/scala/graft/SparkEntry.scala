@@ -1429,6 +1429,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // Temperature-weighted mixing (x58's self-tuning sibling): per-source
+    // rates are COMPUTED from the corpus — w_s ∝ n_s^0.5 upweights rare
+    // sources, rate_s = min(1, fN·w_s/n_s) — then applied through the
+    // same deterministic hash gate. One bounded count-per-source to the
+    // driver, one narrow filter over the scan; the oracle recomputes the
+    // rate table in SQL and replays the gate arithmetic exactly.
+    "x100_temperature_mix" -> ((s, dir) =>
+      Training.temperatureMix(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", alpha = 0.5, targetFraction = 0.5)
+        .orderBy(col("doc_id"))),
+
     // Efraimidis–Spirakis weighted sample without replacement, 10 docs per
     // source weighted by length: priority u^(1/w) from the deterministic
     // md5 uniform, rounded so the oracle replays the exact ranking.
@@ -3331,6 +3343,16 @@ object SparkEntry {
         |  count(DISTINCT a.u) AS users
         |FROM a JOIN f ON a.u = f.u
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x100_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+        |t AS (SELECT sum(n) AS total, sum(pow(n, 0.5)) AS psum FROM c),
+        |r AS (SELECT c.source,
+        |        CAST(floor(least(1.0, 0.5 * t.total * (pow(c.n, 0.5) / t.psum) / c.n)
+        |          * 1000000) AS BIGINT) AS thr
+        |      FROM c, t)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE (d.doc_id & 2147483647) * 2654435761 % 1000000 < r.thr
+        |ORDER BY doc_id""".stripMargin,
     "x58_stratified_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE (doc_id & 2147483647) * 2654435761 % 1000000 <

@@ -259,6 +259,40 @@ object Training {
     * `keep` applies the gate; thresholds per the Gopher defaults scaled
     * to token level.
     */
+  /** Temperature-weighted source mixing — the standard multi-source /
+    * multilingual LLM sampling recipe: source `s` with `n_s` documents
+    * gets sampling weight `w_s ∝ n_s^alpha`, so `alpha = 1` reproduces the
+    * natural distribution, `alpha = 0` samples sources uniformly, and the
+    * usual `alpha ∈ (0, 1)` upweights rare sources without drowning the
+    * head. Per-source keep rate `min(1, targetFraction·N·w_s / n_s)`,
+    * applied through the deterministic hash gate
+    * ([[RelOps.stratifiedHashSample]]) — engine-reproducible, no RNG.
+    *
+    * Scale shape: ONE bounded aggregate (a row per source) to the driver
+    * for the rate table; the sample itself is a broadcastable
+    * stratum→threshold CASE over one scan — no shuffle of the corpus.
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, keyCol: String,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    require(targetFraction >= 0.0 && targetFraction <= 1.0,
+      s"targetFraction out of [0,1]: $targetFraction")
+    // bounded: one row per source
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) df.limit(0)
+    else {
+      val total = counts.values.sum.toDouble
+      val powSum = counts.toSeq.sortBy(_._1)
+        .map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+      val fractions = counts.map { case (s, n) =>
+        val w = math.pow(n.toDouble, alpha) / powSum
+        s -> math.min(1.0, targetFraction * total * w / n.toDouble)
+      }
+      RelOps.stratifiedHashSample(df, keyCol, strataCol, fractions)
+    }
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       maxDupFrac: Double = 0.75, maxTopFrac: Double = 0.30): DataFrame = {
     val toks = TextStats.tokens(col(textCol))

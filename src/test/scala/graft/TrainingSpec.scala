@@ -208,4 +208,29 @@ class TrainingSpec extends AnyFunSuite {
     val none = Training.tokenBudgetMix(df, "src", "id", "tok", Map("zz" -> 100L))
     assert(none.count() === 0)
   }
+
+  test("temperatureMix: alpha=1 is the flat gate, alpha=0 boosts rare sources") {
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    // alpha=1 → w_s ∝ n_s → every source's rate is exactly targetFraction
+    val a1 = Training.temperatureMix(df, "source", "doc_id",
+      alpha = 1.0, targetFraction = 0.4)
+    val flat = graft.operators.RelOps.stratifiedHashSample(df, "doc_id", "source",
+      Map("src0" -> 0.4, "src1" -> 0.4, "src2" -> 0.4))
+    assert(a1.collect().toSet === flat.collect().toSet)
+    // alpha=0 → uniform source weights: the rare source's rate clamps to 1
+    // (every doc kept), the head is sampled well below its natural share
+    val skew = ((0L until 900L).map(i => (i, "big"))
+      ++ (900L until 1000L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val mixed = Training.temperatureMix(skew, "source", "doc_id",
+      alpha = 0.0, targetFraction = 0.5)
+    val bySrc = mixed.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") === 100L, s"rare source not fully kept: $bySrc")
+    assert(bySrc("big") < 400L, s"head not downsampled: $bySrc")
+    // determinism + empty input
+    assert(mixed.collect().toSet === Training.temperatureMix(skew, "source",
+      "doc_id", alpha = 0.0, targetFraction = 0.5).collect().toSet)
+    assert(Training.temperatureMix(skew.limit(0), "source", "doc_id",
+      alpha = 0.5, targetFraction = 0.5).count() === 0)
+  }
 }
