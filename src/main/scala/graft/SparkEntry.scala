@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Num.roundz
 
 import graft.functions.TextStats
-import graft.operators.{AnnIndex, Behavior, Dedup, Embeddings, Multimodal, Profile, Ranks, RelOps, Similarity, Stats, Temporal, Training, Transpose}
+import graft.operators.{AnnIndex, Behavior, Dedup, Embeddings, Multimodal, Profile, Ranks, RelOps, Similarity, Sketches, Stats, Temporal, Training, Transpose}
 import graft.pipelines.Pipelines
 import graft.sources.Catalog
 import graft.streaming.EventsStream
@@ -1439,6 +1439,71 @@ object SparkEntry {
       Training.temperatureMix(
           t(s, dir, "documents").select(col("doc_id"), col("source")),
           "source", "doc_id", alpha = 0.5, targetFraction = 0.5)
+        .orderBy(col("doc_id"))),
+
+    // Diversity (coreset) sampling: spherical-k-means cells over the
+    // embedding corpus, then the deterministic md5-rank sample keeps up to
+    // 12 vectors PER CELL — coverage of every semantic region instead of
+    // frequency-weighted mass (rare regions survive, dense ones are
+    // capped). Cells are engine-internal (trained k-means), so the
+    // declared output is the SQL-checkable corpus total plus in-plan
+    // property flags: at most k cells (cells_ok) and every cell's
+    // selection exactly min(12, |cell|) (cap_ok).
+    "x99_diverse_sample" -> ((s, dir) => {
+      val assigned = Similarity.kmeansAssign(t(s, dir, "embeddings"),
+        k = 8, iters = 3)
+      Lifecycle.withMaterialized(assigned) {
+        val sel = Training.sampleNPerGroup(assigned, Seq("cell"), "vec_id", 12)
+        assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_tot"))
+          .join(sel.groupBy(col("cell")).agg(count(lit(1)).as("n_sel")),
+            Seq("cell"), "left")
+          .agg(
+            sum(col("n_tot")).as("n_vecs"),
+            (count(lit(1)) <= 8).as("cells_ok"),
+            min(coalesce(col("n_sel"), lit(0L)) ===
+              least(lit(12L), col("n_tot"))).as("cap_ok"))
+      }
+    }),
+
+    // Count-min-sketch heavy hitters: token frequencies estimated from a
+    // 3×16-counter sketch TABLE (bounded state no matter the corpus size)
+    // for the exact top-10 tokens. Built with the engine-portable md5
+    // bucket hasher, so the oracle recomputes the ENTIRE sketch in SQL —
+    // counters, bucket assignment, min-over-rows estimate — and the
+    // estimate column itself hash-matches (strictly stronger than
+    // property flags; the fast xxhash64 hasher stays the library
+    // default, spec-pinned for the same guarantees).
+    "x101_cms_heavy_hitters" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(explode(TextStats.tokens(lower(col("text")))).as("tok"))
+      Lifecycle.withMaterialized(tk) {
+        val truth = tk.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        val top = truth.orderBy(col("n").desc, col("tok")).limit(10)
+        val sketch = Sketches.cmsBuild(tk, "tok", depth = 3, width = 16,
+          hasher = Sketches.md5Bucket)
+        Sketches.cmsEstimate(top, "tok", sketch, depth = 3, width = 16,
+            hasher = Sketches.md5Bucket)
+          .orderBy(col("n").desc, col("tok"))
+      }
+    }),
+
+    // Embedding-space label audit: every vector assigned to its nearest
+    // label PROTOTYPE (unit-normalized exact per-label mean, cosine order,
+    // scores rounded to 6 before the argmax) → label×assigned confusion
+    // counts. Fully SQL-expressible, so the oracle recomputes prototypes,
+    // assignment, and counts exactly — a hash-match on the whole matrix.
+    "x102_label_confusion" -> ((s, dir) =>
+      Similarity.labelConfusion(t(s, dir, "embeddings"))
+        .orderBy(col("label"), col("assigned"))),
+
+    // Bigram LM score (x60's order-sensitive sibling): mean log10
+    // probability of each document's ADJACENT TOKEN PAIRS under the
+    // corpus's own smoothed bigram distribution — scrambled-word junk
+    // that passes the unigram screen fails this one.
+    "x103_bigram_lp" -> ((s, dir) =>
+      TextStats.bigramLogProb(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 20)
+        .select(col("doc_id"), roundz(col("bigram_lp"), 6).as("bigram_lp"))
         .orderBy(col("doc_id"))),
 
     // Efraimidis–Spirakis weighted sample without replacement, 10 docs per
@@ -3359,6 +3424,79 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
         |    WHEN 'src2' THEN 250000 WHEN 'src3' THEN 100000 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+    "x99_diverse_sample" ->
+      """SELECT count(*) AS n_vecs, TRUE AS cells_ok, TRUE AS cap_ok
+        |FROM embeddings""".stripMargin,
+    "x101_cms_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |top AS (SELECT tok, c AS n FROM cnt ORDER BY n DESC, tok LIMIT 10),
+        |buck AS (
+        |  SELECT t.r,
+        |    CAST(('0x' || substr(md5(cnt.tok || ':' || t.r), 1, 8)) AS BIGINT)
+        |      % 16 AS b,
+        |    CAST(sum(cnt.c) AS BIGINT) AS cc
+        |  FROM cnt CROSS JOIN range(3) t(r)
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT top.tok, top.n, min(buck.cc) AS cms_est
+        |  FROM top CROSS JOIN range(3) t(r)
+        |  JOIN buck ON buck.r = t.r AND buck.b =
+        |    CAST(('0x' || substr(md5(top.tok || ':' || t.r), 1, 8)) AS BIGINT) % 16
+        |  GROUP BY 1, 2)
+        |SELECT tok, n, cms_est FROM est
+        |ORDER BY n DESC, tok""".stripMargin,
+    "x102_label_confusion" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE label IS NOT NULL AND len(embedding) > 0),
+        |px AS (
+        |  SELECT label AS lab, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        |  FROM e),
+        |m AS (SELECT lab, i, avg(x) AS m FROM px GROUP BY 1, 2),
+        |nrm AS (SELECT lab, sqrt(sum(m * m)) AS nn FROM m GROUP BY 1),
+        |u AS (SELECT m.lab, m.i,
+        |        CASE WHEN nrm.nn > 0 THEN m.m / nrm.nn ELSE m.m END AS u
+        |      FROM m JOIN nrm USING (lab)),
+        |sc AS (
+        |  SELECT e.vec_id, e.label, u.lab,
+        |    (round(sum(e.v[u.i] * u.u), 6) + 0) AS s
+        |  FROM e CROSS JOIN u
+        |  GROUP BY 1, 2, 3),
+        |asg AS (
+        |  SELECT vec_id, label, lab AS assigned,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, lab) AS rn
+        |  FROM sc)
+        |SELECT label, assigned, count(*) AS n
+        |FROM asg WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x103_bigram_lp" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS w
+        |  FROM tk),
+        |bg AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w AS tok
+        |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |cnt AS (SELECT tok, count(*) AS c FROM bg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        |voc AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20),
+        |vn AS (SELECT count(*) AS v FROM voc),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    avg(log10((coalesce(voc.c, 0) + 1) / (tot.n + vn.v + 1.0))) AS lp
+        |  FROM bg LEFT JOIN voc USING (tok), tot, vn
+        |  GROUP BY 1)
+        |SELECT d.doc_id, (round(sc.lp, 6) + 0) AS bigram_lp
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "x98_bloom_incremental_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),

@@ -329,6 +329,73 @@ object Similarity {
       acc => acc.getField("idx"))
   }
 
+  /** Corpus with a trained k-means `cell` column: `kmeansCentroids` fits
+    * the quantizer (bounded driver state, k×dims doubles), then ONE narrow
+    * assignment map tags every row with its nearest cell — no shuffle of
+    * the corpus, the centroids ride into the plan as broadcast literals.
+    * The semantic-clustering front half of diversity sampling
+    * (`Training.sampleNPerGroup` over the cells) and of any
+    * cluster-stratified corpus analytics.
+    */
+  def kmeansAssign(df: DataFrame, k: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(df, k, iters, idCol, vecCol)
+      .zipWithIndex.map { case (cv, i) => (i, cv) }
+    df.withColumn("cell", nearestCentroid(asDouble(col(vecCol)), cents, dotFor(df)))
+  }
+
+  /** Exact per-label mean embedding (unit-normalized by default), computed
+    * DISTRIBUTED — `posexplode` → `groupBy(label, pos)` average, whose
+    * map-side partial agg caps each task's exchange contribution at
+    * labels×dims rows — then collected bounded (labels×dims doubles, never
+    * data). The class-prototype table of centroid-based classification.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding",
+      unitNorm: Boolean = true): Seq[(Int, Seq[Double])] = {
+    val rows = df
+      .select(col(labelCol).cast("int").as("lab"), asDouble(col(vecCol)).as("v"))
+      .where(col("lab").isNotNull && size(col("v")) > 0)
+      .select(col("lab"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("lab"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .collect()
+    require(rows.nonEmpty, s"labelCentroids: no labeled non-empty '$vecCol' vectors")
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (lab, rs) =>
+      val width = rs.map(_.getInt(1)).max + 1
+      val m = new Array[Double](width)
+      rs.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+      val n = math.sqrt(m.map(x => x * x).sum)
+      (lab, (if (unitNorm && n > 0) m.map(_ / n) else m).toIndexedSeq)
+    }
+  }
+
+  /** Nearest-centroid confusion matrix: every vector is assigned to its
+    * closest label PROTOTYPE (max dot against the unit-normalized label
+    * means — cosine order, since the prototypes share norm 1) and counted
+    * against its true label. The diagonal measures how separable the label
+    * structure is in embedding space; off-diagonal mass names the confusable
+    * pairs — the standard embedding-quality audit before trusting semantic
+    * dedup or cluster-stratified sampling on those vectors.
+    *
+    * Scale shape: `labelCentroids` is the only driver traffic (labels×dims
+    * doubles); assignment is one narrow map with the prototypes as broadcast
+    * literals; the confusion aggregate is ≤ labels² rows. Scores are rounded
+    * to `decimals` before the argmax (ties → lowest label), so any engine
+    * replaying the same arithmetic assigns identically.
+    */
+  def labelConfusion(df: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding", decimals: Int = 6): DataFrame = {
+    val cents = labelCentroids(df, labelCol, vecCol)
+    val d = dotFor(df)
+    val rd: (Column, Column) => Column = (a, b) => roundz(d(a, b), decimals)
+    df.where(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("int").as("label"),
+        nearestCentroid(asDouble(col(vecCol)), cents, rd).as("assigned"))
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Deterministic coarse-quantizer sample: smallest `nCentroids` ids by
     * hash order — the untrained (`trainIters = 0`) centroid set `ivfKnn`
     * uses, exposed so a caller can build the quantizer ONCE over the full

@@ -249,4 +249,43 @@ class SimilaritySpec extends AnyFunSuite {
       .select($"vec_id").as[Long].collect().sorted.toSeq
     assert(kept === Seq(202L, 203L), "negated vectors must survive")
   }
+
+  test("labelCentroids: exact unit-normalized per-label means") {
+    val df = Seq(
+      (0L, 0, Seq(1.0f, 0.0f)),
+      (1L, 0, Seq(1.0f, 0.0f)),
+      (2L, 1, Seq(0.0f, 2.0f)),
+      (3L, 1, Seq(0.0f, 4.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val cents = Similarity.labelCentroids(df).toMap
+    assert(cents.keySet === Set(0, 1))
+    assert(cents(0).zip(Seq(1.0, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(cents(1).zip(Seq(0.0, 1.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("labelConfusion: separable labels go diagonal, a planted stray crosses") {
+    val df = Seq(
+      (0L, 0, Seq(1.0f, 0.0f)),
+      (1L, 0, Seq(0.9f, 0.1f)),
+      (2L, 1, Seq(0.0f, 1.0f)),
+      (3L, 1, Seq(0.1f, 0.9f)),
+      (4L, 0, Seq(0.0f, 1.0f))) // labeled 0, sits in label-1 space
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelConfusion(df)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got((0, 0)) === 2L)
+    assert(got((1, 1)) === 2L)
+    assert(got((0, 1)) === 1L, "the stray must be assigned to label 1")
+    assert(!got.contains((1, 0)))
+  }
+
+  test("kmeansAssign: every row keeps a valid cell, deterministically") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val a1 = Similarity.kmeansAssign(e, k = 4, iters = 2)
+    assert(a1.count() === e.count())
+    assert(a1.where($"cell" < 0 || $"cell" >= 4).count() === 0)
+    val a2 = Similarity.kmeansAssign(e, k = 4, iters = 2)
+    assert(a1.select($"vec_id", $"cell")
+      .exceptAll(a2.select($"vec_id", $"cell")).isEmpty)
+  }
 }

@@ -122,6 +122,35 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(2).isNullAt(1)) // tokenless doc keeps a row, score null
   }
 
+  test("bigramLogProb: multiset pair counts, OOV floor, null under two tokens") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    // bigrams: doc1 = [a b, b a, a b], doc2 = [a b]; corpus counts
+    // 'a b'=3, 'b a'=1 → N=4; vocab top-1 = 'a b' (c=3); denom = 4+1+1=6.
+    val out = TextStats.bigramLogProb(docs, "doc_id", "text", vocabSize = 1)
+      .orderBy("doc_id").collect()
+    val exp1 = (2 * math.log10(4.0 / 6) + math.log10(1.0 / 6)) / 3
+    val exp2 = math.log10(4.0 / 6)
+    assert(math.abs(out(0).getDouble(1) - exp1) < 1e-12)
+    assert(math.abs(out(1).getDouble(1) - exp2) < 1e-12)
+    assert(out(2).isNullAt(1)) // one token → no bigrams → null
+    assert(out(3).isNullAt(1)) // empty doc → null
+  }
+
+  test("bigramLogProb separates in-order from scrambled word order") {
+    // corpus dominated by the ordered phrase; the scrambled doc reuses the
+    // same WORDS (same unigram profile) in an order whose bigrams are rare
+    val ordered = (100L until 110L).map(i => (i, "the quick brown fox jumps"))
+    val docs = (ordered :+ (1L, "fox the jumps quick brown"))
+      .toDF("doc_id", "text")
+    val out = TextStats.bigramLogProb(docs, "doc_id", "text", vocabSize = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scrambled = out(1L)
+    val fluent = out.filterNot(_._1 == 1L).values
+    assert(fluent.forall(_ > scrambled),
+      s"scrambled=$scrambled should score below all fluent=$fluent")
+  }
+
   test("unigramLogProb ranks gibberish below fluent repetition of the corpus") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),

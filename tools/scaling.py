@@ -46,10 +46,11 @@ FAMILIES = {
               "x98_bloom_incremental_dedup"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
               "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann",
-              "x95_stored_ann_index", "x96_stored_index_append"],
+              "x95_stored_ann_index", "x96_stored_index_append",
+              "x102_label_confusion"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
-              "x79_robust_scale"],
-    "training": ["x97_balanced_shards"],
+              "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp"],
+    "training": ["x97_balanced_shards", "x99_diverse_sample"],
 }
 
 # Steepest measured slopes = the full-output rewrites + the per-token
