@@ -1496,6 +1496,32 @@ object SparkEntry {
       Similarity.labelConfusion(t(s, dir, "embeddings"))
         .orderBy(col("label"), col("assigned"))),
 
+    // HLL distinct sketches: per-source HllSketch of document texts
+    // (native hll_sketch_agg — bounded mergeable state, the
+    // count-distinct analog of the CMS story), estimates checked in-plan
+    // against exact countDistinct within 5% (HLL at lgK=12 measures well
+    // under 2%), plus a '__all__' row whose estimate comes from UNIONING
+    // the per-source sketches — re-aggregation without raw data, the
+    // property exact distinct counts can never offer. The oracle
+    // recomputes every exact count and asserts the flags literally TRUE.
+    "x104_hll_distinct" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("text"))
+      Lifecycle.withMaterialized(d) {
+        val sk = d.groupBy(col("source"))
+          .agg(hll_sketch_agg(col("text"), lit(12)).as("hll"),
+            countDistinct(col("text")).as("n_exact"))
+        val per = sk.select(col("source"), col("n_exact"),
+          (abs(Sketches.hllEstimate(col("hll")) - col("n_exact")) <=
+            col("n_exact") * 0.05).as("est_ok"))
+        val glob = d.agg(countDistinct(col("text")).as("n_exact"))
+          .crossJoin(Sketches.hllUnionEstimate(sk.select(col("hll"))))
+          .select(lit("__all__").as("source"), col("n_exact"),
+            (abs(col("hll_est") - col("n_exact")) <=
+              col("n_exact") * 0.05).as("est_ok"))
+        per.unionByName(glob).orderBy(col("source"))
+      }
+    }),
+
     // Bigram LM score (x60's order-sensitive sibling): mean log10
     // probability of each document's ADJACENT TOKEN PAIRS under the
     // corpus's own smoothed bigram distribution — scrambled-word junk
@@ -3427,6 +3453,14 @@ object SparkEntry {
     "x99_diverse_sample" ->
       """SELECT count(*) AS n_vecs, TRUE AS cells_ok, TRUE AS cap_ok
         |FROM embeddings""".stripMargin,
+    "x104_hll_distinct" ->
+      """SELECT source, count(DISTINCT text) AS n_exact, TRUE AS est_ok
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT '__all__' AS source, count(DISTINCT text) AS n_exact,
+        |  TRUE AS est_ok
+        |FROM documents
+        |ORDER BY source""".stripMargin,
     "x101_cms_heavy_hitters" ->
       """WITH tk AS (
         |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -77,6 +77,36 @@ object Sketches {
       .agg(sum(col("c")).as("c"))
   }
 
+  // ------------------------------------------------ HLL distinct sketches
+
+  /** Per-group HLL sketch of `itemCol` (Apache DataSketches HllSketch via
+    * Spark's native `hll_sketch_agg` — codegen'd aggregate, no UDF): one
+    * shuffle whose map-side partial sketches cap executor exchange traffic
+    * at O(groups × 2^lgK bytes) regardless of row count — the
+    * count-distinct analog of [[cmsBuild]]'s bounded-state story.
+    *
+    * The sketch column is REUSABLE aggregation state: `hll_union_agg`
+    * re-aggregates any subset of groups to a combined distinct estimate
+    * without touching raw data (see [[hllUnionEstimate]]) — the rollup
+    * property an exact `countDistinct` result can never offer, and the
+    * reason warehouses store sketch columns next to their aggregates.
+    */
+  def hllGroupSketches(df: DataFrame, groupCol: String, itemCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(itemCol), lit(lgK)).as("hll"))
+
+  /** Distinct-count estimate of a sketch column. */
+  def hllEstimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  /** Union the group sketches and estimate the COMBINED distinct count —
+    * one bounded fold over groups×sketch rows, no second pass over data.
+    */
+  def hllUnionEstimate(sketches: DataFrame, sketchCol: String = "hll"): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false)))
+        .as("hll_est"))
+
   /** Point-estimate the frequency of each probe row's `itemCol`:
     * `min over r of counter[r][bucket_r(item)]` — the count-min rule.
     * Guarantees (exact, not probabilistic): `est >= true count` always;

@@ -305,4 +305,43 @@ class PlanSpec extends AnyFunSuite {
     val p = enc.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p.take(2000))
   }
+
+  test("x101 CMS estimate: the bounded sketch broadcasts into the probe join") {
+    // the sketch table is depth×width rows no matter the corpus; if it ever
+    // shuffles the probe stream into a SortMergeJoin the bounded-state story
+    // is gone — build + estimate on a corpus-shaped token stream and pin
+    val tk = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextStats.tokens(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")))).as("tok"))
+    val sketch = graft.operators.Sketches.cmsBuild(tk, "tok", 3, 16)
+    val est = graft.operators.Sketches.cmsEstimate(
+      tk.limit(10), "tok", sketch, 3, 16)
+    val p = est.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("x102 label confusion: prototype assignment is joinless, one agg exchange") {
+    // the prototypes ride into the plan as broadcast literals — assignment
+    // must be a narrow projection (no join of any kind); the only shuffles
+    // are the bounded labels² confusion agg and the presentation sort
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = graft.operators.Similarity.labelConfusion(e)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("x99 diverse sample: per-cell cap runs as partial WindowGroupLimit") {
+    // sampleNPerGroup over the k-means cells must pre-filter map-side (each
+    // task forwards ≤ n rows per cell) — same contract as x19/x73
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val assigned = graft.operators.Similarity.kmeansAssign(e, k = 4, iters = 0)
+    val p = graft.operators.Training
+      .sampleNPerGroup(assigned, Seq("cell"), "vec_id", 12)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("Partial"), p.take(2000))
+  }
 }

@@ -75,4 +75,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(perRow.length === 3)
     perRow.foreach(r => assert(r.getAs[Long]("mass") === 15L))
   }
+
+  test("hllGroupSketches: small distinct sets estimate exactly") {
+    val df = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g2", "a"), ("g2", "c"), ("g2", "d"), ("g2", "d"))
+      .toDF("g", "item")
+    val got = Sketches.hllGroupSketches(df, "g", "item")
+      .select($"g", Sketches.hllEstimate($"hll").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("g1" -> 2L, "g2" -> 3L))
+  }
+
+  test("hllUnionEstimate: union of group sketches counts the global distinct set") {
+    val df = Seq(
+      ("g1", "a"), ("g1", "b"),
+      ("g2", "b"), ("g2", "c")) // 'b' shared — union must not double count
+      .toDF("g", "item")
+    val sk = Sketches.hllGroupSketches(df, "g", "item")
+    val est = Sketches.hllUnionEstimate(sk.select($"hll"))
+      .collect()(0).getLong(0)
+    assert(est === 3L)
+  }
 }

@@ -49,7 +49,8 @@ FAMILIES = {
               "x95_stored_ann_index", "x96_stored_index_append",
               "x102_label_confusion"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
-              "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp"],
+              "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp",
+              "x104_hll_distinct"],
     "training": ["x97_balanced_shards", "x99_diverse_sample"],
 }
 
