@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Num.roundz
 
 import graft.functions.TextStats
-import graft.operators.{AnnIndex, Behavior, Dedup, Embeddings, Multimodal, Profile, Ranks, RelOps, Similarity, Sketches, Stats, Temporal, Training, Transpose}
+import graft.operators.{AnnIndex, Behavior, Dedup, Embeddings, Graph, Multimodal, Profile, Ranks, RelOps, Similarity, Sketches, Stats, Temporal, Training, Transpose}
 import graft.pipelines.Pipelines
 import graft.sources.Catalog
 import graft.streaming.EventsStream
@@ -1521,6 +1521,39 @@ object SparkEntry {
         per.unionByName(glob).orderBy(col("source"))
       }
     }),
+
+    // PageRank over the symmetrized customer↔supplier trade graph (edges =
+    // distinct trading pairs via orders⋈lineitem; suppliers offset by 1e6
+    // into a disjoint id space): 3 power-iteration passes, damping 0.85,
+    // from the uniform start. The engine's one iterative-graph operator —
+    // a driver loop over cluster-side join+agg passes with the edge list
+    // cached and co-partitioned on the join key; the oracle unrolls the
+    // same three passes as SQL CTEs. Symmetric graph → no dangling mass,
+    // so both sides run the plain update rule.
+    "x105_pagerank" -> ((s, dir) => {
+      val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+        .select(col("node"), roundz(col("rank") * 1000, 6).as("rank_x1000"))
+        .orderBy(col("node"))
+    }),
+
+    // EXACT τ=0.5 Jaccard similarity join over the FULL corpus via the
+    // prefix filter (All-Pairs/PPJoin) — the lossless scale path where
+    // x13 bounds a broadcast slice and jaccardPairs' df-cut is lossy:
+    // rarest-first canonical order puts boilerplate tokens in the
+    // never-joined suffix, candidates stay near the true-pair count, and
+    // the exact verify makes the result provably complete (the oracle
+    // recomputes all τ-pairs from a naive posting join).
+    "x106_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, shingleSize = 3)
+        .orderBy(col("a"), col("b"))),
 
     // Bigram LM score (x60's order-sensitive sibling): mean log10
     // probability of each document's ADJACENT TOKEN PAIRS under the
@@ -3461,6 +3494,69 @@ object SparkEntry {
         |  TRUE AS est_ok
         |FROM documents
         |ORDER BY source""".stripMargin,
+    // the same three power-iteration passes, unrolled as CTEs
+    "x105_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        |r1 AS (
+        |  SELECT nodes.node,
+        |    0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.m, 0) AS rank
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r0.rank / deg.outdeg) AS m
+        |    FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON nodes.node = c.node),
+        |r2 AS (
+        |  SELECT nodes.node,
+        |    0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.m, 0) AS rank
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r1.rank / deg.outdeg) AS m
+        |    FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON nodes.node = c.node),
+        |r3 AS (
+        |  SELECT nodes.node,
+        |    0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.m, 0) AS rank
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r2.rank / deg.outdeg) AS m
+        |    FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON nodes.node = c.node)
+        |SELECT node, (round(rank * 1000, 6) + 0) AS rank_x1000
+        |FROM r3 ORDER BY node""".stripMargin,
+    // exact tau-pairs from a naive posting-list join — the result the
+    // prefix filter must reproduce losslessly
+    "x106_prefix_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM s),
+        |sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+        |c AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+        |  FROM ex a JOIN ex b USING (s)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.a, c.b,
+        |  (round(common::DOUBLE / (za.sz + zb.sz - common), 4) + 0) AS jaccard
+        |FROM c
+        |JOIN sz za ON c.a = za.doc_id
+        |JOIN sz zb ON c.b = zb.doc_id
+        |WHERE common::DOUBLE / (za.sz + zb.sz - common) >= 0.5
+        |ORDER BY a, b""".stripMargin,
     "x101_cms_heavy_hitters" ->
       """WITH tk AS (
         |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

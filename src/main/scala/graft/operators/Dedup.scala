@@ -308,6 +308,70 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT τ-Jaccard similarity join via prefix filtering (the All-Pairs /
+    * PPJoin candidate scheme — Bayardo et al. WWW'07, Xiao et al. WWW'08,
+    * both public): every pair with Jaccard ≥ `threshold` is returned, with
+    * NO lossy prune — the lossless scale path where `jaccardPairs`'
+    * `maxDocFreq` cut silently drops boilerplate-heavy true pairs.
+    *
+    * Why it prunes: under a global canonical token order (ascending
+    * document frequency, rarest first), J(A,B) ≥ τ implies
+    * |A∩B| ≥ ⌈τ·|A|⌉, so the smallest shared token cannot sit among the
+    * last ⌈τ|A|⌉−1 tokens of A — it lands inside A's first
+    * |A|−⌈τ|A|⌉+1 tokens, and symmetrically inside B's prefix. Joining
+    * ONLY the exploded prefixes is therefore complete, while the frequent
+    * (boilerplate) tokens — exactly the ones whose posting lists explode a
+    * naive index join — sort to the suffix and never generate candidates.
+    *
+    * Plan shape (all key-partitioned shuffles, no cross join):
+    *   postings → global df agg → per-doc canonical sort (array sort after
+    *   a collect_list per doc — no per-doc window) → prefix slice →
+    *   prefix self-join (+ size-ratio prune τ|B| ≤ |A| ≤ |B|/τ, valid
+    *   since J ≥ τ bounds the size ratio) → distinct pairs → exact-Jaccard
+    *   verify on the full shingle sets. Verification is per-candidate, so
+    *   total cost is postings + candidates — at 100 TB the candidate count
+    *   is the knob, and the prefix filter keeps it near the true-pair
+    *   count instead of the posting-list quadratic.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"prefixJaccardPairs: threshold in (0,1], got $threshold")
+    val sh = shingled(ensureParallelism(df), idCol, textCol, shingleSize)
+      .withColumnRenamed(idCol, "id")
+    val postings = sh.select(col("id"), explode(Staging.pin(col("sh"))).as("s"))
+    val freq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // canonical per-doc order (df asc, token asc) without a per-doc window:
+    // join each posting to its global df, fold back per doc, sort the
+    // (df, token) structs locally inside the row
+    val ordered = postings.join(freq, Seq("s"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("__os"))
+      .select(col("id"),
+        transform(col("__os"), x => x.getField("s")).as("toks"))
+    val pref = ordered
+      .select(col("id"), col("toks"), size(col("toks")).as("sz"))
+      .select(col("id"), col("sz"),
+        explode(slice(col("toks"), lit(1),
+          greatest(col("sz") - ceil(lit(threshold) * col("sz")).cast("int")
+            + lit(1), lit(0)))).as("s"))
+    val cand = pref.select(col("s"), col("id").as("a"), col("sz").as("sza"))
+      .join(pref.select(col("s"), col("id").as("b"), col("sz").as("szb")), Seq("s"))
+      .where(col("a") < col("b") &&
+        col("sza") >= lit(threshold) * col("szb") &&
+        col("szb") >= lit(threshold) * col("sza"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(sh.select(col("id").as("a"), col("sh").as("__sha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("__shb")), Seq("b"))
+      .select(col("a"), col("b"), jaccard(col("__sha"), col("__shb")).as("__j"))
+      // threshold on the RAW similarity, round only for presentation — a
+      // rounded-then-filtered pair at the boundary would disagree with any
+      // exact recomputation (oracle or otherwise)
+      .where(col("__j") >= threshold)
+      .select(col("a"), col("b"), roundz(col("__j"), 4).as("jaccard"))
+  }
+
   /** Estimated recall of the MinHash-LSH banding parameters on THIS corpus,
     * from a deterministic hash-sample: ground truth is exact posting-list
     * Jaccard within the sample (quadratic cost confined to the sample),

@@ -118,6 +118,39 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(many, "doc_id", "text", 0.1, maxDocFreq = 10).count() === 0)
   }
 
+  test("prefixJaccardPairs equals brute-force pairwise jaccard (lossless)") {
+    val sh = docs.select($"doc_id", Dedup.wordShingles($"text", 3).as("sh"))
+    val a = sh.select($"doc_id".as("a"), $"sh".as("sh_a"))
+    val b = sh.select($"doc_id".as("b"), $"sh".as("sh_b"))
+    for (tau <- Seq(0.25, 0.5, 0.9)) {
+      // threshold the RAW similarity, round only the output — the operator's
+      // contract (a rounded-then-filtered boundary pair would disagree with
+      // any exact recomputation)
+      val brute = a.crossJoin(b).where($"a" < $"b")
+        .select($"a", $"b", Dedup.jaccard($"sh_a", $"sh_b").as("j"))
+        .where($"j" >= tau)
+        .select($"a", $"b", round($"j", 4).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.prefixJaccardPairs(docs, "doc_id", "text", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref === brute, s"tau=$tau")
+      assert(tau > 0.5 || brute.nonEmpty, s"tau=$tau fixture has true pairs")
+    }
+  }
+
+  test("prefixJaccardPairs keeps boilerplate-only pairs jaccardPairs' df-cut drops") {
+    // every shingle occurs in all 20 docs: the posting-frequency cut
+    // empties the index (previous test family), but the prefix filter is
+    // LOSSLESS — frequent tokens sort to the suffix, yet identical sets
+    // still meet in their (rarest-token) prefix
+    val many = (1L to 20L).map(i => (i, "common boilerplate text here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(many, "doc_id", "text", 0.9, maxDocFreq = 10)
+      .count() === 0)
+    assert(Dedup.prefixJaccardPairs(many, "doc_id", "text", 0.9)
+      .count() === 190L) // C(20,2): all pairs, jaccard 1.0
+  }
+
   test("LSH bucket skew guard drops oversized buckets observably") {
     val many = (1L to 30L).map(i => (i, "same same same text here")).toDF("doc_id", "text")
     val dropped = Dedup.droppedBuckets(many, "doc_id", "text", maxBucketSize = 10)

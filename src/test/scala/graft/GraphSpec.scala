@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Local reference power iteration over an adjacency map — the
+    * hand-checkable ground truth the distributed loop must reproduce.
+    */
+  private def localPageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double, redistribute: Boolean): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val out = e.groupBy(_._1).map { case (s, es) => (s, es.size) }
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = if (redistribute)
+        nodes.filterNot(out.contains).map(r).sum else 0.0
+      val in = e.groupBy(_._2).map { case (t, es) =>
+        (t, es.map { case (s, _) => r(s) / out(s) }.sum)
+      }
+      r = nodes.map(v =>
+        v -> ((1 - d) / n + d * (in.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int,
+      redistribute: Boolean): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters,
+        damping = 0.85, redistributeDangling = redistribute)
+      .as[(Long, Double)].collect().toMap
+
+  test("pageRank matches the local power iteration on a hand graph") {
+    // A→B, A→C, B→C, C→A: classic 3-node digraph, no dangling nodes
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    for (iters <- Seq(1, 3, 5)) {
+      val want = localPageRank(edges, iters, 0.85, redistribute = false)
+      val got = run(edges, iters, redistribute = false)
+      assert(got.keySet == want.keySet)
+      for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12,
+        s"iters=$iters node=$k got=${got(k)} want=$v")
+    }
+  }
+
+  test("mass is conserved on a graph with no dangling nodes") {
+    // symmetric graph: every node has an out-edge, total rank stays 1
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val edges = e0 ++ e0.map(_.swap)
+    val total = run(edges, 4, redistribute = false).values.sum
+    assert(math.abs(total - 1.0) < 1e-9, s"total=$total")
+  }
+
+  test("dangling redistribution conserves mass where the plain rule leaks") {
+    // node 3 is a sink (no out-edge): without redistribution its rank
+    // leaks each pass; with it the total stays exactly 1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val leaked = run(edges, 3, redistribute = false).values.sum
+    val kept = run(edges, 3, redistribute = true).values.sum
+    assert(leaked < 1.0 - 1e-6, s"expected leak, total=$leaked")
+    assert(math.abs(kept - 1.0) < 1e-9, s"total=$kept")
+    // and the redistributed ranks match the local reference exactly
+    val want = localPageRank(edges, 3, 0.85, redistribute = true)
+    val got = run(edges, 3, redistribute = true)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12,
+      s"node=$k got=${got(k)} want=$v")
+  }
+
+  test("both modes agree when no node dangles") {
+    val e0 = Seq((1L, 2L), (2L, 5L), (5L, 1L), (2L, 1L), (5L, 2L))
+    val plain = run(e0, 3, redistribute = false)
+    val strict = run(e0, 3, redistribute = true)
+    for ((k, v) <- plain)
+      assert(math.abs(strict(k) - v) < 1e-12, s"node=$k $v vs ${strict(k)}")
+  }
+
+  test("duplicate edges do not double-count contributions") {
+    val once = run(Seq((1L, 2L), (2L, 1L)), 2, redistribute = false)
+    val dup = run(Seq((1L, 2L), (1L, 2L), (2L, 1L)), 2, redistribute = false)
+    for ((k, v) <- once) assert(math.abs(dup(k) - v) < 1e-12)
+  }
+
+  test("pageRank rejects an empty graph and bad iteration counts") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+        .count()
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", iters = 0)
+    }
+  }
+}
