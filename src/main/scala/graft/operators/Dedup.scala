@@ -337,6 +337,11 @@ object Dedup {
       threshold: Double, shingleSize: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"prefixJaccardPairs: threshold in (0,1], got $threshold")
+    // both the shingle frame (verify side a + side b) and the prefix
+    // postings (self-join side a + side b) are referenced twice below;
+    // cached under the audited lifecycle, the shingle/df/sort pipeline
+    // runs ONCE instead of once per reference (the uncached plan scans
+    // and re-aggregates the corpus four times)
     val sh = shingled(ensureParallelism(df), idCol, textCol, shingleSize)
       .withColumnRenamed(idCol, "id")
     val postings = sh.select(col("id"), explode(Staging.pin(col("sh"))).as("s"))
@@ -355,21 +360,23 @@ object Dedup {
         explode(slice(col("toks"), lit(1),
           greatest(col("sz") - ceil(lit(threshold) * col("sz")).cast("int")
             + lit(1), lit(0)))).as("s"))
-    val cand = pref.select(col("s"), col("id").as("a"), col("sz").as("sza"))
-      .join(pref.select(col("s"), col("id").as("b"), col("sz").as("szb")), Seq("s"))
-      .where(col("a") < col("b") &&
-        col("sza") >= lit(threshold) * col("szb") &&
-        col("szb") >= lit(threshold) * col("sza"))
-      .select(col("a"), col("b")).distinct()
-    cand
-      .join(sh.select(col("id").as("a"), col("sh").as("__sha")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("sh").as("__shb")), Seq("b"))
-      .select(col("a"), col("b"), jaccard(col("__sha"), col("__shb")).as("__j"))
-      // threshold on the RAW similarity, round only for presentation — a
-      // rounded-then-filtered pair at the boundary would disagree with any
-      // exact recomputation (oracle or otherwise)
-      .where(col("__j") >= threshold)
-      .select(col("a"), col("b"), roundz(col("__j"), 4).as("jaccard"))
+    graft.Lifecycle.withCachedInputs(sh, pref) {
+      val cand = pref.select(col("s"), col("id").as("a"), col("sz").as("sza"))
+        .join(pref.select(col("s"), col("id").as("b"), col("sz").as("szb")), Seq("s"))
+        .where(col("a") < col("b") &&
+          col("sza") >= lit(threshold) * col("szb") &&
+          col("szb") >= lit(threshold) * col("sza"))
+        .select(col("a"), col("b")).distinct()
+      cand
+        .join(sh.select(col("id").as("a"), col("sh").as("__sha")), Seq("a"))
+        .join(sh.select(col("id").as("b"), col("sh").as("__shb")), Seq("b"))
+        .select(col("a"), col("b"), jaccard(col("__sha"), col("__shb")).as("__j"))
+        // threshold on the RAW similarity, round only for presentation — a
+        // rounded-then-filtered pair at the boundary would disagree with any
+        // exact recomputation (oracle or otherwise)
+        .where(col("__j") >= threshold)
+        .select(col("a"), col("b"), roundz(col("__j"), 4).as("jaccard"))
+    }
   }
 
   /** Estimated recall of the MinHash-LSH banding parameters on THIS corpus,
