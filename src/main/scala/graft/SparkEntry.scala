@@ -1555,6 +1555,56 @@ object SparkEntry {
           threshold = 0.5, shingleSize = 3)
         .orderBy(col("a"), col("b"))),
 
+    // Mergeable aggregate state: per-source stats computed as TWO partial
+    // states (even/odd doc halves) merged by the component-wise monoid and
+    // finalized — must equal the oracle's single-pass recompute exactly.
+    // The across-jobs partial/final algebra a standing 100 TB summary
+    // needs: absorb a batch by merging group-sized states, never rescan
+    // history.
+    "x107_incremental_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merged = Stats.mergeStats(Seq("source"),
+        Stats.partialStats(d.where(col("doc_id") % 2 === 0), Seq("source"), "n_chars"),
+        Stats.partialStats(d.where(col("doc_id") % 2 === 1), Seq("source"), "n_chars"))
+      Stats.finalizeStats(merged, Seq("source"))
+        .select(col("source"), col("n"),
+          col("sum").cast("long").as("sum_chars"),
+          roundz(col("mean"), 4).as("mean_chars"),
+          roundz(col("sd"), 4).as("sd_chars"),
+          col("min").cast("long").as("min_chars"),
+          col("max").cast("long").as("max_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // Directional containment join (|A∩B|/|A| ≥ 0.8): x106's asymmetric
+    // sibling — finds docs that are near-SUBSETS of another (article
+    // inside boilerplate page, quote-heavy doc vs its source), which
+    // symmetric Jaccard misses whenever the container is much larger.
+    // Contained side probes with its canonical prefix (lossless), the
+    // container side indexes in full; exact verify.
+    "x108_containment_join" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, shingleSize = 3)
+        .orderBy(col("a"), col("b"))),
+
+    // Exact-dup rate estimated from an md5 hash-bucket sample (8 of 64
+    // buckets): duplicate groups land in sampled buckets WHOLE, so the
+    // sampled ratio is an unbiased rate estimate at ~1/8 of the group-by
+    // cost — corpus observability before committing to a full dedup pass.
+    // The bucket predicate filters map-side before any shuffle; the md5
+    // bucketing is engine-portable, so the oracle replays the exact sample.
+    "x109_dup_rate" -> ((s, dir) =>
+      Dedup.sampledDupRate(t(s, dir, "documents"), "text",
+        buckets = 64, sampled = 8)),
+
+    // Per-item mislabel audit (x102's row-level companion): each vector
+    // scored against its OWN label prototype, 5 worst per label — the
+    // re-annotation queue. Prototypes broadcast as literals, rank bounded
+    // per label partition.
+    "x110_label_outliers" -> ((s, dir) =>
+      Similarity.labelOutliers(t(s, dir, "embeddings"), k = 5)
+        .orderBy(col("label"), col("rn"))),
+
     // Bigram LM score (x60's order-sensitive sibling): mean log10
     // probability of each document's ADJACENT TOKEN PAIRS under the
     // corpus's own smoothed bigram distribution — scrambled-word junk
@@ -3557,6 +3607,77 @@ object SparkEntry {
         |JOIN sz zb ON c.b = zb.doc_id
         |WHERE common::DOUBLE / (za.sz + zb.sz - common) >= 0.5
         |ORDER BY a, b""".stripMargin,
+    // single-pass recompute — what the merged partial states must equal
+    "x107_incremental_stats" ->
+      """SELECT source, count(n_chars) AS n,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  (round(avg(n_chars), 4) + 0) AS mean_chars,
+        |  (round(stddev(n_chars), 4) + 0) AS sd_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // exact containment pairs from a naive posting join — the prefix-probe
+    // scheme must reproduce them losslessly
+    "x108_containment_join" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM s),
+        |sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+        |c AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+        |  FROM ex a JOIN ex b USING (s)
+        |  WHERE a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.a, c.b,
+        |  (round(common::DOUBLE / za.sz, 4) + 0) AS containment
+        |FROM c JOIN sz za ON c.a = za.doc_id
+        |WHERE common::DOUBLE / za.sz >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    // same md5 bucket arithmetic as the engine — the oracle replays the
+    // exact sample, so the estimate matches bit-for-bit
+    "x109_dup_rate" ->
+      """WITH smp AS (
+        |  SELECT text FROM documents
+        |  WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 64 < 8),
+        |g AS (SELECT text, count(*) AS c FROM smp GROUP BY 1)
+        |SELECT coalesce(sum(c), 0)::BIGINT AS n_sampled,
+        |  coalesce(sum(c - 1), 0)::BIGINT AS n_dup_sampled,
+        |  (round(sum(c - 1)::DOUBLE / sum(c), 6) + 0) AS dup_rate_est
+        |FROM g""".stripMargin,
+    // own-label prototype score, bottom-5 per label
+    "x110_label_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE label IS NOT NULL AND len(embedding) > 0),
+        |px AS (
+        |  SELECT label AS lab, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        |  FROM e),
+        |m AS (SELECT lab, i, avg(x) AS m FROM px GROUP BY 1, 2),
+        |nrm AS (SELECT lab, sqrt(sum(m * m)) AS nn FROM m GROUP BY 1),
+        |u AS (SELECT m.lab, m.i,
+        |        CASE WHEN nrm.nn > 0 THEN m.m / nrm.nn ELSE m.m END AS u
+        |      FROM m JOIN nrm USING (lab)),
+        |sc AS (
+        |  SELECT e.vec_id, e.label,
+        |    (round(sum(e.v[u.i] * u.u), 6) + 0) AS score
+        |  FROM e JOIN u ON u.lab = e.label
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT vec_id, label, score,
+        |    row_number() OVER (PARTITION BY label ORDER BY score, vec_id) AS rn
+        |  FROM sc)
+        |SELECT vec_id, label, score, rn FROM rk WHERE rn <= 5
+        |ORDER BY label, rn""".stripMargin,
     "x101_cms_heavy_hitters" ->
       """WITH tk AS (
         |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -41,6 +41,37 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Exact-dup RATE estimated from a hash-bucket sample — corpus
+    * observability at a fraction of the full-group cost. The content space
+    * is split into `buckets` md5 buckets and only buckets `< sampled` are
+    * grouped; because EVERY copy of a text lands in the same bucket, a
+    * sampled bucket contains its duplicate groups WHOLE, so
+    * Σ(count−1)/Σcount over the sample estimates the corpus dup rate
+    * without the usual row-sampling bias (row-sampling a pair keeps both
+    * copies with probability p², collapsing the observed rate; bucket
+    * sampling keeps groups intact with probability p).
+    *
+    * Scale shape: the bucket predicate filters map-side BEFORE the
+    * group-by, so the shuffle carries ~sampled/buckets of the corpus; the
+    * output is one bounded row. `sampled = buckets` degenerates to the
+    * exact full-corpus rate. md5 (not xxhash64) keeps the bucketing
+    * engine-portable, so an external system replays the exact sample.
+    */
+  def sampledDupRate(df: DataFrame, textCol: String,
+      buckets: Int = 64, sampled: Int = 8): DataFrame = {
+    require(buckets >= 1 && sampled >= 1 && sampled <= buckets,
+      s"sampledDupRate: need 1 <= sampled <= buckets, got $sampled/$buckets")
+    val bucket = conv(substring(md5(col(textCol)), 1, 8), 16, 10)
+      .cast("long") % buckets
+    df.where(bucket < sampled)
+      .groupBy(col(textCol)).agg(count(lit(1)).as("__c"))
+      .agg(
+        coalesce(sum(col("__c")), lit(0L)).as("n_sampled"),
+        coalesce(sum(col("__c") - 1), lit(0L)).as("n_dup_sampled"),
+        roundz(sum(col("__c") - 1).cast("double") / sum(col("__c")), 6)
+          .as("dup_rate_est"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word n-gram shingles as a distinct array (set semantics for Jaccard).
@@ -345,21 +376,7 @@ object Dedup {
     val sh = shingled(ensureParallelism(df), idCol, textCol, shingleSize)
       .withColumnRenamed(idCol, "id")
     val postings = sh.select(col("id"), explode(Staging.pin(col("sh"))).as("s"))
-    val freq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // canonical per-doc order (df asc, token asc) without a per-doc window:
-    // join each posting to its global df, fold back per doc, sort the
-    // (df, token) structs locally inside the row
-    val ordered = postings.join(freq, Seq("s"))
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("__os"))
-      .select(col("id"),
-        transform(col("__os"), x => x.getField("s")).as("toks"))
-    val pref = ordered
-      .select(col("id"), col("toks"), size(col("toks")).as("sz"))
-      .select(col("id"), col("sz"),
-        explode(slice(col("toks"), lit(1),
-          greatest(col("sz") - ceil(lit(threshold) * col("sz")).cast("int")
-            + lit(1), lit(0)))).as("s"))
+    val pref = prefixExplode(canonicalOrdered(postings), threshold)
     graft.Lifecycle.withCachedInputs(sh, pref) {
       val cand = pref.select(col("s"), col("id").as("a"), col("sz").as("sza"))
         .join(pref.select(col("s"), col("id").as("b"), col("sz").as("szb")), Seq("s"))
@@ -376,6 +393,80 @@ object Dedup {
         // exact recomputation (oracle or otherwise)
         .where(col("__j") >= threshold)
         .select(col("a"), col("b"), roundz(col("__j"), 4).as("jaccard"))
+    }
+  }
+
+  /** Per-doc shingles in CANONICAL order (global document frequency
+    * ascending, token ascending as tie-break — rarest first), computed
+    * without a per-doc window: each posting joins its global df, folds
+    * back per doc, and the (df, token) structs sort locally inside the
+    * row. Returns (id, toks, sz).
+    */
+  private def canonicalOrdered(postings: DataFrame): DataFrame = {
+    val freq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    postings.join(freq, Seq("s"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("__os"))
+      .select(col("id"),
+        transform(col("__os"), x => x.getField("s")).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("sz"))
+  }
+
+  /** Exploded prefix postings (id, sz, s): the first
+    * sz − ⌈threshold·sz⌉ + 1 canonical tokens of each doc — the prefix
+    * the filter theorems quantify over.
+    */
+  private def prefixExplode(ordered: DataFrame, threshold: Double): DataFrame =
+    ordered.select(col("id"), col("sz"),
+      explode(slice(col("toks"), lit(1),
+        greatest(col("sz") - ceil(lit(threshold) * col("sz")).cast("int")
+          + lit(1), lit(0)))).as("s"))
+
+  /** EXACT directional containment join: pairs (a, b) with
+    * |A∩B| / |A| ≥ `threshold` — "document a is (nearly) a subset of
+    * document b". The asymmetric sibling of [[prefixJaccardPairs]] for the
+    * dominant web-corpus shape Jaccard misses: a short article wrapped in
+    * a long boilerplate page has low Jaccard against the boilerplate
+    * template but containment ≈ 1, and a quote-heavy doc is a near-subset
+    * of its source regardless of the source's length.
+    *
+    * Candidate scheme (lossless): containment ≥ τ means |A∩B| ≥ ⌈τ|A|⌉,
+    * so — same suffix-counting argument as the symmetric join — at least
+    * one shared token sits in A's canonical prefix of length
+    * |A|−⌈τ|A|⌉+1. The CONTAINED side therefore probes with its prefix
+    * only, while the container side is indexed in FULL (no prefix bound
+    * exists for B: a huge doc can contain a tiny one). Boilerplate tokens
+    * still can't explode the join: they sort to the END of the canonical
+    * order, so they appear in a probe prefix only for docs that are
+    * almost entirely boilerplate — exactly the contained candidates the
+    * operator exists to find. Size prune: |B| ≥ τ·|A| (the intersection
+    * can't exceed |B|). Exact verify on the full sets completes it.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containmentPairs: threshold in (0,1], got $threshold")
+    val sh = shingled(ensureParallelism(df), idCol, textCol, shingleSize)
+      .withColumnRenamed(idCol, "id")
+    val postings = sh.select(col("id"), explode(Staging.pin(col("sh"))).as("s"))
+    val probe = prefixExplode(canonicalOrdered(postings), threshold)
+    // sh feeds both verify sides, postings feeds the df agg + the index
+    // side — cache each once under the audited lifecycle
+    graft.Lifecycle.withCachedInputs(sh, postings) {
+      val index = sh.select(col("id").as("b"), size(col("sh")).as("szb"),
+        explode(Staging.pin(col("sh"))).as("s"))
+      val cand = probe.select(col("s"), col("id").as("a"), col("sz").as("sza"))
+        .join(index, Seq("s"))
+        .where(col("a") =!= col("b") && col("szb") >= lit(threshold) * col("sza"))
+        .select(col("a"), col("b")).distinct()
+      cand
+        .join(sh.select(col("id").as("a"), col("sh").as("__sha")), Seq("a"))
+        .join(sh.select(col("id").as("b"), col("sh").as("__shb")), Seq("b"))
+        .select(col("a"), col("b"),
+          (size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+            size(col("__sha"))).as("__c"))
+        .where(col("__c") >= threshold)
+        .select(col("a"), col("b"), roundz(col("__c"), 4).as("containment"))
     }
   }
 

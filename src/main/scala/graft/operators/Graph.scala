@@ -60,14 +60,20 @@ object Graph {
       redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
     // loop invariant: edges with their out-degree, partitioned on the join
     // key so iterations re-read co-located cache instead of re-shuffling
     val ej = e.join(outDeg, "src").repartition(col("src"))
-    Lifecycle.withCachedInputs(ej, nodes) {
-      val n = nodes.count() // bounded: ONE Long to the driver
+    Lifecycle.withCachedInputs(ej) {
+      // node universe DERIVED FROM THE CACHED invariant (ej ≡ e with the
+      // out-degree attached — an inner join every edge survives), so the
+      // distinct and the count below re-read cache; deriving nodes from
+      // the raw edge list instead re-ran the whole dedup/join/repartition
+      // pipeline once per materialization (3× at sf0.1)
+      val nodes = ej.select(col("src").as("node"))
+        .union(ej.select(col("dst").as("node"))).distinct()
+      Lifecycle.withCachedInputs(nodes) {
+      val n = nodes.count() // bounded: ONE Long to the driver (cache hit)
       require(n > 0, "pageRank: empty graph")
       val teleport = (1.0 - damping) / n
       var ranks = nodes.withColumn("rank", lit(1.0 / n))
@@ -111,6 +117,7 @@ object Graph {
           ranks = next
         }
         ranks
+      }
       }
     }
   }

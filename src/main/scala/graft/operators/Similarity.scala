@@ -396,6 +396,43 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-ITEM mislabel audit — the row-level companion to the aggregate
+    * [[labelConfusion]]: every vector scored (dot, cosine order) against
+    * its OWN label's unit prototype, and the `k` WORST-scoring vectors per
+    * label returned (rank by score asc, vec_id tie-break). These are the
+    * candidates to re-annotate first: a low score says the item sits far
+    * from its own label's mass in embedding space.
+    *
+    * Bottom-k (not a threshold) keeps the output deterministic and
+    * non-empty at every corpus size. Scale shape: prototypes are the only
+    * driver traffic (labels×dims doubles, broadcast back as literals); the
+    * scoring is one narrow map; the per-label rank is a window over
+    * `labels` partitions — parallel, with WindowGroupLimit bounding the
+    * map-side sort to k rows per partition.
+    */
+  def labelOutliers(df: DataFrame, k: Int, labelCol: String = "label",
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      decimals: Int = 6): DataFrame = {
+    require(k >= 1, s"labelOutliers: k must be >= 1, got $k")
+    val cents = labelCentroids(df, labelCol, vecCol)
+    val d = dotFor(df)
+    // own-label score: one CASE over the broadcast prototypes
+    val ownScore = cents.foldLeft(lit(null).cast("double")) { case (acc, (lab, cv)) =>
+      when(col("label") === lab,
+        roundz(d(asDouble(col(vecCol)), typedLit(cv)), decimals)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("score").asc, col(idCol).asc)
+    df.where(col(labelCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol), col(labelCol).cast("int").as("label"),
+        col(vecCol))
+      .withColumn("score", ownScore)
+      .where(col("score").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(idCol), col("label"), col("score"), col("rn"))
+  }
+
   /** Deterministic coarse-quantizer sample: smallest `nCentroids` ids by
     * hash order — the untrained (`trainIters = 0`) centroid set `ivfKnn`
     * uses, exposed so a caller can build the quantizer ONCE over the full

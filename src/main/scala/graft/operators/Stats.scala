@@ -270,4 +270,64 @@ object Stats {
       case _ => df.withColumn(as, lit(null).cast("double"))
     }
   }
+
+  // ------------------------------------ mergeable aggregate state (x107)
+
+  /** Per-group ALGEBRAIC aggregate state — (n, sum, sumsq, min, max) of
+    * `valueCol` per `keys` tuple. The state is group-sized, not row-sized,
+    * and MERGEABLE: two states combine by component-wise sum/min/max
+    * ([[mergeStats]]), so a standing corpus summary absorbs a new batch by
+    * merging partials instead of rescanning history — the same
+    * partial/final algebra Spark runs inside one job, lifted to a durable
+    * table ACROSS jobs (write the state with `Catalog.upsert`; the
+    * steady-state cost of "stats over 100 TB + today's batch" becomes one
+    * scan of the batch plus a group-sized merge).
+    *
+    * Null values don't contribute (standard aggregate semantics): n counts
+    * non-nulls, an all-null group carries sum 0 / min-max null.
+    */
+  def partialStats(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.groupBy(keys.map(col): _*).agg(
+      count(v).as("__n"),
+      coalesce(sum(v), lit(0.0)).as("__sum"),
+      coalesce(sum(v * v), lit(0.0)).as("__sumsq"),
+      min(v).as("__min"),
+      max(v).as("__max"))
+  }
+
+  /** Merge any number of [[partialStats]] states on the same keys: the
+    * component-wise monoid (sums add, extrema combine). Exact — merged
+    * state is bit-for-bit the algebra of a single pass over the union,
+    * modulo float summation order (absorbed by the caller's rounding).
+    */
+  def mergeStats(keys: Seq[String], states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeStats: no states")
+    states.reduce(_.unionByName(_)).groupBy(keys.map(col): _*).agg(
+      sum(col("__n")).as("__n"),
+      sum(col("__sum")).as("__sum"),
+      sum(col("__sumsq")).as("__sumsq"),
+      min(col("__min")).as("__min"),
+      max(col("__max")).as("__max"))
+  }
+
+  /** Finalize a state into presentation stats: n, sum, mean, SAMPLE
+    * stddev (n−1; null when n < 2 — the same contract as the built-in
+    * `stddev`), min, max. Rounding is the caller's (oracle-alignment)
+    * concern.
+    */
+  def finalizeStats(state: DataFrame, keys: Seq[String]): DataFrame = {
+    val variance = (col("__sumsq") - col("__sum") * col("__sum") / col("__n")) /
+      (col("__n") - lit(1))
+    state.select(keys.map(col) ++ Seq(
+      col("__n").as("n"),
+      col("__sum").as("sum"),
+      // guarded: an all-null group has n=0 and 0.0/0 is NaN, not null
+      when(col("__n") > 0, col("__sum") / col("__n")).as("mean"),
+      // clamp tiny negative variance from float cancellation before sqrt
+      when(col("__n") > 1, sqrt(greatest(variance, lit(0.0))))
+        .otherwise(lit(null).cast("double")).as("sd"),
+      col("__min").as("min"),
+      col("__max").as("max")): _*)
+  }
 }

@@ -151,6 +151,62 @@ class DedupSpec extends AnyFunSuite {
       .count() === 190L) // C(20,2): all pairs, jaccard 1.0
   }
 
+  test("sampledDupRate: full sample is exact, partial sample keeps groups whole") {
+    val corpus = ((1 to 60).map(i => (i.toLong, s"unique text number $i")) ++
+      (61 to 80).map(i => (i.toLong, "duplicated text alpha")) ++
+      (81 to 100).map(i => (i.toLong, "duplicated text beta")))
+      .toDF("doc_id", "text")
+    // sampled == buckets degenerates to the exact full-corpus rate
+    val full = Dedup.sampledDupRate(corpus, "text", buckets = 16, sampled = 16)
+      .collect().head
+    assert(full.getLong(0) === 100L)
+    assert(full.getLong(1) === 38L) // (20−1) + (20−1)
+    assert(math.abs(full.getDouble(2) - 0.38) < 1e-9)
+    // bucket sampling keeps duplicate groups WHOLE: the sampled dup count
+    // can only be a sum of whole groups (0, 19, or 38), never a fragment —
+    // the property that makes the rate estimate unbiased where row
+    // sampling (p² pair survival) is not
+    for (sampled <- Seq(2, 4, 8)) {
+      val part = Dedup.sampledDupRate(corpus, "text", 16, sampled)
+        .collect().head
+      assert(Set(0L, 19L, 38L).contains(part.getLong(1)),
+        s"sampled=$sampled fragmented a dup group: ${part.getLong(1)}")
+    }
+  }
+
+  test("containmentPairs equals brute-force directional containment") {
+    val sh = docs.select($"doc_id", Dedup.wordShingles($"text", 3).as("sh"))
+    val a = sh.select($"doc_id".as("a"), $"sh".as("sh_a"))
+    val b = sh.select($"doc_id".as("b"), $"sh".as("sh_b"))
+    for (tau <- Seq(0.5, 0.8)) {
+      val brute = a.crossJoin(b).where($"a" =!= $"b")
+        .select($"a", $"b",
+          (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size($"sh_a")).as("c"))
+        .where($"c" >= tau)
+        .select($"a", $"b", round($"c", 4).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = Dedup.containmentPairs(docs, "doc_id", "text", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === brute, s"tau=$tau")
+      assert(brute.nonEmpty, s"tau=$tau fixture has contained pairs")
+    }
+  }
+
+  test("containmentPairs finds a subset inside a much larger container") {
+    // article ⊂ boilerplate page: containment(article→page) = 1 while the
+    // pair's Jaccard is far below any useful symmetric threshold
+    val article = "alpha beta gamma delta epsilon zeta"
+    val page = s"nav header menu login search $article footer copyright " +
+      "terms privacy contact about sitemap feedback careers press"
+    val two = Seq((1L, article), (2L, page)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(two, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0))) // directional: only a ⊂ b
+    // and the symmetric join correctly does NOT pair them at 0.5
+    assert(Dedup.prefixJaccardPairs(two, "doc_id", "text", 0.5).count() === 0)
+  }
+
   test("LSH bucket skew guard drops oversized buckets observably") {
     val many = (1L to 30L).map(i => (i, "same same same text here")).toDF("doc_id", "text")
     val dropped = Dedup.droppedBuckets(many, "doc_id", "text", maxBucketSize = 10)

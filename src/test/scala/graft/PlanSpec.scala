@@ -344,4 +344,57 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
     assert(p.contains("Partial"), p.take(2000))
   }
+
+  test("x105 pagerank: edge list iterates from cache, no loop joins") {
+    // the loop invariant (edges + out-degrees) must be an InMemoryRelation
+    // — re-deriving it per iteration re-scans and re-shuffles the
+    // edge-count-sized relation every pass — and a rank update must never
+    // degrade to a nested-loop join
+    val p = planOf("x105_pagerank")
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("x106/x108 prefix-filtered joins: key-partitioned, never a product") {
+    // the whole point of the prefix filter is that candidates come from an
+    // equality join on prefix tokens — any CartesianProduct or
+    // BroadcastNestedLoopJoin in the plan means the filter degraded to the
+    // all-pairs shape it exists to avoid
+    for (q <- Seq("x106_prefix_jaccard", "x108_containment_join")) {
+      val p = planOf(q)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$q:\n" + p.take(2000))
+      assert(p.contains("InMemoryTableScan"), s"$q shared frames not cached")
+    }
+  }
+
+  test("x107 merged stats: the monoid merge is union + one final agg, joinless") {
+    val p = planOf("x107_incremental_stats")
+    assert(p.contains("Union"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("x109 dup rate: the bucket predicate filters the scan, not the groups") {
+    // the sample predicate must sit below the group-by (map-side, next to
+    // the scan) so only ~sampled/buckets of the corpus ever shuffles; it
+    // filters on the md5 bucket, and the plan has no join at all
+    val p = planOf("x109_dup_rate")
+    val lines = p.linesIterator.toIndexedSeq
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("md5"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    assert(filterIdx >= 0, "no md5 bucket filter:\n" + p.take(2000))
+    assert(exchangeIdx >= 0 && filterIdx > exchangeIdx,
+      s"bucket filter above the shuffle (filter@$filterIdx exchange@$exchangeIdx)")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("x110 label outliers: joinless scoring, rank bounded by WindowGroupLimit") {
+    // prototypes are broadcast literals (no join anywhere); the per-label
+    // bottom-k must pre-filter map-side like every other top-k in the
+    // engine
+    val p = planOf("x110_label_outliers")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
 }

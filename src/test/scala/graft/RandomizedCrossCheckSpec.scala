@@ -339,4 +339,73 @@ class RandomizedCrossCheckSpec extends AnyFunSuite {
       .as[(Long, String, Double)].collect().toSet
     assert(back === rows.toSet)
   }
+
+  test("prefix-filtered joins equal brute force on random word-soup corpora") {
+    // random docs over a tiny vocabulary maximize shared shingles and
+    // boundary similarity values — the adversarial regime for a candidate
+    // filter; both the symmetric and the directional join must reproduce
+    // the brute-force pair sets exactly
+    val rnd = new scala.util.Random(4242L)
+    val vocab = Seq("a", "b", "c", "d", "e", "f")
+    val docs = Seq.tabulate(40) { i =>
+      val n = 3 + rnd.nextInt(10)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = docs.select($"doc_id", Dedup.wordShingles($"text", 2).as("sh"))
+    val a = sh.select($"doc_id".as("a"), $"sh".as("sh_a"))
+    val b = sh.select($"doc_id".as("b"), $"sh".as("sh_b"))
+    for (tau <- Seq(0.3, 0.6)) {
+      val bruteJ = a.crossJoin(b).where($"a" < $"b")
+        .select($"a", $"b", Dedup.jaccard($"sh_a", $"sh_b").as("j"))
+        .where($"j" >= tau).select($"a", $"b")
+        .as[(Long, Long)].collect().toSet
+      val gotJ = Dedup.prefixJaccardPairs(docs, "doc_id", "text", tau,
+          shingleSize = 2)
+        .select($"a", $"b").as[(Long, Long)].collect().toSet
+      assert(gotJ === bruteJ, s"jaccard tau=$tau")
+      val bruteC = a.crossJoin(b).where($"a" =!= $"b")
+        .select($"a", $"b",
+          (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size($"sh_a")).as("c"))
+        .where($"c" >= tau).select($"a", $"b")
+        .as[(Long, Long)].collect().toSet
+      val gotC = Dedup.containmentPairs(docs, "doc_id", "text", tau,
+          shingleSize = 2)
+        .select($"a", $"b").as[(Long, Long)].collect().toSet
+      assert(gotC === bruteC, s"containment tau=$tau")
+    }
+  }
+
+  test("pageRank equals a local power iteration on random digraphs") {
+    val rnd = new scala.util.Random(777L)
+    for (trial <- 1 to 3) {
+      val n = 12 + rnd.nextInt(10)
+      val edges = Seq.fill(3 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (s, d) => s != d }.distinct
+      for (redistribute <- Seq(false, true)) {
+        val got = graft.operators.Graph
+          .pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 3,
+            redistributeDangling = redistribute)
+          .as[(Long, Double)].collect().toMap
+        // local reference (same update rule)
+        val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+        val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+        var r = nodes.map(_ -> 1.0 / nodes.size).toMap
+        for (_ <- 1 to 3) {
+          val dm = if (redistribute)
+            nodes.filterNot(out.contains).map(r).sum else 0.0
+          val in = edges.groupBy(_._2).view.mapValues(
+            _.map { case (s, _) => r(s) / out(s) }.sum).toMap
+          r = nodes.map(v => v -> (0.15 / nodes.size +
+            0.85 * (in.getOrElse(v, 0.0) + dm / nodes.size))).toMap
+        }
+        assert(got.keySet == r.keySet, s"trial=$trial")
+        r.foreach { case (k, v) =>
+          assert(math.abs(got(k) - v) < 1e-10,
+            s"trial=$trial redistribute=$redistribute node=$k")
+        }
+      }
+    }
+  }
 }

@@ -288,4 +288,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a1.select($"vec_id", $"cell")
       .exceptAll(a2.select($"vec_id", $"cell")).isEmpty)
   }
+
+  test("labelOutliers puts the farthest-from-prototype vector first") {
+    // label 0 clusters near e1 with one adversarial vector at −e1: that
+    // vector is the re-annotation candidate and must rank rn=1 with the
+    // (strictly) lowest own-label score
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(1.0f, 0.1f), 0), (4L, Seq(-1.0f, 0.0f), 0),
+      (10L, Seq(0.0f, 1.0f), 1), (11L, Seq(0.1f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(rows, k = 2)
+      .orderBy($"label", $"rn").collect()
+    assert(out.length === 4) // 2 per label
+    assert(out(0).getLong(0) === 4L && out(0).getInt(1) === 0
+      && out(0).getInt(3) === 1)
+    // scores non-decreasing with rank inside each label
+    out.groupBy(_.getInt(1)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) => assert(lo.getDouble(2) <= hi.getDouble(2))
+        case _ =>
+      }
+    }
+    // k is a bound, not a requirement: a 1-vector label yields one row
+    val tiny = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 1),
+      (3L, Seq(0.1f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val counts = Similarity.labelOutliers(tiny, k = 5)
+      .groupBy($"label").count().orderBy($"label")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(counts.toSeq === Seq((0, 1L), (1, 2L)))
+  }
 }

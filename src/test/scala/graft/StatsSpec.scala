@@ -132,4 +132,50 @@ class StatsSpec extends AnyFunSuite {
     assert(out.where($"v".isNull).count() === 1)
     assert(out.where($"clipped".isNotNull).count() === 100)
   }
+
+  test("merged partial stats equal the single-pass aggregate") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val merged = Stats.finalizeStats(
+      Stats.mergeStats(Seq("source"),
+        Stats.partialStats(docs.where($"doc_id" % 3 === 0), Seq("source"), "n_chars"),
+        Stats.partialStats(docs.where($"doc_id" % 3 === 1), Seq("source"), "n_chars"),
+        Stats.partialStats(docs.where($"doc_id" % 3 === 2), Seq("source"), "n_chars")),
+      Seq("source"))
+      .orderBy("source").collect()
+    val direct = docs.groupBy($"source").agg(
+        count($"n_chars").as("n"), sum($"n_chars".cast("double")).as("sum"),
+        avg($"n_chars").as("mean"), stddev_samp($"n_chars").as("sd"),
+        min($"n_chars".cast("double")).as("min"), max($"n_chars".cast("double")).as("max"))
+      .orderBy("source").collect()
+    assert(merged.length === direct.length && merged.nonEmpty)
+    merged.zip(direct).foreach { case (m, d) =>
+      assert(m.getString(0) === d.getString(0))
+      assert(m.getLong(1) === d.getLong(1))
+      for (i <- 2 to 6 if !d.isNullAt(i))
+        assert(math.abs(m.getDouble(i) - d.getDouble(i)) < 1e-6,
+          s"source=${m.getString(0)} col=$i ${m.getDouble(i)} vs ${d.getDouble(i)}")
+    }
+  }
+
+  test("mergeStats is order-insensitive and handles degenerate groups") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", Some(5.0)),
+      ("c", Option.empty[Double])).toDF("k", "v")
+    val p1 = Stats.partialStats(df.where($"k" === "a"), Seq("k"), "v")
+    val p2 = Stats.partialStats(df.where($"k" =!= "a"), Seq("k"), "v")
+    val ab = Stats.finalizeStats(Stats.mergeStats(Seq("k"), p1, p2), Seq("k"))
+      .orderBy("k").collect()
+    val ba = Stats.finalizeStats(Stats.mergeStats(Seq("k"), p2, p1), Seq("k"))
+      .orderBy("k").collect()
+    assert(ab.map(_.toString).toSeq === ba.map(_.toString).toSeq)
+    val byK = ab.map(r => r.getString(0) -> r).toMap
+    // two-value group: mean 2, sample sd sqrt(2)
+    assert(byK("a").getLong(1) === 2L)
+    assert(math.abs(byK("a").getDouble(3) - 2.0) < 1e-12)
+    assert(math.abs(byK("a").getDouble(4) - math.sqrt(2.0)) < 1e-12)
+    // single value: sd null, mean = value
+    assert(byK("b").getLong(1) === 1L && byK("b").isNullAt(4))
+    assert(math.abs(byK("b").getDouble(3) - 5.0) < 1e-12)
+    // all-null group: n 0, mean and sd null (not NaN)
+    assert(byK("c").getLong(1) === 0L && byK("c").isNullAt(3) && byK("c").isNullAt(4))
+  }
 }

@@ -43,15 +43,17 @@ FAMILIES = {
               "x90_audio_fp_neardup", "x91_multimodal_dedup",
               "x92_semantic_dedup", "x93_video_phash_neardup",
               "x94_incremental_semantic_dedup",
-              "x98_bloom_incremental_dedup"],
+              "x98_bloom_incremental_dedup", "x106_prefix_jaccard",
+              "x108_containment_join", "x109_dup_rate"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
               "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann",
               "x95_stored_ann_index", "x96_stored_index_append",
-              "x102_label_confusion"],
+              "x102_label_confusion", "x110_label_outliers"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
               "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp",
-              "x104_hll_distinct"],
+              "x104_hll_distinct", "x107_incremental_stats"],
     "training": ["x97_balanced_shards", "x99_diverse_sample"],
+    "graph": ["x105_pagerank"],
 }
 
 # Steepest measured slopes = the full-output rewrites + the per-token
