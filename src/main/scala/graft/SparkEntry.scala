@@ -1531,12 +1531,14 @@ object SparkEntry {
     // same three passes as SQL CTEs. Symmetric graph → no dangling mass,
     // so both sides run the plain update rule.
     "x105_pagerank" -> ((s, dir) => {
+      // no pre-distinct: pageRank dedups its edge input anyway, and the
+      // union's reversed branch reuses the join's exchange instead of
+      // paying a second distinct shuffle
       val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + lit(1000000L)).as("dst"))
-        .distinct()
       val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
         .select(col("node"), roundz(col("rank") * 1000, 6).as("rank_x1000"))
