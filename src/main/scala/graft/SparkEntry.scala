@@ -1545,6 +1545,29 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Seeded PageRank (TrustRank): teleport mass lands only on the
+    // European-supplier seed nodes, so rank = trust flowing outward from
+    // the allowlist and decaying with link distance — the standard
+    // source-quality propagation when a small allowlist is all the ground
+    // truth a corpus has. Same cached-invariant loop as x105; the seed
+    // set rides as a column on the cached node frame.
+    "x111_trustrank" -> ((s, dir) => {
+      val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "EUROPE")
+        .select((col("s_suppkey") + lit(1000000L)).as("node"))
+      Graph.personalizedPageRank(edges, "src", "dst", Some(seeds), iters = 3)
+        .select(col("node"), roundz(col("rank") * 1000, 6).as("trust_x1000"))
+        .orderBy(col("node"))
+    }),
+
     // EXACT τ=0.5 Jaccard similarity join over the FULL corpus via the
     // prefix filter (All-Pairs/PPJoin) — the lossless scale path where
     // x13 bounds a broadcast slice and jaccardPairs' df-cut is lossy:
@@ -3578,6 +3601,46 @@ object SparkEntry {
         |    FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
         |    GROUP BY e.dst) c ON nodes.node = c.node)
         |SELECT node, (round(rank * 1000, 6) + 0) AS rank_x1000
+        |FROM r3 ORDER BY node""".stripMargin,
+    // seeded teleport vector, same three passes unrolled
+    "x111_trustrank" ->
+      """WITH e0 AS (
+        |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |sd AS (
+        |  SELECT s_suppkey + 1000000 AS node
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |tv AS (
+        |  SELECT nodes.node,
+        |    CASE WHEN sd.node IS NOT NULL THEN 1.0 ELSE 0.0 END AS s
+        |  FROM nodes LEFT JOIN sd ON nodes.node = sd.node),
+        |ns AS (SELECT sum(s) AS k FROM tv),
+        |tp AS (SELECT node, s / (SELECT k FROM ns) AS t FROM tv),
+        |r0 AS (SELECT node, t AS rank FROM tp),
+        |r1 AS (
+        |  SELECT tp.node, 0.15 * tp.t + 0.85 * coalesce(c.m, 0) AS rank
+        |  FROM tp LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r0.rank / deg.outdeg) AS m
+        |    FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON tp.node = c.node),
+        |r2 AS (
+        |  SELECT tp.node, 0.15 * tp.t + 0.85 * coalesce(c.m, 0) AS rank
+        |  FROM tp LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r1.rank / deg.outdeg) AS m
+        |    FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON tp.node = c.node),
+        |r3 AS (
+        |  SELECT tp.node, 0.15 * tp.t + 0.85 * coalesce(c.m, 0) AS rank
+        |  FROM tp LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r2.rank / deg.outdeg) AS m
+        |    FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON tp.node = c.node)
+        |SELECT node, (round(rank * 1000, 6) + 0) AS trust_x1000
         |FROM r3 ORDER BY node""".stripMargin,
     // exact tau-pairs from a naive posting-list join — the result the
     // prefix filter must reproduce losslessly

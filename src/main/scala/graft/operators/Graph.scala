@@ -57,6 +57,29 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, damping: Double = 0.85,
+      redistributeDangling: Boolean = false): DataFrame =
+    personalizedPageRank(edges, srcCol, dstCol, None, iters, damping,
+      redistributeDangling)
+
+  /** Seeded (personalized) PageRank — the TrustRank pattern (Gyöngyi,
+    * Garcia-Molina & Pedersen, VLDB'04, public): the teleport mass lands
+    * ONLY on the `seeds` node set instead of uniformly, so rank flows
+    * outward from trusted sources and decays with link distance — the
+    * standard way to propagate source quality over a link graph when a
+    * small allowlist is all the ground truth a corpus has. `seeds = None`
+    * degenerates to uniform teleport (classic PageRank).
+    *
+    * Seeds arrive as a DataFrame (single node-id column) because at corpus
+    * scale the allowlist is itself a table: membership becomes a `__t`
+    * teleport column on the cached node frame (one semi-join at build,
+    * free per iteration), and the only extra driver value is the seed
+    * COUNT. The start vector is the teleport vector (mass on seeds), as
+    * the paper specifies. Dangling nodes: same contract/mechanics as
+    * [[pageRank]], except redistributed mass returns via the teleport
+    * vector (seed-proportional), keeping the personalization exact.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Option[DataFrame], iters: Int = 3, damping: Double = 0.85,
       redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
@@ -70,23 +93,44 @@ object Graph {
       // distinct and the count below re-read cache; deriving nodes from
       // the raw edge list instead re-ran the whole dedup/join/repartition
       // pipeline once per materialization (3× at sf0.1)
-      val nodes = ej.select(col("src").as("node"))
+      val nodes0 = ej.select(col("src").as("node"))
         .union(ej.select(col("dst").as("node"))).distinct()
-      Lifecycle.withCachedInputs(nodes) {
-      val n = nodes.count() // bounded: ONE Long to the driver (cache hit)
+      // seed membership becomes a column ON the cached node frame (one
+      // broadcast-able join at build time, free per iteration)
+      val nodesS = seeds match {
+        case None => nodes0.withColumn("__s", lit(1L))
+        case Some(sd) =>
+          val sn = sd.select(col(sd.columns.head).as("node")).distinct()
+          nodes0.join(sn.withColumn("__s1", lit(1L)), Seq("node"), "left")
+            .select(col("node"), coalesce(col("__s1"), lit(0L)).as("__s"))
+      }
+      Lifecycle.withCachedInputs(nodesS) {
+      val n = nodesS.count() // bounded: ONE Long to the driver (cache hit)
       require(n > 0, "pageRank: empty graph")
-      val teleport = (1.0 - damping) / n
-      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      // seed count: a second bounded driver Long (uniform mode: = n)
+      val nSeeds = seeds.fold(n)(_ =>
+        nodesS.agg(coalesce(sum(col("__s")), lit(0L))).head.getLong(0))
+      require(nSeeds > 0, "personalizedPageRank: no seed appears in the graph")
+      // per-node teleport vector t (Σt = 1): uniform 1/n, or 1/|S| on seeds
+      val nodes = nodesS.select(col("node"),
+        (col("__s").cast("double") / nSeeds).as("__t"))
+      // start at the teleport vector (TrustRank's start; uniform mode this
+      // IS the classic uniform start)
+      var ranks = nodes.select(col("node"), col("__t").as("rank"))
 
       def step(r: DataFrame, danglingMass: Double): DataFrame = {
         val contribs = ej
           .join(r.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("rank") / col("__outdeg")).as("__in"))
+        // rank' = (1−d)·t + d·(in + dm·t): teleport AND redistributed
+        // dangling mass both land along the teleport vector, so the
+        // personalization stays exact (uniform mode reduces to the
+        // classic (1−d)/n + d·(in + dm/n))
         nodes.join(contribs, Seq("node"), "left")
           .select(col("node"),
-            (lit(teleport) + lit(damping) *
-              (coalesce(col("__in"), lit(0.0)) + lit(danglingMass / n)))
+            ((lit(1.0 - damping) + lit(damping * danglingMass)) * col("__t")
+              + lit(damping) * coalesce(col("__in"), lit(0.0)))
               .as("rank"))
       }
 

@@ -86,6 +86,52 @@ class GraphSpec extends AnyFunSuite {
     for ((k, v) <- once) assert(math.abs(dup(k) - v) < 1e-12)
   }
 
+  test("personalizedPageRank: uniform seeds equal classic pageRank exactly") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    val allNodes = Seq(1L, 2L, 3L).toDF("node")
+    val classic = run(edges, 3, redistribute = false)
+    val seeded = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        "src", "dst", Some(allNodes), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    for ((k, v) <- classic)
+      assert(math.abs(seeded(k) - v) < 1e-12, s"node=$k")
+  }
+
+  test("personalizedPageRank concentrates trust around the seed") {
+    // chain 1→2→3→4 symmetrized; seed {1}: the seed holds the most trust
+    // and the far end the least (strict per-hop monotonicity does NOT
+    // hold at small iteration counts — trust sloshes along a chain — so
+    // the exact check is the local-reference comparison below)
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = e0 ++ e0.map(_.swap)
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        "src", "dst", Some(Seq(1L).toDF("node")), iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == got.values.max && got(4L) == got.values.min,
+      got.toString)
+    // local reference with the seeded teleport vector
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val out = edges.groupBy(_._1).map { case (s, es) => (s, es.size) }
+    val t = nodes.map(v => v -> (if (v == 1L) 1.0 else 0.0)).toMap
+    var r = t
+    for (_ <- 1 to 4) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        (d, es.map { case (s, _) => r(s) / out(s) }.sum)
+      }
+      r = nodes.map(v => v -> (0.15 * t(v) + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    for ((k, v) <- r) assert(math.abs(got(k) - v) < 1e-12, s"node=$k")
+    // mass conserved (symmetric graph, Σt = 1)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("personalizedPageRank: seeds outside the graph are rejected") {
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(Seq((1L, 2L)).toDF("src", "dst"),
+        "src", "dst", Some(Seq(99L).toDF("node")), iters = 2)
+    }
+  }
+
   test("pageRank rejects an empty graph and bad iteration counts") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")

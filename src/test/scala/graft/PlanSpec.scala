@@ -345,15 +345,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Partial"), p.take(2000))
   }
 
-  test("x105 pagerank: edge list iterates from cache, no loop joins") {
+  test("x105/x111 pagerank: edge list iterates from cache, no loop joins") {
     // the loop invariant (edges + out-degrees) must be an InMemoryRelation
     // — re-deriving it per iteration re-scans and re-shuffles the
     // edge-count-sized relation every pass — and a rank update must never
     // degrade to a nested-loop join
-    val p = planOf("x105_pagerank")
-    assert(p.contains("InMemoryTableScan"), p.take(2000))
-    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
-      p.take(2000))
+    for (q <- Seq("x105_pagerank", "x111_trustrank")) {
+      val p = planOf(q)
+      assert(p.contains("InMemoryTableScan"), s"$q:\n" + p.take(2000))
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$q:\n" + p.take(2000))
+    }
   }
 
   test("x106/x108 prefix-filtered joins: key-partitioned, never a product") {
