@@ -1545,6 +1545,15 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Order-insensitive table fingerprint over the key/string columns of
+    // orders: XOR-folds a portable per-row md5 hash, so two copies of a
+    // table compare equal after any repartition/compaction/migration —
+    // the 100 TB equality check with no sort and a 16-byte result. The
+    // oracle replays the identical hash arithmetic in SQL.
+    "x112_table_fingerprint" -> ((s, dir) =>
+      graft.operators.Checks.tableFingerprint(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+
     // Seeded PageRank (TrustRank): teleport mass lands only on the
     // European-supplier seed nodes, so rank = trust flowing outward from
     // the allowlist and decaying with link distance — the standard
@@ -3642,6 +3651,17 @@ object SparkEntry {
         |    GROUP BY e.dst) c ON tp.node = c.node)
         |SELECT node, (round(rank * 1000, 6) + 0) AS trust_x1000
         |FROM r3 ORDER BY node""".stripMargin,
+    // identical hash arithmetic: md5 of the '|'-joined values, first 15
+    // hex digits as a 60-bit int, XOR-folded
+    "x112_table_fingerprint" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  coalesce(bit_xor(CAST(('0x' || substr(md5(
+        |    coalesce(o_orderkey::VARCHAR, ' ') || '|' ||
+        |    coalesce(o_custkey::VARCHAR, ' ') || '|' ||
+        |    coalesce(o_orderstatus, ' ') || '|' ||
+        |    coalesce(o_orderpriority, ' ')), 1, 15)) AS BIGINT)), 0)::BIGINT
+        |    AS fingerprint
+        |FROM orders""".stripMargin,
     // exact tau-pairs from a naive posting-list join — the result the
     // prefix filter must reproduce losslessly
     "x106_prefix_jaccard" ->

@@ -59,4 +59,32 @@ class ChecksSpec extends AnyFunSuite {
       .as[(String, Long, Boolean)].collect().toSet
     assert(out === Set(("id_positive", 0L, true), ("unique_id", 0L, true)))
   }
+
+  test("tableFingerprint is layout-invariant and content-sensitive") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, Option.empty[String].orNull),
+      (4L, "")).toDF("id", "v")
+    val cols = Seq("id", "v")
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      Checks.tableFingerprint(df, cols).as[(Long, Long)].collect().head
+    val want = fp(base)
+    // row order, partitioning, and physical layout all drop out
+    assert(fp(base.orderBy($"v".desc)) === want)
+    assert(fp(base.repartition(7)) === want)
+    assert(fp(base.coalesce(1)) === want)
+    // a single changed cell changes the fingerprint; row count unchanged
+    val changed = fp(Seq((1L, "a"), (2L, "B"), (3L, Option.empty[String].orNull),
+      (4L, "")).toDF("id", "v"))
+    assert(changed._1 === want._1 && changed._2 != want._2)
+    // NULL and empty string fold differently
+    val nullAsEmpty = fp(Seq((1L, "a"), (2L, "b"), (3L, ""),
+      (4L, "")).toDF("id", "v"))
+    assert(nullAsEmpty._2 != want._2)
+    // documented caveat: an even-multiplicity duplicate cancels in the
+    // XOR (every row hash appears twice → fingerprint 0) — n_rows is
+    // what catches pure duplication
+    val doubled = fp(base.unionAll(base))
+    assert(doubled === ((2 * want._1, 0L)))
+    // empty table: count 0, fingerprint 0 (not null)
+    assert(fp(base.where($"id" < 0)) === ((0L, 0L)))
+  }
 }

@@ -51,7 +51,8 @@ FAMILIES = {
               "x102_label_confusion", "x110_label_outliers"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
               "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp",
-              "x104_hll_distinct", "x107_incremental_stats"],
+              "x104_hll_distinct", "x107_incremental_stats",
+              "x112_table_fingerprint"],
     "training": ["x97_balanced_shards", "x99_diverse_sample"],
     "graph": ["x105_pagerank"],
 }
