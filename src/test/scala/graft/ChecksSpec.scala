@@ -86,5 +86,11 @@ class ChecksSpec extends AnyFunSuite {
     assert(doubled === ((2 * want._1, 0L)))
     // empty table: count 0, fingerprint 0 (not null)
     assert(fp(base.where($"id" < 0)) === ((0L, 0L)))
+    // mergeable (the CDC shape): fp(base ∪ delta) = fp(base) XOR
+    // fp(delta) for disjoint parts — an incremental pipeline maintains
+    // the corpus fingerprint from batch fingerprints alone
+    val delta = Seq((9L, "z"), (10L, "y")).toDF("id", "v")
+    val merged = fp(base.unionAll(delta))
+    assert(merged === ((want._1 + 2, want._2 ^ fp(delta)._2)))
   }
 }
