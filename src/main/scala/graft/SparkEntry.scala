@@ -1554,6 +1554,26 @@ object SparkEntry {
       graft.operators.Checks.tableFingerprint(t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
 
+    // HITS hubs & authorities over the DIRECTED customer→supplier graph —
+    // the bipartite rank pair PageRank's symmetrization discards: a good
+    // hub (broad buyer) points at good authorities (widely-bought
+    // suppliers) and vice versa. Un-normalized passes (normalization
+    // commutes with the linear updates) keep every intermediate an EXACT
+    // integer-valued double, so the only floating arithmetic is the final
+    // normalize — deterministic to the ulp on both engines.
+    "x113_hits" -> ((s, dir) => {
+      val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      Graph.hits(e0, "src", "dst", iters = 3)
+        .select(col("node"),
+          roundz(col("hub") * 1000, 6).as("hub_x1000"),
+          roundz(col("auth") * 1000, 6).as("auth_x1000"))
+        .orderBy(col("node"))
+    }),
+
     // Seeded PageRank (TrustRank): teleport mass lands only on the
     // European-supplier seed nodes, so rank = trust flowing outward from
     // the allowlist and decaying with link distance — the standard
@@ -3662,6 +3682,31 @@ object SparkEntry {
         |    coalesce(o_orderpriority, ' ')), 1, 15)) AS BIGINT)), 0)::BIGINT
         |    AS fingerprint
         |FROM orders""".stripMargin,
+    // same un-normalized passes; every intermediate is an exact
+    // integer-valued double, normalize once at output
+    "x113_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT DISTINCT src, 1.0 AS h FROM e),
+        |a1 AS (SELECT dst, sum(h) AS a FROM e JOIN h0 USING (src) GROUP BY dst),
+        |h1 AS (SELECT src, sum(a) AS h FROM e JOIN a1 USING (dst) GROUP BY src),
+        |a2 AS (SELECT dst, sum(h) AS a FROM e JOIN h1 USING (src) GROUP BY dst),
+        |h2 AS (SELECT src, sum(a) AS h FROM e JOIN a2 USING (dst) GROUP BY src),
+        |a3 AS (SELECT dst, sum(h) AS a FROM e JOIN h2 USING (src) GROUP BY dst),
+        |h3 AS (SELECT src, sum(a) AS h FROM e JOIN a3 USING (dst) GROUP BY src),
+        |nh AS (SELECT sqrt(sum(h * h)) AS n FROM h3),
+        |na AS (SELECT sqrt(sum(a * a)) AS n FROM a3)
+        |SELECT nodes.node,
+        |  (round(coalesce(h3.h, 0) / (SELECT n FROM nh) * 1000, 6) + 0)
+        |    AS hub_x1000,
+        |  (round(coalesce(a3.a, 0) / (SELECT n FROM na) * 1000, 6) + 0)
+        |    AS auth_x1000
+        |FROM nodes
+        |LEFT JOIN h3 ON nodes.node = h3.src
+        |LEFT JOIN a3 ON nodes.node = a3.dst
+        |ORDER BY node""".stripMargin,
     // exact tau-pairs from a naive posting-list join — the result the
     // prefix filter must reproduce losslessly
     "x106_prefix_jaccard" ->

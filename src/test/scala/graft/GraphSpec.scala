@@ -132,6 +132,52 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("hits matches a local mutual-reinforcement reference on a bipartite graph") {
+    // hubs 1,2,3 → authorities 10,11: node 1 points at both authorities
+    // (best hub); authority 10 has the most in-links (best authority)
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 10L))
+    val got = Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // local reference: same un-normalized passes, normalize at the end
+    val srcs = edges.map(_._1).distinct
+    var h = srcs.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to 3) {
+      a = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => h(s) }.sum
+      }
+      h = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map { case (_, d) => a(d) }.sum
+      }
+    }
+    val nh = math.sqrt(h.values.map(x => x * x).sum)
+    val na = math.sqrt(a.values.map(x => x * x).sum)
+    for ((k, v) <- h) assert(math.abs(got(k)._1 - v / nh) < 1e-12, s"hub $k")
+    for ((k, v) <- a) assert(math.abs(got(k)._2 - v / na) < 1e-12, s"auth $k")
+    // bipartite: pure hubs have auth 0, pure authorities hub 0
+    assert(got(1L)._2 === 0.0 && got(10L)._1 === 0.0)
+    // the broad buyer is the best hub, the popular supplier the best authority
+    assert(got(1L)._1 === got.values.map(_._1).max)
+    assert(got(10L)._2 === got.values.map(_._2).max)
+    // output is L2-normalized on both axes
+    assert(math.abs(got.values.map(v => v._1 * v._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(v => v._2 * v._2).sum - 1.0) < 1e-9)
+  }
+
+  test("hits: reversing every edge swaps which side carries rank mass") {
+    // exact hub/auth value swap does NOT hold at finite iteration counts
+    // (the all-ones start seeds the source side only), but the AXES swap:
+    // former pure hubs become pure authorities and vice versa
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L))
+    val rev = Graph.hits(edges.map(_.swap).toDF("src", "dst"), "src", "dst",
+        iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(rev(1L)._1 === 0.0 && rev(1L)._2 > 0.0) // 1 is now a pure authority
+    assert(rev(10L)._2 === 0.0 && rev(10L)._1 > 0.0) // 10 now a pure hub
+    assert(rev(10L)._1 === rev.values.map(_._1).max) // in-degree-2 node leads
+  }
+
   test("pageRank rejects an empty graph and bad iteration counts") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")

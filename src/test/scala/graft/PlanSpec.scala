@@ -356,6 +356,12 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
         s"$q:\n" + p.take(2000))
     }
+    // x113 attaches its two 1-row norm scalars via broadcast cross joins
+    // (the standard bounded-aggregate attach — N×1, not N×M), so only an
+    // unbroadcast CartesianProduct would be a degradation there
+    val p = planOf("x113_hits")
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
   test("x106/x108 prefix-filtered joins: key-partitioned, never a product") {

@@ -54,7 +54,7 @@ FAMILIES = {
               "x104_hll_distinct", "x107_incremental_stats",
               "x112_table_fingerprint"],
     "training": ["x97_balanced_shards", "x99_diverse_sample"],
-    "graph": ["x105_pagerank"],
+    "graph": ["x105_pagerank", "x111_trustrank", "x113_hits"],
 }
 
 # Steepest measured slopes = the full-output rewrites + the per-token
