@@ -279,9 +279,9 @@ object Stats {
     * ([[mergeStats]]), so a standing corpus summary absorbs a new batch by
     * merging partials instead of rescanning history — the same
     * partial/final algebra Spark runs inside one job, lifted to a durable
-    * table ACROSS jobs (write the state with `Catalog.upsert`; the
-    * steady-state cost of "stats over 100 TB + today's batch" becomes one
-    * scan of the batch plus a group-sized merge).
+    * table ACROSS jobs ([[mergeStatsTable]]; the steady-state cost of
+    * "stats over 100 TB + today's batch" becomes one scan of the batch
+    * plus a group-sized merge).
     *
     * Null values don't contribute (standard aggregate semantics): n counts
     * non-nulls, an all-null group carries sum 0 / min-max null.
@@ -309,6 +309,35 @@ object Stats {
       sum(col("__sumsq")).as("__sumsq"),
       min(col("__min")).as("__min"),
       max(col("__max")).as("__max"))
+  }
+
+  /** Fold a batch's [[partialStats]] state into a DURABLE state table —
+    * the cross-job steady state: the stored table always equals
+    * `partialStats` over every row ever merged, yet each merge scans only
+    * the batch plus the (group-sized) state rows it touches.
+    *
+    *   - first batch creates the table;
+    *   - later batches semi-join the stored state down to the AFFECTED
+    *     groups, merge those with the batch's partials (the component-wise
+    *     monoid), and `Catalog.upsert` swaps the merged rows in —
+    *     untouched groups are carried over by the upsert's anti-join,
+    *     never re-aggregated.
+    *
+    * Idempotence caveat: merging the SAME batch twice double-counts
+    * (the monoid has no dedup) — at-least-once pipelines need a batch-id
+    * ledger in front, as the streaming sinks keep (`EventsStream`).
+    */
+  def mergeStatsTable(spark: org.apache.spark.sql.SparkSession, root: String,
+      ref: String, batchState: DataFrame, keys: Seq[String]): Unit = {
+    import graft.sources.Catalog
+    if (!Catalog.tableExists(spark, root, ref))
+      Catalog.writeTruncate(batchState, root, ref)
+    else {
+      val affected = Catalog.table(spark, root, ref)
+        .join(batchState.select(keys.map(col): _*), keys, "left_semi")
+      Catalog.upsert(spark, root, ref,
+        mergeStats(keys, affected, batchState), keys)
+    }
   }
 
   /** Finalize a state into presentation stats: n, sum, mean, SAMPLE

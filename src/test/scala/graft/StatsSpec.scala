@@ -157,6 +157,31 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeStatsTable: the stored state equals a single pass over all merged batches") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stats").toString
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val thirds = (0 to 2).map(i => docs.where($"doc_id" % 3 === i))
+    // merge three batches in sequence; group set differs per batch
+    thirds.foreach { b =>
+      Stats.mergeStatsTable(spark, root, "doc_stats",
+        Stats.partialStats(b, Seq("source"), "n_chars"), Seq("source"))
+    }
+    val stored = Stats.finalizeStats(
+      graft.sources.Catalog.table(spark, root, "doc_stats"), Seq("source"))
+      .orderBy("source").collect()
+    val direct = Stats.finalizeStats(
+      Stats.partialStats(docs, Seq("source"), "n_chars"), Seq("source"))
+      .orderBy("source").collect()
+    assert(stored.length === direct.length && stored.nonEmpty)
+    stored.zip(direct).foreach { case (s, d) =>
+      assert(s.getString(0) === d.getString(0))
+      assert(s.getLong(1) === d.getLong(1))
+      for (i <- 2 to 6 if !d.isNullAt(i))
+        assert(math.abs(s.getDouble(i) - d.getDouble(i)) < 1e-6,
+          s"source=${s.getString(0)} col=$i")
+    }
+  }
+
   test("mergeStats is order-insensitive and handles degenerate groups") {
     val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", Some(5.0)),
       ("c", Option.empty[Double])).toDF("k", "v")
