@@ -120,7 +120,7 @@ def render_block(data):
                    f"all {len(slopes)} measured queries sublinear, max "
                    f"slope {slopes[mx_q]:.2f} ({mx_q}).**")
     out.append("")
-    for f in ("dedup", "ann", "stats", "training"):
+    for f in ("dedup", "ann", "stats", "training", "graph"):
         qs = sorted((q for q in slopes if fam.get(q) == f),
                     key=lambda q: slopes[q])
         if not qs:
@@ -170,18 +170,35 @@ def main():
     if "--render" in sys.argv:
         with open("SCALING.json") as f:
             return 0 if render_scale_md(json.load(f)) else 1
-    names = [q for qs in FAMILIES.values() for q in qs]
+    # --family <name> re-measures ONE family and merges it into the
+    # existing SCALING.json (same harness, fresh points) — the spot-fix
+    # path when a stall contaminated a family's measurements
+    only_family = None
+    if "--family" in sys.argv:
+        only_family = sys.argv[sys.argv.index("--family") + 1]
+        if only_family not in FAMILIES:
+            print(f"[scaling] unknown family {only_family}")
+            return 1
+    names = (FAMILIES[only_family] if only_family
+             else [q for qs in FAMILIES.values() for q in qs])
     times = {}
     for sf in SFS:
         print(f"[scaling] bench at sf{sf} ({len(names)} queries)...", flush=True)
         for q, t in bench_at(f"/root/testdata/sf{sf}", names).items():
             times.setdefault(q, {})[sf] = t
-    if "--no-sf1" not in sys.argv:
+    steep = [q for q in STEEP if q in names]
+    if "--no-sf1" not in sys.argv and steep:
         make_sf1()
-        print(f"[scaling] bench at sf1 ({len(STEEP)} steep queries)...",
+        print(f"[scaling] bench at sf1 ({len(steep)} steep queries)...",
               flush=True)
-        for q, t in bench_at(SF1_DIR, STEEP).items():
+        for q, t in bench_at(SF1_DIR, steep).items():
             times.setdefault(q, {})["1"] = t
+    if only_family:
+        with open("SCALING.json") as f:
+            prior = json.load(f)
+        merged = dict(prior.get("times_sec", {}))
+        merged.update(times)
+        times = merged
     slopes = fit_slopes(times)
     family_of = {q: f for f, qs in FAMILIES.items() for q in qs}
     out = {
