@@ -462,4 +462,38 @@ class StreamingSpec extends AnyFunSuite {
       } finally q2.stop()
     } finally q.stop()
   }
+
+  test("stats stream maintains the durable state; replayed batch ids are no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_stats_stream").toString
+    val input = MemoryStream[(String, Long)]
+    val q = graft.streaming.StatsStream.statsStream(
+      input.toDS().toDF("source", "n_chars"), root, "doc_stats",
+      Seq("source"), "n_chars")
+    try {
+      input.addData(("a", 10L), ("a", 30L), ("b", 5L))
+      q.processAllAvailable()
+      input.addData(("a", 20L), ("c", 7L)) // touches an existing and a new group
+      q.processAllAvailable()
+      val got = graft.operators.Stats.finalizeStats(
+          Catalog.table(spark, root, "doc_stats"), Seq("source"))
+        .orderBy("source")
+        .select("source", "n", "sum", "mean")
+        .as[(String, Long, Double, Double)].collect().toSeq
+      assert(got === Seq(("a", 3L, 60.0, 20.0), ("b", 1L, 5.0, 5.0),
+        ("c", 1L, 7.0, 7.0)))
+      // the ledger marks both committed batches; planting the NEXT id
+      // makes its batch a no-op — the monoid never double-counts a replay
+      val ledger = new java.io.File(
+        graft.streaming.StatsStream.ledgerDir(root, "doc_stats"))
+      assert(ledger.listFiles.map(_.getName).filterNot(_.startsWith("."))
+        .toSet === Set("0", "1"))
+      new java.io.File(ledger, "2").createNewFile()
+      input.addData(("a", 999L))
+      q.processAllAvailable()
+      val n = Catalog.table(spark, root, "doc_stats")
+        .where($"source" === "a").select("__n").as[Long].head()
+      assert(n === 3L, "pre-committed batch id must not merge again")
+    } finally q.stop()
+  }
 }
