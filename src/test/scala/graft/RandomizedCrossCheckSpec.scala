@@ -376,6 +376,60 @@ class RandomizedCrossCheckSpec extends AnyFunSuite {
     }
   }
 
+  test("merged partial stats equal built-in aggregates on random null-heavy data") {
+    val rnd = new scala.util.Random(31337L)
+    val rows = Seq.tabulate(300) { i =>
+      val k = s"k${rnd.nextInt(7)}"
+      // ~20% nulls, extreme magnitudes mixed with tiny values
+      val v = if (rnd.nextInt(5) == 0) None
+        else Some(rnd.nextDouble() * math.pow(10, rnd.nextInt(7) - 3))
+      (i.toLong, k, v)
+    }
+    val df = rows.toDF("id", "k", "v")
+    // split into 4 arbitrary parts; merged states must equal one pass
+    val parts = (0 to 3).map(i => graft.operators.Stats.partialStats(
+      df.where($"id" % 4 === i), Seq("k"), "v"))
+    val merged = graft.operators.Stats.finalizeStats(
+        graft.operators.Stats.mergeStats(Seq("k"), parts: _*), Seq("k"))
+      .orderBy("k").collect()
+    val direct = df.groupBy($"k").agg(
+        count($"v").as("n"), sum($"v").as("sum"), avg($"v").as("mean"),
+        stddev_samp($"v").as("sd"), min($"v").as("min"), max($"v").as("max"))
+      .orderBy("k").collect()
+    assert(merged.length === direct.length)
+    merged.zip(direct).foreach { case (m, d) =>
+      assert(m.getString(0) === d.getString(0))
+      assert(m.getLong(1) === d.getLong(1))
+      for (i <- 2 to 6) {
+        if (d.isNullAt(i)) assert(m.isNullAt(i), s"k=${m.getString(0)} col=$i")
+        else {
+          val rel = math.max(1.0, math.abs(d.getDouble(i)))
+          assert(math.abs(m.getDouble(i) - d.getDouble(i)) / rel < 1e-9,
+            s"k=${m.getString(0)} col=$i ${m.getDouble(i)} vs ${d.getDouble(i)}")
+        }
+      }
+    }
+  }
+
+  test("tableFingerprint is invariant under random permutation and partitioning") {
+    val rnd = new scala.util.Random(808L)
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, s"v${rnd.nextInt(50)}", rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "s", "n")
+    val cols = Seq("id", "s", "n")
+    def fp(d: org.apache.spark.sql.DataFrame) = graft.operators.Checks
+      .tableFingerprint(d, cols).as[(Long, Long)].collect().head
+    val want = fp(df)
+    for (trial <- 1 to 3) {
+      val perm = rnd.shuffle(rows).toDF("id", "s", "n")
+        .repartition(1 + rnd.nextInt(10))
+      assert(fp(perm) === want, s"trial=$trial")
+    }
+    // and any single-row removal changes it
+    val dropped = fp(df.where($"id" =!= 57L))
+    assert(dropped._1 === want._1 - 1 && dropped._2 != want._2)
+  }
+
   test("pageRank equals a local power iteration on random digraphs") {
     val rnd = new scala.util.Random(777L)
     for (trial <- 1 to 3) {
