@@ -397,6 +397,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("x112 fingerprint: one aggregation pass, no join, no sort") {
+    // the whole point is sort-free equality: per-partition partial XOR →
+    // one-row final merge. A Sort or Join appearing here means the
+    // fingerprint stopped being the cheap path
+    val p = planOf("x112_table_fingerprint")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Sort "), p.take(2000))
+  }
+
   test("x110 label outliers: joinless scoring, rank bounded by WindowGroupLimit") {
     // prototypes are broadcast literals (no join anywhere); the per-label
     // bottom-k must pre-filter map-side like every other top-k in the
