@@ -1545,6 +1545,22 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Snapshot diff between two corpus versions (v1 drops doc_id % 7 = 0,
+    // v2 drops % 5 = 1 and upper-cases % 11 = 0): every key classified
+    // added/removed/changed/unchanged with content equality decided on
+    // hashes, so the full-outer shuffle carries (key, 32B), never text —
+    // the corpus-versioning audit shape at 100 TB.
+    "x114_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.where(col("doc_id") % 7 =!= 0)
+      val v2 = docs.where(col("doc_id") % 5 =!= 1)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          upper(col("text"))).otherwise(col("text")))
+      RelOps.snapshotDiff(v1, v2, Seq("doc_id"), Seq("text"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
     // Order-insensitive table fingerprint over the key/string columns of
     // orders: XOR-folds a portable per-row md5 hash, so two copies of a
     // table compare equal after any repartition/compaction/migration —
@@ -3671,6 +3687,24 @@ object SparkEntry {
         |    GROUP BY e.dst) c ON tp.node = c.node)
         |SELECT node, (round(rank * 1000, 6) + 0) AS trust_x1000
         |FROM r3 ORDER BY node""".stripMargin,
+    // text equality replayed directly (sentinel-coalesced, mirroring the
+    // engine's hash-equality semantics for nulls)
+    "x114_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 1),
+        |j AS (
+        |  SELECT coalesce(v1.text, ' ') AS t1, coalesce(v2.text, ' ') AS t2,
+        |    v1.doc_id IS NULL AS no1, v2.doc_id IS NULL AS no2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT
+        |  CASE WHEN no1 THEN 'added' WHEN no2 THEN 'removed'
+        |       WHEN t1 <> t2 THEN 'changed' ELSE 'unchanged' END AS status,
+        |  count(*)::BIGINT AS n
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical hash arithmetic: md5 of the '|'-joined values, first 15
     // hex digits as a 60-bit int, XOR-folded
     "x112_table_fingerprint" ->

@@ -151,4 +151,33 @@ object RelOps {
       explode(array((0 until buckets).map(lit): _*)))
     saltedFacts.join(saltedDim, on :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Keyed diff of two table versions — the corpus-versioning audit:
+    * every key classified `added` / `removed` / `changed` / `unchanged`
+    * between `oldDf` and `newDf`, with content equality decided by a
+    * sha2 over `compareCols` (nulls folded to a sentinel, so NULL vs
+    * value reads as changed, NULL vs NULL as unchanged).
+    *
+    * Scale shape: each side reduces to (keys, 32-byte hash) BEFORE the
+    * full-outer join, so the shuffle carries hashes, never content —
+    * diffing two 100 TB corpus versions moves 2×(keys+hash) and nothing
+    * else. Compose downstream: `groupBy(status)` for the audit counts,
+    * `where(status = 'changed')` for the reprocess list.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff: no compare columns")
+    def hashed(df: DataFrame, as: String): DataFrame =
+      df.select(keys.map(col) :+
+        sha2(concat_ws("|",
+          compareCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*),
+          256).as(as): _*)
+    hashed(oldDf, "__h_old")
+      .join(hashed(newDf, "__h_new"), keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_new").isNull, lit("removed"))
+          .when(col("__h_old") =!= col("__h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"): _*)
+  }
 }

@@ -62,4 +62,19 @@ class RelOpsSpec extends AnyFunSuite {
     assert(math.abs(out("en") - 1000) < 150, s"en kept ${out.get("en")} of 2000 at 0.5")
     assert(math.abs(out("de") - 100) < 60, s"de kept ${out.get("de")} of 2000 at 0.05")
   }
+
+  test("snapshotDiff classifies every key, null-safe") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"),
+      (4L, Option.empty[String].orNull), (5L, "e")).toDF("id", "v")
+    val v2 = Seq((1L, "a"),            // unchanged
+      (2L, "B"),                       // changed
+      (4L, "now-set"),                 // NULL → value = changed
+      (5L, Option.empty[String].orNull), // value → NULL = changed
+      (6L, "f"))                       // added; 3 removed
+      .toDF("id", "v")
+    val got = RelOps.snapshotDiff(v1, v2, Seq("id"), Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "changed", 6L -> "added"))
+  }
 }

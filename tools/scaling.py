@@ -53,7 +53,8 @@ FAMILIES = {
               "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp",
               "x104_hll_distinct", "x107_incremental_stats",
               "x112_table_fingerprint"],
-    "training": ["x97_balanced_shards", "x99_diverse_sample"],
+    "training": ["x97_balanced_shards", "x99_diverse_sample",
+                 "x114_snapshot_diff"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits"],
 }
 
