@@ -1561,6 +1561,63 @@ object SparkEntry {
         .orderBy(col("status"))
     }),
 
+    // Fuzzy record linkage: all customer pairs within a nation block at
+    // Levenshtein distance ≤ 1 on the name — blocked by the SymSpell
+    // deletion neighborhood (lossless for distance 1, no all-pairs
+    // anywhere), exact-verified per candidate. The oracle recomputes the
+    // pairs from the naive blocked product, so the blocking's
+    // completeness is what the hash compare proves.
+    "x115_fuzzy_match" -> ((s, dir) =>
+      graft.operators.Linkage.fuzzyPairs(t(s, dir, "customer"),
+          "c_custkey", "c_name", Seq("c_nationkey"))
+        .select(col("c_nationkey"), col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Corpus-self-trained multinomial Naive Bayes lang classifier (x6's
+    // heuristic upgraded to a trained model), evaluated as the
+    // actual×predicted confusion matrix. Scores rounded before argmax
+    // with label-asc ties (the x102 convention); the oracle refits the
+    // whole model in SQL — counts, smoothing, priors, argmax.
+    "x116_nb_classify" -> ((s, dir) =>
+      TextStats.naiveBayesPredict(t(s, dir, "documents"),
+          "doc_id", "text", "lang")
+        // tokenless docs predict null; the oracle's inner join drops them
+        .where(col("predicted").isNotNull)
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))),
+
+    // CDC changelog → current snapshot: events replayed as a keyed
+    // changelog (user_id key, (ts, event_id) sequence, 'error' rows as
+    // tombstones) — latest op per key wins, tombstoned keys vanish. One
+    // shuffle, rank bounded map-side by WindowGroupLimit.
+    "x117_cdc_apply" -> ((s, dir) =>
+      RelOps.cdcApply(
+          Catalog.events(s, dir).select(
+            col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+              .as("op"),
+            col("event_type"), col("value")),
+          keys = Seq("user_id"), seqCols = Seq("ts", "event_id"),
+          opCol = "op")
+        .select(col("user_id"), col("event_type"),
+          roundz(col("value"), 4).as("value"))
+        .orderBy(col("user_id"))),
+
+    // Distribution drift between the x114 corpus versions: per-lang PSI
+    // of n_chars over 10 fixed bins on [0, 600) — the shape-level
+    // monitoring companion to x114's key-level diff. Both snapshot
+    // splits are deterministic, so the oracle replays binning, add-half
+    // smoothing, and the PSI sum exactly.
+    "x118_drift_psi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.where(col("doc_id") % 7 =!= 0)
+      val v2 = docs.where(col("doc_id") % 5 =!= 1)
+      graft.operators.Checks.psiDrift(v1, v2, Seq("lang"), "n_chars",
+          lo = 0.0, hi = 600.0, nBins = 10)
+        .orderBy(col("lang"))
+    }),
+
     // Order-insensitive table fingerprint over the key/string columns of
     // orders: XOR-folds a portable per-row md5 hash, so two copies of a
     // table compare equal after any repartition/compaction/migration —
@@ -3705,6 +3762,96 @@ object SparkEntry {
         |       WHEN t1 <> t2 THEN 'changed' ELSE 'unchanged' END AS status,
         |  count(*)::BIGINT AS n
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the naive blocked product the deletion-neighborhood blocking must
+    // exactly reproduce — completeness of the blocking IS the check
+    "x115_fuzzy_match" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer)
+        |SELECT a.c_nationkey, a.c_custkey AS id_a, b.c_custkey AS id_b
+        |FROM c a JOIN c b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    // full NB refit in SQL: token-label counts, add-one smoothing over
+    // the corpus vocabulary, log priors, round-then-argmax (label-asc
+    // ties) — the x60/x102 determinism conventions combined
+    "x116_nb_classify" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT lang, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS t FROM cnt GROUP BY 1),
+        |voc AS (SELECT DISTINCT tok FROM tk),
+        |vn AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM voc),
+        |nd AS (SELECT lang, count(*) AS ndocs FROM documents GROUP BY 1),
+        |ntot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |grid AS (
+        |  SELECT voc.tok, tot.lang,
+        |    ln((coalesce(cnt.c, 0) + 1) / (tot.t + (SELECT v FROM vn))) AS lp
+        |  FROM voc CROSS JOIN tot
+        |  LEFT JOIN cnt ON cnt.tok = voc.tok AND cnt.lang = tot.lang),
+        |sc AS (
+        |  SELECT tk.doc_id, grid.lang AS plab,
+        |    round(sum(grid.lp)
+        |      + ln(max(nd.ndocs) / (SELECT n FROM ntot)), 6) + 0 AS score
+        |  FROM tk JOIN grid ON tk.tok = grid.tok
+        |  JOIN nd ON nd.lang = grid.lang
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, plab,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, plab) AS rn
+        |  FROM sc)
+        |SELECT d.lang, p.plab AS predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM documents d JOIN pred p ON p.doc_id = d.doc_id AND p.rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // latest-op-per-key compaction with tombstone drop, replayed with the
+    // same (ts, event_id) total order
+    "x117_cdc_apply" ->
+      """WITH lg AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    event_type, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM lg)
+        |SELECT user_id, event_type, (round(value, 4) + 0) AS value
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+    // identical binning (fixed [0,600) in 10 bins, edge-clamped),
+    // add-half smoothing, and PSI sum
+    "x118_drift_psi" ->
+      """WITH v1 AS (
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 5 <> 1),
+        |b1 AS (
+        |  SELECT lang, CAST(least(greatest(
+        |      floor((n_chars - 0.0) / 60.0), 0.0), 9.0) AS BIGINT) AS bin,
+        |    count(*) AS co
+        |  FROM v1 GROUP BY 1, 2),
+        |b2 AS (
+        |  SELECT lang, CAST(least(greatest(
+        |      floor((n_chars - 0.0) / 60.0), 0.0), 9.0) AS BIGINT) AS bin,
+        |    count(*) AS cn
+        |  FROM v2 GROUP BY 1, 2),
+        |al AS (
+        |  SELECT coalesce(b1.lang, b2.lang) AS lang,
+        |    coalesce(b1.bin, b2.bin) AS bin,
+        |    coalesce(co, 0) AS co, coalesce(cn, 0) AS cn
+        |  FROM b1 FULL OUTER JOIN b2
+        |    ON b1.lang = b2.lang AND b1.bin = b2.bin),
+        |p AS (
+        |  SELECT lang, co, cn,
+        |    (co + 0.5) / (sum(co) OVER (PARTITION BY lang) + 5.0) AS po,
+        |    (cn + 0.5) / (sum(cn) OVER (PARTITION BY lang) + 5.0) AS pn
+        |  FROM al)
+        |SELECT lang, (round(sum((pn - po) * ln(pn / po)), 6) + 0) AS psi,
+        |  CAST(sum(co) AS BIGINT) AS n_old, CAST(sum(cn) AS BIGINT) AS n_new
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical hash arithmetic: md5 of the '|'-joined values, first 15
     // hex digits as a 60-bit int, XOR-folded
     "x112_table_fingerprint" ->

@@ -545,6 +545,62 @@ object TextStats {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Corpus-self-trained multinomial Naive Bayes classifier — x6's
+    * heuristic lang-id upgraded to a TRAINED model, fitted and applied in
+    * one plan over the corpus's own (text, label) pairs: the standard
+    * first-rung quality/domain classifier a training-data pipeline hangs
+    * off its labeled slice (fastText's niche, linear over token counts).
+    *
+    * Model: `argmax_label [ ln P(label) + Σ_tok ln P(tok | label) ]` with
+    * add-one smoothing over the CORPUS vocabulary —
+    * `P(tok | label) = (c(tok,label) + 1) / (t_label + V)`. Every estimate
+    * comes from one aggregation each (token-label counts, label totals,
+    * label priors, one distinct-count action for V), so training is three
+    * hash shuffles with map-side partials regardless of corpus size; the
+    * full label×vocab log-prob GRID stays distributed (never collected) and
+    * scoring joins it by token — per-row fanout = #labels, bounded.
+    *
+    * Determinism across engines (the x102 convention): scores are rounded
+    * to `scoreRound` decimals BEFORE the argmax and ties break on label
+    * ascending, so the DuckDB oracle replaying the same arithmetic picks
+    * the same winner.
+    *
+    * Output: (idCol, labelCol, predicted) — `predicted` null for tokenless
+    * documents (no score rows; the left join keeps the doc).
+    */
+  def naiveBayesPredict(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, scoreRound: Int = 6): DataFrame = {
+    val tk = docs.select(col(idCol), col(labelCol).as("__lab"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val tokCnt = tk.groupBy(col("__lab"), col("tok"))
+      .agg(count(lit(1)).as("__c"))
+    val labTot = tokCnt.groupBy(col("__lab")).agg(sum(col("__c")).as("__t"))
+    val vocab = tk.select(col("tok")).distinct()
+    // the only driver values: vocabulary size and corpus size (two Longs)
+    val v = vocab.count().toDouble
+    val nTotal = docs.count().toDouble
+    val priors = docs.groupBy(col(labelCol).as("__lab"))
+      .agg(count(lit(1)).as("__nd"))
+    val grid = vocab.crossJoin(broadcast(labTot))
+      .join(tokCnt, Seq("__lab", "tok"), "left")
+      .select(col("tok"), col("__lab"),
+        log((coalesce(col("__c"), lit(0L)) + 1).cast("double") /
+          (col("__t").cast("double") + lit(v))).as("__lp"))
+    val scored = tk.select(col(idCol), col("tok")).join(grid, Seq("tok"))
+      .groupBy(col(idCol), col("__lab"))
+      .agg(sum(col("__lp")).as("__s"))
+      .join(broadcast(priors), Seq("__lab"))
+      .select(col(idCol), col("__lab"),
+        roundz(col("__s") + log(col("__nd").cast("double") / lit(nTotal)),
+          scoreRound).as("__score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__score").desc, col("__lab"))
+    val pred = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("__lab").as("predicted"))
+    docs.select(col(idCol), col(labelCol)).join(pred, Seq(idCol), "left")
+  }
+
   /** Convenience: attach the full stats bundle to a document DataFrame. */
   def withStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -180,4 +180,32 @@ object RelOps {
           .when(col("__h_old") =!= col("__h_new"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"): _*)
   }
+
+  /** Apply a CDC changelog to produce the current snapshot: keep the
+    * LATEST operation per key (ordered by `seqCols`, e.g. a commit
+    * timestamp plus a change id as tiebreak) and drop keys whose latest
+    * op is the delete marker — the standard changelog→table
+    * materialization (Debezium/binlog compaction semantics; upserts win,
+    * tombstones erase).
+    *
+    * One shuffle by key, with the per-key rank bounded map-side by
+    * Spark's WindowGroupLimit pushdown (rn = 1 → each task keeps one
+    * candidate per key before the exchange). `Catalog.upsert` is the
+    * two-table flavor (merge a batch INTO a stored target); this is the
+    * log-only flavor — replay any prefix of the log, get that moment's
+    * table, no target needed.
+    *
+    * `seqCols` must totally order each key's ops or "latest" is
+    * nondeterministic — include a unique change id after the timestamp.
+    */
+  def cdcApply(log: DataFrame, keys: Seq[String], seqCols: Seq[String],
+      opCol: String, deleteOp: String = "D"): DataFrame = {
+    require(seqCols.nonEmpty, "cdcApply: no sequence columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(seqCols.map(col(_).desc): _*)
+    log.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col(opCol) =!= lit(deleteOp))
+      .drop("__rn")
+  }
 }

@@ -93,4 +93,37 @@ class ChecksSpec extends AnyFunSuite {
     val merged = fp(base.unionAll(delta))
     assert(merged === ((want._1 + 2, want._2 ^ fp(delta)._2)))
   }
+
+  test("psiDrift: identical snapshots score ~0, a shifted group scores high") {
+    val rnd = new scala.util.Random(7)
+    val oldRows = (1 to 2000).map(_ => ("stable", 40 + rnd.nextInt(20))) ++
+      (1 to 2000).map(_ => ("shifted", 40 + rnd.nextInt(20)))
+    // stable keeps its distribution; shifted moves up by 30
+    val newRows = (1 to 2000).map(_ => ("stable", 40 + rnd.nextInt(20))) ++
+      (1 to 2000).map(_ => ("shifted", 70 + rnd.nextInt(20)))
+    val out = Checks.psiDrift(oldRows.toDF("g", "v"), newRows.toDF("g", "v"),
+        Seq("g"), "v", lo = 0.0, hi = 100.0, nBins = 10)
+      .select("g", "psi").as[(String, Double)].collect().toMap
+    assert(out("stable") < 0.05, s"stable drifted: ${out("stable")}")
+    assert(out("shifted") > 1.0, s"shift not detected: ${out("shifted")}")
+  }
+
+  test("psiDrift: out-of-range values clamp to edge bins and still register") {
+    val o = (1 to 100).map(_ => ("g", 50)).toDF("g", "v")
+    val n = (1 to 100).map(_ => ("g", 5000)).toDF("g", "v") // far past hi
+    val psi = Checks.psiDrift(o, n, Seq("g"), "v", 0.0, 100.0, 10)
+      .select("psi").as[Double].collect()(0)
+    assert(psi > 1.0, s"tail drift missed: $psi")
+  }
+
+  test("psiDrift: a group present on one side only keeps a finite row") {
+    val o = (1 to 50).map(i => ("only_old", i)).toDF("g", "v")
+    val n = (1 to 50).map(i => ("only_new", i)).toDF("g", "v")
+    val out = Checks.psiDrift(o, n, Seq("g"), "v", 0.0, 100.0, 10)
+      .select("g", "psi", "n_old", "n_new")
+      .as[(String, Double, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set("only_old", "only_new"))
+    assert(out("only_old")._3 === 50L && out("only_old")._4 === 0L)
+    assert(out.values.forall(r => !r._2.isNaN && !r._2.isInfinite))
+  }
 }

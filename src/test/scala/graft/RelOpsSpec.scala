@@ -77,4 +77,35 @@ class RelOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "changed", 5L -> "changed", 6L -> "added"))
   }
+
+  test("cdcApply keeps the latest op per key and drops tombstoned keys") {
+    val log = Seq(
+      // key 1: upsert then later upsert — latest value wins
+      (1L, 10L, 100L, "U", "a"),
+      (1L, 20L, 101L, "U", "b"),
+      // key 2: upsert then delete — key vanishes
+      (2L, 10L, 102L, "U", "x"),
+      (2L, 30L, 103L, "D", "x"),
+      // key 3: delete then RE-INSERT — key comes back
+      (3L, 10L, 104L, "D", "old"),
+      (3L, 40L, 105L, "U", "new"),
+      // key 4: same ts, change id breaks the tie (106 < 107 → 107 wins)
+      (4L, 50L, 106L, "U", "first"),
+      (4L, 50L, 107L, "U", "second"))
+      .toDF("k", "seq_ts", "change_id", "op", "v")
+    val got = RelOps.cdcApply(log, Seq("k"), Seq("seq_ts", "change_id"), "op")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "b", 3L -> "new", 4L -> "second"))
+  }
+
+  test("cdcApply of a log prefix reproduces that moment's snapshot") {
+    val log = Seq((1L, 1L, "U", 10), (1L, 2L, "D", 0), (1L, 3L, "U", 30))
+      .toDF("k", "seq", "op", "v")
+    def snap(upTo: Long) =
+      RelOps.cdcApply(log.where($"seq" <= upTo), Seq("k"), Seq("seq"), "op")
+        .select("k", "v").as[(Long, Int)].collect().toMap
+    assert(snap(1L) === Map(1L -> 10))
+    assert(snap(2L) === Map.empty[Long, Int])
+    assert(snap(3L) === Map(1L -> 30))
+  }
 }

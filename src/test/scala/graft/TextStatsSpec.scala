@@ -279,4 +279,55 @@ class TextStatsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       plan.take(3000))
   }
+
+  test("naiveBayesPredict recovers separable labels and matches a local NB") {
+    // two labels with disjoint high-frequency vocab plus shared noise
+    val docs = Seq(
+      (1L, "cat cat purr cat milk", "pet"),
+      (2L, "purr cat cat whisker", "pet"),
+      (3L, "milk cat purr purr", "pet"),
+      (4L, "bolt nut bolt wrench", "tool"),
+      (5L, "wrench bolt nut nut", "tool"),
+      (6L, "nut bolt wrench wrench milk", "tool"),
+      // held-in rows whose label disagrees with their text: NB should
+      // OVERRIDE the stored label — that is the mislabel-audit use
+      (7L, "cat purr cat milk", "tool"),
+      (8L, "bolt wrench nut", "pet")).toDF("doc_id", "text", "lab")
+    val got = TextStats.naiveBayesPredict(docs, "doc_id", "text", "lab")
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(got(1L) === "pet" && got(2L) === "pet" && got(3L) === "pet")
+    assert(got(4L) === "tool" && got(5L) === "tool" && got(6L) === "tool")
+    assert(got(7L) === "pet", "mislabeled doc 7 should classify by its text")
+    assert(got(8L) === "tool", "mislabeled doc 8 should classify by its text")
+
+    // cross-check one document's scores against a from-scratch local NB
+    val rows = docs.select("doc_id", "text", "lab")
+      .as[(Long, String, String)].collect()
+    val toks = rows.map { case (id, tx, lb) => (id, lb, tx.split("\\s+").toSeq) }
+    val vocab = toks.flatMap(_._3).distinct.length.toDouble
+    val labels = rows.map(_._3).distinct.sorted
+    def score(docToks: Seq[String], lb: String): Double = {
+      val labToks = toks.filter(_._2 == lb).flatMap(_._3)
+      val t = labToks.size.toDouble
+      val prior = math.log(rows.count(_._3 == lb) / rows.length.toDouble)
+      prior + docToks.map { tk =>
+        math.log((labToks.count(_ == tk) + 1) / (t + vocab))
+      }.sum
+    }
+    val doc7 = toks.find(_._1 == 7L).get._3
+    val local7 = labels.maxBy(lb => (BigDecimal(score(doc7, lb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP), lb))
+    assert(got(7L) === local7)
+  }
+
+  test("naiveBayesPredict breaks exact score ties on label ascending") {
+    // perfectly symmetric corpus: both labels give every doc the same
+    // score, so every prediction must fall to the first label
+    val docs = Seq(
+      (1L, "x y", "a"), (2L, "x y", "b"),
+      (3L, "y x", "a"), (4L, "y x", "b")).toDF("doc_id", "text", "lab")
+    val got = TextStats.naiveBayesPredict(docs, "doc_id", "text", "lab")
+      .select("predicted").as[String].collect()
+    assert(got.forall(_ == "a"), got.mkString(","))
+  }
 }

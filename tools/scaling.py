@@ -54,7 +54,8 @@ FAMILIES = {
               "x104_hll_distinct", "x107_incremental_stats",
               "x112_table_fingerprint"],
     "training": ["x97_balanced_shards", "x99_diverse_sample",
-                 "x114_snapshot_diff"],
+                 "x114_snapshot_diff", "x115_fuzzy_match",
+                 "x116_nb_classify", "x117_cdc_apply", "x118_drift_psi"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits"],
 }
 
