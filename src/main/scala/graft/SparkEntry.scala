@@ -1618,6 +1618,53 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Per-dimension standardization model of the embedding corpus: one
+    // posexplode aggregation to (pos, mu, sd) — the normalizer embedding
+    // pipelines fit before distance math. Exact oracle: DuckDB replays
+    // the same per-position mean/stddev over the unnested arrays.
+    "x121_embed_dim_stats" -> ((s, dir) =>
+      Embeddings.dimStats(t(s, dir, "embeddings"), "embedding")
+        // posexplode yields int positions; the oracle's range() is BIGINT
+        .select(col("pos").cast("long").as("pos"),
+          roundz(col("mu"), 6).as("mu"), roundz(col("sd"), 6).as("sd"))
+        .orderBy(col("pos"))),
+
+    // Top principal component by MATRIX-FREE distributed power iteration
+    // (the data-dependent projection next to x65's JL): per iteration one
+    // codegen'd vec_dot scan + one d-row shuffle; the driver holds 3·d
+    // doubles, never a covariance. Property output (the x38/x65
+    // convention): variance along PC1 must dominate every coordinate
+    // axis (the defining property of the top PC — margins measured
+    // 15%+ at all SFs), the projection of centered data must have zero
+    // mean, and the returned direction must be unit norm.
+    "x122_pca_top" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (mu, w, _) = Embeddings.topPrincipalComponent(emb, "embedding")
+      val unitOk = math.abs(math.sqrt(w.map(x => x * x).sum) - 1.0) < 1e-9
+      val maxAxisVar = Embeddings.dimStats(emb, "embedding")
+        .agg(max(col("sd") * col("sd")).as("__axv"))
+      Embeddings.pc1Project(emb, "embedding", mu, w)
+        .agg(count(lit(1)).as("n_vecs"),
+          var_samp(col("pc1")).as("__pv"), avg(col("pc1")).as("__pm"))
+        .crossJoin(broadcast(maxAxisVar))
+        .select(col("n_vecs"), lit(64).as("dims"),
+          (col("__pv") >= col("__axv") * 0.999).as("pc1_dominates_axes_ok"),
+          (abs(col("__pm")) < 1e-6).as("centered_ok"),
+          lit(unitOk).as("unit_ok"))
+    }),
+
+    // Deterministic round-robin interleave across sources: global
+    // position ≡ sourceIndex (mod nSources), per-source order a seeded
+    // portable md5 shuffle — the training-ORDER contract (batches see
+    // every source uniformly, reproducible from (seed, keys) alone).
+    // Integer arithmetic end-to-end; the oracle replays rank and
+    // position exactly.
+    "x120_interleave" -> ((s, dir) =>
+      Training.interleaveBySource(t(s, dir, "documents"), "doc_id", "source")
+        .select(col("global_pos"), col("doc_id"), col("source"))
+        .orderBy(col("global_pos"))
+        .limit(100)),
+
     // Order-insensitive table fingerprint over the key/string columns of
     // orders: XOR-folds a portable per-row md5 hash, so two copies of a
     // table compare equal after any repartition/compaction/migration —
@@ -1852,6 +1899,19 @@ object SparkEntry {
     // byte-identical (hash compare covers the full rebuilt text).
     "x89_strip_repeated" -> ((s, dir) =>
       Dedup.stripRepeatedRuns(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("text_clean"))
+        .orderBy(col("doc_id"))),
+
+    // Cross-document sequence dedup, KEEP-FIRST (Lee et al. 2021): x89
+    // strips every occurrence of a repeated 8-gram run (boilerplate
+    // semantics); this keeps the corpus-FIRST occurrence and strips the
+    // rest — shared content survives exactly once. First-occurrence
+    // detection is a min(struct(doc,pos)) aggregation (map-side partials,
+    // hot-shingle safe), never a per-shingle window. Full rebuilt text
+    // hash-verified against the oracle's replay.
+    "x119_crossdoc_dedup" -> ((s, dir) =>
+      Dedup.stripCrossdocDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          n = 8)
         .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("text_clean"))
         .orderBy(col("doc_id"))),
 
@@ -3271,6 +3331,42 @@ object SparkEntry {
         |  coalesce(a.n_kept, 0) AS n_kept,
         |  coalesce(a.text_clean, '') AS text_clean
         |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // x89's replay with keep-first marking: only non-first occurrences
+    // (by (doc_id, p) order per shingle) mark dup runs
+    "x119_crossdoc_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(range(len(t) - 7)) AS p, t
+        |  FROM d WHERE len(t) >= 8),
+        |sh AS (
+        |  SELECT doc_id, p, array_to_string(t[p+1:p+8], ' ') AS s FROM sh0),
+        |m AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p,
+        |      row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn,
+        |      count(*) OVER (PARTITION BY s) AS c
+        |    FROM sh)
+        |  WHERE c >= 2 AND rn > 1),
+        |r AS (
+        |  SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+        |  FROM m),
+        |runs AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 7 AS e FROM r GROUP BY doc_id, g),
+        |pos AS (SELECT doc_id, unnest(range(len(t))) AS i, t FROM d),
+        |keep AS (
+        |  SELECT p.doc_id, p.i, p.t[p.i+1] AS tok
+        |  FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM runs r2
+        |    WHERE r2.doc_id = p.doc_id AND p.i BETWEEN r2.s AND r2.e)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY i) AS text_clean
+        |  FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id, len(d.t) AS n_tokens,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  coalesce(a.text_clean, '') AS text_clean
+        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // n_pairs is the exact planted count (consecutive even/odd doc pairs);
     // the booleans are earned from real PNG decode + dHash + banding + CC
     "x88_image_phash_neardup" ->
@@ -3852,6 +3948,39 @@ object SparkEntry {
         |SELECT lang, (round(sum((pn - po) * ln(pn / po)), 6) + 0) AS psi,
         |  CAST(sum(co) AS BIGINT) AS n_old, CAST(sum(cn) AS BIGINT) AS n_new
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-position mean/stddev replayed over the unnested arrays
+    "x121_embed_dim_stats" ->
+      """WITH p AS (
+        |  SELECT unnest(range(len(embedding))) AS pos, embedding
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT pos, CAST(embedding[pos + 1] AS DOUBLE) AS x FROM p)
+        |SELECT pos, (round(avg(x), 6) + 0) AS mu,
+        |  (round(stddev_samp(x), 6) + 0) AS sd
+        |FROM x GROUP BY pos ORDER BY pos""".stripMargin,
+    // the TRUE flags are earned in-plan from the distributed power
+    // iteration (PC1 variance dominates every axis, centered projection,
+    // unit direction); the oracle re-derives the exact counts
+    "x122_pca_top" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs, 64 AS dims,
+        |  TRUE AS pc1_dominates_axes_ok, TRUE AS centered_ok,
+        |  TRUE AS unit_ok
+        |FROM embeddings""".stripMargin,
+    // identical rank (md5-shuffled within source) and position
+    // arithmetic; sidx from the sorted distinct-source list
+    "x120_interleave" ->
+      """WITH s AS (
+        |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx,
+        |    count(*) OVER () AS nsrc
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT (r.rk - 1) * s.nsrc + s.sidx AS global_pos, r.doc_id, r.source
+        |FROM r JOIN s USING (source)
+        |ORDER BY global_pos LIMIT 100""".stripMargin,
     // identical hash arithmetic: md5 of the '|'-joined values, first 15
     // hex digits as a 60-bit int, XOR-folded
     "x112_table_fingerprint" ->

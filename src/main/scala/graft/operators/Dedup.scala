@@ -1038,8 +1038,20 @@ object Dedup {
     * stripped text. One shingle pass + one narrow map; nothing collects.
     */
   def stripRepeatedRuns(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minCount: Long = 2, as: String = "text_clean"): DataFrame = {
-    val spans = repeatedRuns(df, idCol, textCol, n, minCount)
+      n: Int = 8, minCount: Long = 2, as: String = "text_clean"): DataFrame =
+    stripSpans(df, idCol, textCol,
+      repeatedRuns(df, idCol, textCol, n, minCount), as)
+
+  /** Rebuild each document with the tokens of `runs` spans removed —
+    * the shared ACTION tail of `stripRepeatedRuns` (strip ALL repeated
+    * occurrences) and `stripCrossdocDuplicates` (strip all but the
+    * first). `runs` columns: (idCol, run_start, run_end); spans are
+    * collected per doc (bounded: a handful in practice) and applied as
+    * an expression. Docs with no spans pass through byte-identical.
+    */
+  private def stripSpans(df: DataFrame, idCol: String, textCol: String,
+      runs: DataFrame, as: String): DataFrame = {
+    val spans = runs
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("run_start").as("s"), col("run_end").as("e")))
         .as("__spans"))
@@ -1059,6 +1071,63 @@ object Dedup {
           i => element_at(col("__t"), (i + 1).cast("int")))))
       .drop("__spans", "__t", "__keep")
   }
+
+  /** `repeatedRuns` with KEEP-FIRST semantics: only the occurrences of a
+    * duplicated n-gram that are NOT its corpus-first occurrence (ordered
+    * by (idCol, position)) mark dup runs — the sequence-level dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"): shared content survives EXACTLY ONCE, at its first site,
+    * where `repeatedRuns`/`stripRepeatedRuns` treat every occurrence as
+    * boilerplate and remove them all.
+    *
+    * First-occurrence detection is an AGGREGATION, not a window:
+    * `min(struct(id, pos))` per shingle is map-side partial-agged, so a
+    * billion-copy shingle reaches its reducer as per-partition minima —
+    * the same hot-shingle discipline as step 2 of `repeatedRuns` (a
+    * `row_number over (partition by shingle)` would pin every copy into
+    * one task). The join back is AQE-skew-splittable.
+    *
+    * Output: dup runs (idCol, run_start, run_end, n_shingles) covering
+    * only non-first occurrences.
+    */
+  def repeatedRunsKeepFirst(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Long = 2): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .where(size(col("__t")) >= n)
+    val sh = toks.select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("__t"), i + lit(j))): _*))))
+      .toDF(idCol, "p", "s")
+    val firstOcc = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol).as("i"), col("p").as("q"))).as("__f"))
+      .where(col("__c") >= minCount)
+      .select(col("s"), col("__f"))
+    val marked = sh.join(firstOcc, Seq("s"))
+      .where(!(col(idCol) === col("__f").getField("i") &&
+        col("p") === col("__f").getField("q")))
+      .select(col(idCol), col("p"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("p")
+    marked
+      .withColumn("__g", col("p") - row_number().over(w))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("p")).cast("long").as("run_start"),
+        (max(col("p")) + (n - 1)).cast("long").as("run_end"),
+        count(lit(1)).as("n_shingles"))
+      .drop("__g")
+  }
+
+  /** Cross-document sequence-level dedup, keep-first: rebuild every
+    * document with duplicated n-gram runs removed EXCEPT at their
+    * corpus-first occurrence. The one-pass approximation standard for
+    * this method: stripping can expose new adjacencies whose shingles
+    * were never counted — a second pass would catch them; in practice
+    * one pass removes the mass. Output columns as `stripRepeatedRuns`.
+    */
+  def stripCrossdocDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Long = 2, as: String = "text_clean"): DataFrame =
+    stripSpans(df, idCol, textCol,
+      repeatedRunsKeepFirst(df, idCol, textCol, n, minCount), as)
 
   private def pairStructs(xs: Column): Column =
     flatten(transform(sequence(lit(0), size(xs) - 2), i =>

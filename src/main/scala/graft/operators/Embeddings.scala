@@ -292,4 +292,126 @@ object Embeddings {
         idCol, vecCol)
     }
   }
+
+  /** Per-dimension standardization model of a vector column: one
+    * posexplode aggregation (map-side partials; the exchange carries ≤
+    * partitions×d rows) to (pos, mu, sd). The distribution-shape
+    * normalizer embedding pipelines run before distance math when
+    * dimensions carry wildly different scales — `standardizeDims`
+    * applies it. `sd` is the sample stddev; constant dimensions get
+    * sd = 0 (the applier maps those to 0, not NaN).
+    */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(avg(col("x")).as("mu"), stddev_samp(col("x")).as("sd"))
+
+  /** Standardize every vector with a precomputed `dimStats` model
+    * (collected: 2·d doubles — bounded driver traffic, broadcast back as
+    * literals; no join). `z_i = (v_i − μ_i) / σ_i`, constant dimensions
+    * (σ = 0) map to 0.
+    */
+  def standardizeDims(df: DataFrame, vecCol: String, stats: DataFrame,
+      as: String = "zvec"): DataFrame = {
+    val rows = stats.select(col("pos"), col("mu"), col("sd")).collect()
+    require(rows.nonEmpty, "standardizeDims: empty stats")
+    val d = rows.map(_.getInt(0)).max + 1
+    val mu = new Array[Double](d)
+    val sd = new Array[Double](d)
+    rows.foreach { r => mu(r.getInt(0)) = r.getDouble(1); sd(r.getInt(0)) = r.getDouble(2) }
+    df.withColumn(as,
+      zip_with(asDouble(col(vecCol)),
+        sequence(lit(0), lit(d - 1)),
+        (x, i) => {
+          val m = element_at(typedLit(mu.toIndexedSeq), i + 1)
+          val s = element_at(typedLit(sd.toIndexedSeq), i + 1)
+          when(s === 0, lit(0.0d)).otherwise((x - m) / s)
+        }))
+  }
+
+  // ------------------------------------------------ PCA (power iteration)
+
+  /** Per-dimension mean of a vector column, as a driver-held Seq (d
+    * doubles — bounded by the embedding width, the same driver-traffic
+    * class as a centroid). One posexplode aggregation with map-side
+    * partials; rows whose vector is empty are ignored.
+    */
+  def dimensionMeans(df: DataFrame, vecCol: String): Seq[Double] = {
+    val rows = df.select(posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(avg(col("x")).as("mu"))
+      .collect()
+    if (rows.isEmpty) Seq.empty
+    else {
+      val mu = new Array[Double](rows.map(_.getInt(0)).max + 1)
+      rows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+      mu.toIndexedSeq
+    }
+  }
+
+  /** Top principal component of a vector column via MATRIX-FREE
+    * distributed power iteration — the data-dependent projection next to
+    * x65's data-oblivious JL: one direction that captures the corpus's
+    * largest variance, for dim-reduction before ANN or as a drift axis.
+    *
+    * Never materializes the d×d covariance: each iteration computes
+    * `s = Σ_rows (v−μ)·⟨v−μ, w⟩` as (a) a codegen'd `vec_dot` per row
+    * against the broadcast `w` (the μ correction is the scalar
+    * `⟨v,w⟩ − ⟨μ,w⟩`), then (b) one posexplode aggregation for the
+    * d-vector sum — so per iteration the cluster does one scan + one
+    * d-row shuffle, and the driver holds only (μ, w, s): 3·d doubles.
+    * Start vector is a fixed hash ramp (seeded, reproducible); `iters`
+    * rounds of normalize-and-repeat converge geometrically in
+    * λ₂/λ₁.
+    *
+    * Returns (mean, unit PC1, λ̂) where λ̂ = ‖s‖/n is the Rayleigh
+    * estimate of the top covariance eigenvalue (= variance along PC1).
+    */
+  def topPrincipalComponent(df: DataFrame, vecCol: String, iters: Int = 8,
+      seed: Long = 42L): (Seq[Double], Seq[Double], Double) = {
+    require(iters > 0, s"topPrincipalComponent: iters=$iters must be > 0")
+    val mu = dimensionMeans(df, vecCol)
+    require(mu.nonEmpty, "topPrincipalComponent: no vectors")
+    val d = mu.length
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var w: Seq[Double] = unit((0 until d).map(i =>
+      (((i * 2654435761L + seed) % 1000L) / 1000.0) - 0.5))
+    val v = df.select(asDouble(col(vecCol)).as("__v"))
+      .where(size(col("__v")) === d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = v.count().toDouble // also materializes the cache for the loop
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val muW = mu.zip(w).map { case (m, x) => m * x }.sum
+        val rows = v
+          .withColumn("__dw", Similarity.dot(col("__v"), typedLit(w)) - lit(muW))
+          .select(col("__dw"), posexplode(col("__v")).as(Seq("pos", "x")))
+          .groupBy(col("pos"))
+          .agg(sum((col("x") - element_at(typedLit(mu), col("pos") + 1)) * col("__dw"))
+            .as("s"))
+          .collect()
+        val s = new Array[Double](d)
+        rows.foreach(r => s(r.getInt(0)) = r.getDouble(1))
+        lambda = math.sqrt(s.map(x => x * x).sum) / n
+        w = unit(s.toIndexedSeq)
+      }
+      (mu, w, lambda)
+    } finally { v.unpersist(); () }
+  }
+
+  /** Project every vector onto the top principal component: adds
+    * `as` = ⟨v−μ, w⟩ (a single codegen'd dot per row — the broadcast
+    * (μ, w) are literals, no join). Compose with a filter or histogram
+    * for PC1-axis drift monitoring, or iterate (deflate and re-run) for
+    * more components.
+    */
+  def pc1Project(df: DataFrame, vecCol: String, mean: Seq[Double],
+      pc1: Seq[Double], as: String = "pc1"): DataFrame = {
+    val muW = mean.zip(pc1).map { case (m, x) => m * x }.sum
+    df.withColumn(as,
+      Similarity.dot(asDouble(col(vecCol)), typedLit(pc1)) - lit(muW))
+  }
 }

@@ -101,6 +101,71 @@ object Training {
     }
   }
 
+  /** Per-GROUP portable hash rank: `globalHashRank`'s two-pass shape
+    * (range partition → local row_number → bounded per-partition offsets;
+    * no single-partition window anywhere) ranking WITHIN each group, in
+    * the order of a PORTABLE md5 hash (`md5("<seed>|<key>")` — replayable
+    * by any engine, where xxhash64 is Spark-private). Driver traffic is
+    * one (partitions × groups)-row collect — `groupCol` must be
+    * low-cardinality (sources, domains, labels; the usual mixing axes).
+    * Group values must not contain `|` (they key the offset map).
+    */
+  def groupPortableRank(df: DataFrame, keyCol: String, groupCol: String,
+      seed: Long = 42L, as: String = "rank"): DataFrame = {
+    val parted = df
+      .withColumn("__h",
+        md5(concat_ws("|", lit(seed.toString), col(keyCol).cast("string"))))
+      .repartitionByRange(col(groupCol), col("__h"), col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+    graft.Lifecycle.withCachedInputs(parted) {
+      val counts = parted.groupBy(col("__pid"), col(groupCol).cast("string").as("__g"))
+        .agg(count(lit(1)).as("__n")).collect()
+      val offEntries = counts.groupBy(_.getString(1)).toSeq.flatMap {
+        case (g, rows) =>
+          val sorted = rows.sortBy(_.getInt(0))
+          val cum = sorted.scanLeft(0L)((acc, r) => acc + r.getLong(2)).init
+          sorted.zip(cum).map { case (r, off) => (s"$g|${r.getInt(0)}", off) }
+      }
+      val offMap = map(offEntries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      val w = Window.partitionBy(col("__pid"), col(groupCol))
+        .orderBy(col("__h"), col(keyCol))
+      parted.withColumn("__local", row_number().over(w))
+        .withColumn(as,
+          element_at(offMap, concat_ws("|", col(groupCol).cast("string"),
+            col("__pid").cast("string"))) + col("__local"))
+        .drop("__h", "__pid", "__local")
+    }
+  }
+
+  /** Deterministic round-robin interleave across sources — the training
+    * ORDER counterpart of the mixing-SELECTION operators (x100 rates,
+    * x74 budgets): rows get a global position such that consuming them
+    * in position order visits sources in strict rotation
+    * (`pos ≡ sourceIndex (mod nSources)`), each source's internal order
+    * a seeded portable-hash shuffle. Batches drawn sequentially then see
+    * every source uniformly instead of whole sources back-to-back — the
+    * curriculum/data-ordering contract SGD mixing wants, reproducible
+    * bit-for-bit from (seed, keys) alone.
+    *
+    * When a source exhausts, its later slots are simply absent: the
+    * position sequence keeps gaps, and consumption in position ORDER
+    * continues round-robin over the remaining sources. Positions are
+    * integer arithmetic end-to-end — `(rank−1)·nSources + srcIndex` —
+    * so an external engine replays them exactly.
+    */
+  def interleaveBySource(df: DataFrame, keyCol: String, srcCol: String,
+      seed: Long = 42L, as: String = "global_pos"): DataFrame = {
+    // bounded: one row per distinct source (the mixing axis)
+    val srcs = df.select(col(srcCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val idxMap = map(srcs.zipWithIndex.flatMap {
+      case (s, i) => Seq(lit(s), lit(i.toLong)) }: _*)
+    groupPortableRank(df, keyCol, srcCol, seed, as = "__rk")
+      .withColumn(as, (col("__rk") - 1L) * lit(srcs.length.toLong) +
+        element_at(idxMap, col(srcCol).cast("string")))
+      .drop("__rk")
+  }
+
   /** Deterministic, EXACTLY balanced shard assignment — the shard-writer
     * contract for training corpora: shard sizes differ by at most one
     * (shards 0 .. n mod k − 1 carry the extra row), membership is a pure

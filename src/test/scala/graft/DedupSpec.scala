@@ -431,6 +431,38 @@ class DedupSpec extends AnyFunSuite {
       (3L, 10L, 10L, "clean c1 c2 c3 c4 c5 c6 c7 c8 c9")))
   }
 
+  test("stripCrossdocDuplicates keeps the corpus-first occurrence, strips the rest") {
+    val span = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      // first occurrence by (doc_id, pos) → doc 1 keeps the span
+      (1L, s"$span tail1 tail2"),
+      (2L, s"head1 head2 $span"),
+      (3L, s"x1 x2 $span"),
+      (4L, "clean c1 c2 c3 c4 c5 c6 c7 c8 c9")).toDF("doc_id", "text")
+    val out = Dedup.stripCrossdocDuplicates(docs, "doc_id", "text", n = 8)
+      .select($"doc_id", $"n_kept", $"text_clean")
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 10L, s"$span tail1 tail2"), // survives intact at its first site
+      (2L, 2L, "head1 head2"),
+      (3L, 2L, "x1 x2"),
+      (4L, 10L, "clean c1 c2 c3 c4 c5 c6 c7 c8 c9")))
+  }
+
+  test("stripCrossdocDuplicates keep-first applies within one document too") {
+    // the doc repeats its own 8-token prefix: the second copy strips,
+    // the first stays — where stripRepeatedRuns removes both
+    val docs = Seq((1L, "r1 r2 r3 r4 r5 r6 r7 r8 mid r1 r2 r3 r4 r5 r6 r7 r8"))
+      .toDF("doc_id", "text")
+    val keepFirst = Dedup.stripCrossdocDuplicates(docs, "doc_id", "text", n = 8)
+      .select($"text_clean").as[String].collect()(0)
+    assert(keepFirst === "r1 r2 r3 r4 r5 r6 r7 r8 mid")
+    val stripAll = Dedup.stripRepeatedRuns(docs, "doc_id", "text", n = 8)
+      .select($"text_clean").as[String].collect()(0)
+    assert(stripAll === "mid")
+  }
+
   test("lshRecallEstimate truth side ignores the posting prune by default") {
     // two identical docs whose every shingle is shared by ALL docs would
     // vanish from a pruned truth at maxDocFreq=1; the unlimited default

@@ -110,4 +110,58 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(pqMse(b3, vecs) <= pqMse(b0, vecs) + 1e-9,
       "trained codebooks must not be worse than the sampled init")
   }
+
+  test("dimStats + standardizeDims: standardized dims have mean 0, sd 1; constant dim → 0") {
+    val df = Seq(
+      (1L, Seq(1.0f, 10.0f, 5.0f)),
+      (2L, Seq(2.0f, 20.0f, 5.0f)),
+      (3L, Seq(3.0f, 30.0f, 5.0f)),
+      (4L, Seq(4.0f, 40.0f, 5.0f))).toDF("vec_id", "embedding")
+    val stats = Embeddings.dimStats(df, "embedding")
+    val st = stats.orderBy("pos").collect()
+    assert(st.map(_.getDouble(1)).toSeq === Seq(2.5, 25.0, 5.0))
+    val z = Embeddings.standardizeDims(df, "embedding", stats)
+      .select(explode(col("zvec")).as("x"))
+    // every standardized value finite; the constant dim contributes 0s
+    val xs = z.as[Double].collect()
+    assert(xs.forall(x => !x.isNaN && !x.isInfinite))
+    assert(xs.count(_ == 0.0) >= 4) // the constant dimension
+    val perDim = Embeddings.dimStats(
+      Embeddings.standardizeDims(df, "embedding", stats)
+        .select(col("zvec").as("embedding")), "embedding")
+      .orderBy("pos").collect()
+    assert(math.abs(perDim(0).getDouble(1)) < 1e-12 && math.abs(perDim(0).getDouble(2) - 1) < 1e-12)
+    assert(math.abs(perDim(1).getDouble(1)) < 1e-12 && math.abs(perDim(1).getDouble(2) - 1) < 1e-12)
+  }
+
+  test("topPrincipalComponent recovers a planted dominant direction") {
+    // data = t·u + small noise along a second axis: PC1 must align with u
+    val u = Array(0.6, 0.8, 0.0, 0.0)
+    val v2 = Array(0.0, 0.0, 1.0, 0.0)
+    val rows = (0 until 200).map { i =>
+      val tt = (i % 21) - 10.0 // spread -10..10 along u
+      val nn = ((i * 7) % 5 - 2.0) * 0.1 // ±0.2 along v2
+      (i.toLong, (0 until 4).map(j => (tt * u(j) + nn * v2(j)).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (mu, w, lam) = Embeddings.topPrincipalComponent(df, "embedding", iters = 10)
+    val cos = math.abs(w.zip(u).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.999, s"PC1 misaligned: cos=$cos w=$w")
+    // Rayleigh estimate ~ variance along u (population), dominant term t²
+    assert(lam > 10.0, s"lambda too small: $lam")
+    // projection is centered
+    val pm = Embeddings.pc1Project(df, "embedding", mu, w)
+      .agg(avg(col("pc1"))).collect()(0).getDouble(0)
+    assert(math.abs(pm) < 1e-9, s"projection not centered: $pm")
+  }
+
+  test("topPrincipalComponent is deterministic across physical layouts") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val (_, w1, l1) = Embeddings.topPrincipalComponent(e, "embedding", iters = 4)
+    val (_, w2, l2) = Embeddings.topPrincipalComponent(e.repartition(7), "embedding", iters = 4)
+    // same direction up to float-sum ordering noise
+    val cos = math.abs(w1.zip(w2).map { case (a, b) => a * b }.sum)
+    assert(cos > 1.0 - 1e-9, s"direction unstable across layouts: cos=$cos")
+    assert(math.abs(l1 - l2) < 1e-9 * math.max(1.0, l1.abs), s"$l1 vs $l2")
+  }
 }

@@ -414,4 +414,70 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
+
+  test("x115 fuzzy match: candidates come from an equi-join, never a product") {
+    // the deletion-neighborhood blocking exists to avoid the all-pairs
+    // levenshtein — a CartesianProduct or nested loop here means it
+    // degraded to exactly that
+    val p = planOf("x115_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("x116 NB classifier: label-bounded frames broadcast, grid joins by hash") {
+    // the label-totals and priors frames are #labels rows → broadcast;
+    // the vocab×label grid must reach the token stream through a hash
+    // join, never a nested loop (the only legitimate product is the
+    // vocab × broadcast-labels grid build)
+    val p = planOf("x116_nb_classify")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("x117 CDC apply: per-key rank bounded map-side by WindowGroupLimit") {
+    // rn = 1 must push a partial top-1 below the shuffle so a hot key's
+    // changelog arrives at its reducer pre-pruned
+    val p = planOf("x117_cdc_apply")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("x118 PSI drift: bin counts aggregate before the align join") {
+    // each side must collapse to (group, bin) counts BEFORE the
+    // full-outer align — the exchanges carry ≤ groups×bins rows, never
+    // the corpus. HashAggregates below the SMJ prove it.
+    val p = planOf("x118_drift_psi")
+    val lines = p.linesIterator.toIndexedSeq
+    val joinIdx = lines.indexWhere(_.contains("SortMergeJoin"))
+    assert(joinIdx >= 0, "no full-outer align join:\n" + p.take(2000))
+    val aggsBelow = lines.drop(joinIdx).count(_.contains("HashAggregate"))
+    assert(aggsBelow >= 2, s"per-side pre-agg missing below the join:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("x120 interleave: every rank window partitions by __pid, never by source alone") {
+    // the two-pass rank exists to avoid a per-source single-task window —
+    // each Window in the plan must carry the physical partition id next
+    // to the group key
+    val p = planOf("x120_interleave")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p.take(2000))
+    assert(windows.forall(_.contains("__pid")),
+      "window without __pid:\n" + windows.mkString("\n"))
+  }
+
+  test("x119 crossdoc dedup: first-occurrence is an aggregation, not a shingle window") {
+    // min(struct(doc,pos)) per shingle partial-aggs map-side; the only
+    // windows in the plan partition by doc (islands merge), so a hot
+    // shingle can never pin one task
+    val p = planOf("x119_crossdoc_dedup")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(w => !w.contains("__f")),
+      "window over shingle first-occurrence:\n" + windows.mkString("\n"))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(2000))
+  }
 }

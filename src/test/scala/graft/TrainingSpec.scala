@@ -233,4 +233,46 @@ class TrainingSpec extends AnyFunSuite {
     assert(Training.temperatureMix(skew.limit(0), "source", "doc_id",
       alpha = 0.5, targetFraction = 0.5).count() === 0)
   }
+
+  test("groupPortableRank: dense 1..n per group, ordered by the portable md5") {
+    val df = (0L until 200L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+    val got = Training.groupPortableRank(df, "id", "g")
+      .select($"g", $"id", $"rank").as[(String, Long, Long)].collect()
+    val byG = got.groupBy(_._1)
+    assert(byG.size === 4)
+    for ((_, rows) <- byG) {
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+      // rank order = local md5-hash order
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      def h(id: Long) = md5.digest(s"42|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val want = rows.map(_._2).sortBy(id => (h(id), id))
+      assert(rows.sortBy(_._3).map(_._2).toSeq === want.toSeq)
+    }
+  }
+
+  test("interleaveBySource rotates sources strictly and survives repartition") {
+    val df = (0L until 120L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val out = Training.interleaveBySource(df, "id", "src")
+      .orderBy($"global_pos")
+      .select($"global_pos", $"src").as[(Long, String)].collect()
+    // equal-size sources: positions are dense 0..n-1 and rotate s0,s1,s2
+    assert(out.map(_._1).toSeq === (0L until 120L).toSeq)
+    assert(out.forall { case (p, s) => s === s"s${p % 3}" })
+    // deterministic under physical layout changes
+    val re = Training.interleaveBySource(df.repartition(13), "id", "src")
+      .orderBy($"global_pos").select($"global_pos", $"src")
+      .as[(Long, String)].collect()
+    assert(re.toSeq === out.toSeq)
+  }
+
+  test("interleaveBySource: an exhausted source leaves gaps, rotation continues") {
+    val df = (Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))).toDF("id", "src")
+    val out = Training.interleaveBySource(df, "id", "src")
+      .orderBy($"global_pos")
+      .select($"global_pos", $"src").as[(Long, String)].collect().toSeq
+    // a at even positions 0,2,4; b only at position 1, then absent
+    assert(out.map(_._2) === Seq("a", "b", "a", "a"))
+    assert(out.map(_._1) === Seq(0L, 1L, 2L, 4L))
+  }
 }

@@ -44,18 +44,21 @@ FAMILIES = {
               "x92_semantic_dedup", "x93_video_phash_neardup",
               "x94_incremental_semantic_dedup",
               "x98_bloom_incremental_dedup", "x106_prefix_jaccard",
-              "x108_containment_join", "x109_dup_rate"],
+              "x108_containment_join", "x109_dup_rate",
+              "x119_crossdoc_dedup"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
               "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann",
               "x95_stored_ann_index", "x96_stored_index_append",
-              "x102_label_confusion", "x110_label_outliers"],
+              "x102_label_confusion", "x110_label_outliers",
+              "x121_embed_dim_stats", "x122_pca_top"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
               "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp",
               "x104_hll_distinct", "x107_incremental_stats",
               "x112_table_fingerprint"],
     "training": ["x97_balanced_shards", "x99_diverse_sample",
                  "x114_snapshot_diff", "x115_fuzzy_match",
-                 "x116_nb_classify", "x117_cdc_apply", "x118_drift_psi"],
+                 "x116_nb_classify", "x117_cdc_apply", "x118_drift_psi",
+                 "x120_interleave"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits"],
 }
 
