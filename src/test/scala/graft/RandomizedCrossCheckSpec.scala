@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Temporal, Transpose}
+import graft.operators.{Checks, Dedup, RelOps, Temporal, Transpose}
 import graft.sources.Catalog
 
 /** Randomized (fixed-seed, deterministic) cross-checks: each operator is
@@ -460,6 +460,92 @@ class RandomizedCrossCheckSpec extends AnyFunSuite {
             s"trial=$trial redistribute=$redistribute node=$k")
         }
       }
+    }
+  }
+
+  test("cdcApply equals brute-force log replay on random changelogs") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      // ~30 keys, dense op streams with duplicate sequence values broken
+      // by a unique change id, ~25% tombstones
+      val log = Seq.tabulate(400) { i =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(40).toLong, i.toLong,
+          if (rnd.nextInt(4) == 0) "D" else "U", rnd.nextInt(1000))
+      }
+      val df = log.toDF("k", "seq_ts", "cid", "op", "v")
+      val got = RelOps.cdcApply(df, Seq("k"), Seq("seq_ts", "cid"), "op")
+        .select($"k", $"v").as[(Long, Int)].collect().toMap
+      val want = log.groupBy(_._1).flatMap { case (k, ops) =>
+        val last = ops.maxBy(o => (o._2, o._3))
+        if (last._4 == "D") None else Some(k -> last._5)
+      }
+      assert(got === want, s"trial=$trial")
+    }
+  }
+
+  test("psiDrift equals a local PSI computation on random group histograms") {
+    val rnd = new scala.util.Random(99L)
+    val nBins = 8; val lo = 0.0; val hi = 80.0; val width = (hi - lo) / nBins
+    val oldRows = Seq.tabulate(3000)(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(100) - 10)) // includes out-of-range
+    val newRows = Seq.tabulate(3000)(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(120) - 20))
+    val got = Checks.psiDrift(oldRows.toDF("g", "v"), newRows.toDF("g", "v"),
+        Seq("g"), "v", lo, hi, nBins, psiRound = 9)
+      .select($"g", $"psi").as[(String, Double)].collect().toMap
+    def hist(rows: Seq[(String, Int)], g: String): Array[Long] = {
+      val h = new Array[Long](nBins)
+      rows.filter(_._1 == g).foreach { case (_, v) =>
+        val b = math.min(math.max(math.floor((v - lo) / width), 0.0), nBins - 1.0).toInt
+        h(b) += 1
+      }
+      h
+    }
+    for (g <- Seq("g0", "g1", "g2")) {
+      val ho = hist(oldRows, g); val hn = hist(newRows, g)
+      val no = ho.sum.toDouble + nBins / 2.0
+      val nn = hn.sum.toDouble + nBins / 2.0
+      val want = (0 until nBins).map { b =>
+        val po = (ho(b) + 0.5) / no
+        val pn = (hn(b) + 0.5) / nn
+        (pn - po) * math.log(pn / po)
+      }.sum
+      assert(math.abs(got(g) - want) < 1e-8, s"$g: ${got(g)} vs $want")
+    }
+  }
+
+  test("naiveBayesPredict agrees with a local NB on random corpora") {
+    val rnd = new scala.util.Random(7L)
+    val vocabByLab = Map(
+      "a" -> Seq("ax", "ay", "az", "shared1", "shared2"),
+      "b" -> Seq("bx", "by", "bz", "shared1", "shared2"),
+      "c" -> Seq("cx", "cy", "shared1", "shared2", "shared3"))
+    val labs = vocabByLab.keys.toSeq.sorted
+    val docs = Seq.tabulate(120) { i =>
+      val lab = labs(rnd.nextInt(labs.size))
+      val words = Seq.fill(3 + rnd.nextInt(8))(
+        vocabByLab(lab)(rnd.nextInt(vocabByLab(lab).size)))
+      (i.toLong, words.mkString(" "), lab)
+    }
+    val got = graft.functions.TextStats
+      .naiveBayesPredict(docs.toDF("doc_id", "text", "lab"), "doc_id", "text", "lab")
+      .select($"doc_id", $"predicted").as[(Long, String)].collect().toMap
+    // local NB with identical smoothing + round-before-argmax
+    val toks = docs.map { case (id, tx, lb) => (id, lb, tx.split("\\s+").toSeq) }
+    val vocabN = toks.flatMap(_._3).distinct.size.toDouble
+    val byLab = toks.groupBy(_._2).view.mapValues(_.flatMap(_._3)).toMap
+    def score(ws: Seq[String], lb: String): BigDecimal = {
+      val lt = byLab(lb); val t = lt.size.toDouble
+      val prior = math.log(toks.count(_._2 == lb) / toks.size.toDouble)
+      BigDecimal(prior + ws.map(w =>
+          math.log((lt.count(_ == w) + 1) / (t + vocabN))).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    toks.foreach { case (id, _, ws) =>
+      // engine tie rule: highest score, then label ASCENDING
+      val want = labs.map(lb => (score(ws, lb), lb))
+        .sortBy { case (s, l) => (-s, l) }.head._2
+      assert(got(id) === want, s"doc $id")
     }
   }
 }

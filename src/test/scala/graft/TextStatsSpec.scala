@@ -315,8 +315,10 @@ class TextStatsSpec extends AnyFunSuite {
       }.sum
     }
     val doc7 = toks.find(_._1 == 7L).get._3
-    val local7 = labels.maxBy(lb => (BigDecimal(score(doc7, lb))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP), lb))
+    // engine tie rule: highest rounded score, then label ASCENDING
+    val local7 = labels.map(lb => (BigDecimal(score(doc7, lb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP), lb))
+      .sortBy { case (s, l) => (-s, l) }.head._2
     assert(got(7L) === local7)
   }
 

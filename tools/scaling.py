@@ -184,7 +184,18 @@ def main():
         if only_family not in FAMILIES:
             print(f"[scaling] unknown family {only_family}")
             return 1
-    names = (FAMILIES[only_family] if only_family
+    # --queries a,b,c re-measures an explicit list (same merge semantics
+    # as --family) — the cheap path when a round adds a few new queries
+    only_queries = None
+    if "--queries" in sys.argv:
+        only_queries = sys.argv[sys.argv.index("--queries") + 1].split(",")
+        known = {q for qs in FAMILIES.values() for q in qs}
+        bad = [q for q in only_queries if q not in known]
+        if bad:
+            print(f"[scaling] queries not in FAMILIES: {bad}")
+            return 1
+    names = (only_queries if only_queries
+             else FAMILIES[only_family] if only_family
              else [q for qs in FAMILIES.values() for q in qs])
     times = {}
     for sf in SFS:
@@ -198,7 +209,7 @@ def main():
               flush=True)
         for q, t in bench_at(SF1_DIR, steep).items():
             times.setdefault(q, {})["1"] = t
-    if only_family:
+    if only_family or only_queries:
         with open("SCALING.json") as f:
             prior = json.load(f)
         merged = dict(prior.get("times_sec", {}))
