@@ -1618,6 +1618,23 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Temporal train/test split at a fixed cutoff (the time-travel
+    // leakage guard next to x49's hash split and x81's cluster split):
+    // per-split event/user counts plus the in-plan no-leak audit
+    // max(train ts) < min(test ts). A fixed cutoff, not a percentile —
+    // the replayable choice (see temporalSplitAtFraction's caveat).
+    "x123_temporal_split" -> ((s, dir) => {
+      val tagged = Temporal.temporalSplit(Catalog.events(s, dir), "ts",
+        to_timestamp(lit("2024-01-25 00:00:00")))
+      val flag = tagged.agg(
+        (max(when(col("split") === "train", col("ts"))) <
+          min(when(col("split") === "test", col("ts")))).as("no_leak_ok"))
+      tagged.groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(broadcast(flag))
+        .orderBy(col("split"))
+    }),
+
     // Per-dimension standardization model of the embedding corpus: one
     // posexplode aggregation to (pos, mu, sd) — the normalizer embedding
     // pipelines fit before distance math. Exact oracle: DuckDB replays
@@ -3948,6 +3965,22 @@ object SparkEntry {
         |SELECT lang, (round(sum((pn - po) * ln(pn / po)), 6) + 0) AS psi,
         |  CAST(sum(co) AS BIGINT) AS n_old, CAST(sum(cn) AS BIGINT) AS n_new
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same fixed cutoff and split tags; the no-leak flag re-derived from
+    // the same max/min compare
+    "x123_temporal_split" ->
+      """WITH t AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts <= TIMESTAMP '2024-01-25 00:00:00'
+        |         THEN 'train' ELSE 'test' END AS split
+        |  FROM events),
+        |f AS (
+        |  SELECT max(CASE WHEN split = 'train' THEN ts END) <
+        |         min(CASE WHEN split = 'test' THEN ts END) AS no_leak_ok
+        |  FROM t)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  (SELECT no_leak_ok FROM f) AS no_leak_ok
+        |FROM t GROUP BY split ORDER BY split""".stripMargin,
     // per-position mean/stddev replayed over the unnested arrays
     "x121_embed_dim_stats" ->
       """WITH p AS (

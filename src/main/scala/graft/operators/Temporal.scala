@@ -224,4 +224,37 @@ object Temporal {
       .withColumn("is_current", col("eff_to").isNull)
       .drop(tsCol)
   }
+
+  /** Temporal train/test split: rows at or before `cutoff` are `train`,
+    * later rows `test` — the time-travel leakage guard next to the hash
+    * split (x49, random-but-reproducible) and the cluster-keyed split
+    * (x81, near-dup leakage): a model evaluated on the test side never
+    * saw a FUTURE event at train time. A narrow per-row expression, no
+    * shuffle. Downstream, `max(train ts) < min(test ts)` is the one-line
+    * no-leak audit — assert it next to the split, not in a postmortem.
+    */
+  def temporalSplit(df: DataFrame, tsCol: String,
+      cutoff: org.apache.spark.sql.Column, as: String = "split"): DataFrame =
+    df.withColumn(as,
+      when(col(tsCol) <= cutoff, lit("train")).otherwise(lit("test")))
+
+  /** `temporalSplit` with the cutoff at the `trainFraction` percentile of
+    * `tsCol` (one bounded percentile aggregate). Convenient for ad-hoc
+    * exploration; pipelines that must be REPLAYED bit-for-bit by another
+    * engine should pass an explicit cutoff to `temporalSplit` instead —
+    * an interpolated percentile that lands within a float ulp of an
+    * actual timestamp can flip that row's side between engines.
+    */
+  def temporalSplitAtFraction(df: DataFrame, tsCol: String,
+      trainFraction: Double, as: String = "split"): DataFrame = {
+    require(trainFraction > 0 && trainFraction < 1,
+      s"temporalSplitAtFraction: trainFraction=$trainFraction outside (0,1)")
+    val cut = df
+      .agg(expr(s"percentile(unix_micros($tsCol), $trainFraction)").as("__cut"))
+    df.crossJoin(broadcast(cut))
+      .withColumn(as,
+        when(unix_micros(col(tsCol)).cast("double") <= col("__cut"),
+          lit("train")).otherwise(lit("test")))
+      .drop("__cut")
+  }
 }

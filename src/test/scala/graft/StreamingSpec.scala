@@ -496,4 +496,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(n === 3L, "pre-committed batch id must not merge again")
     } finally q.stop()
   }
+
+  test("drift stream scores micro-batches against the frozen baseline; twin equals batch PSI") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_drift_stream").toString
+    // baseline: uniform-ish values per group
+    val rnd = new scala.util.Random(11L)
+    val baseline = Seq.tabulate(2000)(_ => ("g" + rnd.nextInt(2), rnd.nextInt(50)))
+      .toDF("g", "v")
+    graft.streaming.DriftStream.freezeBaseline(baseline, root, "base_hist",
+      Seq("g"), "v", lo = 0.0, hi = 100.0, nBins = 10)
+    val input = MemoryStream[(String, Int)]
+    val q = graft.streaming.DriftStream.driftStream(
+      input.toDS().toDF("g", "v"), root, "base_hist", "drift_log",
+      Seq("g"), "v", lo = 0.0, hi = 100.0, nBins = 10)
+    try {
+      // batch 0: same distribution → low psi; batch 1: shifted → high psi
+      val calm = Seq.tabulate(1000)(_ => ("g0", rnd.nextInt(50)))
+      input.addData(calm: _*)
+      q.processAllAvailable()
+      val shifted = Seq.tabulate(1000)(_ => ("g0", 60 + rnd.nextInt(30)))
+      input.addData(shifted: _*)
+      q.processAllAvailable()
+      val log = Catalog.table(spark, root, "drift_log")
+        .select($"batch_id", $"g", $"psi").as[(Long, String, Double)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(log((0L, "g0")) < 0.1, s"calm batch drifted: ${log((0L, "g0"))}")
+      assert(log((1L, "g0")) > 1.0, s"shift not detected: ${log((1L, "g0"))}")
+      // baseline groups absent from a batch still get a (finite) row
+      assert(log.contains((0L, "g1")) && !log((0L, "g1")).isNaN)
+      // the streaming score IS the batch estimator: recomputing the
+      // shifted batch against the baseline with batch psiDrift matches
+      val want = graft.operators.Checks.psiDrift(baseline,
+          shifted.toDF("g", "v"), Seq("g"), "v", 0.0, 100.0, 10)
+        .where($"g" === "g0").select($"psi").as[Double].head()
+      assert(math.abs(log((1L, "g0")) - want) < 1e-9,
+        s"stream ${log((1L, "g0"))} vs batch $want")
+    } finally q.stop()
+  }
 }

@@ -174,4 +174,33 @@ class TemporalSpec extends AnyFunSuite {
       if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
     assert(msgs(ex).contains("scd2Merge"), s"expected loud guard, got ${msgs(ex)}")
   }
+
+  test("temporalSplit: cutoff inclusive for train, no-leak invariant holds") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, ts("2024-01-10 00:00:00")),
+      (2L, ts("2024-01-25 00:00:00")), // exactly the cutoff → train
+      (3L, ts("2024-01-25 00:00:01")),
+      (4L, ts("2024-01-29 12:00:00"))).toDF("id", "t")
+    val got = Temporal.temporalSplit(df, "t",
+        to_timestamp(lit("2024-01-25 00:00:00")))
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "train", 2L -> "train", 3L -> "test", 4L -> "test"))
+    val leak = Temporal.temporalSplit(df, "t",
+        to_timestamp(lit("2024-01-25 00:00:00")))
+      .agg((max(when($"split" === "train", $"t")) <
+        min(when($"split" === "test", $"t"))).as("ok"))
+      .as[Boolean].collect()(0)
+    assert(leak)
+  }
+
+  test("temporalSplitAtFraction puts ~the right mass on the train side") {
+    def ts2(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    val df = (1L to 1000L).map(i => (i, ts2(i))).toDF("id", "t")
+    val sides = Temporal.temporalSplitAtFraction(df, "t", 0.8)
+      .groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(sides("train") - 800L) <= 1, sides.toString)
+    assert(sides("train") + sides("test") === 1000L)
+  }
 }
