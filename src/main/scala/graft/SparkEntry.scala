@@ -1618,6 +1618,28 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Label-distinctive tokens (Monroe et al. log-odds z with an
+    // informative Dirichlet prior): which words make each language slice
+    // different — the slice-characterization / label-leakage audit next
+    // to PMI (token-token) and TF-IDF (token-doc). Top-5 per lang,
+    // round-before-rank; the oracle replays counts, prior, z, and rank.
+    "x124_distinctive_tokens" -> ((s, dir) =>
+      TextStats.distinctiveTokens(t(s, dir, "documents"), "text", "lang",
+          topK = 5)
+        .orderBy(col("lang"), col("rank"))),
+
+    // CCNet-style RELATIVE quality gate: keep each language's documents
+    // above that language's own 30th percentile of the (rounded)
+    // unigram-LM score — per-language absolute thresholds are
+    // meaningless across scripts. Output: per-lang kept counts; the
+    // oracle refits the LM (x60's body), rounds identically, and
+    // replays quantile + filter.
+    "x125_quality_gate" -> ((s, dir) =>
+      TextStats.relativeQualityGate(t(s, dir, "documents"),
+          "doc_id", "text", "lang", keepAbovePercentile = 0.3, vocabSize = 20)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))),
+
     // Temporal train/test split at a fixed cutoff (the time-travel
     // leakage guard next to x49's hash split and x81's cluster split):
     // per-split event/user counts plus the in-plan no-leak audit
@@ -3965,6 +3987,61 @@ object SparkEntry {
         |SELECT lang, (round(sum((pn - po) * ln(pn / po)), 6) + 0) AS psi,
         |  CAST(sum(co) AS BIGINT) AS n_old, CAST(sum(cn) AS BIGINT) AS n_new
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical counts, prior, z arithmetic, and round-before-rank
+    "x124_distinctive_tokens" ->
+      """WITH tk AS (
+        |  SELECT lang,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT lang, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |lt AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS nl FROM cnt GROUP BY 1),
+        |tt AS (SELECT tok, CAST(sum(c) AS DOUBLE) AS cw FROM cnt GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+        |g AS (
+        |  SELECT tt.tok, lt.lang, lt.nl, tt.cw,
+        |    CAST(coalesce(cnt.c, 0) AS DOUBLE) AS clw,
+        |    100.0 * tt.cw / (SELECT n FROM nn) AS aw
+        |  FROM tt CROSS JOIN lt
+        |  LEFT JOIN cnt ON cnt.tok = tt.tok AND cnt.lang = lt.lang),
+        |z AS (
+        |  SELECT lang, tok,
+        |    round((ln((clw + aw) / (nl + 100.0 - clw - aw))
+        |         - ln(((cw - clw) + aw)
+        |             / (((SELECT n FROM nn) - nl) + 100.0 - (cw - clw) - aw)))
+        |      / sqrt(1.0 / (clw + aw) + 1.0 / ((cw - clw) + aw)), 6) + 0 AS z
+        |  FROM g),
+        |r AS (
+        |  SELECT lang, tok, z,
+        |    row_number() OVER (PARTITION BY lang ORDER BY z DESC, tok) AS rank
+        |  FROM z)
+        |SELECT lang, tok, z, rank FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+    // x60's LM body, identical rounding, then per-lang quantile + filter
+    "x125_quality_gate" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        |voc AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20),
+        |vn AS (SELECT count(*) AS v FROM voc),
+        |sc AS (
+        |  SELECT tk.doc_id,
+        |    round(avg(log10((coalesce(voc.c, 0) + 1) / (tot.n + vn.v + 1.0))), 6)
+        |      + 0 AS lp
+        |  FROM tk LEFT JOIN voc USING (tok), tot, vn
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT d.lang, sc.lp FROM documents d JOIN sc USING (doc_id)),
+        |thr AS (
+        |  SELECT lang, quantile_cont(lp, 0.3) AS t FROM s GROUP BY lang)
+        |SELECT s.lang, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM s JOIN thr ON thr.lang = s.lang
+        |WHERE s.lp >= thr.t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same fixed cutoff and split tags; the no-leak flag re-derived from
     // the same max/min compare
     "x123_temporal_split" ->

@@ -601,6 +601,86 @@ object TextStats {
     docs.select(col(idCol), col(labelCol)).join(pred, Seq(idCol), "left")
   }
 
+  /** Label-distinctive tokens by the log-odds z-score with an informative
+    * Dirichlet prior (Monroe et al. 2008, "Fightin' Words") — the
+    * corpus-linguistics answer to "which words MAKE this slice different":
+    * for each (label, token), the log-odds of the token in the label vs
+    * the rest of the corpus, shrunk by a prior proportional to the
+    * corpus frequency (`α_w = α₀·c_w/n` — rare tokens need more evidence)
+    * and standardized by its estimated variance
+    * `1/(c_Lw+α_w) + 1/(c_rest,w+α_w)`. Unlike PMI (x64: token-token
+    * association) or TF-IDF (x30: token-document weight), this contrasts
+    * token-LABEL usage with principled shrinkage — the tool for slice
+    * characterization and leakage hunting ("what vocabulary leaks the
+    * label?").
+    *
+    * Plan: token-label counts (one shuffle, map-side partials), two
+    * bounded marginals, the label×vocab grid distributed (never
+    * collected; the only driver value is the corpus token total), z
+    * computed per grid row, then top-`topK` per label with the
+    * round-before-rank determinism rule (z to `zRound`, token-asc ties)
+    * — WindowGroupLimit bounds the rank map-side.
+    *
+    * Output: (labelCol, tok, z, rank), rank 1..topK per label.
+    */
+  def distinctiveTokens(docs: DataFrame, textCol: String, labelCol: String,
+      topK: Int = 10, alpha0: Double = 100.0, zRound: Int = 6): DataFrame = {
+    require(topK > 0 && alpha0 > 0, s"distinctiveTokens: bad topK=$topK / alpha0=$alpha0")
+    val tk = docs.select(col(labelCol).as("__lab"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val cnt = tk.groupBy(col("__lab"), col("tok")).agg(count(lit(1)).as("__c"))
+    val labTot = cnt.groupBy(col("__lab")).agg(sum(col("__c")).as("__nl"))
+    val tokTot = cnt.groupBy(col("tok")).agg(sum(col("__c")).as("__cw"))
+    val nRow = tokTot.agg(sum(col("__cw"))).collect()(0)
+    require(!nRow.isNullAt(0) && nRow.getLong(0) > 0, "distinctiveTokens: empty corpus")
+    val n = nRow.getLong(0).toDouble
+    val grid = tokTot.crossJoin(broadcast(labTot))
+      .join(cnt, Seq("__lab", "tok"), "left")
+      .withColumn("__clw", coalesce(col("__c"), lit(0L)).cast("double"))
+      .withColumn("__aw", lit(alpha0) * col("__cw").cast("double") / lit(n))
+    val cRest = col("__cw").cast("double") - col("__clw")
+    val nRest = lit(n) - col("__nl").cast("double")
+    val delta =
+      log((col("__clw") + col("__aw")) /
+        (col("__nl").cast("double") + lit(alpha0) - col("__clw") - col("__aw"))) -
+      log((cRest + col("__aw")) / (nRest + lit(alpha0) - cRest - col("__aw")))
+    val variance =
+      lit(1.0) / (col("__clw") + col("__aw")) + lit(1.0) / (cRest + col("__aw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__lab")).orderBy(col("__z").desc, col("tok"))
+    grid.withColumn("__z", roundz(delta / sqrt(variance), zRound))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("__lab").as(labelCol), col("tok"), col("__z").as("z"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** RELATIVE quality gate, CCNet-style: keep each label-slice's documents
+    * whose (rounded) unigram-LM score clears that slice's own
+    * `keepAbovePercentile` threshold — per-language absolute thresholds
+    * are meaningless (character entropy differs by script), so CCNet
+    * buckets per language by the language's own score distribution; this
+    * is that gate. Scores are rounded BEFORE thresholding on both engines
+    * (the determinism rule), the per-label thresholds are one bounded
+    * percentile aggregate broadcast back, and the gate is a narrow
+    * filter. Documents with no tokens (null score) are dropped — a
+    * tokenless doc clears no quality bar.
+    */
+  def relativeQualityGate(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, keepAbovePercentile: Double,
+      vocabSize: Int = 1000): DataFrame = {
+    require(keepAbovePercentile > 0 && keepAbovePercentile < 1,
+      s"relativeQualityGate: percentile $keepAbovePercentile outside (0,1)")
+    val lp = unigramLogProb(docs, idCol, textCol, vocabSize)
+      .select(col(idCol), roundz(col("unigram_lp"), 6).as("__lp"))
+    val scored = docs.join(lp, Seq(idCol))
+    val thr = scored.groupBy(col(labelCol))
+      .agg(expr(s"percentile(__lp, $keepAbovePercentile)").as("__thr"))
+    scored.join(broadcast(thr), Seq(labelCol))
+      .where(col("__lp") >= col("__thr"))
+      .drop("__lp", "__thr")
+  }
+
   /** Convenience: attach the full stats bundle to a document DataFrame. */
   def withStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

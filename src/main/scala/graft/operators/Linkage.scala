@@ -45,18 +45,39 @@ object Linkage {
     * `maxDist` is pinned to 1: deletion-neighborhood depth 1 is provably
     * complete exactly for distance ≤ 1 (greater radii need deeper variant
     * sets, which grow as |s|^d — a different cost class).
+    *
+    * `maxBucketSize` is the hot-variant guard (the Dedup LSH discipline):
+    * a variant shared by b records yields O(b²) candidates, and b is
+    * unbounded when EXACT-duplicate names flood a block — those want
+    * exact dedup (x1's shape on the name column), not an edit-distance
+    * join. Buckets above the cap are dropped (count them with
+    * `droppedVariantBuckets` when auditing); buckets at or under it are
+    * processed in full, so results on exact-deduped names are unchanged.
+    * 0 disables the guard.
     */
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
-      blockCols: Seq[String], maxDist: Int = 1): DataFrame = {
+      blockCols: Seq[String], maxDist: Int = 1,
+      maxBucketSize: Long = 10000L): DataFrame = {
     require(maxDist == 1,
       s"fuzzyPairs: deletion-neighborhood blocking is lossless only for maxDist = 1, got $maxDist")
     val block = blockCols.map(col)
     val vars = df.select(block :+ col(idCol) :+ col(nameCol): _*)
       .select(block :+ col(idCol) :+ col(nameCol) :+
         explode(deleteVariants(col(nameCol))).as("__v"): _*)
-    val left = vars.select(block :+ col("__v") :+
+    val kept =
+      if (maxBucketSize <= 0) vars
+      else vars.join(
+        // groupBy + semi-join, not a count-over window: the hot bucket
+        // this guard exists for is exactly what a window would pin into
+        // one task — the count partial-aggs map-side instead
+        vars.groupBy(block :+ col("__v"): _*)
+          .agg(count(lit(1)).as("__b"))
+          .where(col("__b") <= maxBucketSize)
+          .select(block :+ col("__v"): _*),
+        blockCols :+ "__v", "left_semi")
+    val left = kept.select(block :+ col("__v") :+
       col(idCol).as("id_a") :+ col(nameCol).as("name_a"): _*)
-    val right = vars.select(block :+ col("__v") :+
+    val right = kept.select(block :+ col("__v") :+
       col(idCol).as("id_b") :+ col(nameCol).as("name_b"): _*)
     left.join(right, blockCols :+ "__v")
       .where(col("id_a") < col("id_b"))
@@ -66,5 +87,19 @@ object Linkage {
         col("id_b") :+ col("name_b"): _*)
       .distinct()
       .where(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+  }
+
+  /** Variant buckets the `maxBucketSize` guard would drop — the audit
+    * companion to `fuzzyPairs` (run it when a linkage pass might be
+    * silently skipping a flooded name). Output: blockCols ++ (__v, __b).
+    */
+  def droppedVariantBuckets(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], maxBucketSize: Long = 10000L): DataFrame = {
+    val block = blockCols.map(col)
+    df.select(block :+ col(idCol) :+ col(nameCol): _*)
+      .select(block :+ explode(deleteVariants(col(nameCol))).as("__v"): _*)
+      .groupBy(block :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__b"))
+      .where(col("__b") > maxBucketSize)
   }
 }

@@ -48,4 +48,24 @@ class LinkageSpec extends AnyFunSuite {
     val df = Seq((1L, "abc", 0), (2L, "abd", 1)).toDF("id", "name", "block")
     assert(Linkage.fuzzyPairs(df, "id", "name", Seq("block")).count() === 0L)
   }
+
+  test("fuzzyPairs hot-bucket guard drops flooded variants, keeps the rest intact") {
+    // 500 records with the IDENTICAL name (the exact-dup flood the guard
+    // exists for) plus one clean distance-1 pair in the same block
+    val flood = (1L to 500L).map(i => (i, "samename", 0))
+    val clean = Seq((1001L, "qwerty", 0), (1002L, "qwertz", 0))
+    val df = (flood ++ clean).toDF("id", "name", "block")
+    val guarded = Linkage.fuzzyPairs(df, "id", "name", Seq("block"),
+        maxBucketSize = 100L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the flooded name contributes nothing; the clean pair survives
+    assert(guarded === Set((1001L, 1002L)))
+    val dropped = Linkage.droppedVariantBuckets(df, "id", "name", Seq("block"),
+      maxBucketSize = 100L)
+    assert(dropped.count() === 9L) // "samename" itself + its 8 deletions
+    // guard off: the flood pairs all come back (C(500,2) + the clean one)
+    val unguarded = Linkage.fuzzyPairs(df, "id", "name", Seq("block"),
+      maxBucketSize = 0L)
+    assert(unguarded.count() === 500L * 499L / 2 + 1)
+  }
 }

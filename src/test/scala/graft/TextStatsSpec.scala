@@ -322,6 +322,47 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(7L) === local7)
   }
 
+  test("distinctiveTokens surfaces slice-exclusive vocabulary at the top") {
+    // "aa"/"bb" are exclusive to their slice; "shared" is uniform
+    val docs = Seq(
+      (1L, "aa aa shared aa shared", "L1"),
+      (2L, "aa shared aa aa shared", "L1"),
+      (3L, "bb bb shared bb shared", "L2"),
+      (4L, "bb shared bb bb shared", "L2")).toDF("doc_id", "text", "lang")
+    val out = TextStats.distinctiveTokens(docs, "text", "lang", topK = 2)
+      .select($"lang", $"tok", $"rank").as[(String, String, Long)].collect()
+    val top = out.filter(_._3 == 1L).map(r => r._1 -> r._2).toMap
+    assert(top === Map("L1" -> "aa", "L2" -> "bb"))
+    // the z of the exclusive token must beat the shared token's z
+    val z = TextStats.distinctiveTokens(docs, "text", "lang", topK = 10)
+      .select($"lang", $"tok", $"z").as[(String, String, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(z(("L1", "aa")) > z(("L1", "shared")))
+    assert(z(("L2", "bb")) > z(("L2", "shared")))
+  }
+
+  test("relativeQualityGate keeps ~the top fraction per slice, drops tokenless docs") {
+    // two slices with very different score scales; junk docs (repeated
+    // rare token) must fall below their slice's bar
+    val fluent = (0 until 20).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog ran", "en"))
+    val junkEn = (20 until 30).map(i =>
+      (i.toLong, s"zz$i zz$i zz$i zz$i zz$i zz$i zz$i zz$i zz$i zz$i", "en"))
+    val de = (30 until 50).map(i =>
+      (i.toLong, "der hund lief und die katze sass auf der matte", "de"))
+    val empty = Seq((99L, "   ", "en"))
+    val docs = (fluent ++ junkEn ++ de ++ empty).toDF("doc_id", "text", "lang")
+    val kept = TextStats.relativeQualityGate(docs, "doc_id", "text", "lang",
+        keepAbovePercentile = 0.3, vocabSize = 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!kept.contains(99L), "tokenless doc must not clear a quality bar")
+    // every junk doc scores below every fluent doc; with 30 en docs the
+    // 30th-percentile bar lands inside the junk band → all fluent kept
+    assert((0L until 20L).forall(kept.contains), s"fluent dropped: $kept")
+    // de slice is uniform: everything >= its own threshold survives
+    assert((30L until 50L).forall(kept.contains))
+  }
+
   test("naiveBayesPredict breaks exact score ties on label ascending") {
     // perfectly symmetric corpus: both labels give every doc the same
     // score, so every prediction must fall to the first label

@@ -54,7 +54,8 @@ FAMILIES = {
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
               "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp",
               "x104_hll_distinct", "x107_incremental_stats",
-              "x112_table_fingerprint"],
+              "x112_table_fingerprint", "x124_distinctive_tokens",
+              "x125_quality_gate"],
     "training": ["x97_balanced_shards", "x99_diverse_sample",
                  "x114_snapshot_diff", "x115_fuzzy_match",
                  "x116_nb_classify", "x117_cdc_apply", "x118_drift_psi",
