@@ -1618,6 +1618,25 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Contamination contagion: seed flags (doc_id % 13 = 0) propagate
+    // over the near-dup edge graph (x2's exact-verified Jaccard ≥ 0.9
+    // pairs, symmetrized) with max-decay semantics — score =
+    // seed·0.5^hops along the best path, 2 hops. x42 finds direct
+    // benchmark overlap; this flags the near-copies of the near-copies.
+    // The oracle replays the exact pair set (x2's oracle body) and
+    // unrolls both propagation rounds as SQL.
+    "x126_label_prop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = docs.select(col("doc_id").as("node"),
+        when(col("doc_id") % 13 === 0, 1.0).otherwise(0.0).as("score"))
+      Graph.maxPropagate(edges, seeds, iters = 2, decay = 0.5)
+        .select(col("node"), roundz(col("score"), 4).as("score"))
+        .orderBy(col("node"))
+    }),
+
     // Label-distinctive tokens (Monroe et al. log-odds z with an
     // informative Dirichlet prior): which words make each language slice
     // different — the slice-characterization / label-leakage audit next
@@ -3987,6 +4006,45 @@ object SparkEntry {
         |SELECT lang, (round(sum((pn - po) * ln(pn / po)), 6) + 0) AS psi,
         |  CAST(sum(co) AS BIGINT) AS n_old, CAST(sum(cn) AS BIGINT) AS n_new
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x2's exact pair set (the engine's minhash edges are provably that
+    // set — x2 pins it), symmetrized, then both max-decay rounds unrolled
+    "x126_label_prop" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.9),
+        |e AS (SELECT a AS src, b AS dst FROM p
+        |      UNION ALL SELECT b AS src, a AS dst FROM p),
+        |s0 AS (
+        |  SELECT doc_id AS node,
+        |    CASE WHEN doc_id % 13 = 0 THEN 1.0 ELSE 0.0 END AS sc
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT s0.node, greatest(s0.sc, 0.5 * coalesce(m.m, 0)) AS sc
+        |  FROM s0 LEFT JOIN (
+        |    SELECT e.dst AS node, max(s0.sc) AS m
+        |    FROM e JOIN s0 ON e.src = s0.node GROUP BY 1) m USING (node)),
+        |s2 AS (
+        |  SELECT s1.node, greatest(s1.sc, 0.5 * coalesce(m.m, 0)) AS sc
+        |  FROM s1 LEFT JOIN (
+        |    SELECT e.dst AS node, max(s1.sc) AS m
+        |    FROM e JOIN s1 ON e.src = s1.node GROUP BY 1) m USING (node))
+        |SELECT node, (round(sc, 4) + 0) AS score
+        |FROM s2 ORDER BY node""".stripMargin,
     // identical counts, prior, z arithmetic, and round-before-rank
     "x124_distinctive_tokens" ->
       """WITH tk AS (

@@ -224,4 +224,44 @@ object Graph {
       }
     }
   }
+
+  /** Max-decay label propagation: spread seed scores over a graph so a
+    * node's score is `max over all paths of seed(start)·decayᵈⁱˢᵗ` after
+    * `iters` hops — the "contamination contagion" primitive: flag a few
+    * known-bad documents, propagate over the NEAR-DUP edge graph, and
+    * every doc within k dedup-hops of a bad seed carries a decayed flag
+    * (x42 finds direct benchmark overlap; this finds the near-copies of
+    * the near-copies). Max semantics (not sum/avg) because dup edges are
+    * evidence of shared content, not additive mass — one bad neighbor is
+    * enough.
+    *
+    * `seeds` must carry the FULL node universe (node, score; non-seeds
+    * 0) — the output keys on it. Per iteration: one join of the cached
+    * symmetric edge list with the node-sized score frame, one max-agg by
+    * dst (map-side partials absorb hub skew), one greatest() against the
+    * previous scores. Lineage stays linear; nothing graph-sized reaches
+    * the driver.
+    */
+  def maxPropagate(edges: DataFrame, seeds: DataFrame, iters: Int,
+      decay: Double, srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node", scoreCol: String = "score"): DataFrame = {
+    require(iters >= 1, s"maxPropagate: iters must be >= 1, got $iters")
+    require(decay > 0 && decay <= 1, s"maxPropagate: decay $decay outside (0,1]")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct().repartition(col("__src"))
+    Lifecycle.withCachedInputs(e) {
+      var s = seeds.select(col(nodeCol).as(nodeCol),
+        col(scoreCol).cast("double").as("__s"))
+      for (_ <- 1 to iters) {
+        val nbr = e.join(s, col("__src") === col(nodeCol))
+          .groupBy(col("__dst").as("__n"))
+          .agg(max(col("__s")).as("__m"))
+        s = s.join(nbr, col(nodeCol) === col("__n"), "left")
+          .select(col(nodeCol),
+            greatest(col("__s"),
+              lit(decay) * coalesce(col("__m"), lit(0.0))).as("__s"))
+      }
+      s.select(col(nodeCol), col("__s").as(scoreCol))
+    }
+  }
 }

@@ -187,4 +187,31 @@ class GraphSpec extends AnyFunSuite {
       Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", iters = 0)
     }
   }
+
+  test("maxPropagate: score is seed times decay^distance along the best path") {
+    // chain 1-2-3-4 (symmetric) + isolated 5; seed at node 1
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq((1L, 1.0), (2L, 0.0), (3L, 0.0), (4L, 0.0), (5L, 0.0))
+      .toDF("node", "score")
+    val got2 = Graph.maxPropagate(edges, seeds, iters = 2, decay = 0.5)
+      .as[(Long, Double)].collect().toMap
+    assert(got2 === Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.25, 4L -> 0.0, 5L -> 0.0))
+    // a third hop reaches node 4; seeds never decay in place
+    val got3 = Graph.maxPropagate(edges, seeds, iters = 3, decay = 0.5)
+      .as[(Long, Double)].collect().toMap
+    assert(got3 === Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.25, 4L -> 0.125, 5L -> 0.0))
+  }
+
+  test("maxPropagate takes the max over converging paths, not the sum") {
+    // two seeds both adjacent to node 3: score(3) must be 0.5, not 1.0
+    val und = Seq((1L, 3L), (2L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq((1L, 1.0), (2L, 1.0), (3L, 0.0)).toDF("node", "score")
+    val got = Graph.maxPropagate(edges, seeds, iters = 2, decay = 0.5)
+      .as[(Long, Double)].collect().toMap
+    assert(got(3L) === 0.5)
+    // and a cycle must not amplify: 1 and 2 stay at their seed value
+    assert(got(1L) === 1.0 && got(2L) === 1.0)
+  }
 }

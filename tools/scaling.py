@@ -60,7 +60,8 @@ FAMILIES = {
                  "x114_snapshot_diff", "x115_fuzzy_match",
                  "x116_nb_classify", "x117_cdc_apply", "x118_drift_psi",
                  "x120_interleave", "x123_temporal_split"],
-    "graph": ["x105_pagerank", "x111_trustrank", "x113_hits"],
+    "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
+              "x126_label_prop"],
 }
 
 # Steepest measured slopes = the full-output rewrites + the per-token
