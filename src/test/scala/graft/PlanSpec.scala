@@ -468,6 +468,21 @@ class PlanSpec extends AnyFunSuite {
       "window without __pid:\n" + windows.mkString("\n"))
   }
 
+  test("x124 distinctive tokens: per-label top-k bounded by WindowGroupLimit") {
+    // the grid build's vocab × broadcast-label-totals product is N×L
+    // (bounded); an UNBROADCAST CartesianProduct would be the degradation
+    val p = planOf("x124_distinctive_tokens")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("x126 label propagation: edges iterate from cache, joins are keyed") {
+    val p = planOf("x126_label_prop")
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(2000))
+  }
+
   test("x119 crossdoc dedup: first-occurrence is an aggregation, not a shingle window") {
     // min(struct(doc,pos)) per shingle partial-aggs map-side; the only
     // windows in the plan partition by doc (islands merge), so a hot
