@@ -1628,8 +1628,13 @@ object SparkEntry {
     "x126_label_prop" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9)
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      // symmetrize in ONE pass over the pair pipeline: a union of the pair
+      // frame with its own swap would run the whole LSH+verify plan twice
+      // inside the edge-cache job (measured ~2× on this query)
+      val edges = pairs.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       val seeds = docs.select(col("doc_id").as("node"),
         when(col("doc_id") % 13 === 0, 1.0).otherwise(0.0).as("score"))
       Graph.maxPropagate(edges, seeds, iters = 2, decay = 0.5)
