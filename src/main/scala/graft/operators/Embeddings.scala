@@ -368,38 +368,85 @@ object Embeddings {
     */
   def topPrincipalComponent(df: DataFrame, vecCol: String, iters: Int = 8,
       seed: Long = 42L): (Seq[Double], Seq[Double], Double) = {
-    require(iters > 0, s"topPrincipalComponent: iters=$iters must be > 0")
+    val (mu, comps) = principalComponents(df, vecCol, 1, iters, seed)
+    (mu, comps.head._1, comps.head._2)
+  }
+
+  /** Top-`k` principal components by sequential power iteration with
+    * PROJECTION DEFLATION — still matrix-free: component j's iterations
+    * run the same one-scan-plus-d-row-shuffle pass as the top component,
+    * then orthogonalize the d-vector against the already-found
+    * components ON THE DRIVER (k·d doubles of arithmetic — the covariance
+    * never exists anywhere). The standard one-vector-at-a-time orthogonal
+    * iteration: deflating the iterate against prior eigvecs converges to
+    * the next eigenvector in order.
+    *
+    * Returns (mean, components) with components ordered by decreasing
+    * Rayleigh λ̂; directions are mutually orthogonal unit vectors. Use
+    * `pcProject` for the k-dim reduction (the data-dependent alternative
+    * to x65's JL when the corpus's variance is concentrated).
+    */
+  def principalComponents(df: DataFrame, vecCol: String, k: Int,
+      iters: Int = 8, seed: Long = 42L): (Seq[Double], Seq[(Seq[Double], Double)]) = {
+    require(iters > 0, s"principalComponents: iters=$iters must be > 0")
     val mu = dimensionMeans(df, vecCol)
-    require(mu.nonEmpty, "topPrincipalComponent: no vectors")
+    require(mu.nonEmpty, "principalComponents: no vectors")
     val d = mu.length
+    require(k >= 1 && k <= d, s"principalComponents: k=$k outside [1, $d]")
     def unit(v: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
-    var w: Seq[Double] = unit((0 until d).map(i =>
-      (((i * 2654435761L + seed) % 1000L) / 1000.0) - 0.5))
-    val v = df.select(asDouble(col(vecCol)).as("__v"))
+    def deflate(v: Seq[Double], basis: Seq[Seq[Double]]): Seq[Double] =
+      basis.foldLeft(v) { (acc, b) =>
+        val proj = acc.zip(b).map { case (a, x) => a * x }.sum
+        acc.zip(b).map { case (a, x) => a - proj * x }
+      }
+    val vDf = df.select(asDouble(col(vecCol)).as("__v"))
       .where(size(col("__v")) === d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = v.count().toDouble // also materializes the cache for the loop
-      var lambda = 0.0
-      for (_ <- 1 to iters) {
-        val muW = mu.zip(w).map { case (m, x) => m * x }.sum
-        val rows = v
-          .withColumn("__dw", Similarity.dot(col("__v"), typedLit(w)) - lit(muW))
-          .select(col("__dw"), posexplode(col("__v")).as(Seq("pos", "x")))
-          .groupBy(col("pos"))
-          .agg(sum((col("x") - element_at(typedLit(mu), col("pos") + 1)) * col("__dw"))
-            .as("s"))
-          .collect()
-        val s = new Array[Double](d)
-        rows.foreach(r => s(r.getInt(0)) = r.getDouble(1))
-        lambda = math.sqrt(s.map(x => x * x).sum) / n
-        w = unit(s.toIndexedSeq)
+      val n = vDf.count().toDouble // also materializes the cache for the loop
+      val comps = scala.collection.mutable.ArrayBuffer.empty[(Seq[Double], Double)]
+      for (j <- 0 until k) {
+        var w: Seq[Double] = unit(deflate((0 until d).map(i =>
+          (((i * 2654435761L + seed + j) % 1000L) / 1000.0) - 0.5),
+          comps.map(_._1).toSeq))
+        var lambda = 0.0
+        for (_ <- 1 to iters) {
+          val muW = mu.zip(w).map { case (m, x) => m * x }.sum
+          val rows = vDf
+            .withColumn("__dw", Similarity.dot(col("__v"), typedLit(w)) - lit(muW))
+            .select(col("__dw"), posexplode(col("__v")).as(Seq("pos", "x")))
+            .groupBy(col("pos"))
+            .agg(sum((col("x") - element_at(typedLit(mu), col("pos") + 1)) * col("__dw"))
+              .as("s"))
+            .collect()
+          val s0 = new Array[Double](d)
+          rows.foreach(r => s0(r.getInt(0)) = r.getDouble(1))
+          val s = deflate(s0.toIndexedSeq, comps.map(_._1).toSeq)
+          lambda = math.sqrt(s.map(x => x * x).sum) / n
+          w = unit(s)
+        }
+        comps += ((w, lambda))
       }
-      (mu, w, lambda)
-    } finally { v.unpersist(); () }
+      (mu, comps.toSeq)
+    } finally { vDf.unpersist(); () }
+  }
+
+  /** Project every vector onto `comps` (per `principalComponents`): adds
+    * `as` = array of ⟨v−μ, w_j⟩ — k codegen'd dots per row against
+    * broadcast literals, no join. The k-dim reduced representation for
+    * downstream ANN/clustering when corpus variance is concentrated.
+    */
+  def pcProject(df: DataFrame, vecCol: String, mean: Seq[Double],
+      comps: Seq[Seq[Double]], as: String = "pc"): DataFrame = {
+    require(comps.nonEmpty, "pcProject: no components")
+    val cols = comps.map { w =>
+      val muW = mean.zip(w).map { case (m, x) => m * x }.sum
+      Similarity.dot(asDouble(col(vecCol)), typedLit(w)) - lit(muW)
+    }
+    df.withColumn(as, array(cols: _*))
   }
 
   /** Project every vector onto the top principal component: adds

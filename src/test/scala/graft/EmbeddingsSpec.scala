@@ -155,6 +155,34 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(math.abs(pm) < 1e-9, s"projection not centered: $pm")
   }
 
+  test("principalComponents recovers two planted directions, orthogonal, ordered") {
+    // data = t1·u1 + t2·u2, var(t1) >> var(t2); PCs must recover u1 then
+    // u2, mutually orthogonal, with decreasing Rayleigh estimates
+    val u1 = Array(0.6, 0.8, 0.0, 0.0)
+    val u2 = Array(0.0, 0.0, 1.0, 0.0)
+    val rows = (0 until 300).map { i =>
+      val t1 = (i % 21) - 10.0            // spread ±10 along u1
+      val t2 = ((i * 7) % 9 - 4.0) * 0.5  // spread ±2 along u2
+      (i.toLong, (0 until 4).map(j => (t1 * u1(j) + t2 * u2(j)).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (mu, comps) = Embeddings.principalComponents(df, "embedding", k = 2,
+      iters = 12)
+    val Seq((w1, l1), (w2, l2)) = comps
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      math.abs(a.zip(b).map { case (x, y) => x * y }.sum)
+    assert(cos(w1, u1.toIndexedSeq) > 0.999, s"PC1 misaligned: $w1")
+    assert(cos(w2, u2.toIndexedSeq) > 0.999, s"PC2 misaligned: $w2")
+    assert(cos(w1, w2) < 1e-9, s"components not orthogonal: ${cos(w1, w2)}")
+    assert(l1 > l2 && l2 > 0, s"lambdas not ordered: $l1, $l2")
+    // projection onto both components reconstructs the planted spreads
+    val pc = Embeddings.pcProject(df, "embedding", mu, Seq(w1, w2))
+      .select(element_at(col("pc"), 1).as("p1"), element_at(col("pc"), 2).as("p2"))
+      .agg(var_samp(col("p1")), var_samp(col("p2"))).collect()(0)
+    assert(pc.getDouble(0) > pc.getDouble(1),
+      s"PC1 projection variance must dominate: ${pc.getDouble(0)} vs ${pc.getDouble(1)}")
+  }
+
   test("topPrincipalComponent is deterministic across physical layouts") {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
     val (_, w1, l1) = Embeddings.topPrincipalComponent(e, "embedding", iters = 4)
