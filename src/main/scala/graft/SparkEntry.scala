@@ -1618,6 +1618,19 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Lag-debounce per (user, type): drop events whose predecessor is
+    // within 10 minutes — the double-click/retry-storm collapse before
+    // counting. Exact integer-microsecond arithmetic on both engines
+    // (a timestamp→double cast could flip a boundary gap); the oracle
+    // replays the identical window.
+    "x127_debounce" -> ((s, dir) =>
+      graft.operators.Behavior.debounce(Catalog.events(s, dir),
+          keys = Seq("user_id", "event_type"), tsCol = "ts", gapSec = 600L,
+          tieBreak = Seq("event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("event_type"))),
+
     // Contamination contagion: seed flags (doc_id % 13 = 0) propagate
     // over the near-dup edge graph (x2's exact-verified Jaccard ≥ 0.9
     // pairs, symmetrized) with max-decay semantics — score =
@@ -4011,6 +4024,16 @@ object SparkEntry {
         |SELECT lang, (round(sum((pn - po) * ln(pn / po)), 6) + 0) AS psi,
         |  CAST(sum(co) AS BIGINT) AS n_old, CAST(sum(cn) AS BIGINT) AS n_new
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical per-(user,type) lag window in exact epoch micros
+    "x127_debounce" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM e WHERE prev IS NULL OR us - prev > 600 * 1000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // x2's exact pair set (the engine's minhash edges are provably that
     // set — x2 pins it), symmetrized, then both max-decay rounds unrolled
     "x126_label_prop" ->

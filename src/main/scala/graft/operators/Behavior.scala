@@ -205,4 +205,31 @@ object Behavior {
         floor(datediff(col("w"), col("w0")) / 7).cast("int").as("week_offset"))
       .agg(countDistinct(col("u")).as("users"))
   }
+
+  /** Lag-debounce: drop an event when the key's PREVIOUS event (by
+    * `tsCol`, `tieBreak` for equal timestamps) is within `gapSec` — the
+    * standard collapse for double-clicks, retry storms, and sensor
+    * chatter before sessionization or counting. Lag semantics
+    * (gap measured from the previous RAW event, not the previous kept
+    * one) are the window-expressible approximation every SQL engine
+    * replays identically; true chain-debounce needs per-key state
+    * (`dropDuplicatesWithinWatermark` is the streaming cousin).
+    *
+    * Comparison runs in EXACT integer microseconds (`unix_micros`) —
+    * a timestamp→double cast loses sub-µs precision and a boundary gap
+    * could flip between engines. One shuffle by key; at any corpus size
+    * the window carries one lag value per row.
+    */
+  def debounce(events: DataFrame, keys: Seq[String], tsCol: String,
+      gapSec: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(gapSec > 0, s"debounce: gapSec=$gapSec must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).toIndexedSeq: _*)
+    events
+      .withColumn("__prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .where(col("__prev").isNull ||
+        unix_micros(col(tsCol)) - col("__prev") > gapSec * 1000000L)
+      .drop("__prev")
+  }
 }

@@ -169,4 +169,33 @@ class BehaviorSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 1, s"expected <=1 shuffle, got $exchanges:\n${plan.take(3000)}")
   }
+
+  test("debounce keeps the first event of a burst and events past the gap") {
+    def ts2(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val events = Seq(
+      // user 1, type a: burst at 0/5/8 (lag gaps 5 and 3 suppress), then
+      // 700 — measured from the previous RAW event (8): 692 > 600 → kept
+      (1L, "a", ts2(0), 1L), (1L, "a", ts2(5), 2L), (1L, "a", ts2(8), 3L),
+      (1L, "a", ts2(700), 4L),
+      // user 1, type b is an independent key
+      (1L, "b", ts2(2), 5L),
+      // user 2: equal timestamps, tie broken by event_id — second drops
+      (2L, "a", ts2(0), 6L), (2L, "a", ts2(0), 7L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val kept = Behavior.debounce(events,
+        Seq("user_id", "event_type"), "ts", gapSec = 600L,
+        tieBreak = Seq("event_id"))
+      .select($"event_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L, 6L))
+  }
+
+  test("debounce boundary: a gap of exactly gapSec is suppressed (strict >)") {
+    def ts2(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val events = Seq((1L, ts2(0), 1L), (1L, ts2(600), 2L), (1L, ts2(1201), 3L))
+      .toDF("user_id", "ts", "event_id")
+    val kept = Behavior.debounce(events,
+        Seq("user_id"), "ts", gapSec = 600L, tieBreak = Seq("event_id"))
+      .select($"event_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+  }
 }

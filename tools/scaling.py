@@ -59,7 +59,7 @@ FAMILIES = {
     "training": ["x97_balanced_shards", "x99_diverse_sample",
                  "x114_snapshot_diff", "x115_fuzzy_match",
                  "x116_nb_classify", "x117_cdc_apply", "x118_drift_psi",
-                 "x120_interleave", "x123_temporal_split"],
+                 "x120_interleave", "x123_temporal_split", "x127_debounce"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
               "x126_label_prop"],
 }
