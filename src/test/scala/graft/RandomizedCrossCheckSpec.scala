@@ -463,6 +463,43 @@ class RandomizedCrossCheckSpec extends AnyFunSuite {
     }
   }
 
+  test("stripCrossdocDuplicates equals a local keep-first reference on random corpora") {
+    val n = 8
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      // small vocab + copied spans → cross-doc and within-doc repeats
+      val spans = Seq.tabulate(4)(k =>
+        Seq.fill(n + rnd.nextInt(4))(s"s${k}w${rnd.nextInt(3)}"))
+      val docs = Seq.tabulate(12) { i =>
+        val parts = Seq.fill(2 + rnd.nextInt(3))(
+          if (rnd.nextBoolean()) spans(rnd.nextInt(spans.size))
+          else Seq.fill(3 + rnd.nextInt(6))(s"u${i}x${rnd.nextInt(50)}"))
+        (i.toLong, parts.flatten.mkString(" "))
+      }
+      val got = Dedup.stripCrossdocDuplicates(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = n)
+        .select($"doc_id", $"text_clean").as[(Long, String)].collect().toMap
+
+      // local reference: mark every non-first occurrence of a duplicated
+      // n-gram, merge covered positions, rebuild
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val occ = scala.collection.mutable.Map.empty[Seq[String], List[(Long, Int)]]
+      for ((id, ts) <- docs.map(d => d._1 -> toks(d._1)); p <- 0 to ts.length - n)
+        occ(ts.slice(p, p + n)) = occ.getOrElse(ts.slice(p, p + n), Nil) :+ ((id, p))
+      val marked = occ.values.filter(_.size >= 2)
+        .flatMap(_.sortBy(identity).drop(1)).toSet
+      val want = docs.map { case (id, _) =>
+        val ts = toks(id)
+        val covered = (for {
+          p <- 0 to ts.length - n if marked((id, p)); i <- p until p + n
+        } yield i).toSet
+        id -> ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+          .mkString(" ")
+      }.toMap
+      assert(got === want, s"trial=$trial")
+    }
+  }
+
   test("cdcApply equals brute-force log replay on random changelogs") {
     val rnd = new scala.util.Random(20260814L)
     for (trial <- 1 to 3) {
