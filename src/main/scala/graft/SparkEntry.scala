@@ -1618,6 +1618,32 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Cluster canonicalization: the curation step AFTER dedup clustering
+    // that keeps LINEAGE — each near-dup cluster collapses to one
+    // canonical record (longest member, id tiebreak — x61's keep policy)
+    // carrying merged provenance: the sorted distinct source set, member
+    // count, and total chars absorbed. Dedup without losing where the
+    // copies came from. Composes x41's clusters + one grouped pass.
+    "x128_cluster_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val joined = docs.join(
+        Dedup.clusters(docs, "doc_id", "text", threshold = 0.9), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val canon = joined.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("canonical_id"))
+      joined.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          concat_ws(",", sort_array(collect_set(col("source")))).as("sources"),
+          sum(col("n_chars")).as("total_chars"))
+        .join(canon, "cluster_id")
+        .select(col("cluster_id"), col("canonical_id"), col("n_members"),
+          col("sources"), col("total_chars"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Lag-debounce per (user, type): drop events whose predecessor is
     // within 10 minutes — the double-click/retry-storm collapse before
     // counting. Exact integer-microsecond arithmetic on both engines
@@ -4024,6 +4050,49 @@ object SparkEntry {
         |SELECT lang, (round(sum((pn - po) * ln(pn / po)), 6) + 0) AS psi,
         |  CAST(sum(co) AS BIGINT) AS n_old, CAST(sum(cn) AS BIGINT) AS n_new
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x41's recursive-CTE clusters + the same keep-best pick and
+    // provenance aggregation
+    "x128_cluster_canonical" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM p
+        |  UNION SELECT b, a FROM p),
+        |reach(x, y) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y),
+        |cl AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x),
+        |j AS (
+        |  SELECT cl.cluster_id, d.doc_id, d.source, d.n_chars
+        |  FROM documents d JOIN cl USING (doc_id)),
+        |canon AS (
+        |  SELECT cluster_id, doc_id AS canonical_id FROM (
+        |    SELECT cluster_id, doc_id, row_number() OVER (
+        |      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+        |    FROM j) WHERE rn = 1)
+        |SELECT j.cluster_id, canon.canonical_id,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  array_to_string(list_sort(list_distinct(list(j.source))), ',') AS sources,
+        |  CAST(sum(j.n_chars) AS BIGINT) AS total_chars
+        |FROM j JOIN canon ON canon.cluster_id = j.cluster_id
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // identical per-(user,type) lag window in exact epoch micros
     "x127_debounce" ->
       """WITH e AS (

@@ -45,7 +45,7 @@ FAMILIES = {
               "x94_incremental_semantic_dedup",
               "x98_bloom_incremental_dedup", "x106_prefix_jaccard",
               "x108_containment_join", "x109_dup_rate",
-              "x119_crossdoc_dedup"],
+              "x119_crossdoc_dedup", "x128_cluster_canonical"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
               "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann",
               "x95_stored_ann_index", "x96_stored_index_append",
