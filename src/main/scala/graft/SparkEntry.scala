@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Num.roundz
 
 import graft.functions.TextStats
-import graft.operators.{AnnIndex, Behavior, Dedup, Embeddings, Graph, Multimodal, Profile, Ranks, RelOps, Similarity, Sketches, Stats, Temporal, Training, Transpose}
+import graft.operators.{AnnIndex, Behavior, Dedup, Embeddings, Graph, Multimodal, Profile, Ranks, RelOps, Similarity, Sketches, Stats, Temporal, TextIndex, Training, Transpose}
 import graft.pipelines.Pipelines
 import graft.sources.Catalog
 import graft.streaming.EventsStream
@@ -2375,6 +2375,73 @@ object SparkEntry {
               |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
               |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
     }),
+
+    // STORED inverted text index (x129) — ranked retrieval's build path,
+    // the text twin of x95: one tokenize pass lands (term, doc, tf, dl)
+    // postings PARTITIONED BY md5-shard(term), so a query's shards are
+    // driver-planned from its own terms and the postings scan reads ONLY
+    // those directories (static partition prune, TextIndexSpec-pinned —
+    // 3 query terms touch ≤ 3/16 of the index on disk at any corpus
+    // size). Conjunctive serve: docs holding ALL query terms — exact set
+    // semantics the oracle replays from raw text.
+    "x129_stored_text_index" -> ((s, dir) => {
+      val idx = s"/tmp/graft/x129_index_${dir.replaceAll("[^0-9.]", "")}"
+      TextIndex.write(t(s, dir, "documents"), idx)
+      TextIndex.booleanSearch(s, idx, Seq("join", "hash", "vector"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 top-k (x130) over the same stored index — the classic ranked
+    // retrieval serve: Lucene-default BM25 (k1=1.2, b=0.75), idf from the
+    // term's shard-resident df (= global df, a term lives in one shard),
+    // N/avgdl from the bounded meta row. Each term score is rounded and
+    // scaled to an exact ×10⁴ long BEFORE the per-doc sum, so doc scores
+    // are order-free integer sums (no float-summation flake between
+    // engines), and the top-k is a distributed TakeOrdered — never a
+    // global window over the candidate set.
+    "x130_bm25_search" -> ((s, dir) => {
+      val idx = s"/tmp/graft/x130_index_${dir.replaceAll("[^0-9.]", "")}"
+      TextIndex.write(t(s, dir, "documents"), idx)
+      TextIndex.bm25Search(s, idx, Seq("join", "hash", "vector"), k = 10)
+        .orderBy(col("rank"))
+    }),
+
+    // Mergeable QUANTILE state (x131) — x107's companion for the one
+    // statistic moments can't give: per-key equi-width histogram vectors
+    // (64 bins over [0, 600000)) built as TWO partial states (even/odd
+    // orderkey halves), merged by element-wise long addition, quantiles
+    // then interpolated from the merged counts. Exact-rank percentile
+    // sorts history and cannot merge; approx_percentile sketches aren't
+    // engine-replayable; the histogram monoid is both mergeable AND
+    // bit-replayable (integer bins, deterministic interpolation) — the
+    // standing-profile shape a 100 TB corpus absorbs batches into.
+    "x131_mergeable_quantiles" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val keys = Seq("o_orderpriority")
+      val merged = Stats.mergeHist(keys, bins = 64,
+        Stats.partialHist(o.where(col("o_orderkey") % 2 === 0), keys,
+          "o_totalprice", lo = 0.0, hi = 600000.0, bins = 64),
+        Stats.partialHist(o.where(col("o_orderkey") % 2 === 1), keys,
+          "o_totalprice", lo = 0.0, hi = 600000.0, bins = 64))
+      Stats.histQuantiles(merged, keys, lo = 0.0, hi = 600000.0, bins = 64,
+          qs = Seq(0.5, 0.9))
+        .select(col("o_orderpriority"), col("n"),
+          roundz(col("p50"), 4).as("p50_est"),
+          roundz(col("p90"), 4).as("p90_est"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Duplicate n-gram occupancy (x132) — the corpus-quality METRIC the
+    // strip/dedup family acts on: per doc, the fraction of its 5-gram
+    // occurrences that appear anywhere else in the corpus (count ≥ 2,
+    // occurrences not distinct docs) — the standard web-corpus
+    // boilerplate/duplication signal, scored without rewriting anything
+    // (x89/x119 are the ACTION side). One shingle pass + one count
+    // shuffle + one per-doc aggregate; short docs (< 5 tokens) score 0.
+    "x132_dup_gram_fraction" -> ((s, dir) =>
+      Dedup.duplicateGramStats(t(s, dir, "documents"), "doc_id", "text",
+          n = 5, minCount = 2)
+        .orderBy(col("doc_id"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -4537,5 +4604,90 @@ object SparkEntry {
         |SELECT doc_id, dup_token_frac, top_token_frac,
         |  (dup_token_frac <= 0.75 AND top_token_frac <= 0.30) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    // conjunctive search replayed from raw text: docs holding all 3 terms
+    "x129_stored_text_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents)
+        |SELECT doc_id FROM toks
+        |WHERE term IN ('join', 'hash', 'vector')
+        |GROUP BY doc_id
+        |HAVING count(DISTINCT term) = 3
+        |ORDER BY doc_id""".stripMargin,
+    // full BM25 replay: same tokenizer, same Lucene-default constants,
+    // idf rounded to 8 before use, per-term score scaled to an exact
+    // x10^4 BIGINT before the per-doc sum (order-free integer addition)
+    "x130_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round((round(ln((meta.n - df + 0.5) / (df + 0.5) + 1.0), 8) + 0)
+        |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl.dl / meta.avgdl))))
+        |      * 10000.0, 0) AS BIGINT) AS sx
+        |  FROM tf JOIN dfreq USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN meta
+        |  WHERE term IN ('join', 'hash', 'vector')),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(sx) AS BIGINT) AS score_x10k
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, score_x10k,
+        |  CAST(row_number() OVER (ORDER BY score_x10k DESC, doc_id) AS INT) AS rank
+        |FROM agg ORDER BY rank LIMIT 10""".stripMargin,
+    // histogram-quantile replay: same 64 equi-width bins over [0,600000),
+    // same first-bin-reaching-target pick, same interpolation arithmetic
+    "x131_mergeable_quantiles" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS pri,
+        |    least(63, greatest(0,
+        |      CAST(floor((o_totalprice - 0.0) / 9375.0) AS INT))) AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT pri, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |n AS (SELECT pri, sum(c) AS n FROM c GROUP BY 1),
+        |cum AS (SELECT pri, bin, c,
+        |    sum(c) OVER (PARTITION BY pri ORDER BY bin) AS cum
+        |  FROM c),
+        |q AS (SELECT unnest([0.5, 0.9]) AS q),
+        |t AS (SELECT n.pri, q.q, n.n, n.n * q.q AS target FROM n CROSS JOIN q),
+        |pick AS (
+        |  SELECT t.pri, t.q, t.n, t.target, min(cum.bin) AS bin
+        |  FROM t JOIN cum ON cum.pri = t.pri AND cum.cum >= t.target
+        |  GROUP BY 1, 2, 3, 4),
+        |est AS (
+        |  SELECT p.pri, p.q, p.n,
+        |    0.0 + 9375.0 * (p.bin + (p.target - coalesce(
+        |      (SELECT sum(c2.c) FROM c c2
+        |       WHERE c2.pri = p.pri AND c2.bin < p.bin), 0))
+        |      / (SELECT c3.c FROM c c3
+        |         WHERE c3.pri = p.pri AND c3.bin = p.bin)) AS est
+        |  FROM pick p)
+        |SELECT pri AS o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+        |  (round(max(CASE WHEN q = 0.5 THEN est END), 4) + 0) AS p50_est,
+        |  (round(max(CASE WHEN q = 0.9 THEN est END), 4) + 0) AS p90_est
+        |FROM est GROUP BY pri ORDER BY o_orderpriority""".stripMargin,
+    // same raw-space-split 5-grams as the engine; dup = corpus count >= 2
+    "x132_dup_gram_fraction" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g0 AS (SELECT doc_id, unnest(range(len(t) - 4)) AS p, t
+        |  FROM d WHERE len(t) >= 5),
+        |g AS (SELECT doc_id, array_to_string(t[p+1:p+5], ' ') AS s FROM g0),
+        |c AS (SELECT s, count(*) AS c FROM g GROUP BY 1),
+        |a AS (SELECT doc_id, count(*) AS n_grams,
+        |    count(*) FILTER (WHERE c >= 2) AS n_dup
+        |  FROM g JOIN c USING (s) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(n_dup, 0) AS n_dup,
+        |  CASE WHEN coalesce(n_grams, 0) > 0
+        |    THEN (round(n_dup::DOUBLE / n_grams, 4) + 0) ELSE 0.0 END AS dup_frac
+        |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
   )
 }

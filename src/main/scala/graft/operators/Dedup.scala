@@ -1026,6 +1026,40 @@ object Dedup {
       .drop("__g")
   }
 
+  /** Per-doc duplicate n-gram OCCUPANCY — the corpus-quality METRIC the
+    * dedup/strip family acts on: for each doc, how many of its n-gram
+    * occurrences appear elsewhere too (corpus-wide count ≥ `minCount`,
+    * occurrences, not distinct docs), as a fraction of its n-grams. The
+    * standard web-corpus boilerplate/duplication signal — a gate keeps or
+    * drops docs on the score where `stripRepeatedRuns` rewrites them.
+    * Same one-shuffle shingle pipeline as `repeatedRuns`: grams, global
+    * counts, semi-aggregate back per doc; docs shorter than n tokens have
+    * zero grams and score 0 by definition.
+    *
+    * Output: (idCol, n_grams, n_dup, dup_frac) — dup_frac rounded to 4.
+    */
+  def duplicateGramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minCount: Long = 2): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .where(size(col("__t")) >= n)
+    val sh = toks.select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("__t"), i + lit(j))): _*)))
+          .as("s"))
+    val counts = sh.groupBy(col("s")).agg(count(lit(1)).as("__c"))
+    val perDoc = sh.join(counts, Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__c") >= minCount, 1)).as("n_dup"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac", when(col("n_grams") > 0,
+          round(col("n_dup").cast("double") / col("n_grams"), 4))
+        .otherwise(lit(0.0)))
+  }
+
   /** The ACTION side of `repeatedRuns`: rebuild each document with every
     * repeated-span token REMOVED (headers, licence blocks, templated
     * chrome stripped corpus-wide). Spans come from one `repeatedRuns`

@@ -359,4 +359,78 @@ object Stats {
       col("__min").as("min"),
       col("__max").as("max")): _*)
   }
+
+  /** Per-key equi-width histogram STATE over `[lo, hi)` — the mergeable
+    * quantile companion to [[partialStats]]' moments: a fixed `bins`-long
+    * count vector (values below `lo` clamp into bin 0, at/above `hi` into
+    * the last bin) that merges by element-wise addition, so a standing
+    * 100 TB profile can absorb a batch by adding two arrays per group
+    * instead of re-sorting history — the exact-rank alternative
+    * (`percentile`/sort) cannot merge at all, and `approx_percentile`
+    * sketches are not engine-replayable. The bin arithmetic is integer-
+    * exact given the cutpoints, so an oracle replays it bit-for-bit.
+    */
+  def partialHist(df: DataFrame, keys: Seq[String], valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, s"partialHist: bad range [$lo,$hi)/$bins")
+    val width = (hi - lo) / bins
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(width)).cast("int")))
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+ bin.as("__b")): _*)
+      .agg(count(lit(1)).as("__c"))
+    // dense vector per key: start from zeros, add each (bin, count) in
+    val asVec = counts.groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(col("__b"), col("__c"))).as("__bc"))
+      .select(keys.map(col) :+ aggregate(col("__bc"),
+        transform(sequence(lit(0), lit(bins - 1)), _ => lit(0L)),
+        (acc, e) => transform(acc, (c, i) =>
+          when(i === e.getField("__b"), c + e.getField("__c")).otherwise(c)))
+        .as("__hist"): _*)
+    asVec
+  }
+
+  /** Merge any number of [[partialHist]] states on the same keys:
+    * element-wise long addition (groups absent from one state contribute
+    * an implicit zero vector via the union). Exact — longs, no floats.
+    */
+  def mergeHist(keys: Seq[String], bins: Int, states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeHist: no states")
+    states.reduce(_.unionByName(_)).groupBy(keys.map(col): _*)
+      .agg(aggregate(collect_list(col("__hist")),
+        transform(sequence(lit(0), lit(bins - 1)), _ => lit(0L)),
+        (acc, h) => zip_with(acc, h, _ + _)).as("__hist"))
+  }
+
+  /** Linear-interpolated quantile estimates from a (merged) histogram
+    * state, one output column per requested q: with `target = q·n`, the
+    * estimate is `lo + width·(bin + (target − cumBefore)/cnt)` at the
+    * first bin whose cumulative count reaches the target — deterministic
+    * arithmetic over exact integer counts, replayable by any engine from
+    * the same cutpoints (rounding is the caller's concern). n rides along
+    * as `n`.
+    */
+  def histQuantiles(state: DataFrame, keys: Seq[String],
+      lo: Double, hi: Double, bins: Int, qs: Seq[Double]): DataFrame = {
+    val width = (hi - lo) / bins
+    val n = aggregate(col("__hist"), lit(0L), _ + _)
+    val cum = transform(sequence(lit(0), lit(bins - 1)), i =>
+      aggregate(slice(col("__hist"), lit(1), i + 1), lit(0L), _ + _))
+    val withN = state.withColumn("__n", n).withColumn("__cum", cum)
+    // per q: first bin with cum >= target, via a filtered index sequence
+    val est = qs.map { q =>
+      val target = col("__n") * lit(q)
+      val idxs = filter(sequence(lit(0), lit(bins - 1)),
+        i => element_at(col("__cum"), i + 1) >= target)
+      val bin = coalesce(element_at(idxs, 1), lit(bins - 1))
+      val cumBefore = when(bin === 0, lit(0L))
+        .otherwise(element_at(col("__cum"), bin))
+      val cnt = element_at(col("__hist"), bin + 1)
+      when(col("__n") === 0, lit(null).cast("double"))
+        .otherwise(lit(lo) + lit(width) * (bin
+          + when(cnt === 0, lit(0.0)).otherwise((target - cumBefore) / cnt)))
+        .as(s"p${(q * 100).round}")
+    }
+    withN.select(keys.map(col) ++ Seq(col("__n").as("n")) ++ est: _*)
+  }
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** STORED inverted text index: ranked retrieval as tables, not a session
+  * object — the text twin of [[AnnIndex]].
+  *
+  * `tfidfTopTerms`/`tfidfCosinePairs` rebuild term statistics per call;
+  * right for one-shot analytics, wrong for a serving corpus where the
+  * expensive part (tokenize + posting-list aggregation over 10^9+ docs)
+  * should run ONCE and every query after that should touch only the
+  * shards its terms live in. Layout:
+  *
+  *   dir/postings.parquet — (term, doc_id, tf, dl) PARTITIONED BY shard,
+  *     where shard = md5-prefix(term) % 16: a term's whole posting list
+  *     lives in exactly one shard directory, and dl (doc token length)
+  *     rides denormalized on every posting the way Lucene stores norms —
+  *     scoring never joins a corpus-sized side table;
+  *   dir/meta.parquet     — one row (n_docs, sum_dl), the corpus stats
+  *     BM25 needs, derived from the written postings so build and serve
+  *     can never disagree about the corpus.
+  *
+  * Serving plans shards on the DRIVER (md5 of the query's own terms —
+  * bounded by |terms|) and scans ONLY those shard directories: the
+  * `shard IN (...)` predicate is a static partition filter
+  * (TextIndexSpec-pinned, same mechanism as AnnIndex's probed cells), so
+  * a 3-term query against a 16-shard index reads at most 3/16 of the
+  * postings on disk regardless of corpus size. Because shard is a
+  * function of the term alone, a term's pruned document frequency IS its
+  * global document frequency — no unpruned pass needed for idf.
+  *
+  * The md5-prefix shard hash is engine-portable arithmetic (the same
+  * `conv(substring(md5(..)))` family as `Dedup.sampledDupRate`), computed
+  * identically by the Spark build (`shardCol`) and the driver-side query
+  * planner (`shardOf`) — one definition each side of the same bytes.
+  */
+object TextIndex {
+
+  val nShards = 16
+
+  /** Shard of a term, build side: first 4 md5 hex chars as int % 16. */
+  def shardCol(term: Column): Column =
+    conv(substring(md5(term), 1, 4), 16, 10).cast("int") % nShards
+
+  /** Shard of a term, driver/query side — same arithmetic on the same
+    * UTF-8 bytes as [[shardCol]].
+    */
+  def shardOf(term: String): Int = {
+    val d = MessageDigest.getInstance("MD5").digest(term.getBytes("UTF-8"))
+    val hex = f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x"
+    Integer.parseInt(hex, 16) % nShards
+  }
+
+  /** Lowercased whitespace terms of a doc — the one tokenizer both the
+    * build and every query-side df/tf computation share.
+    */
+  def terms(text: Column): Column =
+    graft.functions.TextStats.tokens(lower(text))
+
+  /** Build + write the index: one tokenize pass over `docs` aggregates
+    * (term, doc) term frequencies, denormalizes the doc length onto each
+    * posting, and lands the rows partitioned by term shard. Meta is then
+    * derived from the WRITTEN postings (distinct doc lengths), so the
+    * stored corpus stats always describe exactly the index on disk.
+    * Zero-token docs hold no postings and can never match a term — they
+    * are absent from the index and its meta by construction.
+    */
+  def write(docs: DataFrame, dir: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).as("doc_id"), terms(col(textCol)).as("__t"))
+    toks.select(col("doc_id"), size(col("__t")).as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("shard", shardCol(col("term")))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dir/postings.parquet")
+    spark.read.parquet(s"$dir/postings.parquet")
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  /** The probe-shard postings scan every serve starts from: shards
+    * planned on the driver from the query's own terms, bound as a static
+    * partition filter; the term predicate then narrows within the shard.
+    */
+  private def prunedPostings(spark: SparkSession, dir: String,
+      ts: Seq[String]): DataFrame = {
+    val shards = ts.map(shardOf).distinct.sorted
+    spark.read.parquet(s"$dir/postings.parquet")
+      .where(col("shard").isin(shards.map(Integer.valueOf): _*)
+        && col("term").isin(ts: _*))
+  }
+
+  /** Conjunctive (every-term) match against the stored index: the pruned
+    * postings of the query terms, grouped by doc, kept when the doc holds
+    * ALL of them. Returns (doc_id) — ordering is the caller's.
+    */
+  def booleanSearch(spark: SparkSession, dir: String,
+      queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "booleanSearch: no terms")
+    val ts = queryTerms.distinct
+    prunedPostings(spark, dir, ts)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("__nt"))
+      .where(col("__nt") === ts.size)
+      .select(col("doc_id"))
+  }
+
+  /** BM25 top-k over the stored index (disjunctive, the classic ranked
+    * retrieval): per-(term, doc) score
+    *
+    *   idf(t) * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    *   idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *
+    * with Lucene's defaults k1=1.2, b=0.75. df comes from a window over
+    * the term's own shard-resident postings (= global df, see the object
+    * doc); N/avgdl from the bounded meta row. Each term score is rounded
+    * and scaled to an exact integer (×10⁴) BEFORE the per-doc sum, so
+    * the doc score is an order-free long sum — no float-summation-order
+    * flake between engines — and the top-k is a distributed TakeOrdered
+    * on (score desc, doc_id), never a global window over the candidates.
+    * Returns (doc_id, score_x10k, rank).
+    */
+  def bm25Search(spark: SparkSession, dir: String, queryTerms: Seq[String],
+      k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search: no terms")
+    val ts = queryTerms.distinct
+    val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+    val nDocs = meta.getLong(0)
+    val avgdl = meta.getLong(1).toDouble / nDocs
+    val dfW = Window.partitionBy(col("term"))
+    val scored = prunedPostings(spark, dir, ts)
+      .withColumn("__df", count(lit(1)).over(dfW))
+      .withColumn("__idf", round(
+        log((lit(nDocs.toDouble) - col("__df") + lit(0.5))
+          / (col("__df") + lit(0.5)) + lit(1.0)), 8))
+      .withColumn("__tfn", (col("tf") * lit(2.2))
+        / (col("tf") + lit(1.2) * (lit(0.25)
+          + lit(0.75) * (col("dl") / lit(avgdl)))))
+      .withColumn("__sx",
+        round(col("__idf") * col("__tfn") * lit(10000.0), 0).cast("long"))
+    val top = scored.groupBy(col("doc_id"))
+      .agg(sum(col("__sx")).as("score_x10k"))
+      .orderBy(col("score_x10k").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("score_x10k").desc, col("doc_id"))))
+  }
+}

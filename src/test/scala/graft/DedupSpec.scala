@@ -473,4 +473,25 @@ class DedupSpec extends AnyFunSuite {
       threshold = 0.9, sampleFraction = 1.0)
     assert(est.collect().head.getLong(1) === 15L) // C(6,2) true pairs
   }
+
+  test("duplicateGramStats: planted shared span, unique doc, short doc") {
+    val d = Seq(
+      // 8 tokens → 6 trigrams; the first 5 tokens (3 grams) also open doc 2
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e x y z"),
+      // within-doc repetition counts too: "p q r p q r" → grams
+      // (p q r)(q r p)(r p q)(p q r) — "p q r" occurs twice in ONE doc
+      (3L, "p q r p q r"),
+      (4L, "u v w"), // 3 tokens < n=3? no — use n=3 below: exactly 1 gram
+      (5L, "s t")    // shorter than n → 0 grams, score 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateGramStats(d, "doc_id", "text", n = 3, minCount = 2)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 6L, 3L, 0.5)))      // abc bcd cde shared with doc 2
+    assert(got(1) == ((2L, 6L, 3L, 0.5)))
+    assert(got(2) == ((3L, 4L, 2L, 0.5)))      // "p q r" twice within itself
+    assert(got(3) == ((4L, 1L, 0L, 0.0)))      // lone gram, unique
+    assert(got(4) == ((5L, 0L, 0L, 0.0)))      // too short: zero grams
+  }
 }

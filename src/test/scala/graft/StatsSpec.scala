@@ -203,4 +203,34 @@ class StatsSpec extends AnyFunSuite {
     // all-null group: n 0, mean and sd null (not NaN)
     assert(byK("c").getLong(1) === 0L && byK("c").isNullAt(3) && byK("c").isNullAt(4))
   }
+
+  test("partialHist/mergeHist: merged halves equal one pass; clamping; null drop") {
+    val df = Seq(("a", Some(-5.0)), ("a", Some(0.0)), ("a", Some(9.9)),
+      ("a", Some(10.0)), ("a", Some(55.0)), ("a", Some(200.0)), ("a", None),
+      ("b", Some(35.0))).toDF("k", "v").withColumn("i", monotonically_increasing_id())
+    def hist(d: org.apache.spark.sql.DataFrame) =
+      Stats.partialHist(d, Seq("k"), "v", lo = 0.0, hi = 100.0, bins = 10)
+    val merged = Stats.mergeHist(Seq("k"), bins = 10,
+        hist(df.where(col("i") % 2 === 0)), hist(df.where(col("i") % 2 === 1)))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val onePass = hist(df)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged == onePass)
+    // a: -5 clamps into bin 0 (with 0.0, 9.9); 10.0 → bin 1; 55 → bin 5;
+    // 200 clamps into bin 9; the null contributes nowhere
+    assert(merged("a") == Seq(3L, 1L, 0L, 0L, 0L, 1L, 0L, 0L, 0L, 1L))
+    assert(merged("b") == Seq(0L, 0L, 0L, 1L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("histQuantiles: interpolation arithmetic and empty-bin-free pick") {
+    // one key, 4 bins over [0,40): counts [2, 0, 2, 0] → n=4;
+    // p50: target 2.0, first bin with cum>=2 is bin 0 → 0 + 10*(0 + 2/2) = 10
+    // p75: target 3.0, first bin with cum>=3 is bin 2 → 10*(2 + (3-2)/2) = 25
+    val state = Seq(("k", Seq(2L, 0L, 2L, 0L))).toDF("k", "__hist")
+    val got = Stats.histQuantiles(state, Seq("k"),
+      lo = 0.0, hi = 40.0, bins = 4, qs = Seq(0.5, 0.75)).collect().head
+    assert(got.getLong(1) == 4L)
+    assert(math.abs(got.getDouble(2) - 10.0) < 1e-12)
+    assert(math.abs(got.getDouble(3) - 25.0) < 1e-12)
+  }
 }

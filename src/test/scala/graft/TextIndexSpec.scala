@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextIndex
+
+class TextIndexSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("shardOf (driver) equals shardCol (build) for every indexed term") {
+    val idx = "/tmp/graft/textindex_spec_shard"
+    TextIndex.write(docs, idx)
+    val terms = spark.read.parquet(s"$idx/postings.parquet")
+      .select(col("term"), col("shard")).distinct().collect()
+    assert(terms.nonEmpty)
+    terms.foreach { r =>
+      assert(TextIndex.shardOf(r.getString(0)) == r.getInt(1),
+        s"term ${r.getString(0)}: driver shard ${TextIndex.shardOf(r.getString(0))} != build shard ${r.getInt(1)}")
+    }
+  }
+
+  test("boolean AND search equals a from-scratch token recount") {
+    val idx = "/tmp/graft/textindex_spec_bool"
+    val corpus = docs.where(col("doc_id") < 200)
+    TextIndex.write(corpus, idx)
+    val ts = Seq("join", "hash")
+    val got = TextIndex.booleanSearch(spark, idx, ts)
+      .orderBy(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val want = corpus
+      .select(col("doc_id"), explode(TextIndex.terms(col("text"))).as("t"))
+      .where(col("t").isin(ts: _*))
+      .groupBy(col("doc_id")).agg(countDistinct(col("t")).as("n"))
+      .where(col("n") === ts.size)
+      .orderBy(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bm25 ranks a doc saturated in the query term above a doc that mentions it once") {
+    import spark.implicits._
+    val idx = "/tmp/graft/textindex_spec_rank"
+    val tiny = Seq(
+      (0L, "apple apple apple apple apple"),
+      (1L, "apple pear plum quince fig"),
+      (2L, "pear plum quince fig date"),
+      (3L, "apple apple pear pear plum")).toDF("doc_id", "text")
+    TextIndex.write(tiny, idx)
+    val got = TextIndex.bm25Search(spark, idx, Seq("apple"), k = 3)
+      .orderBy(col("rank")).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 3L, 1L))
+    // every doc without the term is absent (disjunctive over query terms)
+    assert(!got.map(_.getLong(0)).contains(2L))
+    // scores strictly decrease down the ranking here (no ties planted)
+    val scores = got.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse && scores.distinct == scores)
+  }
+
+  test("serve scans only the query terms' shard partitions") {
+    val idx = "/tmp/graft/textindex_spec_prune"
+    TextIndex.write(docs, idx)
+    val ts = Seq("join", "hash", "vector")
+    val expectShards = ts.map(TextIndex.shardOf).distinct.size
+    val res = TextIndex.bm25Search(spark, idx, ts, k = 5)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec    => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec       => scans(qs.plan)
+      case other                    => other.children.flatMap(scans)
+    }
+    res.collect() // materialize so AQE finalizes the executed plan
+    val postingsScan = scans(res.queryExecution.executedPlan)
+      .find(_.toString.contains("postings.parquet"))
+      .getOrElse(fail("no postings.parquet scan in the serve plan"))
+    assert(postingsScan.toString.contains("PartitionFilters"),
+      "term shards must bind as a partition filter")
+    val read = postingsScan.metrics("numPartitions").value
+    assert(read > 0 && read <= expectShards,
+      s"expected <= $expectShards of ${TextIndex.nShards} shards read, got $read")
+  }
+}

@@ -55,7 +55,9 @@ FAMILIES = {
               "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp",
               "x104_hll_distinct", "x107_incremental_stats",
               "x112_table_fingerprint", "x124_distinctive_tokens",
-              "x125_quality_gate"],
+              "x125_quality_gate", "x131_mergeable_quantiles"],
+    "text_index": ["x129_stored_text_index", "x130_bm25_search",
+                   "x132_dup_gram_fraction"],
     "training": ["x97_balanced_shards", "x99_diverse_sample",
                  "x114_snapshot_diff", "x115_fuzzy_match",
                  "x116_nb_classify", "x117_cdc_apply", "x118_drift_psi",
