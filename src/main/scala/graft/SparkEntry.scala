@@ -2442,6 +2442,46 @@ object SparkEntry {
       Dedup.duplicateGramStats(t(s, dir, "documents"), "doc_id", "text",
           n = 5, minCount = 2)
         .orderBy(col("doc_id"))),
+
+    // Phrase search (x133) — the positional serve boolean AND can't
+    // express: "table hash" as ADJACENT tokens, not co-occurrence.
+    // Positions ride on the postings Lucene-style; slot i's positions
+    // shift by −i and a doc matches once per position common to all
+    // slots. Same driver-planned shard prune as every serve; |phrase|
+    // rows broadcast. Oracle replays adjacency from the raw token list.
+    "x133_phrase_search" -> ((s, dir) => {
+      val idx = s"/tmp/graft/x133_index_${dir.replaceAll("[^0-9.]", "")}"
+      TextIndex.write(t(s, dir, "documents"), idx)
+      TextIndex.phraseSearch(s, idx, Seq("table", "hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental index maintenance (x134) — x96's text twin: base index
+    // over 4/5 of the corpus, the remaining 1/5 arrives as a batch that
+    // is tokenized ALONE and appended into the existing shard
+    // directories (base posting files never rewritten —
+    // TextIndexSpec pins file-level append); meta re-derives from the
+    // combined postings so BM25's N/avgdl/df see one corpus. Serve after
+    // append ≡ full rebuild (disjoint doc batches ⇒ same posting rows).
+    // Oracle replays BM25 over the FULL corpus from raw text.
+    "x134_text_index_append" -> ((s, dir) => {
+      val idx = s"/tmp/graft/x134_index_${dir.replaceAll("[^0-9.]", "")}"
+      val docs = t(s, dir, "documents")
+      TextIndex.write(docs.where(col("doc_id") % 5 =!= 0), idx)
+      TextIndex.append(docs.where(col("doc_id") % 5 === 0), idx)
+      TextIndex.bm25Search(s, idx, Seq("scan", "merge", "vector"), k = 10)
+        .orderBy(col("rank"))
+    }),
+
+    // Markov transition matrix (x135) — P(next | prev) over per-user
+    // event sequences, (ts, event_id)-ordered: the path-analysis summary
+    // behind "what happens after X". One user-key shuffle carries the
+    // weight; normalization is a window over the |types|² count rows,
+    // bounded by the type vocabulary. Exact long counts; p rounds to 6
+    // after the division so the oracle replays bit-for-bit.
+    "x135_event_transitions" -> ((s, dir) =>
+      Behavior.transitions(Catalog.events(s, dir))
+        .orderBy(col("prev_type"), col("next_type"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -4689,5 +4729,57 @@ object SparkEntry {
         |  CASE WHEN coalesce(n_grams, 0) > 0
         |    THEN (round(n_dup::DOUBLE / n_grams, 4) + 0) ELSE 0.0 END AS dup_frac
         |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // adjacency replayed from the raw token list: count positions p with
+    // t[p]='table' and t[p+1]='hash' per doc
+    "x133_phrase_search" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(range(len(t) - 1)) AS p, t
+        |  FROM d WHERE len(t) >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM g WHERE t[p+1] = 'table' AND t[p+2] = 'hash'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // append ≡ rebuild: the oracle replays BM25 over the FULL corpus —
+    // same formula/rounding ladder as x130, different query terms
+    "x134_text_index_append" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round((round(ln((meta.n - df + 0.5) / (df + 0.5) + 1.0), 8) + 0)
+        |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl.dl / meta.avgdl))))
+        |      * 10000.0, 0) AS BIGINT) AS sx
+        |  FROM tf JOIN dfreq USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN meta
+        |  WHERE term IN ('scan', 'merge', 'vector')),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(sx) AS BIGINT) AS score_x10k
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, score_x10k,
+        |  CAST(row_number() OVER (ORDER BY score_x10k DESC, doc_id) AS INT) AS rank
+        |FROM agg ORDER BY rank LIMIT 10""".stripMargin,
+    // same (ts, event_id) ordering, exact long counts, round-6 division
+    "x135_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS prev_type, event_type AS next_type,
+        |    count(*) AS n
+        |  FROM e WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+        |  (round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) + 0) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
   )
 }

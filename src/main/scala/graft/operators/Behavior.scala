@@ -232,4 +232,32 @@ object Behavior {
         unix_micros(col(tsCol)) - col("__prev") > gapSec * 1000000L)
       .drop("__prev")
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next_type | prev_type) from consecutive event pairs, ordered by
+    * (ts, tieBreak) within each user — the path-analysis summary behind
+    * "what do users do after X" and the generator for synthetic-journey
+    * simulators. The heavy work is one hash shuffle on the USER key
+    * (parallelism scales with users); the probability normalization runs
+    * as a window over the |types|² count rows — bounded by the type
+    * vocabulary, never by the event volume. Probabilities round to 6
+    * after an exact long-count division, so any engine replays them from
+    * the same pairs. Output: (prev_type, next_type, n, p).
+    */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      tieBreak: Seq[String] = Seq("event_id")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy((col(tsCol) +: tieBreak.map(col)).toIndexedSeq: _*)
+    val counts = events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev_type"))
+    counts.withColumn("p",
+      roundz(col("n").cast("double") / sum(col("n")).over(byPrev), 6))
+  }
 }

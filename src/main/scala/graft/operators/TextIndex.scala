@@ -61,31 +61,70 @@ object TextIndex {
   def terms(text: Column): Column =
     graft.functions.TextStats.tokens(lower(text))
 
-  /** Build + write the index: one tokenize pass over `docs` aggregates
-    * (term, doc) term frequencies, denormalizes the doc length onto each
-    * posting, and lands the rows partitioned by term shard. Meta is then
-    * derived from the WRITTEN postings (distinct doc lengths), so the
-    * stored corpus stats always describe exactly the index on disk.
-    * Zero-token docs hold no postings and can never match a term — they
-    * are absent from the index and its meta by construction.
+  /** The posting rows of a document batch: one tokenize pass aggregates
+    * (term, doc) term frequency + the term's sorted token positions
+    * (Lucene-style positional postings — what phrase queries replay),
+    * denormalizes the doc length onto each posting, and stamps the term
+    * shard. Shared verbatim by the full [[write]] and the incremental
+    * [[append]], so a delta batch is indexed by EXACTLY the build's
+    * arithmetic.
     */
-  def write(docs: DataFrame, dir: String, idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
-    val spark = docs.sparkSession
+  private def postings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), terms(col(textCol)).as("__t"))
     toks.select(col("doc_id"), size(col("__t")).as("dl"),
-        explode(col("__t")).as("term"))
+        posexplode(col("__t")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("shard", shardCol(col("term")))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("shard"))
-      .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$dir/postings.parquet")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("positions"), col("shard"))
+  }
+
+  /** Meta derived from the WRITTEN postings (distinct doc lengths), so the
+    * stored corpus stats always describe exactly the index on disk — one
+    * definition for build and append, and the two can never disagree.
+    * Scans postings, not the corpus: the cheap side of the index.
+    */
+  private def writeMeta(spark: SparkSession, dir: String): Unit =
     spark.read.parquet(s"$dir/postings.parquet")
       .select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+
+  /** Build + write the index: posting rows land partitioned by term shard,
+    * meta is re-derived from what landed. Zero-token docs hold no postings
+    * and can never match a term — they are absent from the index and its
+    * meta by construction.
+    */
+  def write(docs: DataFrame, dir: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    postings(docs, idCol, textCol)
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dir/postings.parquet")
+    writeMeta(docs.sparkSession, dir)
+  }
+
+  /** Incremental maintenance — the text twin of the ANN index's frozen-
+    * quantizer reconcile (x96): tokenize ONLY the new batch, APPEND its
+    * posting files into the existing shard directories (base files are
+    * never rewritten — append-mode leaves them in place), and re-derive
+    * meta from the combined postings. Correct because posting rows are
+    * keyed by (term, doc): as long as a doc arrives in exactly one batch
+    * (caller's contract, same as x96's), base ∪ delta is the same row set
+    * a full rebuild would produce, and every serve (boolean / phrase /
+    * BM25, whose df counts posting rows per term) is oblivious to which
+    * batch a row came from. At 100 TB this is the difference between
+    * re-tokenizing the corpus and tokenizing the day's arrivals.
+    */
+  def append(docs: DataFrame, dir: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    postings(docs, idCol, textCol)
+      .write.mode("append").partitionBy("shard")
+      .parquet(s"$dir/postings.parquet")
+    writeMeta(docs.sparkSession, dir)
   }
 
   /** The probe-shard postings scan every serve starts from: shards
@@ -154,5 +193,36 @@ object TextIndex {
       .limit(k)
     top.withColumn("rank", row_number().over(
       Window.orderBy(col("score_x10k").desc, col("doc_id"))))
+  }
+
+  /** Exact phrase match from the positional postings — the query shape
+    * boolean AND cannot express ("table hash" as adjacent tokens, not
+    * co-occurrence). Classic positional-intersection: slot i of the
+    * phrase contributes its postings' positions shifted by −i, and a doc
+    * matches once per position common to ALL slots (a common shifted
+    * position p means tokens p..p+n−1 spell the phrase). The scan is the
+    * same driver-planned shard prune as every other serve; the slot table
+    * is |phrase| rows, broadcast. Repeated words in the phrase just bind
+    * the same posting row to two slots. Returns (doc_id, n_occ ≥ 1);
+    * ordering is the caller's.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val slots = spark.createDataFrame(phrase.zipWithIndex)
+      .toDF("term", "idx")
+    val bound = prunedPostings(spark, dir, phrase.distinct)
+      .join(broadcast(slots), Seq("term"))
+      .select(col("doc_id"),
+        transform(col("positions"), p => p - col("idx")).as("__adj"))
+    bound.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__nslots"), collect_list(col("__adj")).as("__as"))
+      .where(col("__nslots") === phrase.size)
+      .withColumn("n_occ", size(aggregate(
+        slice(col("__as"), 2, phrase.size - 1),
+        element_at(col("__as"), 1),
+        (acc, a) => array_intersect(acc, a))).cast("long"))
+      .where(col("n_occ") > 0)
+      .select(col("doc_id"), col("n_occ"))
   }
 }

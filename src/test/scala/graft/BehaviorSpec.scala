@@ -198,4 +198,29 @@ class BehaviorSpec extends AnyFunSuite {
       .select($"event_id").as[Long].collect().toSet
     assert(kept === Set(1L, 3L))
   }
+
+  test("transitions: per-user lag pairs, per-prev normalization, ts tie broken by event_id") {
+    def ts2(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val events = Seq(
+      // user 1: a -> b -> a -> c   (pairs: a>b, b>a, a>c)
+      (1L, "a", ts2(0), 1L), (1L, "b", ts2(10), 2L),
+      (1L, "a", ts2(20), 3L), (1L, "c", ts2(30), 4L),
+      // user 2: a -> b  with EQUAL timestamps; event_id orders them
+      (2L, "b", ts2(0), 6L), (2L, "a", ts2(0), 5L),
+      // user 3: single event — contributes no pair
+      (3L, "c", ts2(0), 7L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.transitions(events)
+      .orderBy($"prev_type", $"next_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // a: 2 pairs to b (u1, u2), 1 to c; b: 1 to a
+    assert(got == Seq(
+      ("a", "b", 2L, 0.666667), ("a", "c", 1L, 0.333333),
+      ("b", "a", 1L, 1.0)))
+    // rows with the same prev sum to ~1
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-5)
+    }
+  }
 }

@@ -81,4 +81,55 @@ class TextIndexSpec extends AnyFunSuite {
     assert(read > 0 && read <= expectShards,
       s"expected <= $expectShards of ${TextIndex.nShards} shards read, got $read")
   }
+
+  test("phraseSearch: adjacency, multiplicity, repeated-word phrase, no co-occurrence false positive") {
+    import spark.implicits._
+    val idx = "/tmp/graft/textindex_spec_phrase"
+    val tiny = Seq(
+      (0L, "big table hash join"),            // one occurrence
+      (1L, "table hash and table hash again"),// two occurrences
+      (2L, "hash first then table later"),    // both words, never adjacent
+      (3L, "table alone"),                    // one word only
+      (4L, "a b a c a b a")).toDF("doc_id", "text")
+    TextIndex.write(tiny, idx)
+    val got = TextIndex.phraseSearch(spark, idx, Seq("table", "hash"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 1L), (1L, 2L)))
+    // repeated word in the phrase binds one posting row to two slots
+    val rep = TextIndex.phraseSearch(spark, idx, Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rep == Seq((4L, 2L)))
+  }
+
+  test("append equals rebuild, and base posting files are never rewritten") {
+    val base = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") < 300)
+    val delta = docs.where(col("doc_id") % 5 === 0 && col("doc_id") < 300)
+    val incDir = "/tmp/graft/textindex_spec_inc"
+    val fullDir = "/tmp/graft/textindex_spec_full"
+    TextIndex.write(base, incDir)
+    def files(d: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$d/postings.parquet"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val baseFiles = files(incDir)
+    TextIndex.append(delta, incDir)
+    // file-level append: every base posting file survives untouched
+    assert(baseFiles.subsetOf(files(incDir)))
+    assert(files(incDir).size > baseFiles.size)
+    TextIndex.write(base.unionByName(delta), fullDir)
+    val qs = Seq("scan", "merge", "vector")
+    val inc = TextIndex.bm25Search(spark, incDir, qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val full = TextIndex.bm25Search(spark, fullDir, qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(inc == full && inc.nonEmpty)
+    // and the combined meta describes the whole corpus
+    val meta = spark.read.parquet(s"$incDir/meta.parquet").collect()(0)
+    val nExpected = base.unionByName(delta)
+      .where(size(TextIndex.terms(col("text"))) > 0).count()
+    assert(meta.getLong(0) == nExpected)
+  }
 }

@@ -57,11 +57,13 @@ FAMILIES = {
               "x112_table_fingerprint", "x124_distinctive_tokens",
               "x125_quality_gate", "x131_mergeable_quantiles"],
     "text_index": ["x129_stored_text_index", "x130_bm25_search",
-                   "x132_dup_gram_fraction"],
+                   "x132_dup_gram_fraction", "x133_phrase_search",
+                   "x134_text_index_append"],
     "training": ["x97_balanced_shards", "x99_diverse_sample",
                  "x114_snapshot_diff", "x115_fuzzy_match",
                  "x116_nb_classify", "x117_cdc_apply", "x118_drift_psi",
-                 "x120_interleave", "x123_temporal_split", "x127_debounce"],
+                 "x120_interleave", "x123_temporal_split", "x127_debounce",
+                 "x135_event_transitions"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
               "x126_label_prop"],
 }
