@@ -2482,6 +2482,43 @@ object SparkEntry {
     "x135_event_transitions" -> ((s, dir) =>
       Behavior.transitions(Catalog.events(s, dir))
         .orderBy(col("prev_type"), col("next_type"))),
+
+    // Cross-source duplication matrix (x136) — WHICH feeds mirror WHICH:
+    // every exact-verified near-dup pair (x2's machinery and provably its
+    // pair set) maps to its unordered (source, source) cell; heavy
+    // off-diagonal = two feeds mirror each other, heavy diagonal = a feed
+    // re-crawls itself. Pair-keyed source join (scales with pairs, not
+    // corpus²); share normalizes over ≤|sources|² cells.
+    "x136_cross_source_dup_share" -> ((s, dir) =>
+      Dedup.crossSourceDupShare(t(s, dir, "documents"), "doc_id", "text",
+          "source", threshold = 0.9)
+        .orderBy(col("source_a"), col("source_b"))),
+
+    // Gate agreement (x137) — Cohen's kappa between two INDEPENDENT doc
+    // filters: the heuristic quality gate (x5's score ≥ 0.75) and the
+    // duplication gate (x132's dup_frac ≤ 0.5). κ near 0 with both
+    // gates mostly-true means they pass different docs — keep both; κ
+    // near 1 means one is redundant. Exact quarter/round-4 cutoffs (no
+    // float-boundary flake); one full-scan agg to four long cells.
+    "x137_gate_agreement" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = TextStats.withQualityScore(docs, "text", as = "__q")
+        .select(col("doc_id"), (col("__q") >= 0.75).as("gate_quality"))
+      val d = Dedup.duplicateGramStats(docs, "doc_id", "text",
+          n = 5, minCount = 2)
+        .select(col("doc_id"), (col("dup_frac") <= 0.5).as("gate_dup"))
+      Stats.cohenKappa(q.join(d, Seq("doc_id")), "gate_quality", "gate_dup")
+    }),
+
+    // NB confidence calibration (x138) — before x116's classifier gates
+    // anything, does a bigger top-2 margin actually mean a more reliable
+    // prediction? Margins in exact ×10⁶ longs (order-free integer bin
+    // sums), 10 fixed 0.25-wide bins, accuracy per bin. The oracle
+    // refits the same model in SQL and replays margins bit-for-bit.
+    "x138_nb_calibration" -> ((s, dir) =>
+      TextStats.naiveBayesCalibration(t(s, dir, "documents"),
+          "doc_id", "text", "lang")
+        .orderBy(col("bin"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -4768,6 +4805,121 @@ object SparkEntry {
         |SELECT doc_id, score_x10k,
         |  CAST(row_number() OVER (ORDER BY score_x10k DESC, doc_id) AS INT) AS rank
         |FROM agg ORDER BY rank LIMIT 10""".stripMargin,
+    // x2's exact pair truth (the engine's verified LSH pairs are provably
+    // that set), mapped to unordered source cells
+    "x136_cross_source_dup_share" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT least(a.source, b.source) AS source_a,
+        |    greatest(a.source, b.source) AS source_b
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id
+        |    AND (round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))), 4) + 0) >= 0.9),
+        |c AS (SELECT source_a, source_b, count(*) AS n_pairs FROM p GROUP BY 1, 2)
+        |SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  (round(n_pairs::DOUBLE / sum(n_pairs) OVER (), 6) + 0) AS share,
+        |  source_a <> source_b AS cross_source
+        |FROM c ORDER BY source_a, source_b""".stripMargin,
+    // x5's quality gate × x132's duplication gate, kappa from four cells
+    "x137_gate_agreement" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tok,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+        |    length(text) AS n_chars,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS stop_hits
+        |  FROM documents),
+        |q AS (SELECT doc_id, ((round(
+        |    (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END) +
+        |    (CASE WHEN n_tok > 0 AND (n_nonspace::DOUBLE / n_tok) BETWEEN 2.0 AND 12.0
+        |      THEN 0.25 ELSE 0.0 END) +
+        |    (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END) < 0.2
+        |      THEN 0.25 ELSE 0.0 END) +
+        |    (CASE WHEN stop_hits > 0 THEN 0.25 ELSE 0.0 END), 2) + 0) >= 0.75) AS gq
+        |  FROM b),
+        |d0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g0 AS (SELECT doc_id, unnest(range(len(t) - 4)) AS p, t
+        |  FROM d0 WHERE len(t) >= 5),
+        |g AS (SELECT doc_id, array_to_string(t[p+1:p+5], ' ') AS s FROM g0),
+        |cg AS (SELECT s, count(*) AS c FROM g GROUP BY 1),
+        |a AS (SELECT doc_id, count(*) AS n_grams,
+        |    count(*) FILTER (WHERE c >= 2) AS n_dup
+        |  FROM g JOIN cg USING (s) GROUP BY 1),
+        |dd AS (SELECT d0.doc_id,
+        |    ((CASE WHEN coalesce(n_grams, 0) > 0
+        |      THEN (round(n_dup::DOUBLE / n_grams, 4) + 0) ELSE 0.0 END) <= 0.5) AS gd
+        |  FROM d0 LEFT JOIN a USING (doc_id)),
+        |j AS (SELECT gq, gd FROM q JOIN dd USING (doc_id)),
+        |cells AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN gq AND gd THEN 1 ELSE 0 END) AS n11,
+        |    sum(CASE WHEN gq AND NOT gd THEN 1 ELSE 0 END) AS n10,
+        |    sum(CASE WHEN NOT gq AND gd THEN 1 ELSE 0 END) AS n01
+        |  FROM j),
+        |r AS (SELECT n, n11, n10, n01,
+        |    (n11 + (n - n11 - n10 - n01))::DOUBLE / n AS po0,
+        |    ((n11 + n10)::DOUBLE / n) * ((n11 + n01)::DOUBLE / n)
+        |      + (1.0 - (n11 + n10)::DOUBLE / n) * (1.0 - (n11 + n01)::DOUBLE / n) AS pe0
+        |  FROM cells)
+        |SELECT CAST(n AS BIGINT) AS n, (round(po0, 6) + 0) AS po,
+        |  (round(pe0, 6) + 0) AS pe,
+        |  CASE WHEN pe0 = 1.0 THEN NULL
+        |    ELSE (round((po0 - pe0) / (1.0 - pe0), 6) + 0) END AS kappa
+        |FROM r""".stripMargin,
+    // x116's model refit in SQL, top-2 margins in exact x10^6 longs,
+    // fixed 0.25-wide bins
+    "x138_nb_calibration" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT lang, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS t FROM cnt GROUP BY 1),
+        |voc AS (SELECT DISTINCT tok FROM tk),
+        |vn AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM voc),
+        |nd AS (SELECT lang, count(*) AS ndocs FROM documents GROUP BY 1),
+        |ntot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |grid AS (
+        |  SELECT voc.tok, tot.lang,
+        |    ln((coalesce(cnt.c, 0) + 1) / (tot.t + (SELECT v FROM vn))) AS lp
+        |  FROM voc CROSS JOIN tot
+        |  LEFT JOIN cnt ON cnt.tok = voc.tok AND cnt.lang = tot.lang),
+        |sc AS (
+        |  SELECT tk.doc_id, grid.lang AS plab,
+        |    round(sum(grid.lp)
+        |      + ln(max(nd.ndocs) / (SELECT n FROM ntot)), 6) + 0 AS score
+        |  FROM tk JOIN grid ON tk.tok = grid.tok
+        |  JOIN nd ON nd.lang = grid.lang
+        |  GROUP BY 1, 2),
+        |sx AS (SELECT doc_id, plab,
+        |    CAST(round(score * 1000000.0, 0) AS BIGINT) AS sxv,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, plab) AS rn
+        |  FROM sc),
+        |pd AS (SELECT a.doc_id, a.plab AS pred, a.sxv - b.sxv AS mx
+        |  FROM sx a JOIN sx b ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2),
+        |bb AS (SELECT least(9, CAST(floor(mx / 250000.0) AS INT)) AS bin,
+        |    CASE WHEN pd.pred = d.lang THEN 1 ELSE 0 END AS ok, mx
+        |  FROM pd JOIN documents d USING (doc_id))
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(ok) AS BIGINT) AS n_correct,
+        |  (round(sum(ok)::DOUBLE / count(*), 6) + 0) AS accuracy,
+        |  (round(sum(mx)::DOUBLE / 1000000.0 / count(*), 6) + 0) AS mean_margin
+        |FROM bb GROUP BY 1 ORDER BY bin""".stripMargin,
     // same (ts, event_id) ordering, exact long counts, round-6 division
     "x135_event_transitions" ->
       """WITH e AS (

@@ -570,6 +570,23 @@ object TextStats {
     */
   def naiveBayesPredict(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, scoreRound: Int = 6): DataFrame = {
+    val scored = naiveBayesScores(docs, idCol, textCol, labelCol, scoreRound)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__score").desc, col("__lab"))
+    val pred = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("__lab").as("predicted"))
+    docs.select(col(idCol), col(labelCol)).join(pred, Seq(idCol), "left")
+  }
+
+  /** The trained-model internals [[naiveBayesPredict]] argmaxes over: one
+    * row per (doc, label) with the rounded posterior log-score. Exposed so
+    * downstream diagnostics (confidence calibration, margin audits) read
+    * the SAME fitted model — refitting in two places could drift.
+    * Tokenless docs hold no rows. Output: (idCol, __lab, __score).
+    */
+  def naiveBayesScores(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, scoreRound: Int = 6): DataFrame = {
     val tk = docs.select(col(idCol), col(labelCol).as("__lab"),
       explode(tokens(lower(col(textCol)))).as("tok"))
     val tokCnt = tk.groupBy(col("__lab"), col("tok"))
@@ -586,19 +603,60 @@ object TextStats {
       .select(col("tok"), col("__lab"),
         log((coalesce(col("__c"), lit(0L)) + 1).cast("double") /
           (col("__t").cast("double") + lit(v))).as("__lp"))
-    val scored = tk.select(col(idCol), col("tok")).join(grid, Seq("tok"))
+    tk.select(col(idCol), col("tok")).join(grid, Seq("tok"))
       .groupBy(col(idCol), col("__lab"))
       .agg(sum(col("__lp")).as("__s"))
       .join(broadcast(priors), Seq("__lab"))
       .select(col(idCol), col("__lab"),
         roundz(col("__s") + log(col("__nd").cast("double") / lit(nTotal)),
           scoreRound).as("__score"))
+  }
+
+  /** Confidence calibration of the self-trained NB classifier — the eval
+    * every gating classifier needs before its scores drive a corpus
+    * filter: does a bigger decision margin actually mean a more reliable
+    * prediction? Per doc, the margin between the top-2 label scores
+    * (rounded scores scaled to exact ×10⁶ longs BEFORE subtracting, so
+    * margins, bins, and bin sums are integer-exact across engines); docs
+    * bucket into `nBins` fixed-width margin bins (width in ×10⁶ units,
+    * last bin clamps) and each bin reports its accuracy — a monotone
+    * accuracy-vs-margin curve is what "trust the margin as confidence"
+    * means. Window rank is per-doc (parallelism scales with docs); the
+    * bin aggregation is bounded by `nBins`.
+    *
+    * Output: (bin, n, n_correct, accuracy, mean_margin), ratios round-6.
+    */
+  def naiveBayesCalibration(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, binWidthX1m: Long = 250000L, nBins: Int = 10,
+      scoreRound: Int = 6): DataFrame = {
+    require(binWidthX1m > 0 && nBins > 0,
+      s"naiveBayesCalibration: bad binWidthX1m=$binWidthX1m nBins=$nBins")
+    val scored = naiveBayesScores(docs, idCol, textCol, labelCol, scoreRound)
+      .withColumn("__sx", round(col("__score") * 1e6, 0).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__score").desc, col("__lab"))
-    val pred = scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col(idCol), col("__lab").as("predicted"))
-    docs.select(col(idCol), col(labelCol)).join(pred, Seq(idCol), "left")
+    val perDoc = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 2)
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("__rn") === 1,
+          struct(col("__sx"), col("__lab")))).as("__t1"),
+        max(when(col("__rn") === 2, col("__sx"))).as("__sx2"),
+        count(lit(1)).as("__k"))
+      .where(col("__k") === 2) // tokenless docs score no labels; need top-2
+      .select(col(idCol), col("__t1.__lab").as("__pred"),
+        (col("__t1.__sx") - col("__sx2")).as("__mx"))
+    perDoc.join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy(least(lit(nBins - 1),
+        floor(col("__mx") / lit(binWidthX1m))).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__pred") === col(labelCol), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(col("__mx")).as("__sm"))
+      .select(col("bin"), col("n"), col("n_correct"),
+        roundz(col("n_correct").cast("double") / col("n"), 6).as("accuracy"),
+        roundz(col("__sm").cast("double") / lit(1e6) / col("n"), 6)
+          .as("mean_margin"))
   }
 
   /** Label-distinctive tokens by the log-odds z-score with an informative

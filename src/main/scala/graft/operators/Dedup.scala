@@ -1060,6 +1060,36 @@ object Dedup {
         .otherwise(lit(0.0)))
   }
 
+  /** Which sources duplicate WHICH OTHER sources — the curation view over
+    * the near-dup pair set: every exact-verified pair (same machinery as
+    * [[minhashPairs]]) maps to its unordered (source, source) cell, and
+    * each cell reports its pair count and share of all near-dup pairs.
+    * A heavy off-diagonal cell means two feeds mirror each other (one
+    * should be dropped or down-weighted before training); a heavy
+    * diagonal means a feed re-crawls itself. The source join is pair-
+    * keyed (hash join on doc id — scales with the pair set, not the
+    * corpus²); the share normalization windows over the ≤|sources|² cell
+    * rows, bounded by the source vocabulary.
+    *
+    * Output: (source_a ≤ source_b, n_pairs, share round-6, cross_source).
+    */
+  def crossSourceDupShare(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, threshold: Double = 0.9): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold)
+    val src = df.select(col(idCol), col(srcCol))
+    val cells = pairs
+      .join(src.select(col(idCol).as("a"), col(srcCol).as("__sa")), Seq("a"))
+      .join(src.select(col(idCol).as("b"), col(srcCol).as("__sb")), Seq("b"))
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    cells
+      .withColumn("share", graft.functions.Num.roundz(
+        col("n_pairs").cast("double") / sum(col("n_pairs")).over(all), 6))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+  }
+
   /** The ACTION side of `repeatedRuns`: rebuild each document with every
     * repeated-span token REMOVED (headers, licence blocks, templated
     * chrome stripped corpus-wide). Spans come from one `repeatedRuns`

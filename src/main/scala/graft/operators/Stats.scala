@@ -433,4 +433,37 @@ object Stats {
     }
     withN.select(keys.map(col) ++ Seq(col("__n").as("n")) ++ est: _*)
   }
+
+  /** Cohen's kappa between two boolean columns — chance-corrected
+    * agreement, the standard check that two FILTERS (a quality gate, a
+    * dedup gate, a classifier, a human label) measure the same thing
+    * rather than merely both firing often: κ = (p_o − p_e)/(1 − p_e)
+    * with p_o the observed agreement and p_e the agreement two
+    * independent raters with the same marginals would reach by chance.
+    * One full-scan aggregation to four exact long cell counts; all the
+    * ratio arithmetic runs on that single row, so any engine replays it
+    * from the same counts. κ is null when p_e = 1 (a degenerate table —
+    * both raters constant — has no chance-corrected signal).
+    *
+    * Output: one row (n, po, pe, kappa), ratios rounded to 6.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.agg(
+      count(lit(1)).as("__n"),
+      sum(when(col(aCol) && col(bCol), 1L).otherwise(0L)).as("__n11"),
+      sum(when(col(aCol) && !col(bCol), 1L).otherwise(0L)).as("__n10"),
+      sum(when(!col(aCol) && col(bCol), 1L).otherwise(0L)).as("__n01"))
+    val n = col("__n").cast("double")
+    val n00 = col("__n") - col("__n11") - col("__n10") - col("__n01")
+    val po = (col("__n11") + n00) / n
+    val pa = (col("__n11") + col("__n10")) / n
+    val pb = (col("__n11") + col("__n01")) / n
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    cells.select(
+      col("__n").as("n"),
+      roundz(po, 6).as("po"),
+      roundz(pe, 6).as("pe"),
+      when(pe === 1.0, lit(null).cast("double"))
+        .otherwise(roundz((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
 }

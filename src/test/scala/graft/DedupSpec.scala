@@ -494,4 +494,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 1L, 0L, 0.0)))      // lone gram, unique
     assert(got(4) == ((5L, 0L, 0L, 0.0)))      // too short: zero grams
   }
+
+  test("crossSourceDupShare: unordered cells, diagonal vs cross, share sums to 1") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, base, "feedA"),            // near-dup triangle across feeds:
+      (2L, base, "feedB"),            // (1,2) A-B, (1,3) A-A, (2,3) A-B
+      (3L, base, "feedA"),
+      (4L, "totally different words here now", "feedC"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupShare(d, "doc_id", "text", "source",
+        threshold = 0.9)
+      .orderBy(col("source_a"), col("source_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("feedA", "feedA", 1L, 0.333333, false),
+      ("feedA", "feedB", 2L, 0.666667, true)))
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-5)
+  }
 }

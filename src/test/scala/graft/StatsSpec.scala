@@ -233,4 +233,21 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(2) - 10.0) < 1e-12)
     assert(math.abs(got.getDouble(3) - 25.0) < 1e-12)
   }
+
+  test("cohenKappa: perfect agreement 1, independence ~0, degenerate null") {
+    def k(rows: Seq[(Boolean, Boolean)]): org.apache.spark.sql.Row =
+      Stats.cohenKappa(rows.toDF("a", "b"), "a", "b").collect().head
+    val perfect = k(Seq((true, true), (false, false), (true, true)))
+    assert(perfect.getLong(0) == 3L && perfect.getDouble(3) == 1.0)
+    // balanced independence: every cell once → po 0.5, pe 0.5, kappa 0
+    val indep = k(Seq((true, true), (true, false), (false, true), (false, false)))
+    assert(indep.getDouble(1) == 0.5 && indep.getDouble(2) == 0.5
+      && indep.getDouble(3) == 0.0)
+    // both raters constant → pe 1, kappa null (not NaN/divide-by-zero)
+    val degen = k(Seq((true, true), (true, true)))
+    assert(degen.getDouble(2) == 1.0 && degen.isNullAt(3))
+    // total disagreement with symmetric marginals → kappa -1
+    val anti = k(Seq((true, false), (false, true)))
+    assert(anti.getDouble(3) == -1.0)
+  }
 }

@@ -373,4 +373,41 @@ class TextStatsSpec extends AnyFunSuite {
       .select("predicted").as[String].collect()
     assert(got.forall(_ == "a"), got.mkString(","))
   }
+
+  test("naiveBayesCalibration bins every scored doc once, accuracy from the served predictions") {
+    val docs = Seq(
+      (1L, "cat cat purr cat milk", "pet"),
+      (2L, "purr cat cat whisker", "pet"),
+      (3L, "bolt nut bolt wrench", "tool"),
+      (4L, "wrench bolt nut nut", "tool"),
+      (5L, "cat purr milk", "tool"),   // mislabeled → counted incorrect
+      (6L, "", "pet"))                 // tokenless → excluded from bins
+      .toDF("doc_id", "text", "lab")
+    val bins = TextStats.naiveBayesCalibration(docs, "doc_id", "text", "lab")
+      .collect()
+    // 5 scored docs, each in exactly one bin
+    assert(bins.map(_.getLong(1)).sum == 5L)
+    // totals agree with predict: docs 1-4 correct, doc 5 incorrect
+    assert(bins.map(_.getLong(2)).sum == 4L)
+    // per-bin accuracy is n_correct / n (round-6)
+    bins.foreach { r =>
+      assert(math.abs(r.getDouble(3)
+        - math.rint(r.getLong(2).toDouble / r.getLong(1) * 1e6) / 1e6) < 1e-9)
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 9)
+      assert(r.getDouble(4) >= 0.0) // margins are non-negative by rank
+    }
+    // the margin arithmetic matches the exposed scores: recompute top-2
+    // margins locally from naiveBayesScores and re-bin
+    val sc = TextStats.naiveBayesScores(docs, "doc_id", "text", "lab")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val local = sc.groupBy(_._1).view.mapValues { rows =>
+      val sorted = rows.sortBy(t => (-t._3, t._2)).map(t => math.rint(t._3 * 1e6).toLong)
+      sorted(0) - sorted(1)
+    }.toMap
+    val localBins = local.values
+      .map(m => math.min(9L, m / 250000L)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val gotBins = bins.map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(gotBins == localBins)
+  }
 }

@@ -45,7 +45,8 @@ FAMILIES = {
               "x94_incremental_semantic_dedup",
               "x98_bloom_incremental_dedup", "x106_prefix_jaccard",
               "x108_containment_join", "x109_dup_rate",
-              "x119_crossdoc_dedup", "x128_cluster_canonical"],
+              "x119_crossdoc_dedup", "x128_cluster_canonical",
+              "x136_cross_source_dup_share"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
               "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann",
               "x95_stored_ann_index", "x96_stored_index_append",
@@ -55,7 +56,8 @@ FAMILIES = {
               "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp",
               "x104_hll_distinct", "x107_incremental_stats",
               "x112_table_fingerprint", "x124_distinctive_tokens",
-              "x125_quality_gate", "x131_mergeable_quantiles"],
+              "x125_quality_gate", "x131_mergeable_quantiles",
+              "x137_gate_agreement", "x138_nb_calibration"],
     "text_index": ["x129_stored_text_index", "x130_bm25_search",
                    "x132_dup_gram_fraction", "x133_phrase_search",
                    "x134_text_index_append"],
