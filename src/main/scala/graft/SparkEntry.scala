@@ -2519,6 +2519,28 @@ object SparkEntry {
       TextStats.naiveBayesCalibration(t(s, dir, "documents"),
           "doc_id", "text", "lang")
         .orderBy(col("bin"))),
+
+    // Join pre-flight (x139) — the EXACT |A ⋈ B| without running the
+    // join: Σ_k c_A(k)·c_B(k) over two map-side-combined count tables
+    // (|keys| rows each). Says whether the 100 TB shuffle join is safe,
+    // explosive, or skewed (top contributor rides out of the same
+    // aggregate) BEFORE the shuffle is paid.
+    "x139_join_size_estimate" -> ((s, dir) =>
+      RelOps.joinSizeEstimate(t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey")),
+
+    // Z-order key (x140) — two-column clustering for min/max file
+    // skipping: the Morton interleave of (o_custkey, price-decade), the
+    // layout key `Layout.zorderRepartition` range-partitions by so each
+    // landed file is bounded in BOTH dimensions (LayoutSpec pins the
+    // pruning win over a single-column sort). Declared as the key map —
+    // pure codegen'd bit arithmetic; the oracle evaluates the SAME
+    // generated expression (one generator builds both sides).
+    "x140_zorder_key" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        graft.operators.Layout.zValue(col("o_custkey"),
+          floor(col("o_totalprice") / 10.0).cast("long"), bits = 16).as("z"))
+        .orderBy(col("o_orderkey"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -4920,6 +4942,29 @@ object SparkEntry {
         |  (round(sum(ok)::DOUBLE / count(*), 6) + 0) AS accuracy,
         |  (round(sum(mx)::DOUBLE / 1000000.0 / count(*), 6) + 0) AS mean_margin
         |FROM bb GROUP BY 1 ORDER BY bin""".stripMargin,
+    // per-key count products; top contributor via the same
+    // (rows desc, key-string desc) total order the engine aggregates
+    "x139_join_size_estimate" ->
+      """WITH cl AS (SELECT o_orderkey AS k, count(*) AS nl FROM orders GROUP BY 1),
+        |cr AS (SELECT l_orderkey AS k, count(*) AS nr FROM lineitem GROUP BY 1),
+        |p AS (SELECT k, nl * nr AS pr FROM cl JOIN cr USING (k)),
+        |tl AS (SELECT CAST(coalesce(sum(nl), 0) AS BIGINT) AS n_left FROM cl),
+        |tr AS (SELECT CAST(coalesce(sum(nr), 0) AS BIGINT) AS n_right FROM cr),
+        |tp AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_joined,
+        |    CAST(coalesce(sum(pr), 0) AS BIGINT) AS n_join
+        |  FROM p),
+        |t1 AS (SELECT CAST(k AS VARCHAR) AS top_key,
+        |    CAST(pr AS BIGINT) AS top_key_rows
+        |  FROM p ORDER BY pr DESC, CAST(k AS VARCHAR) DESC LIMIT 1)
+        |SELECT n_left, n_right, n_keys_joined, n_join,
+        |  (round(n_join::DOUBLE / n_left, 6) + 0) AS fanout,
+        |  top_key, top_key_rows
+        |FROM tl, tr, tp LEFT JOIN t1 ON TRUE""".stripMargin,
+    // the SAME generated bit-interleave expression the engine runs
+    "x140_zorder_key" ->
+      s"""SELECT o_orderkey, ${graft.operators.Layout.zValueSql("o_custkey",
+           "CAST(floor(o_totalprice / 10.0) AS BIGINT)", 16)} AS z
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
     // same (ts, event_id) ordering, exact long counts, round-6 division
     "x135_event_transitions" ->
       """WITH e AS (

@@ -208,4 +208,43 @@ object RelOps {
       .where(col("__rn") === 1 && col(opCol) =!= lit(deleteOp))
       .drop("__rn")
   }
+
+  /** EXACT inner-join output size — computed WITHOUT running the join:
+    * |A ⋈ B| = Σ_k c_A(k)·c_B(k) over per-key counts. The pre-flight
+    * check before a 100 TB shuffle join: the counts tables are one
+    * map-side-combined aggregation each (|keys| rows, not |rows|), their
+    * join is keys-sized, and the answer says whether the real join is
+    * safe, explosive (a runaway fanout key), or skewed (one key
+    * dominating the output — [[keySkew]]'s join-shaped cousin, feeding
+    * the same salting decision). Row counts ride out of the same
+    * aggregates, so the whole diagnostic is one pass over each input.
+    *
+    * Output, one row: (n_left, n_right, n_keys_joined, n_join,
+    * fanout = n_join/n_left round-6, top_key as string, top_key_rows) —
+    * top_key is the single largest contributor (ties: largest key),
+    * null when the join is empty.
+    */
+  def joinSizeEstimate(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val cl = left.groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__nl"))
+    val cr = right.groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__nr"))
+    val prod = cl.join(cr, Seq("__k"))
+      .select(col("__k"), (col("__nl") * col("__nr")).as("__p"))
+    val totals = prod.agg(
+      count(lit(1)).as("n_keys_joined"),
+      coalesce(sum(col("__p")), lit(0L)).as("n_join"),
+      // single aggregate carries the winner: max on (rows, key-string)
+      // → largest contributor, ties broken on the larger key string;
+      // null over an empty join (no fake zero row to special-case)
+      max(struct(col("__p").as("p"), col("__k").cast("string").as("k")))
+        .as("__top"))
+    val nl = cl.agg(coalesce(sum(col("__nl")), lit(0L)).as("n_left"))
+    val nr = cr.agg(coalesce(sum(col("__nr")), lit(0L)).as("n_right"))
+    nl.crossJoin(broadcast(nr)).crossJoin(broadcast(totals))
+      .select(col("n_left"), col("n_right"), col("n_keys_joined"),
+        col("n_join"),
+        graft.functions.Num.roundz(
+          col("n_join").cast("double") / col("n_left"), 6).as("fanout"),
+        col("__top.k").as("top_key"), col("__top.p").as("top_key_rows"))
+  }
 }

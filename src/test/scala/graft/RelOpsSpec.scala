@@ -108,4 +108,20 @@ class RelOpsSpec extends AnyFunSuite {
     assert(snap(2L) === Map.empty[Long, Int])
     assert(snap(3L) === Map(1L -> 30))
   }
+
+  test("joinSizeEstimate: exact product-sum equals the real join; empty join yields null top") {
+    val left = Seq(1L, 1L, 2L, 3L).toDF("lk")   // counts: 1→2, 2→1, 3→1
+    val right = Seq(1L, 2L, 2L, 2L, 9L).toDF("rk") // counts: 1→1, 2→3, 9→1
+    val r = RelOps.joinSizeEstimate(left, "lk", right, "rk").collect().head
+    // keys joined: 1 (2*1=2), 2 (1*3=3) → n_join 5 = real join size
+    val real = left.join(right, $"lk" === $"rk").count()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 5L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == real && real == 5L)
+    assert(r.getDouble(4) == 1.25)
+    assert(r.getString(5) == "2" && r.getLong(6) == 3L) // heaviest key
+    // disjoint keys: zero estimate, null top (no fabricated row)
+    val e = RelOps.joinSizeEstimate(
+      Seq(1L).toDF("lk"), "lk", Seq(2L).toDF("rk"), "rk").collect().head
+    assert(e.getLong(3) == 0L && e.isNullAt(5) && e.isNullAt(6))
+  }
 }
