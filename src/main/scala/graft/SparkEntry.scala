@@ -2541,6 +2541,43 @@ object SparkEntry {
         graft.operators.Layout.zValue(col("o_custkey"),
           floor(col("o_totalprice") / 10.0).cast("long"), bits = 16).as("z"))
         .orderBy(col("o_orderkey"))),
+
+    // Durable histogram state (x141) — x131's quantile monoid lifted to a
+    // stored table, mergeStatsTable's twin: three disjoint batches fold
+    // into the table one at a time (first write, then two upserts that
+    // semi-join down to affected groups), and quantiles interpolate from
+    // the STORED counts. The steady-state cost of "quantiles over 100 TB
+    // + today's batch" = one batch scan + a group-sized merge; the
+    // oracle replays a single pass over the union.
+    "x141_hist_state_table" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val root = s"/tmp/graft/x141_state_${dir.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(root))
+      val keys = Seq("l_returnflag")
+      def ph(d: DataFrame) =
+        Stats.partialHist(d, keys, "l_quantity", lo = 0.0, hi = 50.0, bins = 25)
+      Seq(0, 1, 2).foreach { m =>
+        Stats.mergeHistTable(s, root, "hist",
+          ph(li.where(col("l_orderkey") % 3 === m)), keys, bins = 25)
+      }
+      Stats.histQuantiles(Catalog.table(s, root, "hist"), keys,
+          lo = 0.0, hi = 50.0, bins = 25, qs = Seq(0.5, 0.95))
+        .select(col("l_returnflag"), col("n"),
+          roundz(col("p50"), 4).as("p50_est"),
+          roundz(col("p95"), 4).as("p95_est"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Triangle census (x142) — how cliquish the near-dup graph is: many
+    // triangles = tight duplicate families (keep-one-per-clique dedup is
+    // safe); triangle-free chains = borderline matches where transitive
+    // clustering over-merges. Degree-ordered orientation keeps the wedge
+    // join skew-safe on hub keys; the count is orientation-invariant, so
+    // the oracle replays it id-ordered over the exact pair truth.
+    "x142_triangle_census" -> ((s, dir) =>
+      Graph.triangleStats(
+        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.9).select(col("a").as("src"), col("b").as("dst")))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -4965,6 +5002,73 @@ object SparkEntry {
       s"""SELECT o_orderkey, ${graft.operators.Layout.zValueSql("o_custkey",
            "CAST(floor(o_totalprice / 10.0) AS BIGINT)", 16)} AS z
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // single pass over the union replays the three-batch fold: same 25
+    // bins over [0,50), same pick and interpolation as x131
+    "x141_hist_state_table" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS k,
+        |    least(24, greatest(0,
+        |      CAST(floor((l_quantity - 0.0) / 2.0) AS INT))) AS bin
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |c AS (SELECT k, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |n AS (SELECT k, sum(c) AS n FROM c GROUP BY 1),
+        |cum AS (SELECT k, bin, c,
+        |    sum(c) OVER (PARTITION BY k ORDER BY bin) AS cum
+        |  FROM c),
+        |q AS (SELECT unnest([0.5, 0.95]) AS q),
+        |t AS (SELECT n.k, q.q, n.n, n.n * q.q AS target FROM n CROSS JOIN q),
+        |pick AS (
+        |  SELECT t.k, t.q, t.n, t.target, min(cum.bin) AS bin
+        |  FROM t JOIN cum ON cum.k = t.k AND cum.cum >= t.target
+        |  GROUP BY 1, 2, 3, 4),
+        |est AS (
+        |  SELECT p.k, p.q, p.n,
+        |    0.0 + 2.0 * (p.bin + (p.target - coalesce(
+        |      (SELECT sum(c2.c) FROM c c2
+        |       WHERE c2.k = p.k AND c2.bin < p.bin), 0))
+        |      / (SELECT c3.c FROM c c3
+        |         WHERE c3.k = p.k AND c3.bin = p.bin)) AS est
+        |  FROM pick p)
+        |SELECT k AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  (round(max(CASE WHEN q = 0.5 THEN est END), 4) + 0) AS p50_est,
+        |  (round(max(CASE WHEN q = 0.95 THEN est END), 4) + 0) AS p95_est
+        |FROM est GROUP BY k ORDER BY l_returnflag""".stripMargin,
+    // exact pair truth (x2's set), id-oriented triangle replay — the
+    // count is orientation-invariant, so it equals the engine's
+    // degree-oriented census
+    "x142_triangle_census" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |e AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id
+        |    AND (round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))), 4) + 0) >= 0.9),
+        |deg AS (SELECT x, count(*) AS d FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1),
+        |tri AS (SELECT count(*) AS nt FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(coalesce(sum((d * (d - 1)) >> 1), 0) AS BIGINT) AS n_wedges
+        |  FROM deg),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, CAST(nt AS BIGINT) AS n_triangles,
+        |  n_wedges,
+        |  CASE WHEN n_wedges = 0 THEN NULL
+        |    ELSE (round(3.0 * nt / n_wedges, 6) + 0) END AS global_clustering
+        |FROM ne, w, tri""".stripMargin,
     // same (ts, event_id) ordering, exact long counts, round-6 division
     "x135_event_transitions" ->
       """WITH e AS (

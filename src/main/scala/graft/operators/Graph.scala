@@ -264,4 +264,59 @@ object Graph {
       s.select(col(nodeCol), col("__s").as(scoreCol))
     }
   }
+
+  /** Triangle census of an undirected graph — how CLIQUISH the near-dup
+    * graph is: many triangles mean tight duplicate families (dedup keeps
+    * one representative per clique); a triangle-free pair soup means
+    * chains of borderline matches where transitive clustering (x41)
+    * over-merges. Degree-ordered orientation makes the count skew-safe:
+    * every edge points from its (degree, id)-smaller endpoint, so a hub
+    * of degree d contributes wedges only through its few HIGHER-degree
+    * neighbors instead of C(d,2) pairs — the standard trick that keeps
+    * the wedge join linear-ish on power-law graphs. Each triangle is
+    * counted exactly once (its orientation is a DAG path u→v→w plus the
+    * closing edge u→w), and the count is orientation-invariant, so an
+    * id-ordered SQL replay agrees. Wedge total Σ C(d,2) and the global
+    * clustering coefficient 3·triangles/wedges ride along (coefficient
+    * null on a wedge-free graph).
+    *
+    * Output, one row: (n_nodes, n_edges, n_triangles, n_wedges,
+    * global_clustering round-6).
+    */
+  def triangleStats(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    Lifecycle.withCachedInputs(e, deg) {
+      val ori = e
+        .join(deg.select(col("x").as("u"), col("d").as("__du")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("d").as("__dv")), Seq("v"))
+        .select(
+          when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("__e"))
+        .select(col("__e.s").as("s"), col("__e.t").as("t"))
+      val tri = ori.as("e1")
+        .join(ori.as("e2"), col("e1.t") === col("e2.s"))
+        .join(ori.as("e3"),
+          col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val sizes = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        coalesce(sum(shiftright(col("d") * (col("d") - 1), 1)), lit(0L))
+          .as("n_wedges"))
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      nEdges.crossJoin(broadcast(sizes)).crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          col("n_wedges"),
+          when(col("n_wedges") === 0, lit(null).cast("double"))
+            .otherwise(graft.functions.Num.roundz(
+              lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+            .as("global_clustering"))
+    }
+  }
 }

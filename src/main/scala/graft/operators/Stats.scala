@@ -402,6 +402,29 @@ object Stats {
         (acc, h) => zip_with(acc, h, _ + _)).as("__hist"))
   }
 
+  /** Fold a batch's [[partialHist]] state into a DURABLE histogram table
+    * — [[mergeStatsTable]]'s quantile-state twin, completing the standing
+    * profile: the stored table always equals `partialHist` over every row
+    * ever merged, yet each merge scans only the batch plus the affected
+    * group rows ([[Catalog.upsert]] carries untouched groups via its
+    * anti-join). `bins` must match the stored states — count vectors of
+    * different lengths have no common cutpoints and must not merge.
+    * Same idempotence caveat as the stats table: at-least-once pipelines
+    * need a batch-id ledger in front.
+    */
+  def mergeHistTable(spark: org.apache.spark.sql.SparkSession, root: String,
+      ref: String, batchState: DataFrame, keys: Seq[String], bins: Int): Unit = {
+    import graft.sources.Catalog
+    if (!Catalog.tableExists(spark, root, ref))
+      Catalog.writeTruncate(batchState, root, ref)
+    else {
+      val affected = Catalog.table(spark, root, ref)
+        .join(batchState.select(keys.map(col): _*), keys, "left_semi")
+      Catalog.upsert(spark, root, ref,
+        mergeHist(keys, bins, affected, batchState), keys)
+    }
+  }
+
   /** Linear-interpolated quantile estimates from a (merged) histogram
     * state, one output column per requested q: with `target = q·n`, the
     * estimate is `lo + width·(bin + (target − cumBefore)/cnt)` at the

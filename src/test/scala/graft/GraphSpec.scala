@@ -214,4 +214,23 @@ class GraphSpec extends AnyFunSuite {
     // and a cycle must not amplify: 1 and 2 stay at their seed value
     assert(got(1L) === 1.0 && got(2L) === 1.0)
   }
+
+  test("triangleStats: K4 census, path graph, duplicate/reversed edge hygiene") {
+    // K4 on nodes 1-4 with every edge ALSO given reversed and one twice:
+    // dedup to 6 edges, 4 triangles, wedges = 4 * C(3,2) = 12, cc = 1.0
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val r1 = Graph.triangleStats((k4 ++ Seq((1L, 2L))).toDF("src", "dst"))
+      .collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3))
+      == ((4L, 6L, 4L, 12L)))
+    assert(r1.getDouble(4) == 1.0)
+    // path 1-2-3-4: 0 triangles, wedges 2 (centers 2 and 3), cc 0
+    val r2 = Graph.triangleStats(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")).collect().head
+    assert((r2.getLong(2), r2.getLong(3), r2.getDouble(4)) == ((0L, 2L, 0.0)))
+    // single edge: no wedge → null coefficient, not NaN
+    val r3 = Graph.triangleStats(Seq((1L, 2L)).toDF("src", "dst"))
+      .collect().head
+    assert(r3.getLong(3) == 0L && r3.isNullAt(4))
+  }
 }

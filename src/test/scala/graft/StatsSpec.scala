@@ -234,6 +234,32 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(3) - 25.0) < 1e-12)
   }
 
+  test("mergeHistTable: stored state equals one pass; partial batches touch only their groups") {
+    val root = "/tmp/graft/statsspec_hist_state"
+    def wipe() = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+      rm(new java.io.File(root))
+    }
+    wipe()
+    val df = Seq(("a", 1.0), ("a", 3.0), ("a", 9.0), ("b", 5.0), ("b", 7.0),
+      ("c", 2.0)).toDF("k", "v").withColumn("i", monotonically_increasing_id())
+    def ph(d: org.apache.spark.sql.DataFrame) =
+      Stats.partialHist(d, Seq("k"), "v", lo = 0.0, hi = 10.0, bins = 5)
+    // batch 1: first rows; batch 2 touches only "a" and "b"; "c" must be
+    // carried over untouched by the upsert
+    Stats.mergeHistTable(spark, root, "hist", ph(df.where(col("i") % 2 === 0)),
+      Seq("k"), bins = 5)
+    Stats.mergeHistTable(spark, root, "hist", ph(df.where(col("i") % 2 === 1)),
+      Seq("k"), bins = 5)
+    val stored = graft.sources.Catalog.table(spark, root, "hist")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val onePass = ph(df).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(stored == onePass && stored.keySet == Set("a", "b", "c"))
+    wipe()
+  }
+
   test("cohenKappa: perfect agreement 1, independence ~0, degenerate null") {
     def k(rows: Seq[(Boolean, Boolean)]): org.apache.spark.sql.Row =
       Stats.cohenKappa(rows.toDF("a", "b"), "a", "b").collect().head

@@ -57,7 +57,8 @@ FAMILIES = {
               "x104_hll_distinct", "x107_incremental_stats",
               "x112_table_fingerprint", "x124_distinctive_tokens",
               "x125_quality_gate", "x131_mergeable_quantiles",
-              "x137_gate_agreement", "x138_nb_calibration"],
+              "x137_gate_agreement", "x138_nb_calibration",
+              "x141_hist_state_table"],
     "text_index": ["x129_stored_text_index", "x130_bm25_search",
                    "x132_dup_gram_fraction", "x133_phrase_search",
                    "x134_text_index_append"],
@@ -68,7 +69,7 @@ FAMILIES = {
                  "x135_event_transitions", "x139_join_size_estimate",
                  "x140_zorder_key"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
-              "x126_label_prop"],
+              "x126_label_prop", "x142_triangle_census"],
 }
 
 # Steepest measured slopes = the full-output rewrites + the per-token
