@@ -2578,6 +2578,16 @@ object SparkEntry {
       Graph.triangleStats(
         Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.9).select(col("a").as("src"), col("b").as("dst")))),
+
+    // Event-RATE anomalies (x143) — x19/valueAnomalies' volume sibling:
+    // an hour whose event COUNT sits ≥2σ from that type's own per-hour
+    // distribution (burst/outage), even when every value is normal.
+    // Moments from EXACT integer sums (no float-order flake), z rounded
+    // before the flag; degenerate types (<2 hours, zero variance) flag
+    // null, not false.
+    "x143_rate_anomalies" -> ((s, dir) =>
+      Behavior.rateAnomalies(Catalog.events(s, dir), zThresh = 2.0)
+        .orderBy(col("event_type"), col("hour"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -5069,6 +5079,23 @@ object SparkEntry {
         |  CASE WHEN n_wedges = 0 THEN NULL
         |    ELSE (round(3.0 * nt / n_wedges, 6) + 0) END AS global_clustering
         |FROM ne, w, tri""".stripMargin,
+    // same hour buckets, same exact-integer moment arithmetic, same
+    // round-before-threshold
+    "x143_rate_anomalies" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS k, sum(n) AS s, sum(n * n) AS ss
+        |  FROM c GROUP BY 1)
+        |SELECT c.event_type, c.hour, CAST(c.n AS BIGINT) AS n,
+        |  CASE WHEN k >= 2
+        |      AND (ss::DOUBLE - s::DOUBLE * s::DOUBLE / k) / (k - 1) > 0
+        |    THEN (round((c.n - s::DOUBLE / k) /
+        |      sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / k) / (k - 1)), 6) + 0)
+        |  END AS z,
+        |  CASE WHEN z IS NOT NULL THEN abs(z) >= 2.0 END AS anomaly
+        |FROM c JOIN s USING (event_type)
+        |ORDER BY event_type, hour""".stripMargin,
     // same (ts, event_id) ordering, exact long counts, round-6 division
     "x135_event_transitions" ->
       """WITH e AS (

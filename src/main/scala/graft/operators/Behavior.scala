@@ -260,4 +260,45 @@ object Behavior {
     counts.withColumn("p",
       roundz(col("n").cast("double") / sum(col("n")).over(byPrev), 6))
   }
+
+  /** Event-RATE anomalies — [[valueAnomalies]]' volume-level sibling: a
+    * burst or outage shows up as an hour whose event COUNT sits far from
+    * that type's own per-hour distribution, even when every value is
+    * normal. One map-side-combined count per (type, hour) — the only
+    * row-sized pass — then the per-type moments come from EXACT integer
+    * sums (n, Σc, Σc²; variance = (Σc² − (Σc)²/n)/(n−1) on those longs),
+    * never a float accumulation whose summation order could differ
+    * between engines. z rounds to 6 BEFORE the |z| ≥ `zThresh` flag
+    * (round-before-threshold rule); types with < 2 hours or zero
+    * variance flag null, not false — no distribution to stand out from.
+    *
+    * Output: (event_type, hour, n, z, anomaly) per observed hour.
+    */
+  def rateAnomalies(events: DataFrame, zThresh: Double = 2.0,
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(zThresh > 0, s"rateAnomalies: zThresh=$zThresh must be positive")
+    val counts = events
+      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy(col(typeCol)).agg(
+      count(lit(1)).as("__k"),
+      sum(col("n")).as("__s"),
+      sum(col("n") * col("n")).as("__ss"))
+    // the k=1 guard must wrap the DIVISION, not just the consumer: under
+    // ANSI mode an unconditional (k-1) divisor raises on single-bucket
+    // types before the when() downstream ever sees the row
+    val varExpr = when(col("__k") >= 2,
+      (col("__ss").cast("double")
+        - col("__s").cast("double") * col("__s").cast("double") / col("__k"))
+        / (col("__k") - 1))
+    counts.join(broadcast(stats), Seq(typeCol))
+      .withColumn("__mu", col("__s").cast("double") / col("__k"))
+      .withColumn("__var", varExpr)
+      .withColumn("z",
+        when(col("__k") >= 2 && col("__var") > 0,
+          roundz((col("n") - col("__mu")) / sqrt(col("__var")), 6)))
+      .withColumn("anomaly",
+        when(col("z").isNotNull, abs(col("z")) >= zThresh))
+      .select(col(typeCol), col("hour"), col("n"), col("z"), col("anomaly"))
+  }
 }

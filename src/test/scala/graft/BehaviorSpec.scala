@@ -199,6 +199,36 @@ class BehaviorSpec extends AnyFunSuite {
     assert(kept === Set(1L, 3L))
   }
 
+  test("rateAnomalies flags a planted burst hour; degenerate types score null") {
+    def at(h: Int, i: Int) =
+      new java.sql.Timestamp(1700000000000L + h * 3600000L + i * 1000L)
+    val events = (
+      // type "a": 9 calm hours of 2 events + one 12-event burst hour
+      // (the burst inflates its own baseline sd: counts [2×9, 12] give
+      // mean 3, sd √10 → burst z ≈ 2.85, calm z ≈ −0.32)
+      (for (h <- 0 until 9; i <- 0 until 2) yield ("a", at(h, i))) ++
+      (for (i <- 0 until 12) yield ("a", at(9, i))) ++
+      // type "b": single hour → no distribution → null z
+      Seq(("b", at(0, 0)), ("b", at(0, 1))) ++
+      // type "c": two hours with IDENTICAL counts → zero variance → null
+      Seq(("c", at(0, 0)), ("c", at(1, 0)))
+    ).toDF("event_type", "ts")
+    val got = Behavior.rateAnomalies(events, zThresh = 2.0)
+      .collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1).getTime), r)).toMap
+    val burst = got(("a", 1700000000000L / 3600000L * 3600000L + 9 * 3600000L))
+    assert(burst.getLong(2) == 12L && burst.getBoolean(4),
+      s"burst hour must flag: $burst")
+    // the calm hours of "a" are below threshold
+    (0 until 9).foreach { h =>
+      val r = got(("a", 1700000000000L / 3600000L * 3600000L + h * 3600000L))
+      assert(!r.getBoolean(4), s"calm hour $h flagged: $r")
+    }
+    assert(got.keys.count(_._1 == "b") == 1 &&
+      got.collect { case ((t, _), r) if t == "b" => r.isNullAt(3) && r.isNullAt(4) }.forall(identity))
+    assert(got.collect { case ((t, _), r) if t == "c" => r.isNullAt(3) }.forall(identity))
+  }
+
   test("transitions: per-user lag pairs, per-prev normalization, ts tie broken by event_id") {
     def ts2(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
     val events = Seq(

@@ -495,4 +495,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       p.take(2000))
   }
+
+  test("x139 join pre-flight: fact tables aggregate BEFORE any join touches them") {
+    // the whole point of the estimator is that the row-sized relations
+    // never meet: every shuffle/hash join in the plan must sit above an
+    // aggregation on both sides (count tables), so the only row-sized
+    // work is the two map-side-combined groupBys
+    val df = SparkEntry.queries("x139_join_size_estimate")(spark, sfDir)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec        => unwrap(q.plan)
+      case other                    => other +: other.children.flatMap(unwrap)
+    })
+    val nodes = unwrap(df.queryExecution.executedPlan)
+    def hasAggBelow(p: SparkPlan): Boolean =
+      unwrap(p).exists(_.isInstanceOf[BaseAggregateExec])
+    // AQE is free to broadcast the (small) count tables — any equi-join
+    // form is fine, as long as both inputs are aggregated
+    val keyedJoins = nodes.collect {
+      case j: BaseJoinExec if !j.isInstanceOf[BroadcastNestedLoopJoinExec] => j
+    }
+    assert(keyedJoins.nonEmpty, "expected the count-table equi-join")
+    keyedJoins.foreach { j =>
+      assert(hasAggBelow(j.left) && hasAggBelow(j.right),
+        s"join over un-aggregated input:\n$j")
+    }
+    // the single-row combiners are broadcast loop joins over 1-row sides
+    val bnl = nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
+    bnl.foreach { j =>
+      assert(hasAggBelow(j.left) || hasAggBelow(j.right),
+        s"cross combine over un-aggregated input:\n$j")
+    }
+  }
 }

@@ -463,6 +463,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hist stream maintains the durable quantile state; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_hist_stream").toString
+    val input = MemoryStream[(String, Double)]
+    val q = graft.streaming.HistStream.histStream(
+      input.toDS().toDF("k", "v"), root, "hist",
+      Seq("k"), "v", lo = 0.0, hi = 10.0, bins = 5)
+    try {
+      input.addData(("a", 1.0), ("a", 3.0), ("b", 9.0))
+      q.processAllAvailable()
+      input.addData(("a", 5.0), ("c", 2.0)) // existing + brand-new group
+      q.processAllAvailable()
+      val stored = Catalog.table(spark, root, "hist")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      // equals one batch pass over the union
+      val onePass = graft.operators.Stats.partialHist(
+          Seq(("a", 1.0), ("a", 3.0), ("b", 9.0), ("a", 5.0), ("c", 2.0))
+            .toDF("k", "v"), Seq("k"), "v", lo = 0.0, hi = 10.0, bins = 5)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(stored == onePass && stored.keySet == Set("a", "b", "c"))
+      // planting the next batch id makes its merge a no-op
+      val ledger = new java.io.File(
+        graft.streaming.HistStream.ledgerDir(root, "hist"))
+      assert(ledger.listFiles.map(_.getName).filterNot(_.startsWith("."))
+        .toSet === Set("0", "1"))
+      new java.io.File(ledger, "2").createNewFile()
+      input.addData(("a", 1.0))
+      q.processAllAvailable()
+      val after = Catalog.table(spark, root, "hist")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(after == onePass, "pre-committed batch id must not merge again")
+    } finally q.stop()
+  }
+
   test("stats stream maintains the durable state; replayed batch ids are no-ops") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft_stats_stream").toString
