@@ -2588,6 +2588,17 @@ object SparkEntry {
     "x143_rate_anomalies" -> ((s, dir) =>
       Behavior.rateAnomalies(Catalog.events(s, dir), zThresh = 2.0)
         .orderBy(col("event_type"), col("hour"))),
+
+    // FD audit (x144) — does the key DETERMINE each column? The schema
+    // question behind denormalized wide tables: per-line columns vary
+    // within an order (violations localize where), which is exactly what
+    // to know before normalizing "per-order" columns out of a 100 TB
+    // fact table. One groupBy(key) pass carries every dependent.
+    "x144_fd_audit" -> ((s, dir) =>
+      graft.operators.Checks.fdAudit(t(s, dir, "lineitem"),
+          keys = Seq("l_orderkey"),
+          deps = Seq("l_returnflag", "l_linestatus", "l_suppkey"))
+        .orderBy(col("rule"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -5079,6 +5090,30 @@ object SparkEntry {
         |  CASE WHEN n_wedges = 0 THEN NULL
         |    ELSE (round(3.0 * nt / n_wedges, 6) + 0) END AS global_clustering
         |FROM ne, w, tri""".stripMargin,
+    // same one-pass FD semantics: per-key distinct counts, groups with >1
+    "x144_fd_audit" ->
+      """WITH g AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_returnflag) AS d_rf,
+        |    count(DISTINCT l_linestatus) AS d_ls,
+        |    count(DISTINCT l_suppkey) AS d_sk
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT count(*) AS n_groups,
+        |    sum(CASE WHEN d_rf > 1 THEN 1 ELSE 0 END) AS v_rf,
+        |    sum(CASE WHEN d_ls > 1 THEN 1 ELSE 0 END) AS v_ls,
+        |    sum(CASE WHEN d_sk > 1 THEN 1 ELSE 0 END) AS v_sk
+        |  FROM g),
+        |m AS (
+        |  SELECT 'l_orderkey->l_returnflag' AS rule, n_groups, v_rf AS v FROM w
+        |  UNION ALL
+        |  SELECT 'l_orderkey->l_linestatus', n_groups, v_ls FROM w
+        |  UNION ALL
+        |  SELECT 'l_orderkey->l_suppkey', n_groups, v_sk FROM w)
+        |SELECT rule, CAST(n_groups AS BIGINT) AS n_groups,
+        |  CAST(coalesce(v, 0) AS BIGINT) AS n_violating,
+        |  (round(coalesce(v, 0)::DOUBLE / n_groups, 6) + 0) AS violation_share,
+        |  coalesce(v, 0) = 0 AS pass
+        |FROM m ORDER BY rule""".stripMargin,
     // same hour buckets, same exact-integer moment arithmetic, same
     // round-before-threshold
     "x143_rate_anomalies" ->

@@ -126,4 +126,22 @@ class ChecksSpec extends AnyFunSuite {
     assert(out("only_old")._3 === 50L && out("only_old")._4 === 0L)
     assert(out.values.forall(r => !r._2.isNaN && !r._2.isInfinite))
   }
+
+  test("fdAudit: clean FD passes, dirty FD localizes, null dependents don't conflict") {
+    val df = Seq(
+      // key 1: region constant (clean), status varies (dirty)
+      (1L, "eu", "open"), (1L, "eu", "closed"),
+      // key 2: clean on both
+      (2L, "us", "open"), (2L, "us", "open"),
+      // key 3: region {x, NULL} → 1 distinct non-null, still clean
+      (3L, "ap", null), (3L, null, "open"))
+      .toDF("k", "region", "status")
+    val got = Checks.fdAudit(df, Seq("k"), Seq("region", "status"))
+      .orderBy($"rule").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      ("k->region", 3L, 0L, 0.0, true),
+      ("k->status", 3L, 1L, 0.333333, false)))
+  }
 }
