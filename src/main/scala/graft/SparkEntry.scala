@@ -2599,6 +2599,20 @@ object SparkEntry {
           keys = Seq("l_orderkey"),
           deps = Seq("l_returnflag", "l_linestatus", "l_suppkey"))
         .orderBy(col("rule"))),
+
+    // Funnel latency (x145) — after x56's "how many convert": how LONG
+    // each step takes. Latencies are exact integer-microsecond diffs of
+    // the SAME first-touch chain x56 counts (one shared stageReach —
+    // the two views cannot disagree); per-pair percentiles run the
+    // adaptive exact machinery (x20's), never a users-sized buffer per
+    // group. Oracle replays the chain as nested after-t mins.
+    "x145_funnel_latency" -> ((s, dir) =>
+      Behavior.funnelLatency(Catalog.events(s, dir),
+          Seq("view", "click", "purchase"))
+        .select(col("stage_from"), col("stage_to"), col("n"),
+          roundz(col("p50_us"), 4).as("p50_us"),
+          roundz(col("p90_us"), 4).as("p90_us"))
+        .orderBy(col("stage_from"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -5090,6 +5104,34 @@ object SparkEntry {
         |  CASE WHEN n_wedges = 0 THEN NULL
         |    ELSE (round(3.0 * nt / n_wedges, 6) + 0) END AS global_clustering
         |FROM ne, w, tri""".stripMargin,
+    // the first-touch chain as nested after-t mins (t2 = min s2 ts
+    // STRICTLY after t1 — same strict > as the engine's fold), exact
+    // integer-microsecond latencies, quantile_cont interpolation
+    "x145_funnel_latency" ->
+      """WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN u1 ON u1.user_id = e.user_id AND e.ts > u1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN u2 ON u2.user_id = e.user_id AND e.ts > u2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |l1 AS (SELECT epoch_us(t2) - epoch_us(t1) AS lat
+        |  FROM u1 JOIN u2 USING (user_id)),
+        |l2 AS (SELECT epoch_us(t3) - epoch_us(t2) AS lat
+        |  FROM u2 JOIN u3 USING (user_id)),
+        |m AS (
+        |  SELECT 'view' AS stage_from, 'click' AS stage_to,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    (round(quantile_cont(lat, 0.5), 4) + 0) AS p50_us,
+        |    (round(quantile_cont(lat, 0.9), 4) + 0) AS p90_us
+        |  FROM l1
+        |  UNION ALL
+        |  SELECT 'click', 'purchase', CAST(count(*) AS BIGINT),
+        |    (round(quantile_cont(lat, 0.5), 4) + 0),
+        |    (round(quantile_cont(lat, 0.9), 4) + 0)
+        |  FROM l2)
+        |SELECT * FROM m ORDER BY stage_from""".stripMargin,
     // same one-pass FD semantics: per-key distinct counts, groups with >1
     "x144_fd_audit" ->
       """WITH g AS (

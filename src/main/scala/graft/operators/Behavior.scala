@@ -37,6 +37,28 @@ object Behavior {
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type", maxEventsPerUser: Int = 1000000): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    val reached = stageReach(events, stages, userCol, tsCol, typeCol,
+      maxEventsPerUser)
+
+    // Tiny final aggregate: per-stage user counts (stages rows total).
+    val aggCols = stages.indices.map(i =>
+      count(element_at(col("r"), i + 1)).as(s"s$i"))
+    val counts = reached.agg(aggCols.head, aggCols.tail: _*)
+    val stageRows = explode(array(stages.zipWithIndex.map { case (st, i) =>
+      struct(lit(i).as("stage_idx"), lit(st).as("stage"), col(s"s$i").as("users"))
+    }: _*))
+    counts.select(stageRows.as("x")).select(col("x.*"))
+  }
+
+  /** The shared first-touch chain both funnel views read: one row per
+    * user with `r` = the per-stage reach timestamps (acc(i) = earliest
+    * time stage i was reached respecting order, null if never) —
+    * [[funnel]] counts them, [[funnelLatency]] differences them. One
+    * definition so the two can never disagree about chain semantics.
+    */
+  private def stageReach(events: DataFrame, stages: Seq[String],
+      userCol: String, tsCol: String, typeCol: String,
+      maxEventsPerUser: Int): DataFrame = {
     val relevant = events
       .where(col(typeCol).isin(stages.map(lit): _*))
       .select(col(userCol), col(tsCol), col(typeCol))
@@ -73,16 +95,45 @@ object Behavior {
       }
       array(updated: _*)
     }
-    val reached = history.withColumn("r", aggregate(col("h"), init, step))
+    history.withColumn("r", aggregate(col("h"), init, step))
+  }
 
-    // Tiny final aggregate: per-stage user counts (stages rows total).
-    val aggCols = stages.indices.map(i =>
-      count(element_at(col("r"), i + 1)).as(s"s$i"))
-    val counts = reached.agg(aggCols.head, aggCols.tail: _*)
-    val stageRows = explode(array(stages.zipWithIndex.map { case (st, i) =>
-      struct(lit(i).as("stage_idx"), lit(st).as("stage"), col(s"s$i").as("users"))
-    }: _*))
-    counts.select(stageRows.as("x")).select(col("x.*"))
+  /** Time-to-convert between consecutive funnel stages — the question
+    * after [[funnel]]'s "how many": how LONG does the step take? Per
+    * converting user the latency is the exact integer-microsecond
+    * difference of the shared first-touch chain's stage timestamps
+    * ([[stageReach]] — one definition with funnel, the two cannot
+    * disagree); per stage pair the percentiles run through
+    * `Stats.percentiles`, the adaptive exact machinery that buffers
+    * small sets in one task and range-partitions big ones — never a
+    * users-sized `collect_list` per group. One extra driver action per
+    * pair (the pair count), bounded by |stages|.
+    *
+    * Output: one row per consecutive pair — (stage_from, stage_to, n,
+    * p50_us, p90_us), percentile columns null when no user converted.
+    */
+  def funnelLatency(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type",
+      maxEventsPerUser: Int = 1000000): DataFrame = {
+    require(stages.size >= 2, "funnelLatency needs at least two stages")
+    val reached = stageReach(events, stages, userCol, tsCol, typeCol,
+      maxEventsPerUser)
+    graft.Lifecycle.withCachedInputs(reached) {
+      val pairs = stages.indices.dropRight(1).map { i =>
+        val lat = reached
+          .where(element_at(col("r"), i + 2).isNotNull)
+          .select((unix_micros(element_at(col("r"), i + 2))
+            - unix_micros(element_at(col("r"), i + 1))).as("lat_us"))
+        val n = lat.count()
+        graft.operators.Stats.percentiles(lat, "lat_us", Seq(0.5, 0.9),
+            names = Seq("p50_us", "p90_us"))
+          .select(lit(stages(i)).as("stage_from"),
+            lit(stages(i + 1)).as("stage_to"), lit(n).as("n"),
+            col("p50_us"), col("p90_us"))
+      }
+      pairs.reduce(_.unionByName(_))
+    }
   }
 
   /** Most common length-`n` consecutive event paths ("user journeys"):

@@ -199,6 +199,33 @@ class BehaviorSpec extends AnyFunSuite {
     assert(kept === Set(1L, 3L))
   }
 
+  test("funnelLatency differences the same first-touch chain funnel counts") {
+    def ts2(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val events = Seq(
+      // user 1 converts fully: a@0 -> b@10 -> c@40 (lat 10s, 30s)
+      (1L, "a", ts2(0)), (1L, "b", ts2(10)), (1L, "c", ts2(40)),
+      // user 2: b BEFORE its a never counts; chain a@5 -> b@25 (lat 20s)
+      (2L, "b", ts2(1)), (2L, "a", ts2(5)), (2L, "b", ts2(25)),
+      // user 3: a only — converts nothing
+      (3L, "a", ts2(0)),
+      // user 4: b at the SAME ts as a — strict 'after' excludes it
+      (4L, "a", ts2(0)), (4L, "b", ts2(0)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Behavior.funnelLatency(events, Seq("a", "b", "c"))
+      .orderBy($"stage_from").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // a->b: users 1 (10s) and 2 (20s): p50 = 15s, p90 = 19s (interpolated)
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      Seq(("a", "b", 2L), ("b", "c", 1L)))
+    assert(got(0)._4 == 15000000.0 && got(0)._5 == 19000000.0)
+    assert(got(1)._4 == 30000000.0 && got(1)._5 == 30000000.0)
+    // and the counts agree with funnel's reach numbers
+    val reach = Behavior.funnel(events, Seq("a", "b", "c"))
+      .orderBy($"stage_idx").select("users").as[Long].collect().toSeq
+    assert(reach == Seq(4L, 2L, 1L))
+  }
+
   test("rateAnomalies flags a planted burst hour; degenerate types score null") {
     def at(h: Int, i: Int) =
       new java.sql.Timestamp(1700000000000L + h * 3600000L + i * 1000L)
