@@ -2613,6 +2613,18 @@ object SparkEntry {
           roundz(col("p50_us"), 4).as("p50_us"),
           roundz(col("p90_us"), 4).as("p90_us"))
         .orderBy(col("stage_from"))),
+
+    // Stable ids (x146) — contiguous 1..n surrogate keys in sort order
+    // WITHOUT the single-task global window every naive row_number()
+    // plans: range-partition (distributed sort), per-partition counts →
+    // driver offsets (#partitions rows), number within partitions.
+    // PlanSpec pins that no window runs on one task. Sort key must be a
+    // total order (doc_id rides after source).
+    "x146_stable_ids" -> ((s, dir) =>
+      RelOps.assignStableIds(t(s, dir, "documents"),
+          Seq("source", "doc_id"))
+        .select(col("row_id"), col("doc_id"), col("source"))
+        .orderBy(col("row_id"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -5104,6 +5116,12 @@ object SparkEntry {
         |  CASE WHEN n_wedges = 0 THEN NULL
         |    ELSE (round(3.0 * nt / n_wedges, 6) + 0) END AS global_clustering
         |FROM ne, w, tri""".stripMargin,
+    // the single total-order row numbering the engine computes without
+    // a single-task window
+    "x146_stable_ids" ->
+      """SELECT CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT)
+        |    AS row_id, doc_id, source
+        |FROM documents ORDER BY row_id""".stripMargin,
     // the first-touch chain as nested after-t mins (t2 = min s2 ts
     // STRICTLY after t1 — same strict > as the engine's fold), exact
     // integer-microsecond latencies, quantile_cont interpolation

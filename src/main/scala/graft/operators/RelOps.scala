@@ -209,6 +209,47 @@ object RelOps {
       .drop("__rn")
   }
 
+  /** Contiguous deterministic row ids 1..n in `sortCols` order — the
+    * surrogate-key assignment every corpus snapshot wants, WITHOUT the
+    * single-task global window `row_number() OVER (ORDER BY ...)` plans
+    * at any scale: range-partition on the sort key (the distributed
+    * sort), count rows per partition (one bounded collect — #partitions
+    * rows, never data), turn the counts into per-partition offsets on
+    * the driver, and number within each partition by a window
+    * PARTITIONED BY partition id — every stage parallel, nothing
+    * row-sized on one task. Partition boundaries from range sampling
+    * may move between runs, but the ids don't: the global order is
+    * boundary-independent as long as `sortCols` is a TOTAL order
+    * (caller contract, same as cdcApply's seqCols — include a unique
+    * id after the semantic keys).
+    */
+  def assignStableIds(df: DataFrame, sortCols: Seq[String],
+      as: String = "row_id", startAt: Long = 1L): DataFrame = {
+    require(sortCols.nonEmpty, "assignStableIds: no sort columns")
+    val sorted = df
+      .repartitionByRange(sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    graft.Lifecycle.withCachedInputs(sorted) {
+      val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+        .orderBy(col("__pid"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      // exclusive prefix sums in pid order = each partition's id offset
+      val offs = counts.map(_._1)
+        .zip(counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val offDf = offs.toSeq.toDF("__pid", "__off")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__pid"))
+        .orderBy(sortCols.map(col): _*)
+      sorted.join(broadcast(offDf), Seq("__pid"))
+        .withColumn(as,
+          col("__off") + row_number().over(w) + lit(startAt - 1L))
+        .drop("__pid", "__off")
+    }
+  }
+
   /** EXACT inner-join output size — computed WITHOUT running the join:
     * |A ⋈ B| = Σ_k c_A(k)·c_B(k) over per-key counts. The pre-flight
     * check before a 100 TB shuffle join: the counts tables are one

@@ -532,4 +532,24 @@ class PlanSpec extends AnyFunSuite {
         s"cross combine over un-aggregated input:\n$j")
     }
   }
+
+  test("x146 stable ids: every window is partitioned — no single-task numbering") {
+    val df = SparkEntry.queries("x146_stable_ids")(spark, sfDir)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec        => unwrap(q.plan)
+      case other                    => other +: other.children.flatMap(unwrap)
+    }
+    val windows = unwrap(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the per-partition numbering window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned (single-task) window in the plan:\n$w")
+    }
+  }
 }

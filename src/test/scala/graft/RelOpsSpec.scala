@@ -124,4 +124,21 @@ class RelOpsSpec extends AnyFunSuite {
       Seq(1L).toDF("lk"), "lk", Seq(2L).toDF("rk"), "rk").collect().head
     assert(e.getLong(3) == 0L && e.isNullAt(5) && e.isNullAt(6))
   }
+
+  test("assignStableIds: contiguous 1..n in sort order across many partitions") {
+    // enough rows that range partitioning actually spreads them
+    val rows = (0 until 5000).map(i => ((i * 7919) % 5000, s"v$i"))
+    val df = rows.toDF("k", "v").repartition(13) // scrambled input layout
+    val got = RelOps.assignStableIds(df, Seq("k"), as = "rid")
+      .select("rid", "k").as[(Long, Int)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 5000L).toSeq, "ids not contiguous")
+    assert(got.map(_._2).toSeq == rows.map(_._1).sorted, "ids not in k order")
+    // startAt shifts the whole range
+    val shifted = RelOps.assignStableIds(df, Seq("k"), as = "rid",
+        startAt = 100L)
+      .agg(min($"rid"), max($"rid")).as[(Long, Long)].head()
+    assert(shifted == ((100L, 5099L)))
+    // empty input yields an empty frame, not a failure
+    assert(RelOps.assignStableIds(df.where($"k" < 0), Seq("k")).count() == 0L)
+  }
 }

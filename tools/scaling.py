@@ -68,7 +68,8 @@ FAMILIES = {
                  "x120_interleave", "x123_temporal_split", "x127_debounce",
                  "x135_event_transitions", "x139_join_size_estimate",
                  "x140_zorder_key", "x143_rate_anomalies",
-                 "x144_fd_audit", "x145_funnel_latency"],
+                 "x144_fd_audit", "x145_funnel_latency",
+                 "x146_stable_ids"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
               "x126_label_prop", "x142_triangle_census"],
 }
