@@ -327,22 +327,39 @@ object Behavior {
     */
   def rateAnomalies(events: DataFrame, zThresh: Double = 2.0,
       typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
-    require(zThresh > 0, s"rateAnomalies: zThresh=$zThresh must be positive")
     val counts = events
       .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count(lit(1)).as("n"))
-    val stats = counts.groupBy(col(typeCol)).agg(
+    scoreRates(counts, rateBaseline(counts, typeCol), zThresh, typeCol)
+  }
+
+  /** The frozen half of the rate monitor: per-type EXACT integer moments
+    * (bucket count, Σn, Σn²) of an observed per-hour count table.
+    * Persist this from history and feed `EventsStream.rateAnomalyStream`
+    * — the lambda split [[baselineStats]] already has for values.
+    */
+  def rateBaseline(counts: DataFrame, typeCol: String = "event_type"): DataFrame =
+    counts.groupBy(col(typeCol)).agg(
       count(lit(1)).as("__k"),
       sum(col("n")).as("__s"),
       sum(col("n") * col("n")).as("__ss"))
-    // the k=1 guard must wrap the DIVISION, not just the consumer: under
-    // ANSI mode an unconditional (k-1) divisor raises on single-bucket
-    // types before the when() downstream ever sees the row
+
+  /** Score an (type, hour, n) count table against a [[rateBaseline]] —
+    * the stateless half shared verbatim by the batch query (x143) and
+    * the streaming twin, so the two can never drift on the arithmetic.
+    * Variance comes from the exact integer sums; the k=1 guard wraps
+    * the DIVISION itself, not just the consumer: under ANSI mode an
+    * unconditional (k-1) divisor raises on single-bucket types before
+    * any downstream when() sees the row.
+    */
+  def scoreRates(counts: DataFrame, baseline: DataFrame,
+      zThresh: Double = 2.0, typeCol: String = "event_type"): DataFrame = {
+    require(zThresh > 0, s"scoreRates: zThresh=$zThresh must be positive")
     val varExpr = when(col("__k") >= 2,
       (col("__ss").cast("double")
         - col("__s").cast("double") * col("__s").cast("double") / col("__k"))
         / (col("__k") - 1))
-    counts.join(broadcast(stats), Seq(typeCol))
+    counts.join(broadcast(baseline), Seq(typeCol))
       .withColumn("__mu", col("__s").cast("double") / col("__k"))
       .withColumn("__var", varExpr)
       .withColumn("z",

@@ -163,6 +163,26 @@ object EventsStream {
     graft.operators.Behavior.scoreAgainstBaseline(
       events, baseline, z, typeCol, tsCol, valueCol)
 
+  /** Streaming RATE anomalies — `anomalyStream`'s volume-level sibling
+    * and the lambda twin of the batch `Behavior.rateAnomalies` (x143):
+    * tumbling per-hour counts per type (watermarked — state stays
+    * bounded at any rate), each window scored against a FROZEN
+    * `Behavior.rateBaseline` built from history, through the SAME
+    * `scoreRates` arithmetic the batch query runs — the two cannot
+    * drift. Baseline refreshes on the batch cadence; the join is
+    * stream-static (stateless, broadcast).
+    */
+  def rateAnomalyStream(events: DataFrame, baseline: DataFrame,
+      zThresh: Double = 2.0, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val counts = events
+      .withWatermark(tsCol, "2 hours")
+      .groupBy(col(typeCol), window(col(tsCol), "1 hour").as("__w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(typeCol), col("__w.start").as("hour"), col("n"))
+    graft.operators.Behavior.scoreRates(counts, baseline, zThresh, typeCol)
+  }
+
   /** Streaming ingest → MERGE upsert: each micro-batch is deduped on
     * `keys` (last value per key within the batch wins, by max ts) and
     * MERGEd into the catalog table via `Catalog.upsert` inside

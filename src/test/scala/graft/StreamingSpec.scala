@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{count, date_trunc, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Catalog
@@ -26,6 +27,32 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     val batch = EventsStream.hourlyCounts(Catalog.events(spark, sfDir))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
+  test("streaming rate anomalies equal the batch scorer under the frozen baseline") {
+    val dir = Files.createTempDirectory("graft_rate_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // frozen baseline from the batch history (here: the same data)
+    val batchCounts = Catalog.events(spark, sfDir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val baseline = graft.operators.Behavior.rateBaseline(batchCounts)
+    val src = spark.readStream.schema(EventsStream.schemaFor(spark, dir.toString))
+      .parquet(dir.toString)
+    val q = EventsStream.rateAnomalyStream(EventsStream.normalize(src), baseline)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("rate_anom").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("rate_anom")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getLong(2), Option(r.get(3)), Option(r.get(4)))).toSet
+    val batch = graft.operators.Behavior
+      .scoreRates(batchCounts, baseline)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getLong(2), Option(r.get(3)), Option(r.get(4)))).toSet
     assert(streamed === batch && batch.nonEmpty)
   }
 
