@@ -2625,6 +2625,23 @@ object SparkEntry {
           Seq("source", "doc_id"))
         .select(col("row_id"), col("doc_id"), col("source"))
         .orderBy(col("row_id"))),
+
+    // Stored decontamination index (x147) — x42's build/serve split: the
+    // benchmark's distinct 8-gram set persists ONCE (shingle strings,
+    // md5-sharded); every corpus screen after that reads the store
+    // instead of re-shingling the benchmark — the steady-state shape for
+    // screening a growing corpus against a fixed eval suite. Same
+    // result as the direct operator (the store IS the benchmark-side
+    // intermediate); the oracle replays the direct semantics.
+    "x147_stored_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = s"/tmp/graft/x147_index_${dir.replaceAll("[^0-9.]", "")}"
+      Dedup.writeShingleIndex(docs.where(col("doc_id") % 10 === 0), idx,
+        "doc_id", "text", shingleSize = 8)
+      Dedup.contaminationAgainstIndex(docs, idx, "doc_id", "text",
+          shingleSize = 8)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -5116,6 +5133,30 @@ object SparkEntry {
         |  CASE WHEN n_wedges = 0 THEN NULL
         |    ELSE (round(3.0 * nt / n_wedges, 6) + 0) END AS global_clustering
         |FROM ne, w, tri""".stripMargin,
+    // store+serve ≡ direct screen: the oracle replays x42's direct
+    // contamination semantics over the same benchmark subset
+    "x147_stored_decontamination" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
+        |      for i in range(1, len(toks) - 6)])
+        |    END AS sh
+        |  FROM t),
+        |b AS (SELECT DISTINCT unnest(sh) AS sg FROM s WHERE doc_id % 10 = 0),
+        |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+        |h AS (SELECT doc_id, count(*) AS hits FROM e JOIN b USING (sg) GROUP BY doc_id)
+        |SELECT s.doc_id, len(s.sh) AS n_shingles,
+        |  coalesce(hits, 0) AS contaminated,
+        |  (round(CASE WHEN len(s.sh) = 0 THEN 0.0
+        |    ELSE coalesce(hits, 0)::DOUBLE / len(s.sh) END, 4) + 0) AS contaminated_frac
+        |FROM s LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
     // the single total-order row numbering the engine computes without
     // a single-task window
     "x146_stable_ids" ->

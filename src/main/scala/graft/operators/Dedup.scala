@@ -575,6 +575,50 @@ object Dedup {
           .as("contaminated_frac"))
   }
 
+  /** Persist a benchmark's distinct shingle set — [[contamination]]'s
+    * build/serve split: the benchmark side (tokenize → shingle →
+    * global distinct) runs ONCE and lands as shingle STRINGS (membership
+    * stays collision-free and oracle-replayable, unlike stored hashes)
+    * partitioned by the same portable md5 shard as the text index. Every
+    * serve after that reads the stored set instead of re-shingling the
+    * benchmark — the steady-state decontamination shape for a growing
+    * corpus screened against a fixed eval suite.
+    */
+  def writeShingleIndex(benchmark: DataFrame, dir: String, idCol: String,
+      textCol: String, shingleSize: Int = 8): Unit = {
+    shingled(benchmark, idCol, textCol, shingleSize)
+      .select(explode(Staging.pin(col("sh"))).as("sg")).distinct()
+      .withColumn("shard", TextIndex.shardCol(col("sg")))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dir/shingles.parquet")
+  }
+
+  /** [[contamination]] served from a [[writeShingleIndex]] store: same
+    * one-pass corpus shape (explode_outer keeps shingle-less docs, the
+    * broadcast left join marks hits, one map-side-partial groupBy
+    * rebuilds per-doc counts), with the benchmark side a bounded read of
+    * the stored distinct-shingle table — provably the same result as
+    * the direct operator, because the store IS the benchmark side's
+    * intermediate. The serve plan scans the corpus and the store; the
+    * benchmark documents are never touched (DedupSpec pins it).
+    */
+  def contaminationAgainstIndex(corpus: DataFrame, dir: String,
+      idCol: String, textCol: String, shingleSize: Int = 8): DataFrame = {
+    val benchShingles = corpus.sparkSession.read
+      .parquet(s"$dir/shingles.parquet")
+      .select(col("sg").as("__s")).withColumn("__hit", lit(1))
+    shingled(ensureParallelism(corpus), idCol, textCol, shingleSize, "__sh")
+      .select(col(idCol), explode_outer(Staging.pin(col("__sh"))).as("__s"))
+      .join(broadcast(benchShingles), Seq("__s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__s")).cast("int").as("n_shingles"),
+        count(col("__hit")).as("contaminated"))
+      .select(col(idCol), col("n_shingles"), col("contaminated"),
+        roundz(when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("contaminated").cast("double") / col("n_shingles")), 4)
+          .as("contaminated_frac"))
+  }
+
   // --------------------------------------------- duplicate-cluster assembly
 
   /** Connected components over an undirected edge list, by min-label

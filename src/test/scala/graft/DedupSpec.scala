@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Dedup
 
 class DedupSpec extends AnyFunSuite {
-  import SparkTestSession.spark
+  import SparkTestSession.{sfDir, spark}
   import spark.implicits._
 
   private val docs = Seq(
@@ -493,6 +493,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 4L, 2L, 0.5)))      // "p q r" twice within itself
     assert(got(3) == ((4L, 1L, 0L, 0.0)))      // lone gram, unique
     assert(got(4) == ((5L, 0L, 0L, 0.0)))      // too short: zero grams
+  }
+
+  test("stored decontamination: serve equals the direct screen; benchmark docs never rescanned") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 200)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val idx = "/tmp/graft/dedupspec_shingle_idx"
+    Dedup.writeShingleIndex(bench, idx, "doc_id", "text", shingleSize = 8)
+    val served = Dedup.contaminationAgainstIndex(docs, idx, "doc_id", "text",
+      shingleSize = 8)
+    val direct = Dedup.contamination(docs, bench, "doc_id", "text",
+      shingleSize = 8)
+    val a = served.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val b = direct.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+    // the serve plan reads the corpus and the STORE — exactly one
+    // documents.parquet scan (no benchmark re-shingle)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec    => Seq(s)
+      case ad: AdaptiveSparkPlanExec => scans(ad.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case other                    => other.children.flatMap(scans)
+    }
+    val sc = scans(served.queryExecution.executedPlan).map(_.toString)
+    assert(sc.count(_.contains("documents.parquet")) == 1,
+      s"benchmark documents rescanned:\n${sc.mkString("\n")}")
+    assert(sc.exists(_.contains("shingles.parquet")))
   }
 
   test("crossSourceDupShare: unordered cells, diagonal vs cross, share sums to 1") {
