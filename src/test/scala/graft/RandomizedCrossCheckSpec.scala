@@ -585,4 +585,77 @@ class RandomizedCrossCheckSpec extends AnyFunSuite {
       assert(got(id) === want, s"doc $id")
     }
   }
+
+  test("histQuantiles equals a local histogram interpolation on random keyed data") {
+    val rnd = new scala.util.Random(20250814L)
+    val (lo, hi, bins) = (0.0, 100.0, 16)
+    val rows = Seq.tabulate(3000)(_ =>
+      ("k" + rnd.nextInt(4), rnd.nextDouble() * 140 - 20)) // clamps both ends
+    val state = operators.Stats.partialHist(rows.toDF("k", "v"), Seq("k"),
+      "v", lo, hi, bins)
+    val got = operators.Stats.histQuantiles(state, Seq("k"), lo, hi, bins,
+        qs = Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val width = (hi - lo) / bins
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      val counts = Array.fill(bins)(0L)
+      vs.foreach { case (_, v) =>
+        val b = math.min(bins - 1,
+          math.max(0, math.floor((v - lo) / width).toInt))
+        counts(b) += 1
+      }
+      val n = counts.sum
+      def est(q: Double): Double = {
+        val target = n * q
+        val cum = counts.scanLeft(0L)(_ + _).tail
+        val bin = cum.indexWhere(_ >= target) match {
+          case -1 => bins - 1; case i => i }
+        val before = if (bin == 0) 0L else cum(bin - 1)
+        val cnt = counts(bin)
+        lo + width * (bin +
+          (if (cnt == 0) 0.0 else (target - before) / cnt))
+      }
+      val (gn, g50, g90) = got(k)
+      assert(gn == n, s"key $k n")
+      assert(math.abs(g50 - est(0.5)) < 1e-9, s"key $k p50")
+      assert(math.abs(g90 - est(0.9)) < 1e-9, s"key $k p90")
+    }
+  }
+
+  test("assignStableIds equals the local total-order numbering on random scrambled input") {
+    val rnd = new scala.util.Random(777L)
+    val rows = Seq.tabulate(2000)(i => (rnd.nextInt(50), i.toLong))
+    val df = rows.toDF("g", "uid").repartition(17)
+    val got = operators.RelOps
+      .assignStableIds(df, Seq("g", "uid"), as = "rid")
+      .select("rid", "g", "uid").as[(Long, Int, Long)].collect()
+      .sortBy(_._1)
+    val want = rows.sortBy(identity).zipWithIndex
+      .map { case ((g, uid), i) => (i + 1L, g, uid) }
+    assert(got.toSeq == want)
+  }
+
+  test("triangleStats equals a local brute-force census on random graphs") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = (for (a <- 0 until n; b <- a + 1 until n
+        if rnd.nextDouble() < 0.12) yield (a.toLong, b.toLong)).toSeq
+      val got = operators.Graph.triangleStats(edges.toDF("src", "dst"))
+        .collect().head
+      val adj = edges.flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // yield the TRIANGLE, not a constant: a constant routed through the
+      // Set inner generator collapses to Set(1) per edge and undercounts
+      val localTri = (for ((a, b) <- edges; c <- adj(a) if c > b
+        && adj(b).contains(c)) yield (a, b, c)).size
+      val degs = adj.view.mapValues(_.size)
+      val localWedges = degs.values.map(d => d.toLong * (d - 1) / 2).sum
+      assert(got.getLong(0) == adj.size && got.getLong(1) == edges.size,
+        s"seed $seed sizes")
+      assert(got.getLong(2) == localTri, s"seed $seed triangles")
+      assert(got.getLong(3) == localWedges, s"seed $seed wedges")
+    }
+  }
 }
