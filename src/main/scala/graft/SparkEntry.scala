@@ -2642,6 +2642,24 @@ object SparkEntry {
           shingleSize = 8)
         .orderBy(col("doc_id"))
     }),
+
+    // Benchmark-version append (x148) — the store grows without a
+    // rebuild, and the anti-join is the load-bearing part: the serve
+    // counts hits through a join, so a shingle stored twice (benchmarks
+    // share boilerplate) would double every doc's contamination count.
+    // Build on v1 (doc_id % 20 = 0), append v2 (% 20 = 10), serve — the
+    // oracle replays the DIRECT screen over the union benchmark.
+    "x148_decontamination_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = s"/tmp/graft/x148_index_${dir.replaceAll("[^0-9.]", "")}"
+      Dedup.writeShingleIndex(docs.where(col("doc_id") % 20 === 0), idx,
+        "doc_id", "text", shingleSize = 8)
+      Dedup.appendShingleIndex(docs.where(col("doc_id") % 20 === 10), idx,
+        "doc_id", "text", shingleSize = 8)
+      Dedup.contaminationAgainstIndex(docs, idx, "doc_id", "text",
+          shingleSize = 8)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -5133,6 +5151,30 @@ object SparkEntry {
         |  CASE WHEN n_wedges = 0 THEN NULL
         |    ELSE (round(3.0 * nt / n_wedges, 6) + 0) END AS global_clustering
         |FROM ne, w, tri""".stripMargin,
+    // v1 ∪ v2 = doc_id % 10 = 0, so append-then-serve must equal the
+    // direct screen over that union — the same replay as x147
+    "x148_decontamination_append" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
+        |      for i in range(1, len(toks) - 6)])
+        |    END AS sh
+        |  FROM t),
+        |b AS (SELECT DISTINCT unnest(sh) AS sg FROM s WHERE doc_id % 10 = 0),
+        |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+        |h AS (SELECT doc_id, count(*) AS hits FROM e JOIN b USING (sg) GROUP BY doc_id)
+        |SELECT s.doc_id, len(s.sh) AS n_shingles,
+        |  coalesce(hits, 0) AS contaminated,
+        |  (round(CASE WHEN len(s.sh) = 0 THEN 0.0
+        |    ELSE coalesce(hits, 0)::DOUBLE / len(s.sh) END, 4) + 0) AS contaminated_frac
+        |FROM s LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
     // store+serve ≡ direct screen: the oracle replays x42's direct
     // contamination semantics over the same benchmark subset
     "x147_stored_decontamination" ->

@@ -593,6 +593,27 @@ object Dedup {
       .parquet(s"$dir/shingles.parquet")
   }
 
+  /** Grow the stored benchmark — a new eval-suite version appends WITHOUT
+    * rebuilding: the batch's distinct shingles anti-join the stored set
+    * first, because the store's distinctness is load-bearing — the serve
+    * counts hits through a join, and a shingle stored twice would double
+    * every document's contamination count. (The text index never faced
+    * this: its posting rows are keyed by (term, doc) and disjoint doc
+    * batches can't collide; a shared shingle set CAN.) Only genuinely-new
+    * shingles land, as new files in existing shard directories.
+    */
+  def appendShingleIndex(newBench: DataFrame, dir: String, idCol: String,
+      textCol: String, shingleSize: Int = 8): Unit = {
+    val existing = newBench.sparkSession.read
+      .parquet(s"$dir/shingles.parquet").select(col("sg"))
+    shingled(newBench, idCol, textCol, shingleSize)
+      .select(explode(Staging.pin(col("sh"))).as("sg")).distinct()
+      .join(existing, Seq("sg"), "left_anti")
+      .withColumn("shard", TextIndex.shardCol(col("sg")))
+      .write.mode("append").partitionBy("shard")
+      .parquet(s"$dir/shingles.parquet")
+  }
+
   /** [[contamination]] served from a [[writeShingleIndex]] store: same
     * one-pass corpus shape (explode_outer keeps shingle-less docs, the
     * broadcast left join marks hits, one map-side-partial groupBy

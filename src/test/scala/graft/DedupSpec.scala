@@ -524,6 +524,35 @@ class DedupSpec extends AnyFunSuite {
     assert(sc.exists(_.contains("shingles.parquet")))
   }
 
+  test("appendShingleIndex keeps the store distinct; append equals rebuild") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 200)
+    val v1 = docs.where(col("doc_id") % 20 === 0)
+    val v2 = docs.where(col("doc_id") % 20 === 10)
+    val inc = "/tmp/graft/dedupspec_shingle_inc"
+    val full = "/tmp/graft/dedupspec_shingle_full"
+    Dedup.writeShingleIndex(v1, inc, "doc_id", "text", shingleSize = 8)
+    def files(d: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$d/shingles.parquet"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val baseFiles = files(inc)
+    Dedup.appendShingleIndex(v2, inc, "doc_id", "text", shingleSize = 8)
+    assert(baseFiles.subsetOf(files(inc))) // base never rewritten
+    // distinctness is load-bearing for the hit-count join
+    val store = spark.read.parquet(s"$inc/shingles.parquet").select("sg")
+    assert(store.count() == store.distinct().count())
+    Dedup.writeShingleIndex(v1.unionByName(v2), full, "doc_id", "text",
+      shingleSize = 8)
+    val a = Dedup.contaminationAgainstIndex(docs, inc, "doc_id", "text", 8)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val b = Dedup.contaminationAgainstIndex(docs, full, "doc_id", "text", 8)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("crossSourceDupShare: unordered cells, diagonal vs cross, share sums to 1") {
     val base = "alpha beta gamma delta epsilon zeta eta theta"
     val d = Seq(

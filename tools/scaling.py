@@ -46,7 +46,8 @@ FAMILIES = {
               "x98_bloom_incremental_dedup", "x106_prefix_jaccard",
               "x108_containment_join", "x109_dup_rate",
               "x119_crossdoc_dedup", "x128_cluster_canonical",
-              "x136_cross_source_dup_share", "x147_stored_decontamination"],
+              "x136_cross_source_dup_share", "x147_stored_decontamination",
+              "x148_decontamination_append"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
               "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann",
               "x95_stored_ann_index", "x96_stored_index_append",
