@@ -2660,6 +2660,17 @@ object SparkEntry {
           shingleSize = 8)
         .orderBy(col("doc_id"))
     }),
+
+    // Metadata-only profile (x149) — row count and a column's min/max
+    // from parquet FOOTERS alone, zero data pages read: the instant
+    // pre-flight before touching a 100 TB table, and the production
+    // verifier for clustered layouts. Footers are read on the
+    // EXECUTORS; the oracle replays the same facts the slow way (a
+    // scan) — metadata and data must agree.
+    "x149_metadata_stats" -> ((s, dir) =>
+      Catalog.footerStats(s, dir, "documents", "doc_id")
+        .select(col("n_rows"), col("min_value").as("min_doc_id"),
+          col("max_value").as("max_doc_id"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -5151,6 +5162,12 @@ object SparkEntry {
         |  CASE WHEN n_wedges = 0 THEN NULL
         |    ELSE (round(3.0 * nt / n_wedges, 6) + 0) END AS global_clustering
         |FROM ne, w, tri""".stripMargin,
+    // footers must agree with the data: the oracle computes the same
+    // facts by scanning
+    "x149_metadata_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM documents""".stripMargin,
     // v1 ∪ v2 = doc_id % 10 = 0, so append-then-serve must equal the
     // direct screen over that union — the same replay as x147
     "x148_decontamination_append" ->

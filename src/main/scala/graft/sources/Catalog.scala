@@ -389,4 +389,66 @@ object Catalog {
     try sinks.foreach(_(s))
     finally if (cache) { s.unpersist(); () }
   }
+
+  /** Table profile from parquet FOOTERS alone — row count and a numeric
+    * column's min/max without scanning a single data page: the same
+    * metadata a pruning reader consults, surfaced as an operator (the
+    * instant sanity check before launching anything against a 100 TB
+    * table, and the production verifier for clustered layouts —
+    * `writeClustered`'s per-file disjointness is exactly these stats).
+    * Footers are read ON THE EXECUTORS (the file list parallelizes; the
+    * driver holds paths, never metadata), one footer per file, each a
+    * few KB regardless of file size. Min/max come from the row-group
+    * column statistics and are null when any row group lacks them
+    * (honest absence beats a silent partial answer).
+    *
+    * Output, one row: (n_files, n_row_groups, n_rows, min_value,
+    * max_value) for `numCol` (an INT64/INT32 column).
+    */
+  def footerStats(spark: SparkSession, root: String, ref: String,
+      numCol: String): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dir = new HPath(path(root, ref))
+    val fs = fsFor(spark, dir)
+    val files: Seq[String] =
+      if (fs.getFileStatus(dir).isDirectory)
+        fs.listStatus(dir).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      else Seq(dir.toString)
+    require(files.nonEmpty, s"footerStats: no parquet files under $dir")
+    val stats = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new HPath(f), conf))
+        try {
+          val blocks = r.getFooter.getBlocks
+          import scala.jdk.CollectionConverters._
+          val perBlock = blocks.asScala.toSeq.map { b =>
+            val c = b.getColumns.asScala
+              .find(_.getPath.toDotString == numCol)
+            val s = c.map(_.getStatistics).orNull
+            val ok = s != null && !s.isEmpty && s.hasNonNullValue
+            (b.getRowCount,
+              if (ok) Some(s.genericGetMin.asInstanceOf[Number].longValue) else None,
+              if (ok) Some(s.genericGetMax.asInstanceOf[Number].longValue) else None)
+          }
+          (1L, perBlock.size.toLong, perBlock.map(_._1).sum,
+            if (perBlock.forall(_._2.isDefined) && perBlock.nonEmpty)
+              Some(perBlock.flatMap(_._2).min) else None,
+            if (perBlock.forall(_._3.isDefined) && perBlock.nonEmpty)
+              Some(perBlock.flatMap(_._3).max) else None)
+        } finally r.close()
+      }
+    val (nf, ng, nr, mn, mx) = stats.reduce { (a, b) =>
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3,
+        for (x <- a._4; y <- b._4) yield math.min(x, y),
+        for (x <- a._5; y <- b._5) yield math.max(x, y))
+    }
+    import spark.implicits._
+    Seq((nf, ng, nr, mn, mx))
+      .toDF("n_files", "n_row_groups", "n_rows", "min_value", "max_value")
+  }
 }

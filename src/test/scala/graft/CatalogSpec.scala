@@ -232,6 +232,20 @@ class CatalogSpec extends AnyFunSuite {
       s"nanos-Long normalization broken: $normed")
   }
 
+  test("footerStats agrees with the scan across many files; counts files and row groups") {
+    val root = Files.createTempDirectory("graft-footer").toString
+    val df = (1L to 1000L).map(i => (i, i * 3 % 97)).toDF("id", "v")
+    df.repartition(4).write.parquet(s"$root/t.parquet")
+    val got = Catalog.footerStats(spark, root, "t", "id").collect().head
+    assert(got.getLong(0) == 4L, "n_files")
+    assert(got.getLong(1) >= 4L, "row groups")
+    assert(got.getLong(2) == 1000L && got.getLong(3) == 1L
+      && got.getLong(4) == 1000L)
+    // a column with no footer presence yields honest nulls, not zeros
+    val miss = Catalog.footerStats(spark, root, "t", "absent").collect().head
+    assert(miss.getLong(2) == 1000L && miss.isNullAt(3) && miss.isNullAt(4))
+  }
+
   test("fanOut feeds multiple sinks from one cached source") {
     val root = Files.createTempDirectory("graft-fan").toString
     val src = (1L to 10L).toDF("id")

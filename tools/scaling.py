@@ -70,7 +70,7 @@ FAMILIES = {
                  "x135_event_transitions", "x139_join_size_estimate",
                  "x140_zorder_key", "x143_rate_anomalies",
                  "x144_fd_audit", "x145_funnel_latency",
-                 "x146_stable_ids"],
+                 "x146_stable_ids", "x149_metadata_stats"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
               "x126_label_prop", "x142_triangle_census"],
 }
