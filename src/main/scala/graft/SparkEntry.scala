@@ -2671,6 +2671,34 @@ object SparkEntry {
       Catalog.footerStats(s, dir, "documents", "doc_id")
         .select(col("n_rows"), col("min_value").as("min_doc_id"),
           col("max_value").as("max_doc_id"))),
+
+    // Source health report (x150) — the one-query dashboard the library
+    // composes to: per feed, volume (docs, tokens), heuristic quality
+    // (x5's score), and duplication load (x132's dup-gram fraction).
+    // Both means ride as EXACT scaled-long sums before the division —
+    // a float mean over millions of docs is summation-order-dependent;
+    // integer sums are not. One narrow quality/token map + the dup
+    // shingle pipeline + a doc-keyed join + one source-keyed aggregate.
+    "x150_source_health" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = TextStats.withQualityScore(docs, "text", as = "__q")
+        .select(col("doc_id"), col("source"),
+          TextStats.tokenCount(col("text")).cast("long").as("__tok"),
+          round(col("__q") * 100, 0).cast("long").as("__qx"))
+      val d = Dedup.duplicateGramStats(docs, "doc_id", "text",
+          n = 5, minCount = 2)
+        .select(col("doc_id"),
+          round(col("dup_frac") * 10000, 0).cast("long").as("__dx"))
+      q.join(d, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__tok")).as("n_tokens"),
+          roundz(sum(col("__qx")).cast("double")
+            / count(lit(1)) / 100.0, 6).as("mean_quality"),
+          roundz(sum(col("__dx")).cast("double")
+            / count(lit(1)) / 10000.0, 6).as("mean_dup_frac"))
+        .orderBy(col("source"))
+    }),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -5162,6 +5190,46 @@ object SparkEntry {
         |  CASE WHEN n_wedges = 0 THEN NULL
         |    ELSE (round(3.0 * nt / n_wedges, 6) + 0) END AS global_clustering
         |FROM ne, w, tri""".stripMargin,
+    // x5's quality + x132's dup fraction + token counts, means over
+    // exact scaled-long sums with the same division ladder
+    "x150_source_health" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tok,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+        |    length(text) AS n_chars,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS stop_hits
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, n_tok,
+        |    CAST(round((round(
+        |      (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END) +
+        |      (CASE WHEN n_tok > 0 AND (n_nonspace::DOUBLE / n_tok) BETWEEN 2.0 AND 12.0
+        |        THEN 0.25 ELSE 0.0 END) +
+        |      (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END) < 0.2
+        |        THEN 0.25 ELSE 0.0 END) +
+        |      (CASE WHEN stop_hits > 0 THEN 0.25 ELSE 0.0 END), 2) + 0) * 100, 0) AS BIGINT) AS qx
+        |  FROM b),
+        |d0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g0 AS (SELECT doc_id, unnest(range(len(t) - 4)) AS p, t
+        |  FROM d0 WHERE len(t) >= 5),
+        |g AS (SELECT doc_id, array_to_string(t[p+1:p+5], ' ') AS s FROM g0),
+        |cg AS (SELECT s, count(*) AS c FROM g GROUP BY 1),
+        |a AS (SELECT doc_id, count(*) AS n_grams,
+        |    count(*) FILTER (WHERE c >= 2) AS n_dup
+        |  FROM g JOIN cg USING (s) GROUP BY 1),
+        |dd AS (SELECT d0.doc_id,
+        |    CAST(round((CASE WHEN coalesce(n_grams, 0) > 0
+        |      THEN (round(n_dup::DOUBLE / n_grams, 4) + 0)
+        |      ELSE 0.0 END) * 10000, 0) AS BIGINT) AS dx
+        |  FROM d0 LEFT JOIN a USING (doc_id))
+        |SELECT q.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(q.n_tok) AS BIGINT) AS n_tokens,
+        |  (round(sum(q.qx)::DOUBLE / count(*) / 100.0, 6) + 0) AS mean_quality,
+        |  (round(sum(dd.dx)::DOUBLE / count(*) / 10000.0, 6) + 0) AS mean_dup_frac
+        |FROM q JOIN dd USING (doc_id)
+        |GROUP BY q.source ORDER BY q.source""".stripMargin,
     // footers must agree with the data: the oracle computes the same
     // facts by scanning
     "x149_metadata_stats" ->
