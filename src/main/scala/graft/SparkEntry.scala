@@ -2699,6 +2699,23 @@ object SparkEntry {
             / count(lit(1)) / 10000.0, 6).as("mean_dup_frac"))
         .orderBy(col("source"))
     }),
+
+    // Type-token ratio per source (x151) — the classic lexical-diversity
+    // signal x150's dup fraction complements: a feed whose TTR collapses
+    // is templated/machine-generated even when no exact n-gram repeats
+    // (dup_frac blind spot). One explode + one aggregate; the distinct
+    // count partial-aggregates map-side per (source, token) before the
+    // single shuffle. Exact integer counts; only the final ratio divides.
+    "x151_type_token_ratio" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextStats.tokens(lower(col("text")))).as("__tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("__tok")).as("n_types"))
+        .withColumn("ttr",
+          roundz(col("n_types").cast("double") / col("n_tokens"), 6))
+        .orderBy(col("source"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -5190,6 +5207,17 @@ object SparkEntry {
         |  CASE WHEN n_wedges = 0 THEN NULL
         |    ELSE (round(3.0 * nt / n_wedges, 6) + 0) END AS global_clustering
         |FROM ne, w, tri""".stripMargin,
+    // same lowercase whitespace tokens, exact counts, round-6 ratio
+    "x151_type_token_ratio" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+        |  (round(count(DISTINCT tok)::DOUBLE / count(*), 6) + 0) AS ttr
+        |FROM tk GROUP BY source ORDER BY source""".stripMargin,
     // x5's quality + x132's dup fraction + token counts, means over
     // exact scaled-long sums with the same division ladder
     "x150_source_health" ->

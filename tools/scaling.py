@@ -59,7 +59,8 @@ FAMILIES = {
               "x112_table_fingerprint", "x124_distinctive_tokens",
               "x125_quality_gate", "x131_mergeable_quantiles",
               "x137_gate_agreement", "x138_nb_calibration",
-              "x141_hist_state_table", "x150_source_health"],
+              "x141_hist_state_table", "x150_source_health",
+              "x151_type_token_ratio"],
     "text_index": ["x129_stored_text_index", "x130_bm25_search",
                    "x132_dup_gram_fraction", "x133_phrase_search",
                    "x134_text_index_append"],
