@@ -270,6 +270,41 @@ object TextStats {
         concat_ws(" ", col("__c.ctoks")).as("chunk_text"))
   }
 
+  /** Forward-window skip-gram co-occurrence counts — the training-prep
+    * table behind word2vec-style embeddings (Mikolov et al. 2013,
+    * public): every (token, following-token-at-offset-1..window) pair,
+    * counted corpus-wide. Where [[pmiPairs]] asks "same document", this
+    * asks "within `window` positions" — the signal that distinguishes
+    * syntax-scale affinity from topic-scale affinity.
+    *
+    * One corpus-sized NARROW pass: each document zips its own token
+    * array against `window` shifted slices of itself (never a
+    * positional self-join — the classic blowup this shape replaces),
+    * explodes once, and the single shuffle carries map-side-combined
+    * partial counts; `minCount` prunes the long tail after the
+    * aggregate. Ubiquitous pairs are absorbed by the same partial
+    * aggregation every groupBy in the engine leans on.
+    */
+  def skipgramCounts(docs: DataFrame, textCol: String, window: Int,
+      minCount: Long): DataFrame = {
+    require(window >= 1 && window <= 8 && minCount >= 1,
+      s"bad skipgramCounts params window=$window minCount=$minCount")
+    val pairCols = (1 to window).map { o =>
+      when(size(col("__t")) > o,
+        zip_with(
+          slice(col("__t"), lit(1), size(col("__t")) - o),
+          slice(col("__t"), lit(1 + o), size(col("__t")) - o),
+          (a, b) => struct(a.as("a"), b.as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    }
+    docs.select(tokens(lower(col(textCol))).as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(explode(concat(pairCols: _*)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
   /** Pointwise mutual information of token pairs co-occurring in the same
     * document — collocation mining over a corpus (which words travel
     * together more than chance predicts). Counts are document-level

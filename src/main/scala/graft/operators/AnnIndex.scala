@@ -106,6 +106,12 @@ object AnnIndex {
     * append — untouched cells gain no files). Cost is one narrow map
     * over the BATCH: nothing rescans or rewrites the existing corpus,
     * which is the whole point at 100 TB.
+    *
+    * File-count maintenance: many appends leave one small file per batch
+    * in each touched cell directory;
+    * `Catalog.compactPartition(spark, dir, "codes", Seq(("cell", c)))`
+    * rewrites one cell in place (atomic swap) without touching the
+    * quantizer, codebooks, or serve planning.
     */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
       spill: Int = 1,

@@ -351,6 +351,13 @@ object Behavior {
     * the DIVISION itself, not just the consumer: under ANSI mode an
     * unconditional (k-1) divisor raises on single-bucket types before
     * any downstream when() sees the row.
+    *
+    * The baseline is LEFT-joined: a type the baseline has never seen (a
+    * brand-new event type arriving in the stream) still surfaces, with
+    * `z`/`anomaly` null — the same "cannot score" signal degenerate
+    * (k<2) types carry — instead of silently vanishing from the
+    * monitor. Downstream alerting that wants unseen-type = alarm keys
+    * on `z IS NULL AND n > 0` with a baseline-membership check.
     */
   def scoreRates(counts: DataFrame, baseline: DataFrame,
       zThresh: Double = 2.0, typeCol: String = "event_type"): DataFrame = {
@@ -359,7 +366,7 @@ object Behavior {
       (col("__ss").cast("double")
         - col("__s").cast("double") * col("__s").cast("double") / col("__k"))
         / (col("__k") - 1))
-    counts.join(broadcast(baseline), Seq(typeCol))
+    counts.join(broadcast(baseline), Seq(typeCol), "left")
       .withColumn("__mu", col("__s").cast("double") / col("__k"))
       .withColumn("__var", varExpr)
       .withColumn("z",

@@ -918,6 +918,89 @@ object Dedup {
     } finally cands.unpersist()
   }
 
+  // ------------------------------------------- stored near-dup LSH index
+
+  /** Persist a corpus's MinHash-LSH bucket index — the near-dup family's
+    * STORED form, completing the stored-index matrix next to the ANN
+    * cells ([[graft.operators.AnnIndex.write]]), the text postings
+    * ([[graft.operators.TextIndex.write]]) and the decontamination
+    * shingle set ([[writeShingleIndex]]): [[lshBuckets]]' (id, band,
+    * bucket) rows land partitioned by `band`, so the store grows by
+    * whole files inside a fixed set of band directories and a serve
+    * join on (band, bucket) reads index rows, never corpus text.
+    *
+    * Signatures are pure per-document functions of the text, so the
+    * bucket rows of id-disjoint document batches are disjoint — append
+    * equals rebuild row-for-row (DedupSpec pins it), with no anti-join
+    * needed (unlike the shared shingle set, whose global distinctness
+    * is load-bearing).
+    */
+  def writeLshIndex(corpus: DataFrame, dir: String, idCol: String,
+      textCol: String, shingleSize: Int = 3, numHashes: Int = 48,
+      bands: Int = 12): Unit =
+    lshBuckets(corpus, idCol, textCol, shingleSize, numHashes, bands)
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dir/buckets.parquet")
+
+  /** Grow the stored bucket index with a new document batch: one narrow
+    * signature pass over the BATCH, landing as new files in the existing
+    * band directories — the corpus is never re-signatured. Caller
+    * contract: batch ids are new (id-disjoint from what is stored);
+    * parameters must match the build (they define the signature space).
+    * File-count maintenance after many appends:
+    * `Catalog.compactPartition(spark, dir, "buckets", Seq(("band", b)))`
+    * rewrites one band directory in place (atomic swap); serve results
+    * are identical pre/post (CatalogSpec pins it).
+    */
+  def appendLshIndex(batch: DataFrame, dir: String, idCol: String,
+      textCol: String, shingleSize: Int = 3, numHashes: Int = 48,
+      bands: Int = 12): Unit =
+    lshBuckets(batch, idCol, textCol, shingleSize, numHashes, bands)
+      .write.mode("append").partitionBy("band")
+      .parquet(s"$dir/buckets.parquet")
+
+  /** [[incrementalMinhashMatches]] served from a [[writeLshIndex]] store
+    * — the steady-state 100 TB ingest shape: the corpus was signatured
+    * once at ingest (and each accepted batch [[appendLshIndex]]ed), so
+    * matching a new batch costs one batch-sized signature pass plus an
+    * index join. The corpus TABLE is touched only to re-shingle the
+    * candidate documents for exact verification (semi-join pruned to a
+    * vanishing fraction); its signatures come from the store.
+    */
+  def matchesAgainstLshIndex(newDf: DataFrame, corpus: DataFrame,
+      dir: String, idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int = 3, numHashes: Int = 48, bands: Int = 12,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val stored = newDf.sparkSession.read.parquet(s"$dir/buckets.parquet")
+      .select(col(idCol), col("band").cast("int").as("band"), col("bucket"))
+    incrementalMinhashMatchesWithIndex(newDf, corpus, stored, idCol, textCol,
+      threshold, shingleSize, numHashes, bands, maxBucketSize)
+  }
+
+  /** Persist the exact-verified near-dup PAIR TRUTH — [[minhashPairs]]'
+    * output (a < b, jaccard) as a stored table. The pair set is the
+    * single most re-consumed dedup artifact: duplicate clustering,
+    * keep-best selection, cross-source duplication matrices, contagion
+    * propagation and triangle censuses all start from the same pairs,
+    * and at 100 TB the LSH+verify pipeline should price in ONCE at
+    * ingest, with every analysis reading the table. Tiny at any corpus
+    * size (ids + score only — verified duplicate pairs are a vanishing
+    * fraction of corpus²).
+    */
+  def writePairTable(df: DataFrame, dir: String, idCol: String,
+      textCol: String, threshold: Double, shingleSize: Int = 3,
+      numHashes: Int = 48, bands: Int = 12): Unit = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold, shingleSize,
+      numHashes, bands)
+    try pairs.write.mode("overwrite").parquet(s"$dir/pairs.parquet")
+    finally pairs.unpersist()
+  }
+
+  /** Read back a [[writePairTable]] store: (a, b, jaccard). */
+  def pairTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pairs.parquet")
+
   /** The new batch with exact and near duplicates of the corpus removed —
     * the per-ingest decontamination step of a continuously growing corpus.
     * Within-batch duplicates are a separate, composable concern
@@ -1139,8 +1222,16 @@ object Dedup {
     * Output: (source_a ≤ source_b, n_pairs, share round-6, cross_source).
     */
   def crossSourceDupShare(df: DataFrame, idCol: String, textCol: String,
-      srcCol: String, threshold: Double = 0.9): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, threshold)
+      srcCol: String, threshold: Double = 0.9): DataFrame =
+    crossSourceDupShareFromPairs(minhashPairs(df, idCol, textCol, threshold),
+      df, idCol, srcCol)
+
+  /** [[crossSourceDupShare]] over an ALREADY-COMPUTED pair frame
+    * (`(a, b, …)` — e.g. a [[pairTable]] store), so the analysis prices
+    * in only the pair-keyed source join, not a fresh LSH+verify run.
+    */
+  def crossSourceDupShareFromPairs(pairs: DataFrame, df: DataFrame,
+      idCol: String, srcCol: String): DataFrame = {
     val src = df.select(col(idCol), col(srcCol))
     val cells = pairs
       .join(src.select(col(idCol).as("a"), col(srcCol).as("__sa")), Seq("a"))

@@ -61,23 +61,6 @@ object Graph {
     personalizedPageRank(edges, srcCol, dstCol, None, iters, damping,
       redistributeDangling)
 
-  /** Seeded (personalized) PageRank — the TrustRank pattern (Gyöngyi,
-    * Garcia-Molina & Pedersen, VLDB'04, public): the teleport mass lands
-    * ONLY on the `seeds` node set instead of uniformly, so rank flows
-    * outward from trusted sources and decays with link distance — the
-    * standard way to propagate source quality over a link graph when a
-    * small allowlist is all the ground truth a corpus has. `seeds = None`
-    * degenerates to uniform teleport (classic PageRank).
-    *
-    * Seeds arrive as a DataFrame (single node-id column) because at corpus
-    * scale the allowlist is itself a table: membership becomes a `__t`
-    * teleport column on the cached node frame (one semi-join at build,
-    * free per iteration), and the only extra driver value is the seed
-    * COUNT. The start vector is the teleport vector (mass on seeds), as
-    * the paper specifies. Dangling nodes: same contract/mechanics as
-    * [[pageRank]], except redistributed mass returns via the teleport
-    * vector (seed-proportional), keeping the personalization exact.
-    */
   /** HITS hubs & authorities (Kleinberg 1999, public) over a DIRECTED
     * edge list — the natural rank pair for bipartite interaction graphs
     * (curator→source, customer→supplier): a good hub points at good
@@ -134,6 +117,23 @@ object Graph {
     }
   }
 
+  /** Seeded (personalized) PageRank — the TrustRank pattern (Gyöngyi,
+    * Garcia-Molina & Pedersen, VLDB'04, public): the teleport mass lands
+    * ONLY on the `seeds` node set instead of uniformly, so rank flows
+    * outward from trusted sources and decays with link distance — the
+    * standard way to propagate source quality over a link graph when a
+    * small allowlist is all the ground truth a corpus has. `seeds = None`
+    * degenerates to uniform teleport (classic PageRank).
+    *
+    * Seeds arrive as a DataFrame (single node-id column) because at corpus
+    * scale the allowlist is itself a table: membership becomes a `__t`
+    * teleport column on the cached node frame (one semi-join at build,
+    * free per iteration), and the only extra driver value is the seed
+    * COUNT. The start vector is the teleport vector (mass on seeds), as
+    * the paper specifies. Dangling nodes: same contract/mechanics as
+    * [[pageRank]], except redistributed mass returns via the teleport
+    * vector (seed-proportional), keeping the personalization exact.
+    */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: Option[DataFrame], iters: Int = 3, damping: Double = 0.85,
       redistributeDangling: Boolean = false): DataFrame = {
@@ -283,6 +283,61 @@ object Graph {
     * Output, one row: (n_nodes, n_edges, n_triangles, n_wedges,
     * global_clustering round-6).
     */
+  /** Rounds-bounded k-core peel (Seidman 1983's coreness; the
+    * Batagelj–Zaveršnik peel re-expressed as relational rounds —
+    * public): repeatedly drop nodes whose degree among SURVIVORS is
+    * < k. Undirected: edges canonicalize + symmetrize in one pass (the
+    * exploded struct-array idiom — a union with the swapped frame would
+    * run the upstream plan twice). Output after `rounds` peels, or the
+    * earlier fixpoint: (node, degree) of survivors with degree measured
+    * within the surviving subgraph — the rounds-bounded upper
+    * approximation of the true k-core, exact whenever the peel
+    * converges within `rounds` (the early-stop makes extra rounds
+    * no-ops, so a fixed-round replay agrees regardless).
+    *
+    * Scale: the symmetric edge list is the cached loop invariant; each
+    * round is two semi-joins against a node-sized alive set + one
+    * map-side-combined degree aggregate. ONLY the survivor COUNT
+    * reaches the driver (the early-stop scalar); alive sets persist
+    * round-to-round and unpersist once the next round materializes, so
+    * lineage stays shallow at any `rounds`.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"kCore: k=$k rounds=$rounds")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .persist(lvl)
+    def degrees(alive: DataFrame): DataFrame =
+      sym.join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .select(col("src").as("node"), col("degree"))
+    var alive = sym.select(col("src").as("node")).distinct().persist(lvl)
+    try {
+      var n = alive.count()
+      var done = false
+      for (_ <- 1 to rounds if !done) {
+        val next = degrees(alive).where(col("degree") >= k)
+          .select(col("node")).persist(lvl)
+        val m = next.count()
+        alive.unpersist()
+        alive = next
+        if (m == n) done = true else n = m
+      }
+      val res = degrees(alive).persist(lvl)
+      res.count()
+      res
+    } finally { alive.unpersist(); sym.unpersist(); () }
+  }
+
   def triangleStats(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     val e = edges

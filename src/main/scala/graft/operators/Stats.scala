@@ -393,10 +393,22 @@ object Stats {
   /** Merge any number of [[partialHist]] states on the same keys:
     * element-wise long addition (groups absent from one state contribute
     * an implicit zero vector via the union). Exact — longs, no floats.
+    *
+    * Every incoming vector is length-checked at row eval: `zip_with`
+    * over count vectors of different lengths would silently produce
+    * null elements — corrupting the durable quantile state — so a
+    * cutpoint/bins mismatch raises instead.
     */
   def mergeHist(keys: Seq[String], bins: Int, states: DataFrame*): DataFrame = {
     require(states.nonEmpty, "mergeHist: no states")
-    states.reduce(_.unionByName(_)).groupBy(keys.map(col): _*)
+    val checked = when(size(col("__hist")) === bins, col("__hist"))
+      .otherwise(raise_error(concat(
+        lit(s"mergeHist: state vector of length "),
+        size(col("__hist")).cast("string"),
+        lit(s" cannot merge under bins=$bins")))
+        .cast("array<bigint>"))
+    states.map(_.withColumn("__hist", checked)).reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
       .agg(aggregate(collect_list(col("__hist")),
         transform(sequence(lit(0), lit(bins - 1)), _ => lit(0L)),
         (acc, h) => zip_with(acc, h, _ + _)).as("__hist"))

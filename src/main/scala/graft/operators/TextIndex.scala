@@ -118,6 +118,13 @@ object TextIndex {
     * BM25, whose df counts posting rows per term) is oblivious to which
     * batch a row came from. At 100 TB this is the difference between
     * re-tokenizing the corpus and tokenizing the day's arrivals.
+    *
+    * File-count maintenance: after many appends a shard directory holds
+    * one small file per batch, bloating the very footer pruning the
+    * layout exists for —
+    * `Catalog.compactPartition(spark, dir, "postings", Seq(("shard", s)))`
+    * rewrites one shard in place (atomic swap, closed shards compact
+    * independently); serve results are identical pre/post (CatalogSpec).
     */
   def append(docs: DataFrame, dir: String, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {

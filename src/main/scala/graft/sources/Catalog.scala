@@ -405,6 +405,25 @@ object Catalog {
     * Output, one row: (n_files, n_row_groups, n_rows, min_value,
     * max_value) for `numCol` (an INT64/INT32 column).
     */
+  /** All parquet data files under `dir`, RECURSING into partition
+    * subdirectories (`shard=…`, `band=…`, date dirs …) so clustered /
+    * partitioned layouts — the very stores the footer tools verify —
+    * are covered, not just flat single-directory tables. Dot- and
+    * underscore-prefixed entries (ledgers, `_SUCCESS`, checkpoints) are
+    * skipped at every level.
+    */
+  private def listParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath): Seq[String] = {
+    val entries = fs.listStatus(dir).toSeq
+      .filterNot { e =>
+        val n = e.getPath.getName
+        n.startsWith(".") || n.startsWith("_")
+      }
+    entries.filter(_.isDirectory).flatMap(e => listParquetFiles(fs, e.getPath)) ++
+      entries.filterNot(_.isDirectory).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+  }
+
   def footerStats(spark: SparkSession, root: String, ref: String,
       numCol: String): DataFrame = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -412,9 +431,7 @@ object Catalog {
     val dir = new HPath(path(root, ref))
     val fs = fsFor(spark, dir)
     val files: Seq[String] =
-      if (fs.getFileStatus(dir).isDirectory)
-        fs.listStatus(dir).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      if (fs.getFileStatus(dir).isDirectory) listParquetFiles(fs, dir)
       else Seq(dir.toString)
     require(files.nonEmpty, s"footerStats: no parquet files under $dir")
     val stats = spark.sparkContext
@@ -450,5 +467,52 @@ object Catalog {
     import spark.implicits._
     Seq((nf, ng, nr, mn, mx))
       .toDF("n_files", "n_row_groups", "n_rows", "min_value", "max_value")
+  }
+
+  /** [[footerStats]] per FILE: one row (n_rows, min_value, max_value)
+    * per parquet data file (recursing into partition subdirectories) for
+    * `numCol` — the metadata view a min/max file-skipping scan prunes
+    * by, exposed as data so a clustering layout's "narrow spans, few
+    * files overlap a probe" claim is verifiable END TO END from footers
+    * alone (x154). File paths are deliberately NOT in the output — part-
+    * file names carry task uuids; callers order by `min_value`.
+    */
+  def footerFileStats(spark: SparkSession, root: String, ref: String,
+      numCol: String): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dir = new HPath(path(root, ref))
+    val fs = fsFor(spark, dir)
+    val files: Seq[String] =
+      if (fs.getFileStatus(dir).isDirectory) listParquetFiles(fs, dir)
+      else Seq(dir.toString)
+    require(files.nonEmpty, s"footerFileStats: no parquet files under $dir")
+    val stats = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new HPath(f), conf))
+        try {
+          val blocks = r.getFooter.getBlocks
+          import scala.jdk.CollectionConverters._
+          val perBlock = blocks.asScala.toSeq.map { b =>
+            val c = b.getColumns.asScala
+              .find(_.getPath.toDotString == numCol)
+            val s = c.map(_.getStatistics).orNull
+            val ok = s != null && !s.isEmpty && s.hasNonNullValue
+            (b.getRowCount,
+              if (ok) Some(s.genericGetMin.asInstanceOf[Number].longValue) else None,
+              if (ok) Some(s.genericGetMax.asInstanceOf[Number].longValue) else None)
+          }
+          (perBlock.map(_._1).sum,
+            if (perBlock.forall(_._2.isDefined) && perBlock.nonEmpty)
+              Some(perBlock.flatMap(_._2).min) else None,
+            if (perBlock.forall(_._3.isDefined) && perBlock.nonEmpty)
+              Some(perBlock.flatMap(_._3).max) else None)
+        } finally r.close()
+      }.collect().toSeq // bounded: one tuple per FILE, not per row
+    import spark.implicits._
+    stats.toDF("n_rows", "min_value", "max_value")
   }
 }

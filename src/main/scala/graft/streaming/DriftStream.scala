@@ -52,7 +52,11 @@ object DriftStream {
     * its per-group PSI rows append to the `logRef` table, stamped with
     * the batch id. Replay-protected by the same batch-id ledger
     * discipline as the other foreachBatch sinks (a replayed batch would
-    * otherwise append duplicate log rows).
+    * otherwise append duplicate log rows) — with the same residual as
+    * [[StatsStream]]/[[HistStream]]: a crash between the log append and
+    * the marker write replays that batch's rows. Log readers that need
+    * the stronger guarantee dedupe on (group, batch_id), which is exact
+    * here because the appended rows carry the batch id.
     */
   def driftStream(stream: DataFrame, root: String, baselineRef: String,
       logRef: String, groupCols: Seq[String], valueCol: String,

@@ -17,10 +17,15 @@ import graft.sources.Catalog
   * fixed at stream start — they ARE the state's schema; changing them
   * means a new table, exactly like changing the keys.
   *
-  * Exactly-once via the same batch-id ledger as [[StatsStream]] (the
-  * count-vector monoid double-counts replays; the marker check makes a
-  * replayed batch a no-op), stored as a SIBLING of the state table so
-  * `mergeHistTable`'s upsert swap cannot destroy it.
+  * Replay protection via the same batch-id ledger as [[StatsStream]]
+  * (the count-vector monoid double-counts replays; the marker check
+  * makes a replayed batch a no-op), stored as a SIBLING of the state
+  * table so `mergeHistTable`'s upsert swap cannot destroy it. Like
+  * StatsStream, this is at-least-once with an idempotence window, not
+  * true exactly-once: a crash BETWEEN the completed merge (atomic table
+  * swap) and the marker write replays the batch into the merged state —
+  * a residual closable only by a transactional table format that
+  * commits data and ledger atomically.
   */
 object HistStream {
 

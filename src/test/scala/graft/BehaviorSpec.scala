@@ -256,6 +256,23 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.collect { case ((t, _), r) if t == "c" => r.isNullAt(3) }.forall(identity))
   }
 
+  test("scoreRates surfaces a type absent from the baseline (null z, never dropped)") {
+    // the streaming monitor's strongest volume anomaly is a brand-new
+    // event type — an inner join would silently erase it
+    val counts = Seq(
+      ("seen", ts("2024-01-01 10:00:00"), 3L),
+      ("brand_new", ts("2024-01-01 10:00:00"), 50L)).toDF("event_type", "hour", "n")
+    val baseline = Behavior.rateBaseline(
+      Seq(("seen", ts("2024-01-01 08:00:00"), 2L),
+        ("seen", ts("2024-01-01 09:00:00"), 4L)).toDF("event_type", "hour", "n"))
+    val got = Behavior.scoreRates(counts, baseline)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.contains("brand_new"), "unseen type dropped from the monitor")
+    val nw = got("brand_new")
+    assert(nw.getLong(2) == 50L && nw.isNullAt(3) && nw.isNullAt(4))
+    assert(!got("seen").isNullAt(3)) // scored types still score
+  }
+
   test("transitions: per-user lag pairs, per-prev normalization, ts tie broken by event_id") {
     def ts2(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
     val events = Seq(

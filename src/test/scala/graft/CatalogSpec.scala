@@ -246,6 +246,62 @@ class CatalogSpec extends AnyFunSuite {
     assert(miss.getLong(2) == 1000L && miss.isNullAt(3) && miss.isNullAt(4))
   }
 
+  test("footerStats recurses into partitioned layouts; footerFileStats profiles per file") {
+    val root = Files.createTempDirectory("graft-footer-part").toString
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "seg")
+    // subdirectory-per-partition — the shape the shard/band stores use;
+    // the pre-recursion lister saw zero files here
+    Catalog.writePartitioned(df, root, "t", Seq("seg"))
+    val got = Catalog.footerStats(spark, root, "t", "id").collect().head
+    assert(got.getLong(2) == 100L && got.getLong(3) == 1L
+      && got.getLong(4) == 100L)
+    // per-file profile: row counts sum to the table, global bounds agree
+    val perFile = Catalog.footerFileStats(spark, root, "t", "id")
+    val s = perFile.agg(sum($"n_rows"), min($"min_value"), max($"max_value"))
+      .collect().head
+    assert(s.getLong(0) == 100L && s.getLong(1) == 1L && s.getLong(2) == 100L)
+    assert(perFile.where($"n_rows" <= 0).count() == 0L)
+  }
+
+  test("stored-index maintenance: compactPartition shrinks a shard/band, serve identical pre/post") {
+    import graft.operators.{Dedup, TextIndex}
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .where(col("doc_id") < 300)
+    def leafFiles(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    // near-dup LSH store: many appended files in each band directory
+    val idx = Files.createTempDirectory("graft-lsh-compact").toString
+    Dedup.writeLshIndex(docs.where(col("doc_id") % 3 === 0), idx, "doc_id", "text")
+    Dedup.appendLshIndex(docs.where(col("doc_id") % 3 === 1), idx, "doc_id", "text")
+    Dedup.appendLshIndex(docs.where(col("doc_id") % 3 === 2), idx, "doc_id", "text")
+    val batch = docs.where(col("doc_id") % 7 === 0)
+    def serve() = Dedup.matchesAgainstLshIndex(batch, docs, idx,
+        "doc_id", "text", threshold = 0.9)
+      .orderBy(col("new_id"), col("corpus_id")).collect().map(_.toSeq).toSeq
+    val before = serve()
+    val bandDir = s"$idx/buckets.parquet/band=0"
+    val filesBefore = leafFiles(bandDir)
+    assert(filesBefore.size >= 3, s"expected appended files, got $filesBefore")
+    Catalog.compactPartition(spark, idx, "buckets", Seq(("band", "0")))
+    assert(leafFiles(bandDir).size < filesBefore.size, "band not compacted")
+    assert(serve() == before && before.nonEmpty,
+      "serve changed across compaction")
+
+    // text index: same maintenance path on a postings shard
+    val tix = Files.createTempDirectory("graft-tix-compact").toString
+    TextIndex.write(docs.where(col("doc_id") % 2 === 0), tix)
+    TextIndex.append(docs.where(col("doc_id") % 2 === 1), tix)
+    val terms = Seq("the", "data")
+    def bm25() = TextIndex.bm25Search(spark, tix, terms, k = 10)
+      .collect().map(_.toSeq).toSeq
+    val b0 = bm25()
+    val shard = terms.map(TextIndex.shardOf).head
+    Catalog.compactPartition(spark, tix, "postings", Seq(("shard", s"$shard")))
+    assert(bm25() == b0 && b0.nonEmpty, "bm25 serve changed across compaction")
+  }
+
   test("fanOut feeds multiple sinks from one cached source") {
     val root = Files.createTempDirectory("graft-fan").toString
     val src = (1L to 10L).toDF("id")

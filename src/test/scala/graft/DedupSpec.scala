@@ -553,6 +553,105 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("stored LSH index: serve equals self-contained match; corpus signatures come from the store") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 300)
+    val corpus = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    val idx = "/tmp/graft/dedupspec_lsh_idx"
+    Dedup.writeLshIndex(corpus, idx, "doc_id", "text")
+    val served = Dedup.matchesAgainstLshIndex(batch, corpus, idx,
+      "doc_id", "text", threshold = 0.9)
+    val direct = Dedup.incrementalMinhashMatches(batch, corpus,
+      "doc_id", "text", threshold = 0.9)
+    val a = served.orderBy(col("new_id"), col("corpus_id"))
+      .collect().map(_.toSeq).toSeq
+    val b = direct.orderBy(col("new_id"), col("corpus_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+    // distinct-relation scan census: the serve plan reads the bucket
+    // STORE, and its only documents scans are the batch signature pass
+    // plus the two semi-join-pruned re-shingles — the self-contained
+    // operator pays exactly one more (the corpus signature), the scan
+    // the store exists to delete. Cached subtrees (cands, the returned
+    // persisted pairs) are censused ONCE via their shared cacheBuilder.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def census(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+      def go(p: SparkPlan): Seq[String] = p match {
+        case s: FileSourceScanExec    => Seq(s.toString)
+        case ad: AdaptiveSparkPlanExec => go(ad.executedPlan)
+        case q: QueryStageExec        => go(q.plan)
+        case m: InMemoryTableScanExec =>
+          if (seen.add(m.relation.cacheBuilder)) go(m.relation.cachedPlan)
+          else Nil
+        case other                    => other.children.flatMap(go)
+      }
+      go(df.queryExecution.executedPlan)
+    }
+    val sv = census(served)
+    val dr = census(direct)
+    assert(sv.exists(_.contains("buckets.parquet")),
+      s"serve plan never read the store:\n${sv.mkString("\n")}")
+    assert(sv.count(_.contains("documents.parquet")) == 3,
+      s"serve documents scans:\n${sv.mkString("\n")}")
+    assert(dr.count(_.contains("documents.parquet")) == 4,
+      s"direct documents scans:\n${dr.mkString("\n")}")
+  }
+
+  test("appendLshIndex: base files untouched; append equals rebuild row-for-row") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 300)
+    val v1 = docs.where(col("doc_id") % 4 < 2)
+    val v2 = docs.where(col("doc_id") % 4 === 2)
+    val inc = "/tmp/graft/dedupspec_lsh_inc"
+    val full = "/tmp/graft/dedupspec_lsh_full"
+    Dedup.writeLshIndex(v1, inc, "doc_id", "text")
+    def files(d: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$d/buckets.parquet"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val baseFiles = files(inc)
+    Dedup.appendLshIndex(v2, inc, "doc_id", "text")
+    assert(baseFiles.subsetOf(files(inc))) // append never rewrites the base
+    // id-disjoint batches → disjoint bucket rows → append ≡ rebuild,
+    // row for row (the property that lets the store skip x148's anti-join)
+    Dedup.writeLshIndex(v1.unionByName(v2), full, "doc_id", "text")
+    def rows(d: String) = spark.read.parquet(s"$d/buckets.parquet")
+      .select(col("doc_id"), col("band").cast("int"), col("bucket"))
+      .orderBy(col("doc_id"), col("band"), col("bucket"))
+      .collect().map(_.toSeq).toSeq
+    val ai = rows(inc)
+    assert(ai == rows(full) && ai.nonEmpty)
+  }
+
+  test("writePairTable: stored pair truth equals minhashPairs; consumers read it unchanged") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, base, "feedA"), (2L, base, "feedB"), (3L, base, "feedA"),
+      (4L, "totally different words here now", "feedC"))
+      .toDF("doc_id", "text", "source")
+    val dir = "/tmp/graft/dedupspec_pair_store"
+    Dedup.writePairTable(d, dir, "doc_id", "text", threshold = 0.9)
+    val stored = Dedup.pairTable(spark, dir)
+      .orderBy(col("a"), col("b")).collect().map(_.toSeq).toSeq
+    val fresh = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.9)
+      .orderBy(col("a"), col("b")).collect().map(_.toSeq).toSeq
+    assert(stored == fresh && stored.nonEmpty)
+    val viaStore = Dedup.crossSourceDupShareFromPairs(
+        Dedup.pairTable(spark, dir), d, "doc_id", "source")
+      .orderBy(col("source_a"), col("source_b")).collect().map(_.toSeq).toSeq
+    val direct = Dedup.crossSourceDupShare(d, "doc_id", "text", "source",
+        threshold = 0.9)
+      .orderBy(col("source_a"), col("source_b")).collect().map(_.toSeq).toSeq
+    assert(viaStore == direct)
+  }
+
   test("crossSourceDupShare: unordered cells, diagonal vs cross, share sums to 1") {
     val base = "alpha beta gamma delta epsilon zeta eta theta"
     val d = Seq(

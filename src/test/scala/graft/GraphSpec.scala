@@ -215,6 +215,24 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1L) === 1.0 && got(2L) === 1.0)
   }
 
+  test("kCore peels to the 2-core; bounded rounds expose the intermediate survivors") {
+    // 4-clique {1,2,3,4} + pendant chain 1-5-6 + isolated edge 7-8:
+    // peel 1 drops 6,7,8; peel 2 drops 5 (its degree fell to 1);
+    // peel 3 is a no-op (fixpoint) -> the clique with degree 3 each
+    val edges = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)) ++
+      Seq((1L, 5L), (5L, 6L), (7L, 8L))
+    val core = Graph.kCore(edges.toDF("src", "dst"), "src", "dst",
+        k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // rounds = 1 stops mid-peel: 5 survives the first round (degree 2)
+    // and reports its degree WITHIN the surviving subgraph (only 1 left)
+    val one = Graph.kCore(edges.toDF("src", "dst"), "src", "dst",
+        k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 4L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L))
+  }
+
   test("triangleStats: K4 census, path graph, duplicate/reversed edge hygiene") {
     // K4 on nodes 1-4 with every edge ALSO given reversed and one twice:
     // dedup to 6 edges, 4 triangles, wedges = 4 * C(3,2) = 12, cc = 1.0

@@ -222,6 +222,20 @@ class StatsSpec extends AnyFunSuite {
     assert(merged("b") == Seq(0L, 0L, 0L, 1L, 0L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  test("mergeHist rejects a bins mismatch instead of silently nulling state") {
+    // zip_with over different-length vectors yields null elements — a
+    // cutpoint mismatch must raise, not corrupt the durable state
+    val df = Seq(("a", Some(5.0)), ("a", Some(15.0))).toDF("k", "v")
+    val ten = Stats.partialHist(df, Seq("k"), "v", lo = 0.0, hi = 100.0,
+      bins = 10)
+    val e = intercept[Exception] {
+      Stats.mergeHist(Seq("k"), bins = 8, ten).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${msgs(t.getCause)}"
+    assert(msgs(e).contains("mergeHist"), msgs(e))
+  }
+
   test("histQuantiles: interpolation arithmetic and empty-bin-free pick") {
     // one key, 4 bins over [0,40): counts [2, 0, 2, 0] → n=4;
     // p50: target 2.0, first bin with cum>=2 is bin 0 → 0 + 10*(0 + 2/2) = 10

@@ -374,6 +374,19 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got.forall(_ == "a"), got.mkString(","))
   }
 
+  test("skipgramCounts: per-offset pairs, min-support prune, short docs safe") {
+    val docs = Seq((1L, "a b c d"), (2L, "A b c"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextStats.skipgramCounts(docs, "text", window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc1: o1 (a,b)(b,c)(c,d), o2 (a,c)(b,d); doc2 lowercased: o1 (a,b)(b,c), o2 (a,c)
+    assert(got == Map(("a", "b") -> 2L, ("b", "c") -> 2L, ("c", "d") -> 1L,
+      ("a", "c") -> 2L, ("b", "d") -> 1L))
+    val pruned = TextStats.skipgramCounts(docs, "text", window = 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned == Set(("a", "b"), ("b", "c"), ("a", "c")))
+  }
+
   test("naiveBayesCalibration bins every scored doc once, accuracy from the served predictions") {
     val docs = Seq(
       (1L, "cat cat purr cat milk", "pet"),

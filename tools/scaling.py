@@ -47,7 +47,7 @@ FAMILIES = {
               "x108_containment_join", "x109_dup_rate",
               "x119_crossdoc_dedup", "x128_cluster_canonical",
               "x136_cross_source_dup_share", "x147_stored_decontamination",
-              "x148_decontamination_append"],
+              "x148_decontamination_append", "x152_stored_lsh_index"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
               "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann",
               "x95_stored_ann_index", "x96_stored_index_append",
@@ -63,7 +63,8 @@ FAMILIES = {
               "x151_type_token_ratio"],
     "text_index": ["x129_stored_text_index", "x130_bm25_search",
                    "x132_dup_gram_fraction", "x133_phrase_search",
-                   "x134_text_index_append"],
+                   "x134_text_index_append", "x153_bpe_tokens",
+                   "x155_bpe_from_store", "x157_skipgram_counts"],
     "training": ["x97_balanced_shards", "x99_diverse_sample",
                  "x114_snapshot_diff", "x115_fuzzy_match",
                  "x116_nb_classify", "x117_cdc_apply", "x118_drift_psi",
@@ -71,9 +72,11 @@ FAMILIES = {
                  "x135_event_transitions", "x139_join_size_estimate",
                  "x140_zorder_key", "x143_rate_anomalies",
                  "x144_fd_audit", "x145_funnel_latency",
-                 "x146_stable_ids", "x149_metadata_stats"],
+                 "x146_stable_ids", "x149_metadata_stats",
+                 "x154_zorder_footer_profile"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
-              "x126_label_prop", "x142_triangle_census"],
+              "x126_label_prop", "x142_triangle_census",
+              "x156_kcore_trade"],
 }
 
 # Steepest measured slopes = the full-output rewrites + the per-token
