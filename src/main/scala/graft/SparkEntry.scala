@@ -2853,6 +2853,36 @@ object SparkEntry {
       TextStats.skipgramCounts(t(s, dir, "documents"), "text",
           window = 3, minCount = 5L)
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(200)),
+
+    // Frequent event-type itemsets (x158) — A-priori level-2 market
+    // basket over behavioral logs: type pairs sharing at least 5% of
+    // users' histories. Baskets collapse once to distinct (user, type);
+    // the pair join is co-partitioned on user; the support threshold
+    // compares the rounded ratio, so the boundary row cannot flip.
+    "x158_frequent_itemsets" -> ((s, dir) =>
+      Behavior.frequentTypePairs(Catalog.events(s, dir), minSupport = 0.05)
+        .orderBy(col("n_users").desc, col("type_a"), col("type_b"))),
+
+    // Pair-store ingest (x159) — the pair TABLE's growth path, closing
+    // the loop x152 opened, in the production proportions (big standing
+    // corpus, small daily batch): 80% of the corpus builds the bundle
+    // (bucket index + pair table), the 20% batch appends with ONE
+    // batch-sized signature pass — cross matches off the stored index,
+    // within-batch pairs locally, its own buckets appended for the next
+    // batch. The stored table must equal the exact O(n²) pair truth of
+    // the FULL corpus — x2's oracle verbatim, so incremental ≡ one-shot
+    // ≡ exact is checked end to end (DedupSpec additionally pins a
+    // three-batch ingest against a one-shot rebuild row-for-row).
+    "x159_pair_store_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = s"/tmp/graft/x159_store_${dir.replaceAll("[^0-9.]", "")}"
+      val corpus = docs.where(col("doc_id") % 5 =!= 4)
+      val batch = docs.where(col("doc_id") % 5 === 4)
+      Dedup.writePairStore(corpus, root, "doc_id", "text", threshold = 0.9)
+      Dedup.appendPairStore(batch, corpus, root, "doc_id", "text",
+        threshold = 0.9)
+      Dedup.pairTable(s, root).orderBy(col("a"), col("b"))
+    }),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -2975,6 +3005,41 @@ object SparkEntry {
         |  JOIN n4 a ON e.src = a.node JOIN n4 b ON e.dst = b.node GROUP BY e.src)
         |SELECT node, CAST(degree AS BIGINT) AS degree FROM d5
         |ORDER BY node""".stripMargin,
+    // the stored table after three-batch incremental ingest must equal
+    // the exact O(n²) pair truth of the whole corpus — x2's replay
+    "x159_pair_store_ingest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    (round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))), 4) + 0) AS jaccard
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.9 ORDER BY a, b""".stripMargin,
+    // same distinct baskets, co-partitioned pair join, rounded support
+    // compared against the threshold on both sides
+    "x158_frequent_itemsets" ->
+      """WITH d AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+        |ok AS (SELECT u FROM d GROUP BY u HAVING count(*) <= 1000),
+        |d2 AS (SELECT d.u, d.t FROM d JOIN ok USING (u)),
+        |n AS (SELECT count(DISTINCT u) AS nu FROM d2),
+        |p AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_users
+        |      FROM d2 a JOIN d2 b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(n_users AS BIGINT) AS n_users,
+        |  (round(n_users::DOUBLE / nu, 6) + 0) AS support
+        |FROM p, n WHERE round(n_users::DOUBLE / nu, 6) >= 0.05
+        |ORDER BY n_users DESC, type_a, type_b""".stripMargin,
     // same lowercase whitespace tokens; one select per window offset,
     // exact integer counts, total (cnt desc, a, b) order under the limit
     "x157_skipgram_counts" ->

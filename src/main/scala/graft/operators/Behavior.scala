@@ -376,4 +376,46 @@ object Behavior {
         when(col("z").isNotNull, abs(col("z")) >= zThresh))
       .select(col(typeCol), col("hour"), col("n"), col("z"), col("anomaly"))
   }
+
+  /** Frequent co-occurring event-type pairs — the A-priori level-2 pass
+    * (Agrawal & Srikant, VLDB'94, public) over behavioral logs: which
+    * two behaviors appear in the SAME user's history in at least
+    * `minSupport` of all users. The market-basket affinity table, with
+    * users as baskets and event types as items (at production scale the
+    * item space is page/product ids — thousands to millions of types).
+    *
+    * Scale shape: baskets collapse ONCE to distinct (user, type) —
+    * map-side combined, the only corpus-sized shuffle — and the pair
+    * expansion is a self-join CO-PARTITIONED on user after it
+    * ([[graft.functions.TextStats.pmiPairs]]' shape, never a cross
+    * join). `maxBasket` excludes degenerate baskets up front (a bot
+    * touching k types contributes C(k,2) pairs); the support
+    * denominator rides as a broadcast one-row aggregate, and the
+    * support threshold compares the ROUNDED ratio so the boundary row
+    * cannot flip between engines.
+    */
+  def frequentTypePairs(events: DataFrame, minSupport: Double,
+      maxBasket: Int = 1000, userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(minSupport > 0 && minSupport <= 1 && maxBasket >= 2,
+      s"frequentTypePairs: minSupport=$minSupport maxBasket=$maxBasket")
+    val d = events.select(col(userCol).as("__u"), col(typeCol).as("__t"))
+      .distinct()
+    val ok = d.groupBy(col("__u")).agg(count(lit(1)).as("__k"))
+      .where(col("__k") <= maxBasket).select(col("__u"))
+    val d2 = d.join(ok, Seq("__u"), "left_semi")
+    graft.Lifecycle.withCachedInputs(d2) {
+      val total = d2.agg(countDistinct(col("__u")).as("__n"))
+      d2.select(col("__u"), col("__t").as("type_a"))
+        .join(d2.select(col("__u"), col("__t").as("type_b")), Seq("__u"))
+        .where(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(total))
+        .withColumn("support",
+          roundz(col("n_users").cast("double") / col("__n"), 6))
+        .where(col("support") >= minSupport)
+        .select(col("type_a"), col("type_b"), col("n_users"), col("support"))
+    }
+  }
 }

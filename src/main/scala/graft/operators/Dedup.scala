@@ -1001,6 +1001,57 @@ object Dedup {
       dir: String): DataFrame =
     spark.read.parquet(s"$dir/pairs.parquet")
 
+  /** The complete near-dup ingest bundle, built once: the LSH bucket
+    * index ([[writeLshIndex]]) AND the exact-verified pair table
+    * ([[writePairTable]]) land as siblings under `dir`, so
+    * [[appendPairStore]] can keep BOTH current with one batch-sized
+    * pass per ingest.
+    */
+  def writePairStore(df: DataFrame, dir: String, idCol: String,
+      textCol: String, threshold: Double, shingleSize: Int = 3,
+      numHashes: Int = 48, bands: Int = 12): Unit = {
+    writeLshIndex(df, dir, idCol, textCol, shingleSize, numHashes, bands)
+    writePairTable(df, dir, idCol, textCol, threshold, shingleSize,
+      numHashes, bands)
+  }
+
+  /** Ingest one batch into a [[writePairStore]] bundle — the production
+    * 100 TB growth path for the single most re-consumed dedup artifact:
+    * the batch is signatured ONCE; its cross-corpus matches come from
+    * the stored bucket index ([[matchesAgainstLshIndex]] — the corpus
+    * is never re-signatured), its within-batch pairs from the ordinary
+    * batch-sized [[minhashPairs]], both append to the pair table
+    * (canonicalized a < b), and the batch's own buckets append to the
+    * index so the NEXT batch sees it as corpus. Append ≡ rebuild
+    * row-for-row (DedupSpec pins it): signatures are pure functions of
+    * the text, so "same bucket" is decided identically whether two docs
+    * arrived together or apart — exact as long as no bucket crosses
+    * `maxBucketSize` (the lossless regime; the guard populations differ
+    * between the incremental and one-shot shapes, so cap-crossing
+    * buckets are where the two could legitimately diverge).
+    *
+    * Caller contract: `corpus` is exactly the already-ingested
+    * document set (needed only to re-shingle semi-join-pruned verify
+    * candidates); batch ids are new.
+    */
+  def appendPairStore(batch: DataFrame, corpus: DataFrame, dir: String,
+      idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int = 3, numHashes: Int = 48, bands: Int = 12,
+      maxBucketSize: Int = 1000): Unit = {
+    val cross = matchesAgainstLshIndex(batch, corpus, dir, idCol, textCol,
+      threshold, shingleSize, numHashes, bands, maxBucketSize)
+    val within = minhashPairs(batch, idCol, textCol, threshold,
+      shingleSize, numHashes, bands)
+    try {
+      cross
+        .select(least(col("new_id"), col("corpus_id")).as("a"),
+          greatest(col("new_id"), col("corpus_id")).as("b"), col("jaccard"))
+        .unionByName(within.select(col("a"), col("b"), col("jaccard")))
+        .write.mode("append").parquet(s"$dir/pairs.parquet")
+    } finally { cross.unpersist(); within.unpersist(); () }
+    appendLshIndex(batch, dir, idCol, textCol, shingleSize, numHashes, bands)
+  }
+
   /** The new batch with exact and near duplicates of the corpus removed —
     * the per-ingest decontamination step of a continuously growing corpus.
     * Within-batch duplicates are a separate, composable concern

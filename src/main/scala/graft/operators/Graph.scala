@@ -320,22 +320,32 @@ object Graph {
         .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .groupBy(col("src")).agg(count(lit(1)).as("degree"))
         .select(col("src").as("node"), col("degree"))
-    var alive = sym.select(col("src").as("node")).distinct().persist(lvl)
+    // round 1 needs no alive filter: every node of `sym` starts alive,
+    // so the first degree pass is a plain aggregate over the invariant
+    var deg = sym.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree")).persist(lvl)
     try {
-      var n = alive.count()
-      var done = false
-      for (_ <- 1 to rounds if !done) {
-        val next = degrees(alive).where(col("degree") >= k)
-          .select(col("node")).persist(lvl)
-        val m = next.count()
-        alive.unpersist()
-        alive = next
-        if (m == n) done = true else n = m
+      // output after r peels IS the (r+1)-th degree frame; at the
+      // fixpoint (no node dropped) the next frame equals the current
+      // one, so the converged case returns `deg` without another pass
+      var prevN = deg.count()
+      var r = 0
+      var converged = false
+      while (r < rounds && !converged) {
+        val alive = deg.where(col("degree") >= k).select(col("node"))
+        val a = alive.count() // cheap: a filter over the cached frame
+        if (a == prevN) converged = true
+        else {
+          val next = degrees(alive).persist(lvl)
+          next.count()
+          deg.unpersist()
+          deg = next
+          prevN = a
+          r += 1
+        }
       }
-      val res = degrees(alive).persist(lvl)
-      res.count()
-      res
-    } finally { alive.unpersist(); sym.unpersist(); () }
+      deg
+    } finally { sym.unpersist(); () }
   }
 
   def triangleStats(edges: DataFrame, srcCol: String = "src",

@@ -256,6 +256,26 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.collect { case ((t, _), r) if t == "c" => r.isNullAt(3) }.forall(identity))
   }
 
+  test("frequentTypePairs: support over distinct baskets, maxBasket guard, rounded threshold") {
+    // users: 1 {a,b,c}, 2 {a,b}, 3 {a,c}, 4 {a} → n=4 users
+    // pairs: (a,b)=2 (.5), (a,c)=2 (.5), (b,c)=1 (.25)
+    val ev = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"), // duplicate (1,a) collapses
+      (2L, "a"), (2L, "b"), (3L, "a"), (3L, "c"), (4L, "a"))
+      .toDF("user_id", "event_type")
+    val got = Behavior.frequentTypePairs(ev, minSupport = 0.3)
+      .orderBy(col("type_a"), col("type_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", "b", 2L, 0.5), ("a", "c", 2L, 0.5)))
+    // a bot basket above maxBasket drops out of pairs AND the denominator
+    val bot = (1 to 5).map(i => (9L, s"t$i")).toDF("user_id", "event_type")
+    val guarded = Behavior.frequentTypePairs(ev.unionByName(bot),
+        minSupport = 0.3, maxBasket = 4)
+      .orderBy(col("type_a"), col("type_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(guarded.toSeq == Seq(("a", "b", 2L, 0.5), ("a", "c", 2L, 0.5)))
+  }
+
   test("scoreRates surfaces a type absent from the baseline (null z, never dropped)") {
     // the streaming monitor's strongest volume anomaly is a brand-new
     // event type — an inner join would silently erase it

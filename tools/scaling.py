@@ -47,7 +47,8 @@ FAMILIES = {
               "x108_containment_join", "x109_dup_rate",
               "x119_crossdoc_dedup", "x128_cluster_canonical",
               "x136_cross_source_dup_share", "x147_stored_decontamination",
-              "x148_decontamination_append", "x152_stored_lsh_index"],
+              "x148_decontamination_append", "x152_stored_lsh_index",
+              "x159_pair_store_ingest"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
               "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann",
               "x95_stored_ann_index", "x96_stored_index_append",
@@ -73,7 +74,7 @@ FAMILIES = {
                  "x140_zorder_key", "x143_rate_anomalies",
                  "x144_fd_audit", "x145_funnel_latency",
                  "x146_stable_ids", "x149_metadata_stats",
-                 "x154_zorder_footer_profile"],
+                 "x154_zorder_footer_profile", "x158_frequent_itemsets"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
               "x126_label_prop", "x142_triangle_census",
               "x156_kcore_trade"],
