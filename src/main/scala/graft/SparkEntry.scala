@@ -2883,6 +2883,17 @@ object SparkEntry {
         threshold = 0.9)
       Dedup.pairTable(s, root).orderBy(col("a"), col("b"))
     }),
+
+    // Source overlap matrix (x160) — x136 catches whole near-dup
+    // documents across feeds; this catches partial mirroring BELOW the
+    // doc threshold: per-feed distinct shingle sets, exact pairwise
+    // Jaccard/containment from integer set arithmetic. The intersection
+    // join keys on the shingle, which carries at most |sources| rows
+    // per side — boilerplate shared by every feed costs |sources|²
+    // rows, never a quadratic blowup.
+    "x160_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source_a"), col("source_b"))),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -3005,6 +3016,34 @@ object SparkEntry {
         |  JOIN n4 a ON e.src = a.node JOIN n4 b ON e.dst = b.node GROUP BY e.src)
         |SELECT node, CAST(degree AS BIGINT) AS degree FROM d5
         |ORDER BY node""".stripMargin,
+    // same shingle semantics as x2's replay (short docs collapse to one
+    // whole-text shingle), distinct per source, exact set arithmetic
+    "x160_source_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |ss AS (SELECT DISTINCT source, unnest(sh) AS sg FROM s),
+        |sz AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+        |i AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        count(*) AS n_inter
+        |      FROM ss a JOIN ss b ON a.sg = b.sg AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, CAST(n_inter AS BIGINT) AS n_inter,
+        |  (round(n_inter::DOUBLE / (na.n + nb.n - n_inter), 6) + 0) AS jaccard,
+        |  (round(n_inter::DOUBLE / least(na.n, nb.n), 6) + 0) AS containment
+        |FROM i JOIN sz na ON na.source = i.source_a
+        |  JOIN sz nb ON nb.source = i.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     // the stored table after three-batch incremental ingest must equal
     // the exact O(n²) pair truth of the whole corpus — x2's replay
     "x159_pair_store_ingest" ->

@@ -1277,6 +1277,52 @@ object Dedup {
     crossSourceDupShareFromPairs(minhashPairs(df, idCol, textCol, threshold),
       df, idCol, srcCol)
 
+  /** Shingle-level content overlap between FEEDS — [[crossSourceDupShare]]
+    * catches whole near-duplicate documents; this catches partial
+    * mirroring BELOW the document threshold (a feed that quotes, wraps,
+    * or templates another shares shingles without any doc pair clearing
+    * 0.9): per source the distinct shingle set, then exact pairwise
+    * Jaccard and containment from integer set arithmetic — no sampling,
+    * no hashing, no floats until the final rounded ratios.
+    *
+    * Scale: distinct (source, shingle) is one map-side-combined shuffle
+    * of the corpus's token stream; the intersection join keys on the
+    * SHINGLE, where each key carries at most |sources| rows per side —
+    * a boilerplate shingle shared by every feed yields |sources|² pair
+    * rows, not a quadratic blowup, because feeds (not documents) are
+    * the join's value space. Output is ≤ |sources|² rows, materialized
+    * eagerly so the corpus-sized intermediate releases deterministically.
+    */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val ss = shingled(df.select(col(srcCol), col(textCol)), srcCol, textCol,
+        shingleSize)
+      .select(col(srcCol).as("__s"), explode(Staging.pin(col("sh"))).as("sg"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = ss.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+      val out = ss.select(col("__s").as("source_a"), col("sg"))
+        .join(ss.select(col("__s").as("source_b"), col("sg")), Seq("sg"))
+        .where(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("__s").as("source_a"), col("__n").as("__na")),
+          Seq("source_a"))
+        .join(sizes.select(col("__s").as("source_b"), col("__n").as("__nb")),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_inter"),
+          graft.functions.Num.roundz(col("n_inter").cast("double") /
+            (col("__na") + col("__nb") - col("n_inter")), 6).as("jaccard"),
+          graft.functions.Num.roundz(col("n_inter").cast("double") /
+            least(col("__na"), col("__nb")), 6).as("containment"))
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.collect().toIndexedSeq, 1),
+        out.schema) // bounded: ≤ |sources|² rows
+    } finally { ss.unpersist(); () }
+  }
+
   /** [[crossSourceDupShare]] over an ALREADY-COMPUTED pair frame
     * (`(a, b, …)` — e.g. a [[pairTable]] store), so the analysis prices
     * in only the pair-keyed source join, not a fresh LSH+verify run.

@@ -677,6 +677,22 @@ class DedupSpec extends AnyFunSuite {
     assert(buckets(inc) == buckets(full))
   }
 
+  test("sourceOverlap: exact jaccard/containment of per-feed shingle sets") {
+    // feedA: {a b c, b c d} → 3-shingles {"a b c", "b c d"}
+    // feedB: doc "a b c d" → {"a b c", "b c d"}; feedC: {"x y z"}
+    val d = Seq(
+      (1L, "a b c", "feedA"), (2L, "b c d", "feedA"),
+      (3L, "a b c d", "feedB"), (4L, "x y z", "feedC"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(d, "source", "text")
+      .orderBy(col("source_a"), col("source_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // A∩B = {"a b c","b c d"} = 2; |A|=2 |B|=2 → jaccard 1.0, containment 1.0
+    // C shares nothing → no row
+    assert(got == Seq(("feedA", "feedB", 2L, 1.0, 1.0)))
+  }
+
   test("crossSourceDupShare: unordered cells, diagonal vs cross, share sums to 1") {
     val base = "alpha beta gamma delta epsilon zeta eta theta"
     val d = Seq(
