@@ -2894,6 +2894,22 @@ object SparkEntry {
     "x160_source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source_a"), col("source_b"))),
+
+    // Hybrid retrieval (x161) — reciprocal-rank fusion of the exact
+    // lexical ranking (3-gram Jaccard to the query doc) and the exact
+    // vector ranking (cosine to the query embedding): the fused exact
+    // baseline for the text-index + ANN-index serving stacks. Both
+    // side-ranks and the fused rank break ties on ascending id, so the
+    // oracle replays rank-for-rank.
+    "x161_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vecs = t(s, dir, "embeddings")
+      Similarity.hybridRrf(docs, docs.where(col("doc_id") < 5),
+          vecs, vecs.where(col("vec_id") < 5), k = 10)
+        .select(col("qid"), col("nid"), roundz(col("rrf"), 6).as("rrf"),
+          col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -3016,6 +3032,48 @@ object SparkEntry {
         |  JOIN n4 a ON e.src = a.node JOIN n4 b ON e.dst = b.node GROUP BY e.src)
         |SELECT node, CAST(degree AS BIGINT) AS degree FROM d5
         |ORDER BY node""".stripMargin,
+    // both side-ranks replayed with the same tie-breaks (score desc, id),
+    // fused with the same two-term rrf sum, re-ranked identically
+    "x161_hybrid_rrf" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |q AS (SELECT doc_id AS qid, sh AS qsh FROM s WHERE doc_id < 5),
+        |lex AS (
+        |  SELECT qid, s.doc_id AS nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      CASE WHEN len(list_distinct(list_concat(qsh, s.sh))) = 0 THEN 1.0
+        |        ELSE len(list_intersect(qsh, s.sh))::DOUBLE /
+        |          len(list_distinct(list_concat(qsh, s.sh))) END DESC,
+        |      s.doc_id) AS lrank
+        |  FROM q, s WHERE s.doc_id <> qid),
+        |lexr AS (SELECT qid, nid, lrank FROM lex WHERE lrank <= 50),
+        |qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
+        |vec AS (
+        |  SELECT qv.qid, c.vec_id AS nid,
+        |    row_number() OVER (PARTITION BY qv.qid ORDER BY
+        |      list_cosine_similarity(qv.v, c.embedding::DOUBLE[]) DESC, c.vec_id) AS vrank
+        |  FROM qv, embeddings c WHERE c.vec_id <> qv.qid),
+        |vecr AS (SELECT qid, nid, vrank FROM vec WHERE vrank <= 50),
+        |f AS (
+        |  SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.nid, v.nid) AS nid,
+        |    coalesce(1.0 / (60 + l.lrank), 0) + coalesce(1.0 / (60 + v.vrank), 0) AS rrf
+        |  FROM lexr l FULL JOIN vecr v ON l.qid = v.qid AND l.nid = v.nid),
+        |r AS (SELECT qid, nid, rrf,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rank
+        |  FROM f)
+        |SELECT qid, nid, (round(rrf, 6) + 0) AS rrf, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // same shingle semantics as x2's replay (short docs collapse to one
     // whole-text shingle), distinct per source, exact set arithmetic
     "x160_source_overlap" ->

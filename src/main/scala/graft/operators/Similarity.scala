@@ -110,6 +110,52 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher, SIGIR'09, public) of an exact LEXICAL ranking (3-gram
+    * Jaccard to the query document) and an exact VECTOR ranking (cosine
+    * to the query embedding): `rrf = Σ 1/(rrfK + rank_side)` over the
+    * sides that retrieved the doc within their top `poolK`, re-ranked
+    * and cut to `k`. The fused exact baseline for the engine's two
+    * serving stacks — production fuses the SAME ranks served off the
+    * stored text index (BM25) and ANN index; the fusion arithmetic and
+    * tie-breaks are identical, only the rank providers change.
+    *
+    * Scale posture is x8's: queries ≪ corpus, the query side broadcasts,
+    * each corpus side streams once; ranks are per-query windows (bounded
+    * by the retrieval pools). Both ranks break ties on ascending id, so
+    * the fusion is fully deterministic and SQL-replayable.
+    */
+  def hybridRrf(docs: DataFrame, queryDocs: DataFrame, vecs: DataFrame,
+      queryVecs: DataFrame, k: Int, poolK: Int = 50, rrfK: Int = 60,
+      shingleSize: Int = 3, docIdCol: String = "doc_id",
+      textCol: String = "text", vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && poolK >= k && rrfK >= 1,
+      s"hybridRrf: k=$k poolK=$poolK rrfK=$rrfK")
+    val cs = Dedup.shingled(docs, docIdCol, textCol, shingleSize)
+      .select(col(docIdCol).as("nid"), col("sh").as("csh"))
+    val qs = Dedup.shingled(queryDocs, docIdCol, textCol, shingleSize)
+      .select(col(docIdCol).as("qid"), col("sh").as("qsh"))
+    val lw = Window.partitionBy(col("qid")).orderBy(col("jac").desc, col("nid"))
+    val lex = cs.crossJoin(broadcast(qs))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        Dedup.jaccard(col("qsh"), col("csh")).as("jac"))
+      .withColumn("lrank", row_number().over(lw))
+      .where(col("lrank") <= poolK)
+      .select(col("qid"), col("nid"), col("lrank"))
+    val vec = bruteForceKnn(vecs, queryVecs, poolK, vecIdCol, vecCol)
+      .select(col("qid"), col("nid"), col("rank").as("vrank"))
+    val fw = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
+    lex.join(vec, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vrank")), lit(0.0)))
+      .withColumn("rank", row_number().over(fw))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rrf"), col("rank"))
+  }
+
   /** Exact cosine re-rank of a candidate shortlist: `pairs` (qid, nid)
     * joins back to the raw vectors and only those |queries| × shortlist
     * rows are scored exactly — the second stage of every

@@ -319,4 +319,25 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(counts.toSeq === Seq((0, 1L), (1, 2L)))
   }
+
+  test("hybridRrf fuses disagreeing lexical and vector ranks deterministically") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    // query doc 0 "a b c d e"; lexical ranks: 1 (exact copy), 2, 3
+    val docs = Seq(
+      (0L, "a b c d e"), (1L, "a b c d e"),
+      (2L, "a b c x y"), (3L, "z q w r t"))
+      .toDF("doc_id", "text")
+    // vector ranks disagree: 2 closest, 3 second, 1 last
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hybridRrf(docs, docs.where(col("doc_id") === 0),
+        vecs, vecs.where(col("vec_id") === 0), k = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(1), r.getInt(3))).toSeq
+    // rrf: doc2 1/62+1/61 = .03252 > doc1 1/61+1/63 = .03227 > doc3 .03200
+    assert(got == Seq((2L, 1), (1L, 2), (3L, 3)))
+  }
 }
