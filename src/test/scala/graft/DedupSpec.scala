@@ -554,6 +554,10 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("stored LSH index: serve equals self-contained match; corpus signatures come from the store") {
+    // the scan census below counts FileSourceScans by exact number; a
+    // cached frame left over by another suite can substitute into this
+    // test's plans and turn a file scan into a cache read — start clean
+    spark.catalog.clearCache()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .where(col("doc_id") < 300)
     val corpus = docs.where(col("doc_id") % 5 =!= 4)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Checks, Dedup, RelOps, Temporal, Transpose}
+import graft.operators.{Behavior, Bpe, Checks, Dedup, Graph, RelOps, Temporal, Transpose}
 import graft.sources.Catalog
 
 /** Randomized (fixed-seed, deterministic) cross-checks: each operator is
@@ -657,5 +657,116 @@ class RandomizedCrossCheckSpec extends AnyFunSuite {
       assert(got.getLong(2) == localTri, s"seed $seed triangles")
       assert(got.getLong(3) == localWedges, s"seed $seed wedges")
     }
+  }
+
+  test("kCore equals a local peel on random graphs") {
+    val rnd = new scala.util.Random(7191L)
+    val edges = Seq.fill(70)((rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+    for (k <- Seq(2, 3); rounds <- Seq(1, 10)) {
+      val got = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // local mirror of the engine's contract: degrees over all nodes,
+      // then peel (drop deg < k) with the same early-stop, `rounds` times
+      val es = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+        .filter(e => e._1 != e._2).distinct
+      def degs(alive: Set[Long]): Map[Long, Long] =
+        es.filter(e => alive(e._1) && alive(e._2))
+          .flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, l) => (n, l.size.toLong) }
+      var deg = degs(es.flatMap(e => Seq(e._1, e._2)).toSet)
+      var r = 0
+      var done = false
+      while (r < rounds && !done) {
+        val alive = deg.filter(_._2 >= k).keySet
+        if (alive.size == deg.size) done = true
+        else { deg = degs(alive); r += 1 }
+      }
+      assert(got == deg, s"k=$k rounds=$rounds")
+    }
+  }
+
+  test("Bpe.train equals a local reference on random corpora") {
+    val rnd = new scala.util.Random(4242L)
+    val alphabet = "abc"
+    val vocab = Seq.fill(30)(
+      Seq.fill(1 + rnd.nextInt(5))(alphabet(rnd.nextInt(3))).mkString)
+    val wordSeq = Seq.fill(200)(vocab(rnd.nextInt(vocab.size)))
+    val docs = wordSeq.grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val (merges, trained) = Bpe.train(Bpe.wordTable(docs, "text"), rounds = 6)
+    val gotToks = Bpe.tokenCounts(trained).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // local mirror: same separator rendering, same weighted pair counts,
+    // same (count desc, left, right) argmax, same single-pass replace
+    val S = "\u001f"
+    val freq = wordSeq.groupBy(identity).map { case (w, l) => w -> l.size.toLong }
+    var sym: Map[String, String] =
+      freq.map { case (w, _) => w -> (S + w.flatMap(c => s"$c$S")) }
+    val localMerges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    for (_ <- 1 to 6) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      freq.foreach { case (w, f) =>
+        val parts = sym(w).split(S).filter(_.nonEmpty)
+        parts.sliding(2).filter(_.length == 2)
+          .foreach(p => counts((p(0), p(1))) += f)
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq
+          .sortBy { case ((l0, r0), c0) => (-c0, l0, r0) }.head
+        localMerges += ((l, r, c))
+        sym = sym.map { case (w, s0) =>
+          w -> s0.replace(S + l + S + r + S, S + l + r + S) }
+      }
+    }
+    assert(merges.map(m => (m.left, m.right, m.pairCount)) == localMerges.toSeq)
+    val localToks = sym.map { case (w, s0) =>
+      w -> s0.split(S).count(_.nonEmpty).toLong }
+    assert(gotToks == localToks)
+  }
+
+  test("skipgramCounts equals local window counting on random token docs") {
+    val rnd = new scala.util.Random(515L)
+    val toks = Seq("x", "y", "z", "w", "v")
+    val docRows = Seq.tabulate(25)(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(9))(toks(rnd.nextInt(5))).mkString(" ")))
+    val docs = docRows.toDF("doc_id", "text")
+    val got = graft.functions.TextStats
+      .skipgramCounts(docs, "text", window = 3, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val local = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    docRows.foreach { case (_, text) =>
+      val ts = text.split("\\s+").filter(_.nonEmpty)
+      for (i <- ts.indices; o <- 1 to 3 if i + o < ts.length)
+        local((ts(i), ts(i + o))) += 1L
+    }
+    assert(got == local.toMap)
+  }
+
+  test("frequentTypePairs equals local basket counting on random events") {
+    val rnd = new scala.util.Random(88L)
+    val ev = Seq.fill(300)(
+      (rnd.nextInt(40).toLong, s"t${rnd.nextInt(7)}"))
+      .toDF("user_id", "event_type")
+    val rows = ev.collect().map(r => (r.getLong(0), r.getString(1)))
+    val baskets = rows.toSeq.distinct.groupBy(_._1).map { case (u, l) =>
+      u -> l.map(_._2).toSet }
+    val nUsers = baskets.size
+    val local = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    baskets.values.foreach { b =>
+      for (a <- b; c <- b if a < c) local((a, c)) += 1L
+    }
+    val expected = local.toMap.map { case (p, n) =>
+      (p._1, p._2, n, BigDecimal(n.toDouble / nUsers)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(_._4 >= 0.1).toSet
+    val got = Behavior.frequentTypePairs(ev, minSupport = 0.1)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
   }
 }
