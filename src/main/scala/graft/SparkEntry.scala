@@ -2902,6 +2902,16 @@ object SparkEntry {
       Dedup.sourceOverlap(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source_a"), col("source_b"))),
 
+    // Referential-integrity audit (x162) — the FK pre-flight before a
+    // 100 TB join: orders.o_custkey against customer.c_custkey, one row
+    // of exact id-relationship facts (matched/unmatched distinct ids,
+    // multiplicity per side). Each side collapses to per-id counts
+    // map-side first; the full-outer join is over compacted id frames.
+    "x162_integrity_audit" -> ((s, dir) =>
+      graft.operators.Checks.integrityAudit(
+        t(s, dir, "orders"), t(s, dir, "customer"),
+        "o_custkey", "c_custkey")),
+
     // Hybrid retrieval (x161) — reciprocal-rank fusion of the exact
     // lexical ranking (3-gram Jaccard to the query doc) and the exact
     // vector ranking (cosine to the query embedding): the fused exact
@@ -3039,6 +3049,19 @@ object SparkEntry {
         |  JOIN n4 a ON e.src = a.node JOIN n4 b ON e.dst = b.node GROUP BY e.src)
         |SELECT node, CAST(degree AS BIGINT) AS degree FROM d5
         |ORDER BY node""".stripMargin,
+    // per-id counts then full-outer — the same facts the slow way
+    "x162_integrity_audit" ->
+      """WITH lc AS (SELECT o_custkey AS id, count(*) AS ln FROM orders GROUP BY 1),
+        |rc AS (SELECT c_custkey AS id, count(*) AS rn FROM customer GROUP BY 1),
+        |j AS (SELECT * FROM lc FULL JOIN rc USING (id))
+        |SELECT CAST(sum(coalesce(ln, 0)) AS BIGINT) AS n_left,
+        |  CAST(sum(coalesce(rn, 0)) AS BIGINT) AS n_right,
+        |  CAST(count(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL THEN 1 END) AS BIGINT) AS n_matched_ids,
+        |  CAST(count(CASE WHEN ln IS NOT NULL AND rn IS NULL THEN 1 END) AS BIGINT) AS n_left_only_ids,
+        |  CAST(count(CASE WHEN ln IS NULL AND rn IS NOT NULL THEN 1 END) AS BIGINT) AS n_right_only_ids,
+        |  CAST(count(CASE WHEN ln > 1 THEN 1 END) AS BIGINT) AS n_left_dup_ids,
+        |  CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_right_dup_ids
+        |FROM j""".stripMargin,
     // both side-ranks replayed with the same tie-breaks (score desc, id),
     // fused with the same two-term rrf sum, re-ranked identically
     "x161_hybrid_rrf" ->

@@ -206,4 +206,39 @@ object Checks {
       .agg(graft.functions.Num.roundz(sum(col("__term")), psiRound).as("psi"),
         sum(col("__co")).as("n_old"), sum(col("__cn")).as("n_new"))
   }
+
+  /** Cross-table referential-integrity audit — the FK pre-flight a
+    * 100 TB join runs before trusting its key space: given a fact side
+    * and a dimension side, one row of exact facts about the id
+    * relationship (row counts, matched/unmatched distinct ids on each
+    * side, and multiplicity — ids repeating on a side). `n_left_only_ids`
+    * > 0 means the fact table references missing dimension rows (the
+    * join silently drops or null-extends them); `n_right_only_ids` is
+    * the dimension's dead weight; dup ids on the DIMENSION side mean the
+    * join fans out.
+    *
+    * Scale: each side collapses to per-id counts first (map-side
+    * combined — the only corpus-sized shuffles), the full-outer join is
+    * id-keyed over those compacted frames, and the final aggregate is
+    * bounded (one row).
+    */
+  def integrityAudit(left: DataFrame, right: DataFrame, leftId: String,
+      rightId: String): DataFrame = {
+    val lc = left.select(col(leftId).as("__id"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__ln"))
+    val rc = right.select(col(rightId).as("__id"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__rn"))
+    lc.join(rc, Seq("__id"), "full_outer")
+      .agg(
+        sum(coalesce(col("__ln"), lit(0L))).as("n_left"),
+        sum(coalesce(col("__rn"), lit(0L))).as("n_right"),
+        count(when(col("__ln").isNotNull && col("__rn").isNotNull, 1))
+          .as("n_matched_ids"),
+        count(when(col("__ln").isNotNull && col("__rn").isNull, 1))
+          .as("n_left_only_ids"),
+        count(when(col("__ln").isNull && col("__rn").isNotNull, 1))
+          .as("n_right_only_ids"),
+        count(when(col("__ln") > 1, 1)).as("n_left_dup_ids"),
+        count(when(col("__rn") > 1, 1)).as("n_right_dup_ids"))
+  }
 }

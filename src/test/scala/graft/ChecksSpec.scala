@@ -144,4 +144,14 @@ class ChecksSpec extends AnyFunSuite {
       ("k->region", 3L, 0L, 0.0, true),
       ("k->status", 3L, 1L, 0.333333, false)))
   }
+
+  test("integrityAudit: matched/unmatched ids, multiplicity, exact row counts") {
+    // fact ids: 1 twice, 2, 3; dim ids: 1, 2 twice, 4
+    val fact = Seq(1L, 1L, 2L, 3L).toDF("fk")
+    val dim = Seq(1L, 2L, 2L, 4L).toDF("pk")
+    val r = Checks.integrityAudit(fact, dim, "fk", "pk").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((4L, 4L, 2L, 1L, 1L, 1L, 1L)))
+  }
 }

@@ -74,7 +74,8 @@ FAMILIES = {
                  "x140_zorder_key", "x143_rate_anomalies",
                  "x144_fd_audit", "x145_funnel_latency",
                  "x146_stable_ids", "x149_metadata_stats",
-                 "x154_zorder_footer_profile", "x158_frequent_itemsets"],
+                 "x154_zorder_footer_profile", "x158_frequent_itemsets",
+                 "x162_integrity_audit"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
               "x126_label_prop", "x142_triangle_census",
               "x156_kcore_trade"],
