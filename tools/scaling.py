@@ -38,7 +38,8 @@ SF1_DIR = "/tmp/graft/sf1"
 FAMILIES = {
     "dedup": ["x1_dedup_exact", "x2_dedup_minhash", "x3_dedup_simhash",
               "x41_dedup_clusters", "x52_incremental_dedup",
-              "x61_dedup_keep_best", "x86_substring_dedup",
+              "x61_dedup_keep_best", "x82_cluster_keep_best",
+              "x86_substring_dedup",
               "x88_image_phash_neardup", "x89_strip_repeated",
               "x90_audio_fp_neardup", "x91_multimodal_dedup",
               "x92_semantic_dedup", "x93_video_phash_neardup",
