@@ -2341,7 +2341,7 @@ object SparkEntry {
     // (clusters themselves aren't SQL-replayable — seeded MinHash).
     "x81_leakage_safe_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cl = Dedup.clusters(docs, "doc_id", "text", threshold = 0.9)
+      val cl = Dedup.clustersFromPairs(docs, pairTruth(s, dir), "doc_id")
       val split = Training.hashSplit(
         docs.join(cl, Seq("doc_id")), "cluster_id")
       Lifecycle.withMaterialized(split) {
