@@ -2902,6 +2902,28 @@ object SparkEntry {
       Dedup.sourceOverlap(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source_a"), col("source_b"))),
 
+    // Ingestion freshness report (x163) — the feed-liveness dashboard:
+    // per event type, total volume, minutes since its last event, and
+    // volume in the trailing 24 h — both measured against the DATA's own
+    // frontier (the global max timestamp), never the wall clock, so the
+    // result is a pure function of the table. All integer-microsecond
+    // arithmetic (x127's idiom: unix_micros and `div`, no
+    // timestamp→double), global frontier as a broadcast one-row
+    // aggregate.
+    "x163_ingest_freshness" -> ((s, dir) => {
+      val ev = Catalog.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("__us"))
+      val g = ev.agg(max(col("__us")).as("__gmax"))
+      ev.crossJoin(broadcast(g))
+        .withColumn("__recent",
+          col("__us") >= col("__gmax") - lit(86400000000L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          expr("(max(__gmax) - max(__us)) div 60000000").as("mins_since_last"),
+          sum(when(col("__recent"), 1L).otherwise(0L)).as("n_last_24h"))
+        .orderBy(col("event_type"))
+    }),
+
     // Referential-integrity audit (x162) — the FK pre-flight before a
     // 100 TB join: orders.o_custkey against customer.c_custkey, one row
     // of exact id-relationship facts (matched/unmatched distinct ids,
@@ -3049,6 +3071,15 @@ object SparkEntry {
         |  JOIN n4 a ON e.src = a.node JOIN n4 b ON e.dst = b.node GROUP BY e.src)
         |SELECT node, CAST(degree AS BIGINT) AS degree FROM d5
         |ORDER BY node""".stripMargin,
+    // same data-frontier semantics: epoch microseconds, floor division,
+    // trailing window measured from the global max timestamp
+    "x163_ingest_freshness" ->
+      """WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events),
+        |e AS (SELECT event_type, epoch_us(ts) AS us FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST((max(gmax) - max(us)) // 60000000 AS BIGINT) AS mins_since_last,
+        |  CAST(coalesce(sum(CASE WHEN us >= gmax - 86400000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_last_24h
+        |FROM e, g GROUP BY event_type ORDER BY event_type""".stripMargin,
     // per-id counts then full-outer — the same facts the slow way
     "x162_integrity_audit" ->
       """WITH lc AS (SELECT o_custkey AS id, count(*) AS ln FROM orders GROUP BY 1),
