@@ -2902,6 +2902,14 @@ object SparkEntry {
       Dedup.sourceOverlap(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source_a"), col("source_b"))),
 
+    // Association rules (x164) — x158's directed completion: A→B with
+    // confidence P(B|A) and lift P(B|A)/P(B) over the same distinct
+    // baskets; all ratios from exact integer counts, support rounded
+    // before the threshold, lift in one fixed expression order.
+    "x164_association_rules" -> ((s, dir) =>
+      Behavior.associationRules(Catalog.events(s, dir), minSupport = 0.05)
+        .orderBy(col("type_a"), col("type_b"))),
+
     // Ingestion freshness report (x163) — the feed-liveness dashboard:
     // per event type, total volume, minutes since its last event, and
     // volume in the trailing 24 h — both measured against the DATA's own
@@ -3071,6 +3079,26 @@ object SparkEntry {
         |  JOIN n4 a ON e.src = a.node JOIN n4 b ON e.dst = b.node GROUP BY e.src)
         |SELECT node, CAST(degree AS BIGINT) AS degree FROM d5
         |ORDER BY node""".stripMargin,
+    // same baskets, directed pair join, identical ratio arithmetic in
+    // the same expression order
+    "x164_association_rules" ->
+      """WITH d AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+        |ok AS (SELECT u FROM d GROUP BY u HAVING count(*) <= 1000),
+        |d2 AS (SELECT d.u, d.t FROM d JOIN ok USING (u)),
+        |n AS (SELECT count(DISTINCT u) AS nu FROM d2),
+        |pt AS (SELECT t, count(*) AS nt FROM d2 GROUP BY t),
+        |p AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_users
+        |      FROM d2 a JOIN d2 b ON a.u = b.u AND a.t <> b.t GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(n_users AS BIGINT) AS n_users,
+        |  (round(n_users::DOUBLE / nu, 6) + 0) AS support,
+        |  (round(n_users::DOUBLE / na.nt, 6) + 0) AS confidence,
+        |  (round(n_users::DOUBLE * nu / (na.nt::DOUBLE * nb.nt), 6) + 0) AS lift
+        |FROM p
+        |  JOIN pt na ON na.t = p.type_a
+        |  JOIN pt nb ON nb.t = p.type_b
+        |  CROSS JOIN n
+        |WHERE round(n_users::DOUBLE / nu, 6) >= 0.05
+        |ORDER BY type_a, type_b""".stripMargin,
     // same data-frontier semantics: epoch microseconds, floor division,
     // trailing window measured from the global max timestamp
     "x163_ingest_freshness" ->

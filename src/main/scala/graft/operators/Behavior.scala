@@ -399,11 +399,7 @@ object Behavior {
       typeCol: String = "event_type"): DataFrame = {
     require(minSupport > 0 && minSupport <= 1 && maxBasket >= 2,
       s"frequentTypePairs: minSupport=$minSupport maxBasket=$maxBasket")
-    val d = events.select(col(userCol).as("__u"), col(typeCol).as("__t"))
-      .distinct()
-    val ok = d.groupBy(col("__u")).agg(count(lit(1)).as("__k"))
-      .where(col("__k") <= maxBasket).select(col("__u"))
-    val d2 = d.join(ok, Seq("__u"), "left_semi")
+    val d2 = baskets(events, maxBasket, userCol, typeCol)
     graft.Lifecycle.withCachedInputs(d2) {
       val total = d2.agg(countDistinct(col("__u")).as("__n"))
       d2.select(col("__u"), col("__t").as("type_a"))
@@ -416,6 +412,60 @@ object Behavior {
           roundz(col("n_users").cast("double") / col("__n"), 6))
         .where(col("support") >= minSupport)
         .select(col("type_a"), col("type_b"), col("n_users"), col("support"))
+    }
+  }
+
+  /** Distinct (user, type) baskets with the degenerate-basket guard —
+    * shared by [[frequentTypePairs]] and [[associationRules]].
+    */
+  private def baskets(events: DataFrame, maxBasket: Int, userCol: String,
+      typeCol: String): DataFrame = {
+    val d = events.select(col(userCol).as("__u"), col(typeCol).as("__t"))
+      .distinct()
+    val ok = d.groupBy(col("__u")).agg(count(lit(1)).as("__k"))
+      .where(col("__k") <= maxBasket).select(col("__u"))
+    d.join(ok, Seq("__u"), "left_semi")
+  }
+
+  /** Directed association rules A→B over the same baskets (the
+    * support/confidence/lift completion of [[frequentTypePairs]],
+    * Agrawal & Srikant VLDB'94, public): confidence = P(B|A) =
+    * n(A∧B)/n(A), lift = P(B|A)/P(B) — "users who did A also do B, and
+    * how much more than base rate". Same scale shape as the undirected
+    * pass (one distinct-basket shuffle, user-co-partitioned pair join,
+    * `maxBasket` guard); per-type counts and the user total ride as a
+    * broadcast side. All ratios derive from exact integer counts —
+    * support is rounded BEFORE the threshold compare, and lift
+    * multiplies raw counts in one fixed expression order, so the
+    * boundary rows cannot flip between engines.
+    */
+  def associationRules(events: DataFrame, minSupport: Double,
+      maxBasket: Int = 1000, userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(minSupport > 0 && minSupport <= 1 && maxBasket >= 2,
+      s"associationRules: minSupport=$minSupport maxBasket=$maxBasket")
+    val d2 = baskets(events, maxBasket, userCol, typeCol)
+    graft.Lifecycle.withCachedInputs(d2) {
+      val total = d2.agg(countDistinct(col("__u")).as("__n"))
+      val perType = d2.groupBy(col("__t")).agg(count(lit(1)).as("__nt"))
+      d2.select(col("__u"), col("__t").as("type_a"))
+        .join(d2.select(col("__u"), col("__t").as("type_b")), Seq("__u"))
+        .where(col("type_a") =!= col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_users"))
+        .join(broadcast(perType.select(col("__t").as("type_a"),
+          col("__nt").as("__na"))), Seq("type_a"))
+        .join(broadcast(perType.select(col("__t").as("type_b"),
+          col("__nt").as("__nb"))), Seq("type_b"))
+        .crossJoin(broadcast(total))
+        .withColumn("support",
+          roundz(col("n_users").cast("double") / col("__n"), 6))
+        .where(col("support") >= minSupport)
+        .select(col("type_a"), col("type_b"), col("n_users"), col("support"),
+          roundz(col("n_users").cast("double") / col("__na"), 6)
+            .as("confidence"),
+          roundz(col("n_users").cast("double") * col("__n") /
+            (col("__na").cast("double") * col("__nb")), 6).as("lift"))
     }
   }
 }

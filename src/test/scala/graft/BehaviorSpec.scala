@@ -276,6 +276,23 @@ class BehaviorSpec extends AnyFunSuite {
     assert(guarded.toSeq == Seq(("a", "b", 2L, 0.5), ("a", "c", 2L, 0.5)))
   }
 
+  test("associationRules: confidence and lift from exact basket counts") {
+    // baskets: 1 {a,b}, 2 {a,b}, 3 {a}, 4 {b,c} → N=4
+    // a→b: n=2, conf 2/3, lift (2*4)/(3*3); b→a mirrors with conf 2/3;
+    // b→c: n=1, conf 1/3, lift (1*4)/(3*1)
+    val ev = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (4L, "b"), (4L, "c")).toDF("user_id", "event_type")
+    val got = Behavior.associationRules(ev, minSupport = 0.25)
+      .orderBy(col("type_a"), col("type_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 0.5, 0.666667, 0.888889),
+      ("b", "a", 2L, 0.5, 0.666667, 0.888889),
+      ("b", "c", 1L, 0.25, 0.333333, 1.333333),
+      ("c", "b", 1L, 0.25, 1.0, 1.333333)))
+  }
+
   test("scoreRates surfaces a type absent from the baseline (null z, never dropped)") {
     // the streaming monitor's strongest volume anomaly is a brand-new
     // event type — an inner join would silently erase it
