@@ -39,10 +39,24 @@ object SparkEntry {
     * operators — the store IS `minhashPairs`' output (x2's oracle pins
     * it against the exact O(n²) truth).
     */
+  /** /tmp store-path tag for a testdata root: the readable scale digits
+    * PLUS an 8-hex digest of the FULL path. Digits alone collided — two
+    * different roots containing the same digits (any two `.../sf0.1`
+    * trees) mapped to one store path, and the second silently read the
+    * first's data; the digest makes distinct roots map to distinct
+    * stores while keeping the tag short and filename-safe.
+    */
+  private[graft] def storeTag(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    val hex = md.take(4).map(b => f"$b%02x").mkString
+    s"${dir.replaceAll("[^0-9.]", "")}_$hex"
+  }
+
   private val pairStoreBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pairTruth(s: SparkSession, dir: String): DataFrame = {
-    val root = s"/tmp/graft/pairs_${dir.replaceAll("[^0-9.]", "")}"
+    val root = s"/tmp/graft/pairs_${storeTag(dir)}"
     pairStoreBuilt.computeIfAbsent(root, _ => {
       Dedup.writePairTable(t(s, dir, "documents"), root, "doc_id", "text",
         threshold = 0.9)
@@ -126,7 +140,7 @@ object SparkEntry {
     // back, proving parse fidelity against the parquet oracle.
     "s1_csv_roundtrip" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
-      val p = s"/tmp/graft/s1_csv_${dir.replaceAll("[^0-9.]", "")}"
+      val p = s"/tmp/graft/s1_csv_${storeTag(dir)}"
       Catalog.writeCsv(nation, p)
       Catalog.csv(s, p, nation.schema).orderBy(col("n_nationkey"))
     }),
@@ -135,7 +149,7 @@ object SparkEntry {
     // strings end-to-end, reference `read_csv_no_pandas.py:18-24`).
     "s4_csv_allstrings" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
-      val p = s"/tmp/graft/s4_csv_${dir.replaceAll("[^0-9.]", "")}"
+      val p = s"/tmp/graft/s4_csv_${storeTag(dir)}"
       Catalog.writeCsv(nation, p)
       Catalog.csvAllStrings(s, p).orderBy(col("n_name"))
     }),
@@ -145,7 +159,7 @@ object SparkEntry {
     // the container, so the oracle is the parquet table itself.
     "s8_orc_roundtrip" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
-      val p = s"/tmp/graft/s8_orc_${dir.replaceAll("[^0-9.]", "")}"
+      val p = s"/tmp/graft/s8_orc_${storeTag(dir)}"
       Catalog.writeOrc(nation, p)
       Catalog.orc(s, p).orderBy(col("n_nationkey"))
     }),
@@ -158,7 +172,7 @@ object SparkEntry {
     // the difference between scanning 100 TB and scanning the week you
     // asked for.
     "s9_partitioned_prune" -> ((s, dir) => {
-      val sfTag = dir.replaceAll("[^0-9.]", "")
+      val sfTag = storeTag(dir)
       val ev = Catalog.events(s, dir).withColumn("event_date", to_date(col("ts")))
       Catalog.writePartitioned(ev, "/tmp/graft", s"s9_part_$sfTag", Seq("event_date"))
       Catalog.table(s, "/tmp/graft", s"s9_part_$sfTag")
@@ -175,7 +189,7 @@ object SparkEntry {
     // 100 TB this is the difference between re-shuffling both fact tables
     // on every recurring join and paying the partitioning once at write.
     "s10_bucketed_join" -> ((s, dir) => {
-      val sfTag = dir.replaceAll("[^0-9.]", "").replace(".", "_")
+      val sfTag = storeTag(dir).replace(".", "_")
       val ot = s"s10_ord_$sfTag"
       val lt = s"s10_li_$sfTag"
       Catalog.writeBucketed(
@@ -201,7 +215,7 @@ object SparkEntry {
     // scans the flat table); the narrow-span-on-both-dims property is
     // pinned in CatalogSpec.
     "s11_zorder_scan" -> ((s, dir) => {
-      val sfTag = dir.replaceAll("[^0-9.]", "").replace(".", "_")
+      val sfTag = storeTag(dir).replace(".", "_")
       val ref = s"s11_zorder_$sfTag"
       Catalog.writeZOrdered(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
@@ -383,7 +397,7 @@ object SparkEntry {
     // K2: append sink round-trip — two appends → doubled rows.
     "k2_append_roundtrip" -> ((s, dir) => {
       val reg = t(s, dir, "region")
-      val p = s"/tmp/graft/k2_parquet_${dir.replaceAll("[^0-9.]", "")}"
+      val p = s"/tmp/graft/k2_parquet_${storeTag(dir)}"
       deleteRecursively(new java.io.File(p))
       reg.write.mode("append").parquet(p)
       reg.write.mode("append").parquet(p)
@@ -393,7 +407,7 @@ object SparkEntry {
     // K3: overwrite sink round-trip.
     "k3_overwrite_roundtrip" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
-      val p = s"/tmp/graft/k3_parquet_${dir.replaceAll("[^0-9.]", "")}"
+      val p = s"/tmp/graft/k3_parquet_${storeTag(dir)}"
       sup.write.mode("overwrite").parquet(p)
       s.read.parquet(p).orderBy(col("s_suppkey"))
     }),
@@ -893,7 +907,7 @@ object SparkEntry {
     // JSON-lines source round-trip (schema-declared read, no inference).
     "s5_json_roundtrip" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
-      val p = s"/tmp/graft/s5_json_${dir.replaceAll("[^0-9.]", "")}"
+      val p = s"/tmp/graft/s5_json_${storeTag(dir)}"
       Catalog.writeJson(nation, p)
       Catalog.json(s, p, nation.schema).orderBy(col("n_nationkey"))
     }),
@@ -915,7 +929,7 @@ object SparkEntry {
     // acctbal of 10 suppliers and insert 2 new ones, read the result back.
     "k4_upsert" -> ((s, dir) => {
       import s.implicits._
-      val root = s"/tmp/graft/k4_${dir.replaceAll("[^0-9.]", "")}"
+      val root = s"/tmp/graft/k4_${storeTag(dir)}"
       val sup = t(s, dir, "supplier")
       Catalog.writeTruncate(sup, root, "supplier_upsert")
       val updates = sup.where(col("s_suppkey") < 10)
@@ -939,7 +953,7 @@ object SparkEntry {
         .agg(roundz(sum(col("l_quantity")), 2).as("sum_qty"))
       val out = Transpose.withEnforcedSchema(base,
         Seq("l_returnflag", "l_linenumber"), "l_linestatus", Seq("sum_qty"))
-      val root = s"/tmp/graft/k4t_${dir.replaceAll("[^0-9.]", "")}"
+      val root = s"/tmp/graft/k4t_${storeTag(dir)}"
       Catalog.writeTruncate(out, root, "pivot_enforced")
       Catalog.table(s, root, "pivot_enforced")
         .orderBy(col("l_returnflag"), col("l_linenumber"))
@@ -948,7 +962,7 @@ object SparkEntry {
     // K5: one cached source scan feeding two sinks (reference
     // `csv_to_bq_NYC.py:128-150`), both read back and union-tagged.
     "k5_fanout" -> ((s, dir) => {
-      val root = s"/tmp/graft/k5_${dir.replaceAll("[^0-9.]", "")}"
+      val root = s"/tmp/graft/k5_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
       val nation = t(s, dir, "nation")
       Catalog.fanOut(nation, cache = true)(
@@ -970,7 +984,7 @@ object SparkEntry {
     // pipeline (reference `csv_to_bq.py:7,41-48`): all-strings CSV read,
     // `"name:TYPE,..."` parse, cast at the sink boundary, read back typed.
     "k6_schema_roundtrip" -> ((s, dir) => {
-      val root = s"/tmp/graft/k6_${dir.replaceAll("[^0-9.]", "")}"
+      val root = s"/tmp/graft/k6_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
       val csvPath = s"$root/nation_csv"
       Catalog.writeCsv(
@@ -1040,7 +1054,7 @@ object SparkEntry {
     // when a producer adds a field mid-stream.
     "s6_schema_evolution" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
-      val root = s"/tmp/graft/s6_${dir.replaceAll("[^0-9.]", "")}"
+      val root = s"/tmp/graft/s6_${storeTag(dir)}"
       Catalog.writeTruncate(
         nation.drop("n_regionkey").withColumn("batch", lit("day1")), root, "ev1")
       Catalog.writeTruncate(nation.withColumn("batch", lit("day2")), root, "ev2")
@@ -2125,7 +2139,7 @@ object SparkEntry {
       val q = e.where(col("vec_id") < 8)
       val books = Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      val idx = s"/tmp/graft/x95_index_${dir.replaceAll("[^0-9.]", "")}"
+      val idx = s"/tmp/graft/x95_index_${storeTag(dir)}"
       AnnIndex.write(e, books, idx, nCentroids = 16, trainIters = 4, spill = 2)
       val ann = AnnIndex.knn(s, idx, e, q, k = 5, rerank = 150, nProbe = 6)
       annRecallCheck(ann, Similarity.bruteForceKnn(e, q, k = 5),
@@ -2153,7 +2167,7 @@ object SparkEntry {
       val q = e.where(col("vec_id") < 8)
       val books = Embeddings.pqTrain(
         RelOps.hashSample(base, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      val idx = s"/tmp/graft/x96_index_${dir.replaceAll("[^0-9.]", "")}"
+      val idx = s"/tmp/graft/x96_index_${storeTag(dir)}"
       AnnIndex.write(base, books, idx, nCentroids = 16, trainIters = 4, spill = 2)
       AnnIndex.append(s, idx, batch, spill = 2)
       val ann = AnnIndex.knn(s, idx, e, q, k = 5, rerank = 150, nProbe = 6)
@@ -2414,7 +2428,7 @@ object SparkEntry {
     // size). Conjunctive serve: docs holding ALL query terms — exact set
     // semantics the oracle replays from raw text.
     "x129_stored_text_index" -> ((s, dir) => {
-      val idx = s"/tmp/graft/x129_index_${dir.replaceAll("[^0-9.]", "")}"
+      val idx = s"/tmp/graft/x129_index_${storeTag(dir)}"
       TextIndex.write(t(s, dir, "documents"), idx)
       TextIndex.booleanSearch(s, idx, Seq("join", "hash", "vector"))
         .orderBy(col("doc_id"))
@@ -2429,7 +2443,7 @@ object SparkEntry {
     // engines), and the top-k is a distributed TakeOrdered — never a
     // global window over the candidate set.
     "x130_bm25_search" -> ((s, dir) => {
-      val idx = s"/tmp/graft/x130_index_${dir.replaceAll("[^0-9.]", "")}"
+      val idx = s"/tmp/graft/x130_index_${storeTag(dir)}"
       TextIndex.write(t(s, dir, "documents"), idx)
       TextIndex.bm25Search(s, idx, Seq("join", "hash", "vector"), k = 10)
         .orderBy(col("rank"))
@@ -2479,7 +2493,7 @@ object SparkEntry {
     // slots. Same driver-planned shard prune as every serve; |phrase|
     // rows broadcast. Oracle replays adjacency from the raw token list.
     "x133_phrase_search" -> ((s, dir) => {
-      val idx = s"/tmp/graft/x133_index_${dir.replaceAll("[^0-9.]", "")}"
+      val idx = s"/tmp/graft/x133_index_${storeTag(dir)}"
       TextIndex.write(t(s, dir, "documents"), idx)
       TextIndex.phraseSearch(s, idx, Seq("table", "hash"))
         .orderBy(col("doc_id"))
@@ -2494,7 +2508,7 @@ object SparkEntry {
     // append ≡ full rebuild (disjoint doc batches ⇒ same posting rows).
     // Oracle replays BM25 over the FULL corpus from raw text.
     "x134_text_index_append" -> ((s, dir) => {
-      val idx = s"/tmp/graft/x134_index_${dir.replaceAll("[^0-9.]", "")}"
+      val idx = s"/tmp/graft/x134_index_${storeTag(dir)}"
       val docs = t(s, dir, "documents")
       TextIndex.write(docs.where(col("doc_id") % 5 =!= 0), idx)
       TextIndex.append(docs.where(col("doc_id") % 5 === 0), idx)
@@ -2580,7 +2594,7 @@ object SparkEntry {
     // oracle replays a single pass over the union.
     "x141_hist_state_table" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val root = s"/tmp/graft/x141_state_${dir.replaceAll("[^0-9.]", "")}"
+      val root = s"/tmp/graft/x141_state_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
       val keys = Seq("l_returnflag")
       def ph(d: DataFrame) =
@@ -2663,7 +2677,7 @@ object SparkEntry {
     // intermediate); the oracle replays the direct semantics.
     "x147_stored_decontamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val idx = s"/tmp/graft/x147_index_${dir.replaceAll("[^0-9.]", "")}"
+      val idx = s"/tmp/graft/x147_index_${storeTag(dir)}"
       Dedup.writeShingleIndex(docs.where(col("doc_id") % 10 === 0), idx,
         "doc_id", "text", shingleSize = 8)
       Dedup.contaminationAgainstIndex(docs, idx, "doc_id", "text",
@@ -2679,7 +2693,7 @@ object SparkEntry {
     // oracle replays the DIRECT screen over the union benchmark.
     "x148_decontamination_append" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val idx = s"/tmp/graft/x148_index_${dir.replaceAll("[^0-9.]", "")}"
+      val idx = s"/tmp/graft/x148_index_${storeTag(dir)}"
       Dedup.writeShingleIndex(docs.where(col("doc_id") % 20 === 0), idx,
         "doc_id", "text", shingleSize = 8)
       Dedup.appendShingleIndex(docs.where(col("doc_id") % 20 === 10), idx,
@@ -2712,7 +2726,7 @@ object SparkEntry {
     // margin for range-boundary straddle). One-row broadcast cross of
     // the two single-row profiles; footers are read on executors.
     "x154_zorder_footer_profile" -> ((s, dir) => {
-      val sfTag = dir.replaceAll("[^0-9.]", "").replace(".", "_")
+      val sfTag = storeTag(dir).replace(".", "_")
       val ref = s"x154_zorder_$sfTag"
       Catalog.writeZOrdered(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
@@ -2789,7 +2803,7 @@ object SparkEntry {
     // checked end-to-end exactly as in x2/x52.
     "x152_stored_lsh_index" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val idx = s"/tmp/graft/x152_index_${dir.replaceAll("[^0-9.]", "")}"
+      val idx = s"/tmp/graft/x152_index_${storeTag(dir)}"
       Dedup.writeLshIndex(docs.where(col("doc_id") % 5 < 3), idx,
         "doc_id", "text")
       Dedup.appendLshIndex(docs.where(col("doc_id") % 5 === 3), idx,
@@ -2826,7 +2840,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val (merges, _) = Bpe.train(
         Bpe.wordTable(docs.where(col("doc_id") % 2 === 0), "text"), rounds = 8)
-      val mdl = s"/tmp/graft/x155_bpe_${dir.replaceAll("[^0-9.]", "")}"
+      val mdl = s"/tmp/graft/x155_bpe_${storeTag(dir)}"
       Bpe.writeModel(s, merges, mdl)
       val frozen = Bpe.readModel(s, mdl)
       Bpe.corpusTokens(docs, "source", "text",
@@ -2879,15 +2893,23 @@ object SparkEntry {
     // batch. The stored table must equal the exact O(n²) pair truth of
     // the FULL corpus — x2's oracle verbatim, so incremental ≡ one-shot
     // ≡ exact is checked end to end (DedupSpec additionally pins a
-    // three-batch ingest against a one-shot rebuild row-for-row).
+    // three-batch ingest against a one-shot rebuild row-for-row). The
+    // ingest goes through the LEDGERED path (ingestPairBatch) and is
+    // deliberately issued twice with the same batch id: the second call
+    // is a replay and must be a no-op — a double-append would double
+    // every pair row and flip the oracle hash.
     "x159_pair_store_ingest" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val root = s"/tmp/graft/x159_store_${dir.replaceAll("[^0-9.]", "")}"
+      val root = s"/tmp/graft/x159_store_${storeTag(dir)}"
       val corpus = docs.where(col("doc_id") % 5 =!= 4)
       val batch = docs.where(col("doc_id") % 5 === 4)
       Dedup.writePairStore(corpus, root, "doc_id", "text", threshold = 0.9)
-      Dedup.appendPairStore(batch, corpus, root, "doc_id", "text",
-        threshold = 0.9)
+      val first = Dedup.ingestPairBatch(batch, corpus, root,
+        batchId = "day-0001", threshold = 0.9)
+      val replay = Dedup.ingestPairBatch(batch, corpus, root,
+        batchId = "day-0001", threshold = 0.9)
+      require(first && !replay,
+        s"pair-store ledger broken: first=$first replay=$replay")
       Dedup.pairTable(s, root).orderBy(col("a"), col("b"))
     }),
 

@@ -1023,6 +1023,52 @@ object Dedup {
     writeLshIndex(df, dir, idCol, textCol, shingleSize, numHashes, bands)
     writePairTable(df, dir, idCol, textCol, threshold, shingleSize,
       numHashes, bands)
+    // a rebuild starts a fresh ingest history: markers from the previous
+    // bundle's batches must not suppress this bundle's first ingests
+    val ledger = new org.apache.hadoop.fs.Path(pairLedgerDir(dir))
+    val fs = ledger.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(ledger)) { fs.delete(ledger, true); () }
+  }
+
+  /** Batch-id ledger directory of a [[writePairStore]] bundle — one empty
+    * marker file per already-ingested batch id, beside `pairs.parquet`.
+    */
+  def pairLedgerDir(dir: String): String = s"$dir/.batch_ledger"
+
+  /** [[appendPairStore]] with replay protection — the call production
+    * orchestrators should make: each ingest names its batch with a stable
+    * id, and an id already present in the ledger ([[pairLedgerDir]]) is
+    * skipped outright. Without the guard a replayed batch double-appends
+    * identical pair AND bucket rows, silently corrupting every pair
+    * consumer downstream (clusters, keep-best, triangle census) — the
+    * same failure mode the streaming twin
+    * ([[graft.streaming.PairStream]]) already gates with its marker-file
+    * ledger, now closed on the batch path too. Returns true iff the
+    * batch was ingested (false = replay, store untouched).
+    *
+    * Honestly-stated residual (same as the streaming twin): the
+    * pairs+buckets+marker sequence is not atomic, so a crash between the
+    * appends and the marker write replays the batch on retry; closable
+    * only by a transactional table format committing data and ledger
+    * together.
+    */
+  def ingestPairBatch(batch: DataFrame, corpus: DataFrame, dir: String,
+      batchId: String, threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3, numHashes: Int = 48,
+      bands: Int = 12, maxBucketSize: Int = 1000): Boolean = {
+    require(batchId.nonEmpty && !batchId.contains("/"),
+      s"ingestPairBatch: batchId must be a plain name, got '$batchId'")
+    val marker = new org.apache.hadoop.fs.Path(pairLedgerDir(dir), batchId)
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false
+    else {
+      appendPairStore(batch, corpus, dir, idCol, textCol, threshold,
+        shingleSize, numHashes, bands, maxBucketSize)
+      fs.create(marker, true).close()
+      true
+    }
   }
 
   /** Ingest one batch into a [[writePairStore]] bundle — the production

@@ -20,7 +20,10 @@ import graft.operators.Dedup
   * are naturally idempotent), appendPairStore's appends are NOT — a
   * replayed batch would double its bucket and pair rows — so each batch
   * id is gated by the same marker-file ledger as
-  * [[StatsStream]]/[[HistStream]]. Same honestly-stated residual: the
+  * [[StatsStream]]/[[HistStream]]. (Batch orchestrators get the same
+  * guard from [[graft.operators.Dedup.ingestPairBatch]]; this stream
+  * keeps its own coarser marker because it must also gate the corpus
+  * append.) Same honestly-stated residual: the
   * pairs+buckets+corpus+marker sequence is not atomic, so a crash
   * mid-sequence replays the batch; closable only by a transactional
   * table format committing data and ledger together.

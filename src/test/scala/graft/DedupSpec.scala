@@ -681,6 +681,36 @@ class DedupSpec extends AnyFunSuite {
     assert(buckets(inc) == buckets(full))
   }
 
+  test("ingestPairBatch: replayed batch id is a no-op; pairs and buckets identical to a single ingest") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 300)
+    val corpus = docs.where(col("doc_id") % 3 =!= 2)
+    val b1 = docs.where(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0)
+    val b2 = docs.where(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 1)
+    val dir = "/tmp/graft/dedupspec_pairstore_ledger"
+    def pairs() = Dedup.pairTable(spark, dir)
+      .orderBy(col("a"), col("b")).collect().map(_.toSeq).toSeq
+    def buckets() = spark.read.parquet(s"$dir/buckets.parquet")
+      .select(col("doc_id"), col("band").cast("int"), col("bucket"))
+      .orderBy(col("doc_id"), col("band"), col("bucket"))
+      .collect().map(_.toSeq).toSeq
+
+    Dedup.writePairStore(corpus, dir, "doc_id", "text", threshold = 0.9)
+    assert(Dedup.ingestPairBatch(b1, corpus, dir, "b1", threshold = 0.9))
+    val (p1, k1) = (pairs(), buckets())
+    // replay: same batch id → ledger skips, store row-identical
+    assert(!Dedup.ingestPairBatch(b1, corpus, dir, "b1", threshold = 0.9))
+    assert(pairs() == p1 && buckets() == k1 && p1.nonEmpty)
+    // a genuinely new batch id still ingests
+    assert(Dedup.ingestPairBatch(b2, corpus.unionByName(b1), dir, "b2",
+      threshold = 0.9))
+    assert(buckets().size > k1.size)
+    // a rebuild clears the ledger: the same ids are ingestable again
+    Dedup.writePairStore(corpus, dir, "doc_id", "text", threshold = 0.9)
+    assert(Dedup.ingestPairBatch(b1, corpus, dir, "b1", threshold = 0.9))
+    assert(pairs() == p1 && buckets() == k1)
+  }
+
   test("sourceOverlap: exact jaccard/containment of per-feed shingle sets") {
     // feedA: {a b c, b c d} → 3-shingles {"a b c", "b c d"}
     // feedB: doc "a b c d" → {"a b c", "b c d"}; feedC: {"x y z"}

@@ -15,6 +15,18 @@ class EntryContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("storeTag: distinct testdata roots map to distinct store tags") {
+    // digits-only tags collided: any two roots whose paths share the same
+    // digit sequence (two .../sf0.1 trees) silently shared one /tmp store
+    val a = SparkEntry.storeTag("/root/testdata/sf0.1")
+    val b = SparkEntry.storeTag("/mnt/other/sf0.1")
+    assert(a != b, s"colliding tags: $a")
+    // same root → same tag (per-JVM store reuse depends on it), and the
+    // tag stays filename-safe and keeps the readable scale digits
+    assert(a == SparkEntry.storeTag("/root/testdata/sf0.1"))
+    assert(a.startsWith("0.1_") && a.matches("[0-9._a-f]+"), a)
+  }
+
   test("SURVEY §7.5+§7.6 inventory matches declared queries") {
     // the judge audits the SURVEY inventory row by row against
     // SparkEntry.queries; this pins the two to each other so neither table
