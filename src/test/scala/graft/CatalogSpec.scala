@@ -302,6 +302,38 @@ class CatalogSpec extends AnyFunSuite {
     assert(bm25() == b0 && b0.nonEmpty, "bm25 serve changed across compaction")
   }
 
+  test("pair-store maintenance: flat compact of pairs.parquet, reads and cluster family identical pre/post") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .where(col("doc_id") < 300)
+    val dir = Files.createTempDirectory("graft-pair-compact").toString
+    // fragment the flat table the way production does: one build plus
+    // several ledgered batch ingests, each landing whole new files
+    val corpus0 = docs.where(col("doc_id") % 4 === 0)
+    Dedup.writePairStore(corpus0, dir, "doc_id", "text", threshold = 0.9)
+    var seen = corpus0
+    for (m <- 1 to 3) {
+      val b = docs.where(col("doc_id") % 4 === m)
+      assert(Dedup.ingestPairBatch(b, seen, dir, s"batch-$m", threshold = 0.9))
+      seen = seen.unionByName(b)
+    }
+    def pairFiles() = new java.io.File(s"$dir/pairs.parquet").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    def pairs() = Dedup.pairTable(spark, dir)
+      .orderBy(col("a"), col("b")).collect().map(_.toSeq).toSeq
+    def clusters() = Dedup.clustersFromPairs(docs,
+        Dedup.pairTable(spark, dir), "doc_id")
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val (filesBefore, pBefore, cBefore) = (pairFiles(), pairs(), clusters())
+    assert(filesBefore >= 4, s"expected fragmented table, got $filesBefore files")
+    Catalog.compact(spark, dir, "pairs")
+    assert(pairFiles() < filesBefore, "pair table not compacted")
+    assert(pairs() == pBefore && pBefore.nonEmpty,
+      "pair table changed across compaction")
+    assert(clusters() == cBefore && cBefore.nonEmpty,
+      "cluster family changed across compaction")
+  }
+
   test("fanOut feeds multiple sinks from one cached source") {
     val root = Files.createTempDirectory("graft-fan").toString
     val src = (1L to 10L).toDF("id")
