@@ -82,15 +82,30 @@ object Bpe {
     words.withColumn("sym", call_function("replace", col("sym"),
       lit(Sep + m.left + Sep + m.right + Sep), lit(Sep + m.left + m.right + Sep)))
 
+  /** Lineage bound for [[train]]: after this many merge rounds the word
+    * table is re-persisted and the previous anchor freed, so a round's
+    * pair-count aggregate never re-executes more than this many stacked
+    * `replace` maps. Without the bound, round r re-ran all r prior
+    * merges off the original cache — O(R²) narrow work across training,
+    * invisible at R=8, pathological at a production merge count.
+    */
+  val RepersistEvery = 16
+
   /** Train `rounds` greedy merges over a [[wordTable]]. Returns the
     * frozen merge table (≤ `rounds` rows — the driver's ONLY data) and
     * the word table with final symbol strings (for [[tokenCounts]]).
-    * Stops early if the corpus runs out of pairs.
+    * Stops early if the corpus runs out of pairs. Lineage is bounded by
+    * [[RepersistEvery]] (the word table re-persists periodically), so a
+    * production-sized merge count pays O(R) work and constant plan
+    * depth, not O(R²) re-execution — BpeSpec pins a 64-round run's
+    * final plan to a handful of nodes over the cached anchor.
     */
   def train(words0: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
-    require(rounds >= 1 && rounds <= 64, s"train: rounds=$rounds out of range")
-    val cached = words0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var words = cached
+    require(rounds >= 1 && rounds <= 4096, s"train: rounds=$rounds out of range")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var anchor = words0.persist(lvl)
+    var words = anchor
+    var sinceAnchor = 0
     val merges = Seq.newBuilder[Merge]
     var exhausted = false
     for (_ <- 1 to rounds if !exhausted) {
@@ -102,6 +117,16 @@ object Bpe {
         val m = Merge(top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += m
         words = applyMerge(words, m)
+        sinceAnchor += 1
+        if (sinceAnchor >= RepersistEvery) {
+          val next = words.persist(lvl)
+          next.count() // materialize BEFORE freeing the predecessor —
+          // unpersisting first would recompute from the original table
+          anchor.unpersist()
+          anchor = next
+          words = next
+          sinceAnchor = 0
+        }
       }
     }
     (merges.result(), words)
@@ -130,8 +155,8 @@ object Bpe {
     * shingles x147, LSH buckets x152): R rows (round, left, right,
     * pair_count), written once at training time so every downstream
     * tokenization job reads a frozen model instead of retraining. The
-    * model is driver-bounded by construction (R ≤ 64 here; a production
-    * 50k-merge vocabulary is still kilobytes).
+    * model is driver-bounded by construction (R ≤ 4096 here; a
+    * production 50k-merge vocabulary is still kilobytes).
     */
   def writeModel(spark: org.apache.spark.sql.SparkSession,
       merges: Seq[Merge], dir: String): Unit = {

@@ -23,6 +23,35 @@ class BpeSpec extends AnyFunSuite {
     assert(toks == Map("low" -> 1L, "lower" -> 2L)) // low | low er
   }
 
+  test("64 rounds complete with bounded lineage; merges are the exact prefix ladder") {
+    // one word of 65 distinct ascending chars (uppercase excluded — the
+    // word table lowercases): every pair count is 1, so the tie-break
+    // (count desc, left asc, right asc) always picks the pair whose left
+    // symbol is the fused prefix (it starts with the smallest char) —
+    // round r must merge (s1..sr, s(r+1)), 64 rounds to a single symbol
+    val chars = (33 to 126).map(_.toChar).filterNot(_.isUpper).take(65)
+    val word = chars.mkString
+    val docs = Seq((1L, word)).toDF("doc_id", "text")
+    val (merges, trained) = Bpe.train(Bpe.wordTable(docs, "text"), rounds = 64)
+    assert(merges.size == 64)
+    merges.zipWithIndex.foreach { case (m, i) =>
+      assert(m.left == chars.take(i + 1).mkString && m.pairCount == 1L
+        && m.right == chars(i + 1).toString, s"round ${i + 1}: $m")
+    }
+    val toks = Bpe.tokenCounts(trained).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toks == Map(word -> 1L))
+    // lineage bound (the O(R²) fix): the returned table's plan sits a
+    // handful of nodes above the LAST re-persisted anchor, not 64
+    // stacked replace projections over the original cache
+    val plan = trained.queryExecution.optimizedPlan
+    val nNodes = plan.collect { case p => p }.size
+    assert(nNodes <= 10, s"plan has $nNodes nodes:\n$plan")
+    assert(plan.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.nonEmpty, s"no cached anchor in plan:\n$plan")
+  }
+
   test("train stops early when the corpus runs out of pairs") {
     val docs = Seq((1L, "a b a")).toDF("doc_id", "text") // 1-char words only
     val (merges, trained) = Bpe.train(Bpe.wordTable(docs, "text"), rounds = 5)
