@@ -58,6 +58,28 @@ object RecallProbe {
       val b96 = brute96.count()
       println(s"[probe] $sf x96 recall = $hits96/$b96 = ${hits96.toDouble / b96}")
       spark.catalog.clearCache()
+      // x165 hybrid stored serve: fused-list overlap vs the exact fusion
+      // (same bm25 ranks, brute-force vector ranks) at k=10
+      val docs = Catalog.table(spark, dir, "documents")
+      val q165 = e.where(col("vec_id") < 1)
+      val terms = Seq("join", "hash", "vector")
+      val tix = s"/tmp/graft/probe_x165_tix_$sf"
+      val aix = s"/tmp/graft/probe_x165_aix_$sf"
+      graft.operators.TextIndex.write(docs, tix)
+      graft.operators.AnnIndex.write(e, books, aix, nCentroids = 16,
+        trainIters = 4, spill = 2)
+      val served = Similarity.hybridStoredServe(spark, tix, aix, e, terms,
+        q165, k = 10, poolK = 50, rerank = 150, nProbe = 6).persist()
+      val lex = graft.operators.TextIndex.bm25Search(spark, tix, terms, k = 50)
+        .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
+      val exactVec = Similarity.bruteForceKnn(e, q165, k = 50)
+        .select(col("nid"), col("rank").as("vrank"))
+      val exact = Similarity.rrfFuse(lex, exactVec, k = 10).persist()
+      val ov = served.select(col("nid"))
+        .join(exact.select(col("nid")), Seq("nid"), "left_semi").count()
+      val ex = exact.count()
+      println(s"[probe] $sf x165 fused overlap = $ov/$ex = ${ov.toDouble / ex}")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -2979,6 +2979,46 @@ object SparkEntry {
           col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
+
+    // Hybrid serve off both STORED indexes (x165) — the production
+    // serving path x161's exact fusion is the baseline for: one user
+    // query (a term list plus its embedding), BM25 ranks off the stored
+    // text index (postings scan pruned to the terms' shards), ANN ranks
+    // off the stored ANN index (codes scan pruned to the probed cells),
+    // fused by the SAME rrf arithmetic (Similarity.rrfFuse). Nothing at
+    // serve time touches corpus text or trains — both expensive passes
+    // happened at index build. Contract shape is x95's: result count
+    // plus an earned overlap floor of the served fusion against the
+    // exact fusion (same bm25 ranks, brute-force vector ranks) — the
+    // only approximation in the composition is the ANN side. Measured
+    // overlap (RecallProbe, deterministic): 0.6 / 0.8 / 0.8 at
+    // sf0.001/0.01/0.1 — floor 0.5 sits under the weakest point.
+    "x165_hybrid_stored_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 1)
+      val terms = Seq("join", "hash", "vector")
+      val tix = s"/tmp/graft/x165_tix_${storeTag(dir)}"
+      val aix = s"/tmp/graft/x165_aix_${storeTag(dir)}"
+      TextIndex.write(docs, tix)
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      AnnIndex.write(e, books, aix, nCentroids = 16, trainIters = 4, spill = 2)
+      val served = Similarity.hybridStoredServe(s, tix, aix, e, terms, q,
+        k = 10, poolK = 50, rerank = 150, nProbe = 6).persist()
+      val lex = TextIndex.bm25Search(s, tix, terms, k = 50)
+        .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
+      val exactVec = Similarity.bruteForceKnn(e, q, k = 50)
+        .select(col("nid"), col("rank").as("vrank"))
+      val exact = Similarity.rrfFuse(lex, exactVec, k = 10)
+      val ov = served.select(col("nid"))
+        .join(exact.select(col("nid")), Seq("nid"), "left_semi")
+        .agg(count(lit(1)).as("__ov"))
+      served.agg(count(lit(1)).as("n_results"))
+        .crossJoin(broadcast(ov))
+        .select(col("n_results"),
+          (col("__ov") >= lit(5L)).as("overlap_ok"))
+    }),
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -3143,6 +3183,11 @@ object SparkEntry {
         |  CAST(count(CASE WHEN ln > 1 THEN 1 END) AS BIGINT) AS n_left_dup_ids,
         |  CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_right_dup_ids
         |FROM j""".stripMargin,
+    // shape contract like x95: k fused results for the one query;
+    // overlap_ok is the earned floor of the stored-index serve's fusion
+    // against the exact fusion (the ANN side is the only approximation)
+    "x165_hybrid_stored_serve" ->
+      "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS overlap_ok",
     // both side-ranks replayed with the same tie-breaks (score desc, id),
     // fused with the same two-term rrf sum, re-ranked identically
     "x161_hybrid_rrf" ->

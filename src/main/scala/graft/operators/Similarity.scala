@@ -156,6 +156,54 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rrf"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion of two single-query rank lists — the fusion
+    * arithmetic of [[hybridRrf]] factored out so the exact baseline
+    * (x161) and the stored-index serve (x165) share one implementation:
+    * `lex` (nid, lrank) and `vec` (nid, vrank) full-outer-join on the
+    * candidate id, each side contributes `1/(rrfK + rank)` when present,
+    * ties break on ascending id. The global window is safe: the input is
+    * at most two retrieval pools (≤ 2·poolK rows), never corpus-sized.
+    */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && rrfK >= 1, s"rrfFuse: k=$k rrfK=$rrfK")
+    val fw = Window.orderBy(col("rrf").desc, col("nid"))
+    lex.join(vec, Seq("nid"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vrank")), lit(0.0)))
+      .withColumn("rank", row_number().over(fw))
+      .where(col("rank") <= k)
+      .select(col("nid"), col("rrf"), col("rank"))
+  }
+
+  /** Hybrid retrieval served off both STORED indexes — the production
+    * serving path [[hybridRrf]] is the exact baseline for: one user
+    * query arrives as a term list plus its embedding, the lexical ranks
+    * come from BM25 over the stored text index
+    * ([[graft.operators.TextIndex.bm25Search]] — postings scan pruned to
+    * the query terms' shards), the vector ranks from the stored ANN
+    * index ([[graft.operators.AnnIndex.knn]] — codes scan pruned to the
+    * probed cells), and [[rrfFuse]] fuses the two pools. Nothing here
+    * touches corpus text or trains anything: both expensive passes
+    * happened once at index-build time, and the serve reads two pruned
+    * stores plus the bounded meta/quantizer tables. Single-query
+    * contract: `queryVec` is one vector (its id only excludes itself
+    * from the vector pool).
+    */
+  def hybridStoredServe(spark: org.apache.spark.sql.SparkSession,
+      textIdx: String, annIdx: String, vecs: DataFrame,
+      queryTerms: Seq[String], queryVec: DataFrame, k: Int,
+      poolK: Int = 50, rrfK: Int = 60, rerank: Int = 150,
+      nProbe: Int = 6): DataFrame = {
+    require(poolK >= k, s"hybridStoredServe: poolK=$poolK < k=$k")
+    val lex = TextIndex.bm25Search(spark, textIdx, queryTerms, k = poolK)
+      .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
+    val vec = AnnIndex.knn(spark, annIdx, vecs, queryVec, k = poolK,
+        rerank = rerank, nProbe = nProbe)
+      .select(col("nid"), col("rank").as("vrank"))
+    rrfFuse(lex, vec, k, rrfK)
+  }
+
   /** Exact cosine re-rank of a candidate shortlist: `pairs` (qid, nid)
     * joins back to the raw vectors and only those |queries| × shortlist
     * rows are scored exactly — the second stage of every

@@ -340,4 +340,74 @@ class SimilaritySpec extends AnyFunSuite {
     // rrf: doc2 1/62+1/61 = .03252 > doc1 1/61+1/63 = .03227 > doc3 .03200
     assert(got == Seq((2L, 1), (1L, 2), (3L, 3)))
   }
+
+  test("rrfFuse: one-sided candidates score one term, both-sided two, ties break on id") {
+    val lex = Seq((10L, 1), (11L, 2)).toDF("nid", "lrank")
+    val vec = Seq((11L, 1), (12L, 2)).toDF("nid", "vrank")
+    val got = Similarity.rrfFuse(lex, vec, k = 3).orderBy(col("rank"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    // 11: 1/62+1/61 = .032516..; 10: 1/61 = .016393..; 12: 1/62 = .016129..
+    assert(got.map(_._1) == Seq(11L, 10L, 12L))
+    assert(math.abs(got(0)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(got(1)._2 - 1.0 / 61) < 1e-12)
+    assert(got.map(_._3) == Seq(1, 2, 3))
+  }
+
+  test("hybridStoredServe: wiring equals hand-fused sides; both stores scanned pruned") {
+    import graft.operators.{AnnIndex, Embeddings, RelOps, TextIndex}
+    spark.catalog.clearCache() // scan census below — no foreign cache substitution
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val q = e.where(col("vec_id") < 1)
+    val terms = Seq("join", "vector")
+    val tix = "/tmp/graft/simspec_hybrid_tix"
+    val aix = "/tmp/graft/simspec_hybrid_aix"
+    TextIndex.write(docs, tix)
+    AnnIndex.write(e, Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2),
+      aix, nCentroids = 16, trainIters = 2, spill = 2)
+    val served = Similarity.hybridStoredServe(spark, tix, aix, e, terms, q,
+      k = 5, poolK = 20, rerank = 60, nProbe = 3)
+    // collect served ITSELF (not a derived frame): the scan census below
+    // reads runtime metrics off this exact plan, which must have executed
+    val got = served.collect().sortBy(_.getInt(2))
+      .map(r => (r.getLong(0), r.getInt(2))).toSeq
+    // the same fusion composed by hand from the two serves
+    val lex = TextIndex.bm25Search(spark, tix, terms, k = 20)
+      .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
+    val vec = AnnIndex.knn(spark, aix, e, q, k = 20, rerank = 60, nProbe = 3)
+      .select(col("nid"), col("rank").as("vrank"))
+    val want = Similarity.rrfFuse(lex, vec, k = 5).orderBy(col("rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    assert(got == want && got.size == 5)
+
+    // the composed plan reads ONLY the pruned store directories: the
+    // postings scan the query terms' shards, the codes scan the probed
+    // cells (the ANN side sits behind knn's materialized cache)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec    => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec       => scans(qs.plan)
+      case m: InMemoryTableScanExec => scans(m.relation.cachedPlan)
+      case other                    => other.children.flatMap(scans)
+    }
+    val all = scans(served.queryExecution.executedPlan)
+    val postings = all.find(_.toString.contains("postings.parquet"))
+      .getOrElse(fail("no postings.parquet scan in the composed plan"))
+    val nShards = terms.map(TextIndex.shardOf).distinct.size
+    assert(postings.toString.contains("PartitionFilters"))
+    val shardsRead = postings.metrics("numPartitions").value
+    assert(shardsRead > 0 && shardsRead <= nShards,
+      s"expected <= $nShards postings shards read, got $shardsRead")
+    val codes = all.find(_.toString.contains("codes.parquet"))
+      .getOrElse(fail("no codes.parquet scan in the composed plan"))
+    assert(codes.toString.contains("PartitionFilters"))
+    val cellsRead = codes.metrics("numPartitions").value
+    assert(cellsRead > 0 && cellsRead <= 3,
+      s"expected <= 3 of 16 cell partitions read, got $cellsRead")
+    spark.catalog.clearCache()
+  }
 }
