@@ -3021,6 +3021,104 @@ object SparkEntry {
     }),
   )
 
+  /** Stored-index serving paths with the one-time build factored out —
+    * Bench's `serve_only` section. The declared queries above time
+    * build+serve together (right for the oracle gate, wrong for
+    * trend-watching the number production pays repeatedly: at 100 TB the
+    * store is built once at ingest and served forever). Each value is
+    * (build, serve): Bench runs the build once per process, then times
+    * ONLY serve reps. Serves are read-only and idempotent — x159's times
+    * the per-batch ingest COMPUTE (batch signatures, stored-index join,
+    * within-batch pairs) without the store-mutating append, so reps
+    * don't grow the store under the timer (the append itself writes a
+    * batch-sized file set — cost shown by the full query's timing).
+    */
+  def serveOnly: Map[String, ((SparkSession, String) => Unit, (SparkSession, String) => DataFrame)] = {
+    def annIdx(dir: String) = s"/tmp/graft/serve_x95_${storeTag(dir)}"
+    def tixIdx(dir: String) = s"/tmp/graft/serve_x129_${storeTag(dir)}"
+    def shIdx(dir: String) = s"/tmp/graft/serve_x147_${storeTag(dir)}"
+    def lshIdx(dir: String) = s"/tmp/graft/serve_x152_${storeTag(dir)}"
+    def pairIdx(dir: String) = s"/tmp/graft/serve_x159_${storeTag(dir)}"
+    def hybT(dir: String) = s"/tmp/graft/serve_x165_tix_${storeTag(dir)}"
+    def hybA(dir: String) = s"/tmp/graft/serve_x165_aix_${storeTag(dir)}"
+    Map(
+      "x95_stored_ann_index" -> ((
+        (s: SparkSession, dir: String) => {
+          val e = t(s, dir, "embeddings")
+          val books = Embeddings.pqTrain(
+            RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+          AnnIndex.write(e, books, annIdx(dir), nCentroids = 16,
+            trainIters = 4, spill = 2)
+        },
+        (s: SparkSession, dir: String) => {
+          val e = t(s, dir, "embeddings")
+          AnnIndex.knn(s, annIdx(dir), e, e.where(col("vec_id") < 8),
+            k = 5, rerank = 150, nProbe = 6)
+        })),
+      "x129_stored_text_index" -> ((
+        (s: SparkSession, dir: String) =>
+          TextIndex.write(t(s, dir, "documents"), tixIdx(dir)),
+        (s: SparkSession, dir: String) =>
+          TextIndex.booleanSearch(s, tixIdx(dir),
+            Seq("join", "hash", "vector")))),
+      "x147_stored_decontamination" -> ((
+        (s: SparkSession, dir: String) =>
+          Dedup.writeShingleIndex(
+            t(s, dir, "documents").where(col("doc_id") % 10 === 0),
+            shIdx(dir), "doc_id", "text", shingleSize = 8),
+        (s: SparkSession, dir: String) =>
+          Dedup.contaminationAgainstIndex(t(s, dir, "documents"),
+            shIdx(dir), "doc_id", "text", shingleSize = 8))),
+      "x152_stored_lsh_index" -> ((
+        (s: SparkSession, dir: String) => {
+          val docs = t(s, dir, "documents")
+          Dedup.writeLshIndex(docs.where(col("doc_id") % 5 < 3),
+            lshIdx(dir), "doc_id", "text")
+          Dedup.appendLshIndex(docs.where(col("doc_id") % 5 === 3),
+            lshIdx(dir), "doc_id", "text")
+        },
+        (s: SparkSession, dir: String) => {
+          val docs = t(s, dir, "documents")
+          Dedup.matchesAgainstLshIndex(docs.where(col("doc_id") % 5 === 4),
+            docs.where(col("doc_id") % 5 =!= 4), lshIdx(dir),
+            "doc_id", "text", threshold = 0.9)
+        })),
+      "x159_pair_store_ingest" -> ((
+        (s: SparkSession, dir: String) =>
+          Dedup.writePairStore(
+            t(s, dir, "documents").where(col("doc_id") % 5 =!= 4),
+            pairIdx(dir), "doc_id", "text", threshold = 0.9),
+        (s: SparkSession, dir: String) => {
+          val docs = t(s, dir, "documents")
+          val corpus = docs.where(col("doc_id") % 5 =!= 4)
+          val batch = docs.where(col("doc_id") % 5 === 4)
+          val cross = Dedup.matchesAgainstLshIndex(batch, corpus,
+            pairIdx(dir), "doc_id", "text", threshold = 0.9)
+          val within = Dedup.minhashPairs(batch, "doc_id", "text",
+            threshold = 0.9)
+          cross.select(least(col("new_id"), col("corpus_id")).as("a"),
+              greatest(col("new_id"), col("corpus_id")).as("b"),
+              col("jaccard"))
+            .unionByName(within.select(col("a"), col("b"), col("jaccard")))
+        })),
+      "x165_hybrid_stored_serve" -> ((
+        (s: SparkSession, dir: String) => {
+          val e = t(s, dir, "embeddings")
+          TextIndex.write(t(s, dir, "documents"), hybT(dir))
+          val books = Embeddings.pqTrain(
+            RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+          AnnIndex.write(e, books, hybA(dir), nCentroids = 16,
+            trainIters = 4, spill = 2)
+        },
+        (s: SparkSession, dir: String) => {
+          val e = t(s, dir, "embeddings")
+          Similarity.hybridStoredServe(s, hybT(dir), hybA(dir), e,
+            Seq("join", "hash", "vector"), e.where(col("vec_id") < 1),
+            k = 10, poolK = 50, rerank = 150, nProbe = 6)
+        })),
+    )
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
     f.delete()
