@@ -101,7 +101,10 @@ def bench_at(sf_dir, names):
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_ONLY=",".join(names),
-               SPARK_GRAFT_REPS="3")
+               SPARK_GRAFT_REPS="3",
+               # scaling measures the declared queries; Bench's serve-only
+               # section would rebuild all six stores per invocation here
+               SPARK_GRAFT_SERVE_ONLY="0")
     subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
                    check=True, capture_output=True, text=True)
     with open("/tmp/graft/bench_last.json") as f:
