@@ -3019,6 +3019,40 @@ object SparkEntry {
         .select(col("n_results"),
           (col("__ov") >= lit(5L)).as("overlap_ok"))
     }),
+
+    // DSIR scoring served off the FROZEN LM store (x166) — the batch
+    // twin of the streaming scorer (DsirStream), extending the
+    // trained-model store family (BPE x155) to the LM pair: both unigram
+    // LMs are fitted ONCE and frozen as side tables (freezeLms — vocab
+    // frames + denominators), the whole corpus then scores off the store
+    // through the SAME scoreImportance stage x84 and the stream share,
+    // so train-once-serve-forever ≡ train-in-query end to end: the
+    // oracle is x84's replay VERBATIM, and any drift between the frozen
+    // tables and in-query fitting flips the hash.
+    "x166_dsir_from_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = s"/tmp/graft/x166_lm_${storeTag(dir)}"
+      graft.streaming.DsirStream.freezeLms(docs,
+        docs.where(col("doc_id") % 10 === 0), "text", vocabSize = 20,
+        root, "x166")
+      val (sv, sd, tv, td) = graft.streaming.DsirStream.loadLms(s, root, "x166")
+      TextStats.scoreImportance(docs, "doc_id", "text", tv, td, sv, sd)
+        .select(col("doc_id"), roundz(col("dsir_w"), 6).as("dsir_w"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source corpus cross-entropy (x167) — the feed-quality
+    // dashboard row next to x150's volume health: every source scored
+    // against the SAME corpus-wide smoothed unigram LM, so the numbers
+    // compare across feeds; template junk, boilerplate storms, or a
+    // wrong-language feed read high. Integer-exact: per-token negative
+    // log-probs round and scale to ×10⁶ longs BEFORE the per-source sum
+    // (order-free — partial-agg order cannot flake the hash), one final
+    // division over exact integer totals.
+    "x167_source_xent" -> ((s, dir) =>
+      TextStats.sourceCrossEntropy(t(s, dir, "documents"), "source",
+          "text", vocabSize = 20)
+        .orderBy(col("source"))),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -3041,6 +3075,7 @@ object SparkEntry {
     def pairIdx(dir: String) = s"/tmp/graft/serve_x159_${storeTag(dir)}"
     def hybT(dir: String) = s"/tmp/graft/serve_x165_tix_${storeTag(dir)}"
     def hybA(dir: String) = s"/tmp/graft/serve_x165_aix_${storeTag(dir)}"
+    def lmRoot(dir: String) = s"/tmp/graft/serve_x166_${storeTag(dir)}"
     Map(
       "x95_stored_ann_index" -> ((
         (s: SparkSession, dir: String) => {
@@ -3115,6 +3150,19 @@ object SparkEntry {
           Similarity.hybridStoredServe(s, hybT(dir), hybA(dir), e,
             Seq("join", "hash", "vector"), e.where(col("vec_id") < 1),
             k = 10, poolK = 50, rerank = 150, nProbe = 6)
+        })),
+      "x166_dsir_from_store" -> ((
+        (s: SparkSession, dir: String) => {
+          val docs = t(s, dir, "documents")
+          graft.streaming.DsirStream.freezeLms(docs,
+            docs.where(col("doc_id") % 10 === 0), "text", vocabSize = 20,
+            lmRoot(dir), "x166")
+        },
+        (s: SparkSession, dir: String) => {
+          val (sv, sd, tv, td) =
+            graft.streaming.DsirStream.loadLms(s, lmRoot(dir), "x166")
+          TextStats.scoreImportance(t(s, dir, "documents"), "doc_id",
+            "text", tv, td, sv, sd)
         })),
     )
   }
@@ -3286,6 +3334,54 @@ object SparkEntry {
     // against the exact fusion (the ANN side is the only approximation)
     "x165_hybrid_stored_serve" ->
       "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS overlap_ok",
+    // x84's replay VERBATIM: the stored-LM serve must be row-identical
+    // to in-query LM fitting — both LMs re-fitted in SQL, same estimator
+    "x166_dsir_from_store" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |scnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |stot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM scnt),
+        |svoc AS (SELECT tok, c FROM scnt ORDER BY c DESC, tok LIMIT 20),
+        |svn AS (SELECT count(*) AS v FROM svoc),
+        |ttk AS (SELECT tok FROM tk WHERE doc_id % 10 = 0),
+        |tcnt AS (SELECT tok, count(*) AS c FROM ttk GROUP BY 1),
+        |ttot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tcnt),
+        |tvoc AS (SELECT tok, c FROM tcnt ORDER BY c DESC, tok LIMIT 20),
+        |tvn AS (SELECT count(*) AS v FROM tvoc),
+        |sc AS (
+        |  SELECT tk.doc_id,
+        |    avg(log10((coalesce(tvoc.c, 0) + 1) / (ttot.n + tvn.v + 1.0))
+        |      - log10((coalesce(svoc.c, 0) + 1) / (stot.n + svn.v + 1.0))) AS w
+        |  FROM tk LEFT JOIN tvoc USING (tok) LEFT JOIN svoc USING (tok),
+        |    stot, svn, ttot, tvn
+        |  GROUP BY 1)
+        |SELECT d.doc_id, (round(sc.w, 6) + 0) AS dsir_w
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // same LM replay (corpus-wide, add-one, top-20 vocab), then the
+    // integer ladder: per-token nlp rounded to a x1e6 BIGINT before the
+    // per-source sum, one final division over exact totals
+    "x167_source_xent" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        |voc AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20),
+        |vn AS (SELECT count(*) AS v FROM voc),
+        |sc AS (
+        |  SELECT tk.source,
+        |    CAST(round(-ln((coalesce(voc.c, 0) + 1) / (tot.n + vn.v + 1.0))
+        |      * 1000000, 0) AS BIGINT) AS nlp6
+        |  FROM tk LEFT JOIN voc USING (tok), tot, vn)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+        |  (round(sum(nlp6)::DOUBLE / count(*) / 1000000, 6) + 0) AS xent_nats
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
     // both side-ranks replayed with the same tie-breaks (score desc, id),
     // fused with the same two-term rrf sum, re-ranked identically
     "x161_hybrid_rrf" ->

@@ -515,6 +515,38 @@ object TextStats {
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
   }
 
+  /** Per-group corpus cross-entropy (nats) under the corpus's OWN
+    * smoothed unigram LM (the `unigramLm` convention: top-`vocabSize`
+    * vocab, add-one smoothing, OOV at the smoothed floor) — the
+    * feed-quality dashboard row next to x150's volume health: a source
+    * whose token stream is improbable under the shared corpus
+    * distribution (template junk, boilerplate storms, wrong language)
+    * reads high, and the number is comparable ACROSS sources because
+    * every source is scored against the same LM.
+    *
+    * Exactness discipline (the x130 BM25 idiom): each token's negative
+    * log-prob is rounded and scaled to an integer (×10⁶) BEFORE the
+    * per-group sum, so the aggregate is an order-free integer sum that
+    * partial-agg ordering can never flake, and the one final division
+    * runs over exact integer totals. Scale shape: one token explode,
+    * a broadcast vocab join (K-bounded), one grouped integer aggregate.
+    */
+  def sourceCrossEntropy(docs: DataFrame, groupCol: String,
+      textCol: String, vocabSize: Int = 1000): DataFrame = {
+    val tk = docs.select(col(groupCol),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val (vocabDf, denom) = unigramLm(tk.select(col("tok")), vocabSize, "c")
+    tk.join(broadcast(vocabDf), Seq("tok"), "left")
+      .withColumn("__nlp6",
+        round(-log((coalesce(col("c"), lit(0L)) + 1).cast("double")
+          / lit(denom)) * lit(1e6), 0).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tok"), sum(col("__nlp6")).as("__s"))
+      .select(col(groupCol), col("n_tok"),
+        round(col("__s").cast("double") / col("n_tok") / lit(1e6), 6)
+          .as("xent_nats"))
+  }
+
   /** Lines (non-blank, trimmed-for-matching is NOT applied — matching is
     * exact) appearing in at least `minDocs` DISTINCT documents: the
     * C4/RefinedWeb boilerplate signal (nav menus, cookie banners, footers

@@ -423,4 +423,40 @@ class TextStatsSpec extends AnyFunSuite {
     val gotBins = bins.map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
     assert(gotBins == localBins)
   }
+
+  test("sourceCrossEntropy matches the hand-computed integer ladder") {
+    // tokens: a x3, b x1, c x1 -> N=5; vocab all 3 (K=20), V=3; denom=N+V+1=9
+    // nlp6(a) = round(-ln(4/9)*1e6), nlp6(b)=nlp6(c) = round(-ln(2/9)*1e6)
+    val docs = Seq((1L, "a a b", "A"), (2L, "a c", "B"))
+      .toDF("doc_id", "text", "source")
+    def nlp6(c: Long): Long = math.round(-math.log((c + 1) / 9.0) * 1e6)
+    def xent(sum: Long, n: Long): Double =
+      BigDecimal(sum.toDouble / n / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextStats.sourceCrossEntropy(docs, "source", "text",
+        vocabSize = 20)
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      ("A", 3L, xent(2 * nlp6(3) + nlp6(1), 3)),
+      ("B", 2L, xent(nlp6(3) + nlp6(1), 2))))
+  }
+
+  test("stored-LM DSIR serve is row-identical to in-query training") {
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .where(col("doc_id") < 200)
+    val target = docs.where(col("doc_id") % 10 === 0)
+    val root = "/tmp/graft/textstats_lm_store"
+    graft.streaming.DsirStream.freezeLms(docs, target, "text",
+      vocabSize = 20, root, "spec")
+    val (sv, sd, tv, td) = graft.streaming.DsirStream.loadLms(spark, root, "spec")
+    val viaStore = TextStats.scoreImportance(docs, "doc_id", "text",
+        tv, td, sv, sd)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val inQuery = TextStats.importanceWeights(docs, target, "doc_id",
+        "text", vocabSize = 20)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(viaStore == inQuery && viaStore.nonEmpty)
+  }
 }

@@ -63,7 +63,7 @@ FAMILIES = {
               "x125_quality_gate", "x131_mergeable_quantiles",
               "x137_gate_agreement", "x138_nb_calibration",
               "x141_hist_state_table", "x150_source_health",
-              "x151_type_token_ratio"],
+              "x151_type_token_ratio", "x167_source_xent"],
     "text_index": ["x129_stored_text_index", "x130_bm25_search",
                    "x132_dup_gram_fraction", "x133_phrase_search",
                    "x134_text_index_append", "x153_bpe_tokens",
@@ -78,7 +78,7 @@ FAMILIES = {
                  "x146_stable_ids", "x149_metadata_stats",
                  "x154_zorder_footer_profile", "x158_frequent_itemsets",
                  "x162_integrity_audit", "x163_ingest_freshness",
-                 "x164_association_rules"],
+                 "x164_association_rules", "x166_dsir_from_store"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
               "x126_label_prop", "x142_triangle_census",
               "x156_kcore_trade"],
