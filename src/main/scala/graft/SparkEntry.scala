@@ -3053,6 +3053,25 @@ object SparkEntry {
       TextStats.sourceCrossEntropy(t(s, dir, "documents"), "source",
           "text", vocabSize = 20)
         .orderBy(col("source"))),
+
+    // Stored NB classifier (x168) — the gating classifier joins the
+    // trained-model store family: x116's model (label×vocab log-prob
+    // grid, priors, doc total) persists as tables at training time and
+    // the whole corpus classifies against the FROZEN store through the
+    // same scoring+argmax stages the in-query path uses. Log-probs are
+    // IEEE doubles and parquet round-trips their bits, so store-serve ≡
+    // fit-in-query row-for-row — the oracle is x116's refit replay
+    // VERBATIM, and any store/serve drift flips the hash.
+    "x168_nb_from_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = s"/tmp/graft/x168_nb_${storeTag(dir)}"
+      graft.operators.NbModel.trainWrite(docs, "text", "lang", root)
+      graft.operators.NbModel.predict(s, root, docs, "doc_id", "text", "lang")
+        .where(col("predicted").isNotNull)
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -5092,6 +5111,40 @@ object SparkEntry {
     // the corpus vocabulary, log priors, round-then-argmax (label-asc
     // ties) — the x60/x102 determinism conventions combined
     "x116_nb_classify" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT lang, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS t FROM cnt GROUP BY 1),
+        |voc AS (SELECT DISTINCT tok FROM tk),
+        |vn AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM voc),
+        |nd AS (SELECT lang, count(*) AS ndocs FROM documents GROUP BY 1),
+        |ntot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |grid AS (
+        |  SELECT voc.tok, tot.lang,
+        |    ln((coalesce(cnt.c, 0) + 1) / (tot.t + (SELECT v FROM vn))) AS lp
+        |  FROM voc CROSS JOIN tot
+        |  LEFT JOIN cnt ON cnt.tok = voc.tok AND cnt.lang = tot.lang),
+        |sc AS (
+        |  SELECT tk.doc_id, grid.lang AS plab,
+        |    round(sum(grid.lp)
+        |      + ln(max(nd.ndocs) / (SELECT n FROM ntot)), 6) + 0 AS score
+        |  FROM tk JOIN grid ON tk.tok = grid.tok
+        |  JOIN nd ON nd.lang = grid.lang
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, plab,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, plab) AS rn
+        |  FROM sc)
+        |SELECT d.lang, p.plab AS predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM documents d JOIN pred p ON p.doc_id = d.doc_id AND p.rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // x116's refit replay VERBATIM: classifying off the stored model
+    // must equal fitting in-query — counts, smoothing, priors, argmax
+    "x168_nb_from_store" ->
       """WITH tk AS (
         |  SELECT doc_id, lang,
         |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -636,15 +636,10 @@ object TextStats {
     * documents (no score rows; the left join keeps the doc).
     */
   def naiveBayesPredict(docs: DataFrame, idCol: String, textCol: String,
-      labelCol: String, scoreRound: Int = 6): DataFrame = {
-    val scored = naiveBayesScores(docs, idCol, textCol, labelCol, scoreRound)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__score").desc, col("__lab"))
-    val pred = scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col(idCol), col("__lab").as("predicted"))
-    docs.select(col(idCol), col(labelCol)).join(pred, Seq(idCol), "left")
-  }
+      labelCol: String, scoreRound: Int = 6): DataFrame =
+    naiveBayesArgmax(docs,
+      naiveBayesScores(docs, idCol, textCol, labelCol, scoreRound),
+      idCol, labelCol)
 
   /** The trained-model internals [[naiveBayesPredict]] argmaxes over: one
     * row per (doc, label) with the rounded posterior log-score. Exposed so
@@ -654,13 +649,27 @@ object TextStats {
     */
   def naiveBayesScores(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, scoreRound: Int = 6): DataFrame = {
-    val tk = docs.select(col(idCol), col(labelCol).as("__lab"),
+    val (grid, priors, nTotal) = naiveBayesFit(docs, textCol, labelCol)
+    naiveBayesScoresFromModel(docs, idCol, textCol, grid, priors, nTotal,
+      scoreRound)
+  }
+
+  /** Fit the multinomial NB model alone — the trainable half of
+    * [[naiveBayesScores]], split out so the stored-model serve (x168)
+    * and the in-query path share one estimator (the `scoreImportance`
+    * pattern): returns the distributed label×vocab log-prob grid
+    * `(tok, __lab, __lp)`, the label priors `(__lab, __nd)`, and the
+    * document total. The only driver values are two bounded Longs
+    * (vocabulary size, corpus size).
+    */
+  def naiveBayesFit(docs: DataFrame, textCol: String,
+      labelCol: String): (DataFrame, DataFrame, Double) = {
+    val tk = docs.select(col(labelCol).as("__lab"),
       explode(tokens(lower(col(textCol)))).as("tok"))
     val tokCnt = tk.groupBy(col("__lab"), col("tok"))
       .agg(count(lit(1)).as("__c"))
     val labTot = tokCnt.groupBy(col("__lab")).agg(sum(col("__c")).as("__t"))
     val vocab = tk.select(col("tok")).distinct()
-    // the only driver values: vocabulary size and corpus size (two Longs)
     val v = vocab.count().toDouble
     val nTotal = docs.count().toDouble
     val priors = docs.groupBy(col(labelCol).as("__lab"))
@@ -670,13 +679,41 @@ object TextStats {
       .select(col("tok"), col("__lab"),
         log((coalesce(col("__c"), lit(0L)) + 1).cast("double") /
           (col("__t").cast("double") + lit(v))).as("__lp"))
-    tk.select(col(idCol), col("tok")).join(grid, Seq("tok"))
+    (grid, priors, nTotal)
+  }
+
+  /** Score documents against an ALREADY-FITTED NB model (grid + priors +
+    * doc total, per [[naiveBayesFit]]) — the stateless serving stage:
+    * one token join against the grid (per-row fanout = #labels), one
+    * grouped sum, the prior added broadcast-side. Tokens absent from the
+    * model's vocabulary contribute nothing (inner join) — the standard
+    * serve-time OOV convention for a frozen multinomial NB.
+    */
+  def naiveBayesScoresFromModel(docs: DataFrame, idCol: String,
+      textCol: String, grid: DataFrame, priors: DataFrame, nTotal: Double,
+      scoreRound: Int = 6): DataFrame =
+    docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
+      .join(grid, Seq("tok"))
       .groupBy(col(idCol), col("__lab"))
       .agg(sum(col("__lp")).as("__s"))
       .join(broadcast(priors), Seq("__lab"))
       .select(col(idCol), col("__lab"),
         roundz(col("__s") + log(col("__nd").cast("double") / lit(nTotal)),
           scoreRound).as("__score"))
+
+  /** Argmax a scored frame into per-doc predictions next to the true
+    * label — shared by [[naiveBayesPredict]] and the stored-model serve
+    * so the rounding-then-argmax convention (ties on label ascending)
+    * lives in exactly one place.
+    */
+  def naiveBayesArgmax(docs: DataFrame, scored: DataFrame, idCol: String,
+      labelCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__score").desc, col("__lab"))
+    val pred = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("__lab").as("predicted"))
+    docs.select(col(idCol), col(labelCol)).join(pred, Seq(idCol), "left")
   }
 
   /** Confidence calibration of the self-trained NB classifier — the eval

@@ -442,6 +442,30 @@ class TextStatsSpec extends AnyFunSuite {
       ("B", 2L, xent(nlp6(3) + nlp6(1), 2))))
   }
 
+  test("stored NB model: serve == in-query fit; OOV docs predict null, mixed docs classify") {
+    import graft.operators.NbModel
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .where(col("doc_id") < 200)
+    val root = "/tmp/graft/textstats_nb_store"
+    NbModel.trainWrite(docs, "text", "lang", root)
+    val viaStore = NbModel.predict(spark, root, docs, "doc_id", "text", "lang")
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val inQuery = TextStats.naiveBayesPredict(docs, "doc_id", "text", "lang")
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(viaStore == inQuery && viaStore.nonEmpty)
+    // serve-time OOV: a vocabulary the training corpus never saw scores
+    // no rows -> null prediction; a mixed doc classifies off known tokens
+    val probe = Seq(
+      (900001L, "zqxv wvvk qqpl", "en"),
+      (900002L, "zqxv the and of", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = NbModel.predict(spark, root, probe, "doc_id", "text", "lang")
+      .orderBy(col("doc_id")).collect()
+    assert(got(0).isNullAt(2), s"all-OOV doc must predict null: ${got(0)}")
+    assert(!got(1).isNullAt(2), s"mixed doc must classify: ${got(1)}")
+  }
+
   test("stored-LM DSIR serve is row-identical to in-query training") {
     val docs = spark.read
       .parquet(s"${SparkTestSession.sfDir}/documents.parquet")
