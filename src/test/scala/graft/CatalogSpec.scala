@@ -302,6 +302,37 @@ class CatalogSpec extends AnyFunSuite {
     assert(bm25() == b0 && b0.nonEmpty, "bm25 serve changed across compaction")
   }
 
+  test("ANN-index maintenance: compactPartition shrinks a cell, serve identical pre/post") {
+    import graft.operators.{AnnIndex, Embeddings, RelOps, Similarity}
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val idx = Files.createTempDirectory("graft-ann-compact").toString
+    val books = Embeddings.pqTrain(
+      RelOps.hashSample(e, "vec_id", 0.5), m = 8, k = 16, iters = 2)
+    // build on a third, append twice: every cell directory accretes files
+    AnnIndex.write(e.where(col("vec_id") % 3 === 0), books, idx,
+      nCentroids = 4, trainIters = 2, spill = 2)
+    AnnIndex.append(spark, idx, e.where(col("vec_id") % 3 === 1), spill = 2)
+    AnnIndex.append(spark, idx, e.where(col("vec_id") % 3 === 2), spill = 2)
+    val q = e.where(col("vec_id") < 2)
+    // exhaustive probes: every cell (including the compacted one) feeds
+    // the serve, so any compaction corruption must surface
+    def serve() = AnnIndex.knn(spark, idx, e, q, k = 5, rerank = 50,
+        nProbe = 4)
+      .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
+    val before = serve()
+    spark.catalog.clearCache()
+    def leafFiles(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    val cellDir = s"$idx/codes.parquet/cell=0"
+    val filesBefore = leafFiles(cellDir)
+    assert(filesBefore.size >= 3, s"expected appended files, got $filesBefore")
+    Catalog.compactPartition(spark, idx, "codes", Seq(("cell", "0")))
+    assert(leafFiles(cellDir).size < filesBefore.size, "cell not compacted")
+    assert(serve() == before && before.nonEmpty,
+      "ANN serve changed across compaction")
+    spark.catalog.clearCache()
+  }
+
   test("pair-store maintenance: flat compact of pairs.parquet, reads and cluster family identical pre/post") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
