@@ -3072,6 +3072,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))
     }),
+
+    // Mergeable LM count store (x169) — the model store whose sufficient
+    // statistic MERGES: the unigram LM is fully determined by its word
+    // counts, and counts add, so the store absorbs each document batch
+    // with one vocab-sized staged rewrite (ledgered — a replayed batch
+    // id is skipped; the in-query replay below proves it), never a
+    // corpus rescan. The declared query builds on a third of the corpus,
+    // ingests the other two thirds as batches (one deliberately
+    // replayed), loads the LM off the merged counts, and scores every
+    // document — the oracle is x60's replay VERBATIM, so ingest ≡ refit
+    // is checked end to end: doubled counts from a replay, a lost batch,
+    // or a load-convention drift each flip the hash.
+    "x169_lm_count_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = s"/tmp/graft/x169_lmc_${storeTag(dir)}"
+      graft.operators.LmStore.write(docs.where(col("doc_id") % 3 === 0),
+        "text", root)
+      val i1 = graft.operators.LmStore.ingest(
+        docs.where(col("doc_id") % 3 === 1), "text", root, "b1")
+      val r1 = graft.operators.LmStore.ingest(
+        docs.where(col("doc_id") % 3 === 1), "text", root, "b1")
+      val i2 = graft.operators.LmStore.ingest(
+        docs.where(col("doc_id") % 3 === 2), "text", root, "b2")
+      require(i1 && !r1 && i2,
+        s"lm-store ledger broken: i1=$i1 replay=$r1 i2=$i2")
+      val (voc, denom) = graft.operators.LmStore.load(s, root, vocabSize = 20)
+      TextStats.unigramLogProbFromLm(docs, "doc_id", "text", voc, denom)
+        .select(col("doc_id"), roundz(col("unigram_lp"), 6).as("unigram_lp"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -4832,6 +4862,26 @@ object SparkEntry {
         |  (round(c.n * s.nkeys / s.total, 4) + 0) AS skew
         |FROM c, s ORDER BY c.n DESC, c.key LIMIT 10""".stripMargin,
     "x60_unigram_lp" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        |voc AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20),
+        |vn AS (SELECT count(*) AS v FROM voc),
+        |sc AS (
+        |  SELECT tk.doc_id,
+        |    avg(log10((coalesce(voc.c, 0) + 1) / (tot.n + vn.v + 1.0))) AS lp
+        |  FROM tk LEFT JOIN voc USING (tok), tot, vn
+        |  GROUP BY 1)
+        |SELECT d.doc_id, (round(sc.lp, 6) + 0) AS unigram_lp
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // x60's replay VERBATIM: the LM loaded off the count-merged store
+    // must equal in-query fitting over the whole corpus
+    "x169_lm_count_merge" ->
       """WITH tk AS (
         |  SELECT doc_id,
         |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -399,13 +399,25 @@ object TextStats {
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int = 1000): DataFrame = {
     require(vocabSize > 0, s"vocabSize=$vocabSize must be positive")
+    val (vocabDf, denom) = fitUnigramLm(docs, textCol, vocabSize)
+    unigramLogProbFromLm(docs, idCol, textCol, vocabDf, denom)
+  }
+
+  /** Score documents against an ALREADY-FITTED unigram LM (a `(tok, c)`
+    * vocab frame + denominator, per `fitUnigramLm` / a loaded
+    * [[graft.operators.LmStore]]) — the stateless half of
+    * [[unigramLogProb]], split out so the mergeable count store (x169)
+    * and the in-query path share one scorer. Vocab broadcasts
+    * (K-bounded); tokenless documents keep a row with a null score.
+    */
+  def unigramLogProbFromLm(docs: DataFrame, idCol: String, textCol: String,
+      vocabDf: DataFrame, denom: Double): DataFrame = {
     val tk = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
-    val (vocabDf, denom) = unigramLm(tk.select(col("tok")), vocabSize, "c")
-    val scored = tk.join(broadcast(vocabDf), Seq("tok"), "left")
+    val scored = tk.join(broadcast(vocabDf.select(col("tok"), col("c"))),
+        Seq("tok"), "left")
       .groupBy(col(idCol))
       .agg(avg(log10((coalesce(col("c"), lit(0L)) + 1).cast("double") / lit(denom)))
         .as("unigram_lp"))
-    // left join back: tokenless documents keep a row with a null score
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
   }
 

@@ -51,7 +51,7 @@ object Catalog {
     * maintenance paths below (compact / upsert / swap) run unchanged on a
     * cluster. Resolution is per-path: a catalog can span filesystems.
     */
-  private def fsFor(spark: SparkSession, p: HPath): FileSystem =
+  private[graft] def fsFor(spark: SparkSession, p: HPath): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Does the table exist on its filesystem? */
@@ -196,7 +196,7 @@ object Catalog {
     * metadata commit replaces this swap — the merge/compact PLANS above
     * stay identical. See SCALE.md.
     */
-  private def atomicSwap(f: FileSystem, staged: HPath, dst: HPath, op: String): Unit = {
+  private[graft] def atomicSwap(f: FileSystem, staged: HPath, dst: HPath, op: String): Unit = {
     val old = new HPath(dst.getParent, s".${dst.getName}.old")
     if (f.exists(old)) f.delete(old, true) // leftover from a crashed earlier swap
     if (f.exists(dst) && !f.rename(dst, old)) sys.error(s"$op: cannot stage out $dst")

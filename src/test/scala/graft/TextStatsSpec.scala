@@ -442,6 +442,37 @@ class TextStatsSpec extends AnyFunSuite {
       ("B", 2L, xent(nlp6(3) + nlp6(1), 2))))
   }
 
+  test("LmStore: ledgered count-merge ingest == one-shot refit; load matches fitUnigramLm") {
+    import graft.operators.LmStore
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .where(col("doc_id") < 300)
+    val root = "/tmp/graft/textstats_lm_counts"
+    LmStore.write(docs.where(col("doc_id") % 3 === 0), "text", root)
+    assert(LmStore.ingest(docs.where(col("doc_id") % 3 === 1), "text", root, "b1"))
+    // replay: ledger skips, counts unchanged
+    def stored() = spark.read.parquet(s"$root/counts.parquet")
+      .orderBy(col("tok")).collect().map(_.toSeq).toSeq
+    val afterB1 = stored()
+    assert(!LmStore.ingest(docs.where(col("doc_id") % 3 === 1), "text", root, "b1"))
+    assert(stored() == afterB1)
+    assert(LmStore.ingest(docs.where(col("doc_id") % 3 === 2), "text", root, "b2"))
+    // merged counts == one-shot counts over the whole corpus, row for row
+    val oneShot = LmStore.counts(docs, "text")
+      .orderBy(col("tok")).collect().map(_.toSeq).toSeq
+    assert(stored() == oneShot && oneShot.nonEmpty)
+    // load replicates the in-query fitting convention exactly
+    val (voc, denom) = LmStore.load(spark, root, vocabSize = 20)
+    val (fitVoc, fitDenom) = TextStats.fitUnigramLm(docs, "text", 20)
+    assert(denom == fitDenom)
+    assert(voc.orderBy(col("tok")).collect().map(_.toSeq).toSeq
+      == fitVoc.orderBy(col("tok")).collect().map(_.toSeq).toSeq)
+    // a rebuild clears the ledger: the same batch id ingests again
+    LmStore.write(docs.where(col("doc_id") % 3 === 0), "text", root)
+    assert(LmStore.ingest(docs.where(col("doc_id") % 3 === 1), "text", root, "b1"))
+    assert(stored() == afterB1)
+  }
+
   test("stored NB model: serve == in-query fit; OOV docs predict null, mixed docs classify") {
     import graft.operators.NbModel
     val docs = spark.read
