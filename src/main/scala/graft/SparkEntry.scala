@@ -3102,6 +3102,33 @@ object SparkEntry {
         .select(col("doc_id"), roundz(col("unigram_lp"), 6).as("unigram_lp"))
         .orderBy(col("doc_id"))
     }),
+
+    // Compaction under the ORACLE gate (x170) — the maintenance path
+    // itself becomes declared surface: the LSH bucket index is built
+    // fragmented (a build plus two appends — each band directory holds
+    // one file set per ingest), EVERY band then compacts in-query
+    // (staged rewrite + atomic swap), and the serve off the compacted
+    // store must still equal the exact O(batch×corpus) Jaccard truth.
+    // The CatalogSpec pins already check serve-identical pre/post on one
+    // shard; this puts "compaction is invisible" under the driver's
+    // correctness hash for the whole store — a row lost or doubled by
+    // the rewrite flips it.
+    "x170_compacted_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = s"/tmp/graft/x170_index_${storeTag(dir)}"
+      Dedup.writeLshIndex(docs.where(col("doc_id") % 5 < 2), idx,
+        "doc_id", "text")
+      Dedup.appendLshIndex(docs.where(col("doc_id") % 5 === 2), idx,
+        "doc_id", "text")
+      Dedup.appendLshIndex(docs.where(col("doc_id") % 5 === 3), idx,
+        "doc_id", "text")
+      for (b <- 0 until 12)
+        Catalog.compactPartition(s, idx, "buckets", Seq(("band", b.toString)))
+      Dedup.matchesAgainstLshIndex(docs.where(col("doc_id") % 5 === 4),
+          docs.where(col("doc_id") % 5 =!= 4), idx, "doc_id", "text",
+          threshold = 0.9)
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -6204,6 +6231,30 @@ object SparkEntry {
     // store+append+serve ≡ the exact batch×corpus Jaccard truth — the
     // oracle replays the O(batch×corpus) exact pair set (x2's idiom),
     // so serve-off-store recall is end-to-end checked
+    // the exact O(batch x corpus) truth again (x152's replay): the serve
+    // runs off a store every band of which was compacted in-query, so
+    // any row the rewrite loses or doubles flips this hash
+    "x170_compacted_serve" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+        |    (round(len(list_intersect(n.sh, c.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(n.sh, c.sh))), 4) + 0) AS jaccard
+        |  FROM s n, s c WHERE n.doc_id % 5 = 4 AND c.doc_id % 5 <> 4)
+        |SELECT new_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.9
+        |ORDER BY new_id, corpus_id""".stripMargin,
     "x152_stored_lsh_index" ->
       """WITH t AS (
         |  SELECT doc_id,

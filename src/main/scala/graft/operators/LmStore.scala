@@ -77,6 +77,17 @@ object LmStore {
     }
   }
 
+  /** Record a batch id in the ledger WITHOUT ingesting — the streaming
+    * twin marks the store-CREATING batch with this ([[write]] clears the
+    * ledger, so the creating micro-batch's own id must be re-marked or
+    * its replay after a crash would double-ingest through [[ingest]]).
+    */
+  def mark(spark: SparkSession, dir: String, batchId: String): Unit = {
+    val marker = new HPath(ledgerDir(dir), batchId)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+  }
+
   /** Load the LM off the stored counts under `unigramLm`'s exact
     * convention: (top-`vocabSize` vocab frame `(tok, c)` with the
     * count-desc/token-asc tiebreak, add-one denominator `n + v + 1` over

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.LmStore
+
+/** Streaming LM count-store maintenance — x169's streaming twin: every
+  * micro-batch of documents merges into the stored word-count table
+  * through the VERBATIM batch path ([[graft.operators.LmStore.ingest]]),
+  * so the LM stays current as the corpus grows and stream and batch
+  * cannot drift on the arithmetic. The first batch creates the store
+  * ([[graft.operators.LmStore.write]]); each later batch costs one
+  * batch-sized count pass plus a vocab-sized staged rewrite.
+  *
+  * Replay protection is the ingest's OWN ledger (LmStore keys it by the
+  * micro-batch id), unlike [[PairStream]], which needs an extra coarser
+  * marker because it must also gate a corpus append — here the count
+  * store is the only state.
+  */
+object LmStream {
+
+  /** Start merging parquet document files from `srcDir` into the LM
+    * count store at `dir`.
+    */
+  def lmStream(spark: SparkSession, srcDir: String, dir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = spark.readStream.schema(CorpusIngest.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+    checkpointDir.fold(w)(w.option("checkpointLocation", _))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+            s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/counts.parquet"))) {
+            LmStore.write(batch.toDF(), "text", dir)
+            // write clears the ledger — re-mark the creating batch so a
+            // post-crash replay of THIS micro-batch cannot double-ingest
+            LmStore.mark(s, dir, batchId.toString)
+          } else {
+            LmStore.ingest(batch.toDF(), "text", dir, batchId.toString)
+            ()
+          }
+        }
+      }
+      .outputMode("update")
+      .start()
+  }
+}

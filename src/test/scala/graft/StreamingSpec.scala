@@ -464,6 +464,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(r => r.head == 1L && r(1) == 10L))
   }
 
+  test("streaming LM count-merge equals a one-shot batch count") {
+    import graft.streaming.LmStream
+    import graft.operators.LmStore
+    val src = Files.createTempDirectory("graft_lm_src")
+    val dir = Files.createTempDirectory("graft_lm_store").toString + "/store"
+    def doc(id: Long, text: String) = (id, text, "en", "s0", text.length.toLong)
+    def stage(name: String, docs: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_lm_stage")
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    stage("b0.parquet", Seq(doc(1, "alpha beta beta gamma")))
+    stage("b1.parquet", Seq(doc(2, "beta gamma delta"), doc(3, "alpha alpha")))
+    stage("b2.parquet", Seq(doc(4, "epsilon")))
+    val q = LmStream.lmStream(spark, src.toString, dir)
+    try q.processAllAvailable() finally q.stop()
+    val all = Seq(doc(1, "alpha beta beta gamma"),
+      doc(2, "beta gamma delta"), doc(3, "alpha alpha"), doc(4, "epsilon"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val streamed = spark.read.parquet(s"$dir/counts.parquet")
+      .orderBy($"tok").collect().map(_.toSeq).toSeq
+    val oneShot = LmStore.counts(all, "text")
+      .orderBy($"tok").collect().map(_.toSeq).toSeq
+    assert(streamed == oneShot && streamed.nonEmpty)
+  }
+
   test("streaming corpus ingest decontaminates each micro-batch against the table") {
     import graft.streaming.CorpusIngest
     val src = Files.createTempDirectory("graft_docs_src")

@@ -49,7 +49,8 @@ FAMILIES = {
               "x119_crossdoc_dedup", "x128_cluster_canonical",
               "x136_cross_source_dup_share", "x147_stored_decontamination",
               "x148_decontamination_append", "x152_stored_lsh_index",
-              "x159_pair_store_ingest", "x160_source_overlap"],
+              "x159_pair_store_ingest", "x160_source_overlap",
+              "x170_compacted_serve"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
               "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann",
               "x95_stored_ann_index", "x96_stored_index_append",
