@@ -3129,6 +3129,23 @@ object SparkEntry {
           threshold = 0.9)
         .orderBy(col("new_id"), col("corpus_id"))
     }),
+
+    // MMR diversified re-rank (x171) — the serving stack's third stage
+    // after retrieval (x8/x95) and fusion (x161/x165): greedy maximal
+    // marginal relevance over the query's top-30 shortlist, k=10, λ=0.5
+    // (the common factor cancels, so each step argmaxes the INTEGER
+    // qsim6 − max psim6 over ×10⁶-rounded cosines — engine-replayable,
+    // ties on ascending id). Distributed work is the shortlist retrieval
+    // and the pool² pairwise cosines; the greedy runs driver-side over
+    // the bounded collected pool (≤ poolK² rows — the query's own
+    // shortlist, corpus size never enters). The oracle unrolls all 10
+    // greedy steps as materialized CTEs.
+    "x171_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.mmrRerank(e, e.where(col("vec_id") < 1), k = 10,
+          poolK = 30)
+        .orderBy(col("rank"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -3272,6 +3289,53 @@ object SparkEntry {
     * separate aw-chain — the stored-model serve, where OOV words simply
     * match fewer merges.
     */
+  /** x171's oracle, generated for fixed (k, poolK): pool + pairwise-sim
+    * CTEs, then every greedy MMR step unrolled as one materialized CTE
+    * pair (the step's argmax row, the cumulative selection). Integer
+    * step scores (×10⁴-rounded cosines) make each argmax engine-exact;
+    * ties break on ascending id, mirroring the operator.
+    */
+  private def mmrOracleSql(k: Int, poolK: Int): String = {
+    val steps = (2 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT c.nid, c.qsim4 - max(p.psim4) AS score4
+         |  FROM cand c JOIN ps p ON p.na = c.nid
+         |    AND p.nb IN (SELECT nid FROM sel${i - 1})
+         |  WHERE c.nid NOT IN (SELECT nid FROM sel${i - 1})
+         |  GROUP BY c.nid, c.qsim4
+         |  ORDER BY score4 DESC, c.nid LIMIT 1),
+         |sel$i AS MATERIALIZED (
+         |  SELECT nid FROM sel${i - 1} UNION ALL SELECT nid FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to k).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS rank, nid, score4 AS mmr4 FROM s$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT c.vec_id AS nid,
+       |    list_cosine_similarity((SELECT v FROM qv), c.embedding::DOUBLE[]) AS sim
+       |  FROM embeddings c WHERE c.vec_id <> 0),
+       |cand AS MATERIALIZED (
+       |  SELECT nid, CAST(round(sim * 10000, 0) AS BIGINT) AS qsim4
+       |  FROM (SELECT nid, sim,
+       |      row_number() OVER (ORDER BY sim DESC, nid) AS rnk FROM scored)
+       |  WHERE rnk <= $poolK),
+       |ps AS MATERIALIZED (
+       |  SELECT a.nid AS na, b.nid AS nb,
+       |    CAST(round(list_cosine_similarity(ea.embedding::DOUBLE[],
+       |      eb.embedding::DOUBLE[]) * 10000, 0) AS BIGINT) AS psim4
+       |  FROM cand a JOIN cand b ON a.nid <> b.nid
+       |    JOIN embeddings ea ON ea.vec_id = a.nid
+       |    JOIN embeddings eb ON eb.vec_id = b.nid),
+       |s1 AS MATERIALIZED (
+       |  SELECT nid, qsim4 AS score4 FROM cand ORDER BY qsim4 DESC, nid LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT nid FROM s1),
+       |$steps
+       |SELECT * FROM (
+       |  $finals)
+       |ORDER BY rank""".stripMargin
+  }
+
   private def bpeOracleSql(rounds: Int, trainWhere: Option[String]): String = {
     val head =
       s"""WITH d AS MATERIALIZED (
@@ -6231,6 +6295,9 @@ object SparkEntry {
     // store+append+serve ≡ the exact batch×corpus Jaccard truth — the
     // oracle replays the O(batch×corpus) exact pair set (x2's idiom),
     // so serve-off-store recall is end-to-end checked
+    // every greedy MMR step unrolled as a materialized CTE; integer
+    // x1e4 step scores, ties on ascending id — argmax engine-exact
+    "x171_mmr_rerank" -> mmrOracleSql(k = 10, poolK = 30),
     // the exact O(batch x corpus) truth again (x152's replay): the serve
     // runs off a store every band of which was compacted in-query, so
     // any row the rewrite loses or doubles flips this hash

@@ -204,6 +204,69 @@ object Similarity {
     rrfFuse(lex, vec, k, rrfK)
   }
 
+  /** Maximal-marginal-relevance diversified re-rank (Carbonell &
+    * Goldstein, SIGIR'98, public) of one query's candidate shortlist —
+    * the serving stack's third stage after retrieval (x8/x95) and fusion
+    * (x161/x165): greedily select k of the top-`poolK` candidates, each
+    * step taking the argmax of `relevance − max similarity to an
+    * already-selected result`. λ is fixed at 0.5, whose common factor
+    * cancels in the argmax, so the step score is the INTEGER
+    * `qsim4 − max psim4` over cosines rounded and scaled to ×10⁴ longs —
+    * fully engine-replayable, ties on ascending id (rank-1 scores pure
+    * relevance: no selected set yet).
+    *
+    * Scale posture: the distributed work is the shortlist retrieval
+    * (bruteForceKnn — swap in the stored-index serve at scale) and the
+    * poolK² pairwise cosines; the greedy itself runs driver-side over
+    * the COLLECTED pool, bounded by construction at poolK(≤256)² rows of
+    * (id, id, long) — the query's own shortlist; corpus size never
+    * enters. Output: (rank, nid, mmr4) — mmr4 the integer score at
+    * selection time.
+    */
+  def mmrRerank(vecs: DataFrame, queryVec: DataFrame, k: Int,
+      poolK: Int = 30): DataFrame = {
+    require(k >= 1 && poolK >= k && poolK <= 256,
+      s"mmrRerank: k=$k poolK=$poolK out of range")
+    val spark = vecs.sparkSession
+    val d = dotFor(vecs)
+    val pool = bruteForceKnn(vecs, queryVec, poolK)
+      .select(col("nid"), round(col("sim") * lit(1e4), 0).cast("long")
+        .as("qsim4"))
+      .persist()
+    try {
+      val ids = pool.select(col("nid"))
+      val sub = vecs.join(broadcast(ids),
+          vecs("vec_id") === ids("nid"), "left_semi")
+        .select(col("vec_id").as("id"), asDouble(col("embedding")).as("v"))
+        .withColumn("n", sqrt(d(col("v"), col("v"))))
+      val pa = sub.select(col("id").as("na"), col("v").as("va"), col("n").as("nna"))
+      val pb = sub.select(col("id").as("nb"), col("v").as("vb"), col("n").as("nnb"))
+      val pairSims = pa.crossJoin(broadcast(pb))
+        .where(col("na") =!= col("nb"))
+        .select(col("na"), col("nb"),
+          round(when(col("nna") * col("nnb") === 0, lit(0.0d))
+            .otherwise(d(col("va"), col("vb")) / (col("nna") * col("nnb")))
+            * lit(1e4), 0).cast("long").as("psim4"))
+      // bounded driver greedy: poolK candidates, poolK² pair rows
+      val cand = pool.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val psim = pairSims.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      val remaining = scala.collection.mutable.TreeSet.empty[Long] ++ cand.keys
+      for (rank <- 1 to math.min(k, cand.size)) {
+        val best = remaining.map { nid =>
+          val penalty = if (selected.isEmpty) 0L
+            else selected.map { case (_, s, _) => psim((nid, s)) }.max
+          (nid, cand(nid) - (if (selected.isEmpty) 0L else penalty))
+        }.minBy { case (nid, s) => (-s, nid) } // score desc, id asc
+        selected += ((rank, best._1, best._2))
+        remaining -= best._1
+      }
+      import spark.implicits._
+      selected.toSeq.toDF("rank", "nid", "mmr4")
+    } finally { pool.unpersist(); () }
+  }
+
   /** Exact cosine re-rank of a candidate shortlist: `pairs` (qid, nid)
     * joins back to the raw vectors and only those |queries| × shortlist
     * rows are scored exactly — the second stage of every

@@ -353,6 +353,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._3) == Seq(1, 2, 3))
   }
 
+  test("mmrRerank: greedy integer MMR matches a replayed fixture; duplicates penalized") {
+    val raw = Map(
+      0L -> (1.0, 0.0), 1L -> (4.0, 1.0), 2L -> (5.0, 2.0),
+      3L -> (0.0, 5.0), 4L -> (3.0, 4.0))
+    val vecs = raw.toSeq.sortBy(_._1)
+      .map { case (id, (x, y)) => (id, Seq(x.toFloat, y.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(vecs, vecs.where(col("vec_id") === 0),
+        k = 3, poolK = 4)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // replay the greedy with the same arithmetic (x1e4-rounded cosines)
+    def sim4(a: Long, b: Long): Long = {
+      val ((ax, ay), (bx, by)) = (raw(a), raw(b))
+      math.round((ax * bx + ay * by)
+        / (math.sqrt(ax * ax + ay * ay) * math.sqrt(bx * bx + by * by)) * 1e4)
+    }
+    var selected = Seq.empty[(Int, Long, Long)]
+    var remaining = Set(1L, 2L, 3L, 4L)
+    for (rank <- 1 to 3) {
+      val best = remaining.toSeq.map { nid =>
+        val pen = if (selected.isEmpty) 0L
+          else selected.map { case (_, s, _) => sim4(nid, s) }.max
+        (nid, sim4(0L, nid) - pen)
+      }.minBy { case (nid, s) => (-s, nid) }
+      selected = selected :+ ((rank, best._1, best._2))
+      remaining -= best._1
+    }
+    assert(got == selected, s"got $got want $selected")
+    // rank 1 is the most relevant; the near-duplicate directions rank
+    // with their penalty applied (every later score strictly below)
+    assert(got.head._2 == 1L && got.head._3 == sim4(0L, 1L))
+    assert(got.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("hybridStoredServe: wiring equals hand-fused sides; both stores scanned pruned") {
     import graft.operators.{AnnIndex, Embeddings, RelOps, TextIndex}
     spark.catalog.clearCache() // scan census below — no foreign cache substitution
