@@ -3146,6 +3146,34 @@ object SparkEntry {
           poolK = 30)
         .orderBy(col("rank"))
     }),
+
+    // Versioned table with time travel (x172) — the minimal
+    // transactional table format every maintenance ledger names as its
+    // residual: each commit lands in a NEW immutable numbered directory
+    // (Spark's _SUCCESS marker written last) and only then does the
+    // _latest pointer flip, so a crash anywhere leaves readers on the
+    // previous version or the completed new one — never a partial table.
+    // The declared query commits the even-doc half as v1 and the full
+    // corpus as v2, then reads BOTH versions back (time travel) plus the
+    // anti-join of v2 against v1 — version numbers, both counts, and the
+    // added-row count are all SQL-derivable from the same splits.
+    "x172_versioned_table" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = s"/tmp/graft/x172_vt_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      val v1 = Catalog.commitVersion(docs.where(col("doc_id") % 2 === 0),
+        root, "docs")
+      val v2 = Catalog.commitVersion(docs, root, "docs")
+      val old = Catalog.readVersion(s, root, "docs", Some(v1))
+      val cur = Catalog.readVersion(s, root, "docs")
+      cur.agg(count(lit(1)).as("n_latest"))
+        .crossJoin(broadcast(old.agg(count(lit(1)).as("n_v1"))))
+        .crossJoin(broadcast(
+          cur.join(old.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("n_added"))))
+        .select(lit(v1).as("v1"), lit(v2).as("v2"), col("n_v1"),
+          col("n_latest"), col("n_added"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -6298,6 +6326,13 @@ object SparkEntry {
     // every greedy MMR step unrolled as a materialized CTE; integer
     // x1e4 step scores, ties on ascending id — argmax engine-exact
     "x171_mmr_rerank" -> mmrOracleSql(k = 10, poolK = 30),
+    // both versions' counts and the added-row count replay from the same
+    // deterministic splits; version numbers are the commit sequence
+    "x172_versioned_table" ->
+      """SELECT CAST(1 AS BIGINT) AS v1, CAST(2 AS BIGINT) AS v2,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_v1,
+        |  (SELECT count(*) FROM documents) AS n_latest,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 <> 0) AS n_added""".stripMargin,
     // the exact O(batch x corpus) truth again (x152's replay): the serve
     // runs off a store every band of which was compacted in-query, so
     // any row the rewrite loses or doubles flips this hash

@@ -1051,7 +1051,9 @@ object Dedup {
     * pairs+buckets+marker sequence is not atomic, so a crash between the
     * appends and the marker write replays the batch on retry; closable
     * only by a transactional table format committing data and ledger
-    * together.
+    * together. (The SINGLE-table commit primitive now exists —
+    * [[graft.sources.Catalog.commitVersion]] — but this bundle spans two
+    * tables plus a ledger, which needs a multi-table commit.)
     */
   def ingestPairBatch(batch: DataFrame, corpus: DataFrame, dir: String,
       batchId: String, threshold: Double, idCol: String = "doc_id",

@@ -181,6 +181,105 @@ object Catalog {
     atomicSwap(f, staged, dir, "compactPartition")
   }
 
+  // ------------------------------------------------- versioned tables
+
+  /** Root directory of a versioned table: one immutable numbered
+    * directory per committed version plus a `_latest` pointer file.
+    */
+  def versionsDir(root: String, ref: String): String =
+    s"${root.stripSuffix("/")}/${tableName(ref)}_versions"
+
+  /** Commit `df` as the table's next version — the minimal transactional
+    * table format the maintenance ledgers name as their residual: data
+    * lands in a NEW immutable directory (`<base>/<n>`, Spark's `_SUCCESS`
+    * marker written last), and only then does the `_latest` pointer flip.
+    * A crash anywhere leaves readers on the previous version, or on the
+    * new one if its `_SUCCESS` landed — monotone, never partial, because
+    * [[latestVersion]] falls back to the highest COMMITTED (`_SUCCESS`-
+    * bearing) directory whenever the pointer is missing or stale-low.
+    * Old versions stay readable ([[readVersion]] — time travel) until
+    * pruned by retention. Single-writer contract per table (two racing
+    * writers could pick the same n); readers need no coordination.
+    */
+  def commitVersion(df: DataFrame, root: String, ref: String): Long = {
+    val spark = df.sparkSession
+    val base = new HPath(versionsDir(root, ref))
+    val f = fsFor(spark, base)
+    val next = latestVersion(spark, root, ref).getOrElse(0L) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$base/$next")
+    // pointer flip: write-temp + delete + rename. The delete→rename gap
+    // is not atomic, but a missing pointer only sends readers through
+    // the committed-directory fallback — same answer, two extra lists.
+    val tmp = new HPath(base, s"._latest.tmp.$next")
+    val out = f.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    val ptr = new HPath(base, "_latest")
+    if (f.exists(ptr)) f.delete(ptr, false)
+    if (!f.rename(tmp, ptr)) sys.error(s"commitVersion: pointer flip failed for $base")
+    next
+  }
+
+  /** The table's newest committed version: the `_latest` pointer when
+    * present, validated against (and never below) the highest
+    * `_SUCCESS`-bearing numbered directory — so a crash between data
+    * write and pointer flip still serves the committed data.
+    */
+  def latestVersion(spark: SparkSession, root: String,
+      ref: String): Option[Long] = {
+    val base = new HPath(versionsDir(root, ref))
+    val f = fsFor(spark, base)
+    if (!f.exists(base)) return None
+    val committed = f.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.forall(_.isDigit))
+      .map(_.getPath)
+      .filter(p => f.exists(new HPath(p, "_SUCCESS")))
+      .map(_.getName.toLong)
+    val pointed = {
+      val ptr = new HPath(base, "_latest")
+      if (!f.exists(ptr)) None
+      else {
+        val in = f.open(ptr)
+        try {
+          val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+        } finally in.close()
+      }
+    }
+    (committed ++ pointed).reduceOption(_ max _)
+  }
+
+  /** Read a committed version (`None` = latest) — the time-travel scan.
+    * Refuses uncommitted or unknown version numbers loudly.
+    */
+  def readVersion(spark: SparkSession, root: String, ref: String,
+      version: Option[Long] = None): DataFrame = {
+    val base = versionsDir(root, ref)
+    val v = version.orElse(latestVersion(spark, root, ref)).getOrElse(
+      sys.error(s"readVersion: no committed versions under $base"))
+    val dir = new HPath(s"$base/$v")
+    val f = fsFor(spark, dir)
+    require(f.exists(new HPath(dir, "_SUCCESS")),
+      s"readVersion: version $v at $base is not committed")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Drop committed versions older than the newest `keep` — retention
+    * for the immutable history. The pointer target is never dropped.
+    */
+  def pruneVersions(spark: SparkSession, root: String, ref: String,
+      keep: Int): Unit = {
+    require(keep >= 1, s"pruneVersions: keep=$keep must be >= 1")
+    val base = new HPath(versionsDir(root, ref))
+    val f = fsFor(spark, base)
+    if (!f.exists(base)) return
+    val latest = latestVersion(spark, root, ref).getOrElse(return)
+    f.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.forall(_.isDigit))
+      .map(_.getPath.getName.toLong).sorted.reverse.drop(keep)
+      .filter(_ != latest)
+      .foreach(v => f.delete(new HPath(base, v.toString), true))
+  }
+
   /** Replace `dst` with `staged` via rename-out → rename-in → rollback:
     * the destination is renamed aside before the staging directory moves
     * in, so a crash at any point leaves either the old table or the new

@@ -365,6 +365,42 @@ class CatalogSpec extends AnyFunSuite {
       "cluster family changed across compaction")
   }
 
+  test("versioned table: commit/time-travel/prune; crash states never serve a partial table") {
+    val root = Files.createTempDirectory("graft-vt").toString
+    val v1 = Catalog.commitVersion((1L to 10L).toDF("id"), root, "t")
+    val v2 = Catalog.commitVersion((1L to 25L).toDF("id"), root, "t")
+    assert(v1 == 1L && v2 == 2L)
+    assert(Catalog.latestVersion(spark, root, "t").contains(2L))
+    assert(Catalog.readVersion(spark, root, "t").count() == 25L)
+    assert(Catalog.readVersion(spark, root, "t", Some(1L)).count() == 10L)
+
+    val base = new java.io.File(Catalog.versionsDir(root, "t"))
+    // crash AFTER data commit, BEFORE pointer flip: simulate by deleting
+    // the pointer — the committed-directory fallback still serves v2
+    assert(new java.io.File(base, "_latest").delete())
+    assert(Catalog.latestVersion(spark, root, "t").contains(2L))
+    assert(Catalog.readVersion(spark, root, "t").count() == 25L)
+
+    // crash MID data write: an uncommitted directory (no _SUCCESS) is
+    // invisible to latest and refused by an explicit read
+    val v3 = Catalog.commitVersion((1L to 30L).toDF("id"), root, "t")
+    assert(v3 == 3L)
+    val stale = new java.io.File(base, "4")
+    assert(stale.mkdir())
+    java.nio.file.Files.write(new java.io.File(stale, "part-0.parquet").toPath,
+      Array[Byte](0))
+    assert(Catalog.latestVersion(spark, root, "t").contains(3L))
+    intercept[IllegalArgumentException] {
+      Catalog.readVersion(spark, root, "t", Some(4L))
+    }
+
+    // retention: prune to the newest 1 — old versions drop, latest stays
+    Catalog.pruneVersions(spark, root, "t", keep = 1)
+    assert(!new java.io.File(base, "1").exists())
+    assert(!new java.io.File(base, "2").exists())
+    assert(Catalog.readVersion(spark, root, "t").count() == 30L)
+  }
+
   test("fanOut feeds multiple sinks from one cached source") {
     val root = Files.createTempDirectory("graft-fan").toString
     val src = (1L to 10L).toDF("id")
