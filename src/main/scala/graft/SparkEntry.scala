@@ -3174,6 +3174,37 @@ object SparkEntry {
         .select(lit(v1).as("v1"), lit(v2).as("v2"), col("n_v1"),
           col("n_latest"), col("n_added"))
     }),
+
+    // Atomic multi-table bundle commit (x173) — the cross-table
+    // consistency x172's single-table protocol cannot give, and the
+    // exact shape the pair-store ingest ledger documents as its
+    // residual: both member tables land inside ONE new version
+    // directory, the _manifest naming the members renames in LAST
+    // ("committed" = manifest exists), then the bundle pointer flips —
+    // so no reader can ever observe table A at version n and table B at
+    // n−1. The declared query commits a two-table bundle twice and
+    // reads BOTH members at BOTH versions; every count is SQL-derivable
+    // from the same deterministic splits.
+    "x173_bundle_commit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val orders = t(s, dir, "orders")
+      val root = s"/tmp/graft/x173_bc_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      val v1 = Catalog.commitBundle(Seq(
+        "docs" -> docs.where(col("doc_id") % 2 === 0),
+        "orders" -> orders.where(col("o_orderkey") % 2 === 0)), root, "pair")
+      val v2 = Catalog.commitBundle(Seq(
+        "docs" -> docs, "orders" -> orders), root, "pair")
+      def n(ref: String, v: Long, as: String) =
+        broadcast(Catalog.readBundleTable(s, root, "pair", ref, Some(v))
+          .agg(count(lit(1)).as(as)))
+      n("docs", v1, "n_docs_v1")
+        .crossJoin(n("orders", v1, "n_orders_v1"))
+        .crossJoin(n("docs", v2, "n_docs_v2"))
+        .crossJoin(n("orders", v2, "n_orders_v2"))
+        .select(lit(v1).as("v1"), lit(v2).as("v2"), col("n_docs_v1"),
+          col("n_orders_v1"), col("n_docs_v2"), col("n_orders_v2"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -6326,6 +6357,14 @@ object SparkEntry {
     // every greedy MMR step unrolled as a materialized CTE; integer
     // x1e4 step scores, ties on ascending id — argmax engine-exact
     "x171_mmr_rerank" -> mmrOracleSql(k = 10, poolK = 30),
+    // both member tables at both bundle versions, replayed from the
+    // deterministic splits; version numbers are the commit sequence
+    "x173_bundle_commit" ->
+      """SELECT CAST(1 AS BIGINT) AS v1, CAST(2 AS BIGINT) AS v2,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_docs_v1,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_orders_v1,
+        |  (SELECT count(*) FROM documents) AS n_docs_v2,
+        |  (SELECT count(*) FROM orders) AS n_orders_v2""".stripMargin,
     // both versions' counts and the added-row count replay from the same
     // deterministic splits; version numbers are the commit sequence
     "x172_versioned_table" ->

@@ -1051,9 +1051,11 @@ object Dedup {
     * pairs+buckets+marker sequence is not atomic, so a crash between the
     * appends and the marker write replays the batch on retry; closable
     * only by a transactional table format committing data and ledger
-    * together. (The SINGLE-table commit primitive now exists —
-    * [[graft.sources.Catalog.commitVersion]] — but this bundle spans two
-    * tables plus a ledger, which needs a multi-table commit.)
+    * together. (The commit primitives now exist —
+    * [[graft.sources.Catalog.commitVersion]] single-table,
+    * [[graft.sources.Catalog.commitBundle]] multi-table; migrating this
+    * band-partitioned bundle onto manifest-listed bundle versions is
+    * the remaining step.)
     */
   def ingestPairBatch(batch: DataFrame, corpus: DataFrame, dir: String,
       batchId: String, threshold: Double, idCol: String = "doc_id",

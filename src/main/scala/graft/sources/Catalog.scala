@@ -207,32 +207,35 @@ object Catalog {
     val f = fsFor(spark, base)
     val next = latestVersion(spark, root, ref).getOrElse(0L) + 1
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$base/$next")
-    // pointer flip: write-temp + delete + rename. The delete→rename gap
-    // is not atomic, but a missing pointer only sends readers through
-    // the committed-directory fallback — same answer, two extra lists.
+    flipPointer(f, base, next, "commitVersion")
+    next
+  }
+
+  /** Pointer flip: write-temp + delete + rename. The delete→rename gap
+    * is not atomic, but a missing pointer only sends readers through
+    * the committed-directory fallback — same answer, two extra lists.
+    */
+  private def flipPointer(f: FileSystem, base: HPath, next: Long,
+      op: String): Unit = {
     val tmp = new HPath(base, s"._latest.tmp.$next")
     val out = f.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     val ptr = new HPath(base, "_latest")
     if (f.exists(ptr)) f.delete(ptr, false)
-    if (!f.rename(tmp, ptr)) sys.error(s"commitVersion: pointer flip failed for $base")
-    next
+    if (!f.rename(tmp, ptr)) sys.error(s"$op: pointer flip failed for $base")
   }
 
-  /** The table's newest committed version: the `_latest` pointer when
-    * present, validated against (and never below) the highest
-    * `_SUCCESS`-bearing numbered directory — so a crash between data
-    * write and pointer flip still serves the committed data.
+  /** Newest committed version under `base`: the `_latest` pointer when
+    * present, validated against (and never below) the highest numbered
+    * directory satisfying `committed`.
     */
-  def latestVersion(spark: SparkSession, root: String,
-      ref: String): Option[Long] = {
-    val base = new HPath(versionsDir(root, ref))
-    val f = fsFor(spark, base)
+  private def latestIn(f: FileSystem, base: HPath,
+      committed: HPath => Boolean): Option[Long] = {
     if (!f.exists(base)) return None
-    val committed = f.listStatus(base).toSeq
+    val dirs = f.listStatus(base).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.forall(_.isDigit))
       .map(_.getPath)
-      .filter(p => f.exists(new HPath(p, "_SUCCESS")))
+      .filter(committed)
       .map(_.getName.toLong)
     val pointed = {
       val ptr = new HPath(base, "_latest")
@@ -245,7 +248,19 @@ object Catalog {
         } finally in.close()
       }
     }
-    (committed ++ pointed).reduceOption(_ max _)
+    (dirs ++ pointed).reduceOption(_ max _)
+  }
+
+  /** The table's newest committed version: the `_latest` pointer when
+    * present, validated against (and never below) the highest
+    * `_SUCCESS`-bearing numbered directory — so a crash between data
+    * write and pointer flip still serves the committed data.
+    */
+  def latestVersion(spark: SparkSession, root: String,
+      ref: String): Option[Long] = {
+    val base = new HPath(versionsDir(root, ref))
+    latestIn(fsFor(spark, base), base,
+      p => fsFor(spark, base).exists(new HPath(p, "_SUCCESS")))
   }
 
   /** Read a committed version (`None` = latest) — the time-travel scan.
@@ -278,6 +293,82 @@ object Catalog {
       .map(_.getPath.getName.toLong).sorted.reverse.drop(keep)
       .filter(_ != latest)
       .foreach(v => f.delete(new HPath(base, v.toString), true))
+  }
+
+  // ----------------------------------------------- versioned bundles
+
+  /** Root of a versioned BUNDLE: one immutable numbered directory per
+    * committed version, each holding EVERY member table, plus a
+    * `_latest` pointer.
+    */
+  def bundleDir(root: String, bundle: String): String =
+    s"${root.stripSuffix("/")}/${bundle}_bundle"
+
+  /** Atomic MULTI-table commit — the cross-table consistency
+    * [[commitVersion]]'s single-table protocol cannot give (and the
+    * shape that closes the pair-bundle residual the ingest ledgers
+    * document): all member tables land inside ONE new numbered version
+    * directory, a `_manifest` file naming the members renames in LAST,
+    * and only then does the bundle pointer flip. "Committed" = the
+    * manifest exists — a crash after some tables but before the
+    * manifest leaves an invisible version — so readers resolving every
+    * member through [[readBundleTable]] can never observe table A at
+    * version n and table B at n−1. Single-writer per bundle.
+    */
+  def commitBundle(tables: Seq[(String, DataFrame)], root: String,
+      bundle: String): Long = {
+    require(tables.nonEmpty, "commitBundle: no member tables")
+    require(tables.map(_._1).distinct.size == tables.size,
+      s"commitBundle: duplicate member refs in ${tables.map(_._1)}")
+    val spark = tables.head._2.sparkSession
+    val base = new HPath(bundleDir(root, bundle))
+    val f = fsFor(spark, base)
+    val next = latestBundleVersion(spark, root, bundle).getOrElse(0L) + 1
+    tables.foreach { case (ref, df) =>
+      df.write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"$base/$next/${tableName(ref)}.parquet")
+    }
+    val tmp = new HPath(base, s"._manifest.tmp.$next")
+    val out = f.create(tmp, true)
+    try out.write(tables.map(_._1).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val manifest = new HPath(s"$base/$next/_manifest")
+    if (!f.rename(tmp, manifest))
+      sys.error(s"commitBundle: manifest publish failed for $base/$next")
+    flipPointer(f, base, next, "commitBundle")
+    next
+  }
+
+  /** The bundle's newest committed version — committed = manifest
+    * present; same pointer-with-fallback contract as [[latestVersion]].
+    */
+  def latestBundleVersion(spark: SparkSession, root: String,
+      bundle: String): Option[Long] = {
+    val base = new HPath(bundleDir(root, bundle))
+    val f = fsFor(spark, base)
+    latestIn(f, base, p => f.exists(new HPath(p, "_manifest")))
+  }
+
+  /** Read one member table at a committed bundle version (`None` =
+    * latest). Refuses uncommitted versions and non-member refs loudly.
+    */
+  def readBundleTable(spark: SparkSession, root: String, bundle: String,
+      ref: String, version: Option[Long] = None): DataFrame = {
+    val base = bundleDir(root, bundle)
+    val v = version.orElse(latestBundleVersion(spark, root, bundle))
+      .getOrElse(sys.error(s"readBundleTable: no committed versions under $base"))
+    val manifest = new HPath(s"$base/$v/_manifest")
+    val f = fsFor(spark, manifest)
+    require(f.exists(manifest),
+      s"readBundleTable: version $v at $base is not committed")
+    val members = {
+      val in = f.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+      finally in.close()
+    }
+    require(members.contains(ref),
+      s"readBundleTable: '$ref' not in bundle version $v (members: $members)")
+    spark.read.parquet(s"$base/$v/${tableName(ref)}.parquet")
   }
 
   /** Replace `dst` with `staged` via rename-out → rename-in → rollback:

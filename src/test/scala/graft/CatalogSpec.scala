@@ -401,6 +401,38 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.readVersion(spark, root, "t").count() == 30L)
   }
 
+  test("versioned bundle: multi-table commit is all-or-nothing; members resolve through one version") {
+    val root = Files.createTempDirectory("graft-bundle").toString
+    val v1 = Catalog.commitBundle(Seq(
+      "a" -> (1L to 5L).toDF("id"), "b" -> (1L to 7L).toDF("id")), root, "p")
+    val v2 = Catalog.commitBundle(Seq(
+      "a" -> (1L to 50L).toDF("id"), "b" -> (1L to 70L).toDF("id")), root, "p")
+    assert(v1 == 1L && v2 == 2L)
+    assert(Catalog.readBundleTable(spark, root, "p", "a").count() == 50L)
+    assert(Catalog.readBundleTable(spark, root, "p", "b").count() == 70L)
+    // time travel resolves BOTH members through the same version
+    assert(Catalog.readBundleTable(spark, root, "p", "a", Some(1L)).count() == 5L)
+    assert(Catalog.readBundleTable(spark, root, "p", "b", Some(1L)).count() == 7L)
+    // non-member refused
+    intercept[IllegalArgumentException] {
+      Catalog.readBundleTable(spark, root, "p", "c")
+    }
+
+    val base = new java.io.File(Catalog.bundleDir(root, "p"))
+    // crash AFTER the tables, BEFORE the manifest: one table of a v3
+    // landed — the version is invisible and an explicit read refuses
+    val partial = new java.io.File(base, "3")
+    (1L to 9L).toDF("id").write.parquet(s"$partial/a.parquet")
+    assert(Catalog.latestBundleVersion(spark, root, "p").contains(2L))
+    intercept[IllegalArgumentException] {
+      Catalog.readBundleTable(spark, root, "p", "a", Some(3L))
+    }
+    // crash AFTER manifest, BEFORE pointer flip: fallback still serves
+    assert(new java.io.File(base, "_latest").delete())
+    assert(Catalog.latestBundleVersion(spark, root, "p").contains(2L))
+    assert(Catalog.readBundleTable(spark, root, "p", "b").count() == 70L)
+  }
+
   test("fanOut feeds multiple sinks from one cached source") {
     val root = Files.createTempDirectory("graft-fan").toString
     val src = (1L to 10L).toDF("id")
