@@ -3205,6 +3205,34 @@ object SparkEntry {
         .select(lit(v1).as("v1"), lit(v2).as("v2"), col("n_docs_v1"),
           col("n_orders_v1"), col("n_docs_v2"), col("n_orders_v2"))
     }),
+
+    // Pair bundle on the atomic store (x174) — x159's ingest MIGRATED
+    // onto x173's bundle commits, closing the marker-file residual for
+    // good: pairs and buckets publish together as one bundle version,
+    // the batch id rides IN the manifest (data and ledger are the same
+    // rename — no append-then-marker crash window), and a replayed
+    // batch id is rejected atomically (exercised in-plan below). Same
+    // 80/20 proportions and the same exact O(n²) oracle as x159:
+    // incremental ≡ one-shot ≡ exact, now transactionally published.
+    "x174_pair_bundle_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = s"/tmp/graft/x174_pb_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      val corpus = docs.where(col("doc_id") % 5 =!= 4)
+      val batch = docs.where(col("doc_id") % 5 === 4)
+      Dedup.writePairBundle(corpus, root, "neardup", "doc_id", "text",
+        threshold = 0.9)
+      val first = Dedup.ingestPairBundle(batch, corpus, root, "neardup",
+        batchId = "day-0001", idCol = "doc_id", textCol = "text",
+        threshold = 0.9)
+      val replay = Dedup.ingestPairBundle(batch, corpus, root, "neardup",
+        batchId = "day-0001", idCol = "doc_id", textCol = "text",
+        threshold = 0.9)
+      require(first && !replay,
+        s"bundle ledger broken: first=$first replay=$replay")
+      Catalog.readBundleTable(s, root, "neardup", "pairs")
+        .orderBy(col("a"), col("b"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -3651,6 +3679,28 @@ object SparkEntry {
         |FROM i JOIN sz na ON na.source = i.source_a
         |  JOIN sz nb ON nb.source = i.source_b
         |ORDER BY source_a, source_b""".stripMargin,
+    // the bundle's pair member after an atomic ledgered ingest (plus a
+    // rejected replay) must equal the exact O(n²) truth — x159's replay
+    "x174_pair_bundle_ingest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    (round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))), 4) + 0) AS jaccard
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.9 ORDER BY a, b""".stripMargin,
     // the stored table after three-batch incremental ingest must equal
     // the exact O(n²) pair truth of the whole corpus — x2's replay
     "x159_pair_store_ingest" ->

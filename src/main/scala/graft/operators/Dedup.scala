@@ -1112,6 +1112,70 @@ object Dedup {
     appendLshIndex(batch, dir, idCol, textCol, shingleSize, numHashes, bands)
   }
 
+  // ----------------------------- pair bundle on the atomic bundle store
+
+  /** The near-dup pair bundle ON the atomic versioned-bundle store —
+    * the migration the marker-file path ([[ingestPairBatch]]) documents
+    * as its remaining step: pairs and buckets commit TOGETHER as one
+    * bundle version ([[graft.sources.Catalog.commitBundle]]), so no
+    * reader can observe the pair table at ingest n with the bucket
+    * index at n−1, and the batch LEDGER lives inside the manifest —
+    * data and replay guard publish in the same rename, with no
+    * append→marker crash window at all. Buckets live as plain file sets
+    * (the band column stays a data column; the serve join on
+    * (band, bucket) never partition-pruned — band directories only ever
+    * granulated maintenance, which versioned file sets subsume).
+    */
+  def writePairBundle(df: DataFrame, root: String, bundle: String,
+      idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int = 3, numHashes: Int = 48, bands: Int = 12): Long = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold, shingleSize,
+      numHashes, bands)
+    try graft.sources.Catalog.commitBundle(Seq(
+      "pairs" -> pairs,
+      "buckets" -> lshBuckets(df, idCol, textCol, shingleSize, numHashes,
+        bands)), root, bundle)
+    finally { pairs.unpersist(); () }
+  }
+
+  /** One batch ingest into a [[writePairBundle]] store — the same
+    * arithmetic as [[appendPairStore]] (cross matches off the stored
+    * buckets, within-batch pairs locally, the batch's buckets joining
+    * the index), but published ATOMICALLY: one
+    * [[graft.sources.Catalog.appendBundle]] carries both members' new
+    * file sets AND the batch id. Returns false (store untouched) on a
+    * replayed batch id — checked before any work, and again atomically
+    * at publish.
+    */
+  def ingestPairBundle(batch: DataFrame, corpus: DataFrame, root: String,
+      bundle: String, batchId: String, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3, numHashes: Int = 48,
+      bands: Int = 12, maxBucketSize: Int = 1000): Boolean = {
+    val spark = batch.sparkSession
+    if (graft.sources.Catalog.bundleManifest(spark, root, bundle)
+        .batches.contains(batchId)) false
+    else {
+      val stored = graft.sources.Catalog
+        .readBundleTable(spark, root, bundle, "buckets")
+        .select(col(idCol), col("band").cast("int").as("band"), col("bucket"))
+      val cross = incrementalMinhashMatchesWithIndex(batch, corpus, stored,
+        idCol, textCol, threshold, shingleSize, numHashes, bands,
+        maxBucketSize)
+      val within = minhashPairs(batch, idCol, textCol, threshold,
+        shingleSize, numHashes, bands)
+      try {
+        val newPairs = cross
+          .select(least(col("new_id"), col("corpus_id")).as("a"),
+            greatest(col("new_id"), col("corpus_id")).as("b"), col("jaccard"))
+          .unionByName(within.select(col("a"), col("b"), col("jaccard")))
+        graft.sources.Catalog.appendBundle(Seq(
+          "pairs" -> newPairs,
+          "buckets" -> lshBuckets(batch, idCol, textCol, shingleSize,
+            numHashes, bands)), root, bundle, batchId)
+      } finally { cross.unpersist(); within.unpersist(); () }
+    }
+  }
+
   /** The new batch with exact and near duplicates of the corpus removed —
     * the per-ingest decontamination step of a continuously growing corpus.
     * Within-batch duplicates are a separate, composable concern

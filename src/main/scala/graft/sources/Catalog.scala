@@ -304,16 +304,71 @@ object Catalog {
   def bundleDir(root: String, bundle: String): String =
     s"${root.stripSuffix("/")}/${bundle}_bundle"
 
+  /** Parsed bundle manifest: the ingested batch ids and, per member
+    * table, the base-relative data directories its rows live in.
+    */
+  final case class BundleManifest(batches: Seq[String],
+      dirs: Map[String, Seq[String]])
+
+  private def writeManifest(f: FileSystem, base: HPath, next: Long,
+      m: BundleManifest, op: String): Unit = {
+    val body = (s"#batches=${m.batches.mkString(",")}" +:
+      m.dirs.toSeq.sortBy(_._1).flatMap { case (ref, ds) =>
+        ds.map(d => s"$ref\t$d")
+      }).mkString("\n")
+    val tmp = new HPath(base, s"._manifest.tmp.$next")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val manifest = new HPath(s"$base/$next/_manifest")
+    if (!f.rename(tmp, manifest))
+      sys.error(s"$op: manifest publish failed for $base/$next")
+  }
+
+  /** Drop a crashed writer's UNCOMMITTED leftover (a version directory
+    * without a manifest is garbage by definition — single-writer), so
+    * the retry's `ErrorIfExists` data writes don't collide with it.
+    */
+  private def clearUncommitted(f: FileSystem, base: HPath, next: Long): Unit = {
+    val vdir = new HPath(s"$base/$next")
+    if (f.exists(vdir) && !f.exists(new HPath(vdir, "_manifest"))) {
+      f.delete(vdir, true); ()
+    }
+  }
+
+  /** Read a committed version's manifest. */
+  def bundleManifest(spark: SparkSession, root: String, bundle: String,
+      version: Option[Long] = None): BundleManifest = {
+    val base = bundleDir(root, bundle)
+    val v = version.orElse(latestBundleVersion(spark, root, bundle))
+      .getOrElse(sys.error(s"bundleManifest: no committed versions under $base"))
+    val manifest = new HPath(s"$base/$v/_manifest")
+    val f = fsFor(spark, manifest)
+    require(f.exists(manifest),
+      s"bundleManifest: version $v at $base is not committed")
+    val in = f.open(manifest)
+    val lines = try
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+    val batches = lines.headOption.filter(_.startsWith("#batches="))
+      .map(_.stripPrefix("#batches=")).filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    val dirs = lines.filterNot(_.startsWith("#"))
+      .map { l => val Array(ref, d) = l.split("\t", 2); (ref, d) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    BundleManifest(batches, dirs)
+  }
+
   /** Atomic MULTI-table commit — the cross-table consistency
-    * [[commitVersion]]'s single-table protocol cannot give (and the
-    * shape that closes the pair-bundle residual the ingest ledgers
-    * document): all member tables land inside ONE new numbered version
-    * directory, a `_manifest` file naming the members renames in LAST,
-    * and only then does the bundle pointer flip. "Committed" = the
-    * manifest exists — a crash after some tables but before the
+    * [[commitVersion]]'s single-table protocol cannot give: all member
+    * tables land inside ONE new numbered version directory, a
+    * `_manifest` file naming the member data directories renames in
+    * LAST, and only then does the bundle pointer flip. "Committed" =
+    * the manifest exists — a crash after some tables but before the
     * manifest leaves an invisible version — so readers resolving every
     * member through [[readBundleTable]] can never observe table A at
-    * version n and table B at n−1. Single-writer per bundle.
+    * version n and table B at n−1. A full-snapshot commit; it resets
+    * the batch-ingest history ([[appendBundle]] grows it).
+    * Single-writer per bundle.
     */
   def commitBundle(tables: Seq[(String, DataFrame)], root: String,
       bundle: String): Long = {
@@ -324,19 +379,60 @@ object Catalog {
     val base = new HPath(bundleDir(root, bundle))
     val f = fsFor(spark, base)
     val next = latestBundleVersion(spark, root, bundle).getOrElse(0L) + 1
+    clearUncommitted(f, base, next)
     tables.foreach { case (ref, df) =>
       df.write.mode(SaveMode.ErrorIfExists)
         .parquet(s"$base/$next/${tableName(ref)}.parquet")
     }
-    val tmp = new HPath(base, s"._manifest.tmp.$next")
-    val out = f.create(tmp, true)
-    try out.write(tables.map(_._1).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val manifest = new HPath(s"$base/$next/_manifest")
-    if (!f.rename(tmp, manifest))
-      sys.error(s"commitBundle: manifest publish failed for $base/$next")
+    writeManifest(f, base, next, BundleManifest(Seq.empty,
+      tables.map { case (ref, _) =>
+        ref -> Seq(s"$next/${tableName(ref)}.parquet")
+      }.toMap), "commitBundle")
     flipPointer(f, base, next, "commitBundle")
     next
+  }
+
+  /** Atomic LEDGERED batch append — the shape that closes the ingest
+    * ledgers' replay residual FOR GOOD: each member's batch rows land
+    * as a NEW immutable file set inside the next version directory (the
+    * resident data is never rewritten — the new manifest lists the old
+    * file sets plus the new ones), the batch id is recorded IN the
+    * manifest, and manifest-rename + pointer-flip publish data and
+    * ledger in one atomic step. A replayed batch id returns false with
+    * the store untouched, and — unlike the marker-file ledgers, whose
+    * append→marker gap replays on a crash between them — there is NO
+    * window where data committed but the ledger entry didn't: they are
+    * the same file.
+    */
+  def appendBundle(tables: Seq[(String, DataFrame)], root: String,
+      bundle: String, batchId: String): Boolean = {
+    require(tables.nonEmpty, "appendBundle: no member tables")
+    require(batchId.nonEmpty && !batchId.contains(",") && !batchId.contains("\n"),
+      s"appendBundle: batchId must be a plain name, got '$batchId'")
+    val spark = tables.head._2.sparkSession
+    val base = new HPath(bundleDir(root, bundle))
+    val f = fsFor(spark, base)
+    val prior = bundleManifest(spark, root, bundle)
+    if (prior.batches.contains(batchId)) false
+    else {
+      require(tables.forall { case (ref, _) => prior.dirs.contains(ref) },
+        s"appendBundle: unknown member in ${tables.map(_._1)} " +
+          s"(bundle has ${prior.dirs.keys})")
+      val next = latestBundleVersion(spark, root, bundle).getOrElse(0L) + 1
+      clearUncommitted(f, base, next)
+      tables.foreach { case (ref, df) =>
+        df.write.mode(SaveMode.ErrorIfExists)
+          .parquet(s"$base/$next/${tableName(ref)}.parquet")
+      }
+      val merged = prior.dirs.map { case (ref, ds) =>
+        ref -> (if (tables.exists(_._1 == ref))
+          ds :+ s"$next/${tableName(ref)}.parquet" else ds)
+      }
+      writeManifest(f, base, next,
+        BundleManifest(prior.batches :+ batchId, merged), "appendBundle")
+      flipPointer(f, base, next, "appendBundle")
+      true
+    }
   }
 
   /** The bundle's newest committed version — committed = manifest
@@ -350,25 +446,16 @@ object Catalog {
   }
 
   /** Read one member table at a committed bundle version (`None` =
-    * latest). Refuses uncommitted versions and non-member refs loudly.
+    * latest): the union of the manifest's file sets for that member.
+    * Refuses uncommitted versions and non-member refs loudly.
     */
   def readBundleTable(spark: SparkSession, root: String, bundle: String,
       ref: String, version: Option[Long] = None): DataFrame = {
     val base = bundleDir(root, bundle)
-    val v = version.orElse(latestBundleVersion(spark, root, bundle))
-      .getOrElse(sys.error(s"readBundleTable: no committed versions under $base"))
-    val manifest = new HPath(s"$base/$v/_manifest")
-    val f = fsFor(spark, manifest)
-    require(f.exists(manifest),
-      s"readBundleTable: version $v at $base is not committed")
-    val members = {
-      val in = f.open(manifest)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
-      finally in.close()
-    }
-    require(members.contains(ref),
-      s"readBundleTable: '$ref' not in bundle version $v (members: $members)")
-    spark.read.parquet(s"$base/$v/${tableName(ref)}.parquet")
+    val m = bundleManifest(spark, root, bundle, version)
+    require(m.dirs.contains(ref),
+      s"readBundleTable: '$ref' not in bundle (members: ${m.dirs.keys})")
+    spark.read.parquet(m.dirs(ref).map(d => s"$base/$d"): _*)
   }
 
   /** Replace `dst` with `staged` via rename-out → rename-in → rollback:

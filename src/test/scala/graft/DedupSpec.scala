@@ -681,6 +681,53 @@ class DedupSpec extends AnyFunSuite {
     assert(buckets(inc) == buckets(full))
   }
 
+  test("pair bundle: atomic ingest equals a one-shot rebuild; replay rejected; members move together") {
+    import graft.sources.Catalog
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 300)
+    val p0 = docs.where(col("doc_id") % 3 === 0)
+    val p1 = docs.where(col("doc_id") % 3 === 1)
+    val p2 = docs.where(col("doc_id") % 3 === 2)
+    val root = "/tmp/graft/dedupspec_pair_bundle"
+    deleteDir(root)
+    Dedup.writePairBundle(p0, root, "nd", "doc_id", "text", threshold = 0.9)
+    assert(Dedup.ingestPairBundle(p1, p0, root, "nd", "b1", "doc_id",
+      "text", threshold = 0.9))
+    assert(Dedup.ingestPairBundle(p2, p0.unionByName(p1), root, "nd", "b2",
+      "doc_id", "text", threshold = 0.9))
+    // replay rejected, store untouched (same version, same batches)
+    val mBefore = Catalog.bundleManifest(spark, root, "nd")
+    assert(!Dedup.ingestPairBundle(p1, p0, root, "nd", "b1", "doc_id",
+      "text", threshold = 0.9))
+    assert(Catalog.bundleManifest(spark, root, "nd") == mBefore
+      && mBefore.batches == Seq("b1", "b2"))
+    // incremental bundle ≡ one-shot rebuild, both members
+    val full = "/tmp/graft/dedupspec_pair_bundle_full"
+    deleteDir(full)
+    Dedup.writePairBundle(docs, full, "nd", "doc_id", "text", threshold = 0.9)
+    def rows(r: String, ref: String, cols: Seq[String]) =
+      Catalog.readBundleTable(spark, r, "nd", ref)
+        .select(cols.map(col): _*).orderBy(cols.map(col): _*)
+        .collect().map(_.toSeq).toSeq
+    val pInc = rows(root, "pairs", Seq("a", "b", "jaccard"))
+    assert(pInc == rows(full, "pairs", Seq("a", "b", "jaccard")) && pInc.nonEmpty)
+    val bInc = rows(root, "buckets", Seq("doc_id", "band", "bucket"))
+    assert(bInc == rows(full, "buckets", Seq("doc_id", "band", "bucket")))
+    // every committed version resolves BOTH members (cross-table atomicity)
+    (1L to Catalog.latestBundleVersion(spark, root, "nd").get).foreach { v =>
+      val m = Catalog.bundleManifest(spark, root, "nd", Some(v))
+      assert(m.dirs.keySet == Set("pairs", "buckets"), s"version $v: $m")
+    }
+  }
+
+  private def deleteDir(p: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rec)
+      f.delete(); ()
+    }
+    rec(new java.io.File(p))
+  }
+
   test("ingestPairBatch: replayed batch id is a no-op; pairs and buckets identical to a single ingest") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .where(col("doc_id") < 300)

@@ -50,7 +50,7 @@ FAMILIES = {
               "x136_cross_source_dup_share", "x147_stored_decontamination",
               "x148_decontamination_append", "x152_stored_lsh_index",
               "x159_pair_store_ingest", "x160_source_overlap",
-              "x170_compacted_serve"],
+              "x170_compacted_serve", "x174_pair_bundle_ingest"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
               "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann",
               "x95_stored_ann_index", "x96_stored_index_append",
