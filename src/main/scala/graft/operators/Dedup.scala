@@ -1128,13 +1128,15 @@ object Dedup {
     */
   def writePairBundle(df: DataFrame, root: String, bundle: String,
       idCol: String, textCol: String, threshold: Double,
-      shingleSize: Int = 3, numHashes: Int = 48, bands: Int = 12): Long = {
+      shingleSize: Int = 3, numHashes: Int = 48, bands: Int = 12,
+      extraMembers: Seq[(String, DataFrame)] = Nil,
+      batchIds: Seq[String] = Nil): Long = {
     val pairs = minhashPairs(df, idCol, textCol, threshold, shingleSize,
       numHashes, bands)
     try graft.sources.Catalog.commitBundle(Seq(
       "pairs" -> pairs,
       "buckets" -> lshBuckets(df, idCol, textCol, shingleSize, numHashes,
-        bands)), root, bundle)
+        bands)) ++ extraMembers, root, bundle, batchIds)
     finally { pairs.unpersist(); () }
   }
 
@@ -1150,7 +1152,8 @@ object Dedup {
   def ingestPairBundle(batch: DataFrame, corpus: DataFrame, root: String,
       bundle: String, batchId: String, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3, numHashes: Int = 48,
-      bands: Int = 12, maxBucketSize: Int = 1000): Boolean = {
+      bands: Int = 12, maxBucketSize: Int = 1000,
+      extraMembers: Seq[(String, DataFrame)] = Nil): Boolean = {
     val spark = batch.sparkSession
     if (graft.sources.Catalog.bundleManifest(spark, root, bundle)
         .batches.contains(batchId)) false
@@ -1171,7 +1174,7 @@ object Dedup {
         graft.sources.Catalog.appendBundle(Seq(
           "pairs" -> newPairs,
           "buckets" -> lshBuckets(batch, idCol, textCol, shingleSize,
-            numHashes, bands)), root, bundle, batchId)
+            numHashes, bands)) ++ extraMembers, root, bundle, batchId)
       } finally { cross.unpersist(); within.unpersist(); () }
     }
   }

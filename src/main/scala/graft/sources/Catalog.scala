@@ -371,7 +371,7 @@ object Catalog {
     * Single-writer per bundle.
     */
   def commitBundle(tables: Seq[(String, DataFrame)], root: String,
-      bundle: String): Long = {
+      bundle: String, batchIds: Seq[String] = Nil): Long = {
     require(tables.nonEmpty, "commitBundle: no member tables")
     require(tables.map(_._1).distinct.size == tables.size,
       s"commitBundle: duplicate member refs in ${tables.map(_._1)}")
@@ -384,7 +384,10 @@ object Catalog {
       df.write.mode(SaveMode.ErrorIfExists)
         .parquet(s"$base/$next/${tableName(ref)}.parquet")
     }
-    writeManifest(f, base, next, BundleManifest(Seq.empty,
+    // batchIds seeds the ingest ledger: a snapshot BUILT from a batch
+    // (the streaming twin's first micro-batch) records that batch's id,
+    // so its post-crash replay is rejected by the same manifest check
+    writeManifest(f, base, next, BundleManifest(batchIds,
       tables.map { case (ref, _) =>
         ref -> Seq(s"$next/${tableName(ref)}.parquet")
       }.toMap), "commitBundle")

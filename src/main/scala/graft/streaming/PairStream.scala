@@ -25,8 +25,10 @@ import graft.operators.Dedup
   * keeps its own coarser marker because it must also gate the corpus
   * append.) Same honestly-stated residual: the
   * pairs+buckets+corpus+marker sequence is not atomic, so a crash
-  * mid-sequence replays the batch; closable only by a transactional
-  * table format committing data and ledger together.
+  * mid-sequence replays the batch. [[PairBundleStream]] CLOSES this on
+  * the atomic bundle store — corpus as a third member, ledger in the
+  * manifest, one rename per micro-batch; this marker-file twin stays
+  * as the directly-appendable-store variant.
   */
 object PairStream {
 

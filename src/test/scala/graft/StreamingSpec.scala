@@ -464,6 +464,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(r => r.head == 1L && r(1) == 10L))
   }
 
+  test("streaming pair-bundle ingest equals a one-shot bundle build, all members atomic") {
+    import graft.streaming.PairBundleStream
+    import graft.operators.Dedup
+    import graft.sources.Catalog
+    val src = Files.createTempDirectory("graft_pb_src")
+    val root = Files.createTempDirectory("graft_pb_store").toString
+    def doc(id: Long, text: String) = (id, text, "en", "s0", text.length.toLong)
+    def stage(name: String, docs: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_pb_stage")
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten eleven"
+    stage("b0.parquet", Seq(doc(1, base), doc(2, other)))
+    stage("b1.parquet", Seq(
+      doc(10, base), // cross-batch near-dup of 1
+      doc(12, "fresh unrelated content that matches nothing else at all")))
+    stage("b2.parquet", Seq(doc(20, other.replace("eleven", "ELEVEN"))))
+    val q = PairBundleStream.pairBundleStream(spark, src.toString, root,
+      threshold = 0.5)
+    try q.processAllAvailable() finally q.stop()
+    // stream-built bundle ≡ one-shot build over the same corpus
+    val all = Seq(doc(1, base), doc(2, other), doc(10, base),
+      doc(12, "fresh unrelated content that matches nothing else at all"),
+      doc(20, other.replace("eleven", "ELEVEN")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val oneShot = Files.createTempDirectory("graft_pb_oneshot").toString
+    Dedup.writePairBundle(all, oneShot, "neardup", "doc_id", "text",
+      threshold = 0.5)
+    def pairs(r: String) = Catalog.readBundleTable(spark, r, "neardup", "pairs")
+      .orderBy($"a", $"b").collect().map(_.toSeq).toSeq
+    val streamed = pairs(root)
+    assert(streamed == pairs(oneShot) && streamed.nonEmpty)
+    // cross-batch pair (1,10) came off the STORED buckets of batch 0
+    assert(streamed.exists(r => r.head == 1L && r(1) == 10L))
+    // the corpus member holds every streamed doc; every version commits
+    // all three members + its batch id — the whole state is atomic
+    assert(Catalog.readBundleTable(spark, root, "neardup", "corpus")
+      .count() == 5L)
+    val latest = Catalog.latestBundleVersion(spark, root, "neardup").get
+    (1L to latest).foreach { v =>
+      val m = Catalog.bundleManifest(spark, root, "neardup", Some(v))
+      assert(m.dirs.keySet == Set("pairs", "buckets", "corpus"), s"v$v: $m")
+      assert(m.batches.size == v, s"v$v ledger: ${m.batches}")
+    }
+    // a replayed micro-batch id (including the CREATING batch's) is
+    // rejected by the manifest ledger — the exactly-once guarantee
+    val m = Catalog.bundleManifest(spark, root, "neardup")
+    assert(!Dedup.ingestPairBundle(all.limit(1),
+      Catalog.readBundleTable(spark, root, "neardup", "corpus"),
+      root, "neardup", m.batches.head, "doc_id", "text", threshold = 0.5))
+    assert(Catalog.bundleManifest(spark, root, "neardup") == m)
+  }
+
   test("streaming LM count-merge equals a one-shot batch count") {
     import graft.streaming.LmStream
     import graft.operators.LmStore
