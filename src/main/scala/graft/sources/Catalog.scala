@@ -438,6 +438,49 @@ object Catalog {
     }
   }
 
+  /** Bundle compaction — after many [[appendBundle]] batches every
+    * member is a list of small file sets; rewrite each member as ONE
+    * snapshot file set in a new committed version, PRESERVING the batch
+    * ledger (the manifest's batch ids carry over — compaction must not
+    * make replayed batches ingestable again). Published with the same
+    * manifest-rename + pointer-flip atomicity; older versions remain
+    * readable until [[pruneBundleVersions]] retention.
+    */
+  def compactBundle(spark: SparkSession, root: String,
+      bundle: String): Long = {
+    val prior = bundleManifest(spark, root, bundle)
+    commitBundle(
+      prior.dirs.keys.toSeq.sorted.map(ref =>
+        ref -> readBundleTable(spark, root, bundle, ref)),
+      root, bundle, prior.batches)
+  }
+
+  /** Retention for bundle versions. Append manifests REFERENCE file
+    * sets living in older version directories, so this deletes only
+    * numbered directories that no kept manifest references — after a
+    * [[compactBundle]] (whose snapshot references only itself), all
+    * older directories become unreferenced and reclaimable.
+    */
+  def pruneBundleVersions(spark: SparkSession, root: String,
+      bundle: String, keep: Int): Unit = {
+    require(keep >= 1, s"pruneBundleVersions: keep=$keep must be >= 1")
+    val base = new HPath(bundleDir(root, bundle))
+    val f = fsFor(spark, base)
+    if (!f.exists(base)) return
+    val committed = f.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.forall(_.isDigit))
+      .map(_.getPath)
+      .filter(p => f.exists(new HPath(p, "_manifest")))
+      .map(_.getName.toLong).sorted
+    val kept = committed.takeRight(keep)
+    val referenced = kept.flatMap { v =>
+      bundleManifest(spark, root, bundle, Some(v))
+        .dirs.values.flatten.map(_.split("/").head.toLong)
+    }.toSet ++ kept
+    committed.filterNot(referenced)
+      .foreach(v => f.delete(new HPath(base, v.toString), true))
+  }
+
   /** The bundle's newest committed version — committed = manifest
     * present; same pointer-with-fallback contract as [[latestVersion]].
     */

@@ -433,6 +433,41 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.readBundleTable(spark, root, "p", "b").count() == 70L)
   }
 
+  test("bundle compaction: one snapshot file set per member, ledger preserved, prune reclaims") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .where(col("doc_id") < 300)
+    val root = Files.createTempDirectory("graft-bundle-compact").toString
+    val p0 = docs.where(col("doc_id") % 3 === 0)
+    val p1 = docs.where(col("doc_id") % 3 === 1)
+    val p2 = docs.where(col("doc_id") % 3 === 2)
+    Dedup.writePairBundle(p0, root, "nd", "doc_id", "text", threshold = 0.9)
+    assert(Dedup.ingestPairBundle(p1, p0, root, "nd", "b1", "doc_id",
+      "text", threshold = 0.9))
+    assert(Dedup.ingestPairBundle(p2, p0.unionByName(p1), root, "nd", "b2",
+      "doc_id", "text", threshold = 0.9))
+    def pairs() = Catalog.readBundleTable(spark, root, "nd", "pairs")
+      .orderBy(col("a"), col("b")).collect().map(_.toSeq).toSeq
+    val before = pairs()
+    assert(Catalog.bundleManifest(spark, root, "nd")
+      .dirs("pairs").size == 3, "expected fragmented member")
+    val cv = Catalog.compactBundle(spark, root, "nd")
+    val m = Catalog.bundleManifest(spark, root, "nd")
+    // one snapshot file set per member, reads identical, ledger intact
+    assert(m.dirs.values.forall(_.size == 1))
+    assert(pairs() == before && before.nonEmpty)
+    assert(m.batches == Seq("b1", "b2"))
+    assert(!Dedup.ingestPairBundle(p1, p0, root, "nd", "b1", "doc_id",
+      "text", threshold = 0.9), "compaction must not reopen the ledger")
+    // retention: everything the snapshot doesn't reference is reclaimed
+    Catalog.pruneBundleVersions(spark, root, "nd", keep = 1)
+    val base = new java.io.File(Catalog.bundleDir(root, "nd"))
+    val numbered = base.listFiles.filter(f =>
+      f.isDirectory && f.getName.forall(_.isDigit)).map(_.getName.toLong).toSet
+    assert(numbered == Set(cv), s"expected only $cv, got $numbered")
+    assert(pairs() == before)
+  }
+
   test("fanOut feeds multiple sinks from one cached source") {
     val root = Files.createTempDirectory("graft-fan").toString
     val src = (1L to 10L).toDF("id")
