@@ -3230,6 +3230,10 @@ object SparkEntry {
         threshold = 0.9)
       require(first && !replay,
         s"bundle ledger broken: first=$first replay=$replay")
+      // maintenance under the same hash: compact the appended bundle to
+      // one snapshot file set per member (ledger preserved), THEN read —
+      // a row the rewrite loses or doubles flips the oracle
+      Catalog.compactBundle(s, root, "neardup")
       Catalog.readBundleTable(s, root, "neardup", "pairs")
         .orderBy(col("a"), col("b"))
     }),

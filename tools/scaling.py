@@ -95,7 +95,8 @@ FAMILIES = {
 # constants matter most at scale — the judge asked for four-decade fits.
 STEEP = ["x62_winsorize", "x79_robust_scale", "x86_substring_dedup",
          "x89_strip_repeated", "x90_audio_fp_neardup",
-         "x152_stored_lsh_index", "x159_pair_store_ingest"]
+         "x152_stored_lsh_index", "x159_pair_store_ingest",
+         "x174_pair_bundle_ingest"]
 
 BEGIN, END = "<!-- scaling:begin -->", "<!-- scaling:end -->"
 
