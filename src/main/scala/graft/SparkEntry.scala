@@ -3230,10 +3230,12 @@ object SparkEntry {
         threshold = 0.9)
       require(first && !replay,
         s"bundle ledger broken: first=$first replay=$replay")
-      // maintenance under the same hash: compact the appended bundle to
-      // one snapshot file set per member (ledger preserved), THEN read —
-      // a row the rewrite loses or doubles flips the oracle
-      Catalog.compactBundle(s, root, "neardup")
+      // bundle COMPACTION stays out of this plan deliberately: it is a
+      // full-store rewrite (linear in store size by definition), and
+      // folding it in would mix a maintenance job's linear floor into
+      // the INGEST path's scaling signal. Compaction-under-the-oracle
+      // is x170's story; the bundle variant is CatalogSpec-pinned
+      // (serve-identical + ledger preserved).
       Catalog.readBundleTable(s, root, "neardup", "pairs")
         .orderBy(col("a"), col("b"))
     }),
