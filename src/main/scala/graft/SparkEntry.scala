@@ -3239,6 +3239,30 @@ object SparkEntry {
       Catalog.readBundleTable(s, root, "neardup", "pairs")
         .orderBy(col("a"), col("b"))
     }),
+
+    // Version diff off the store (x175) — the audit workflow the
+    // versioned table exists for ("what changed between yesterday's
+    // commit and today's"): x114's corpus revisions commit as two store
+    // VERSIONS, both time-travel-read back, and the same hash-keyed
+    // full-outer diff classifies every key — x114's oracle verbatim, so
+    // diff-off-the-store ≡ diff-in-memory end to end (a version serving
+    // stale or partial data flips the counts).
+    "x175_version_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = s"/tmp/graft/x175_vd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      val r1 = Catalog.commitVersion(docs.where(col("doc_id") % 7 =!= 0),
+        root, "docs")
+      val r2 = Catalog.commitVersion(docs.where(col("doc_id") % 5 =!= 1)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          upper(col("text"))).otherwise(col("text"))), root, "docs")
+      RelOps.snapshotDiff(
+          Catalog.readVersion(s, root, "docs", Some(r1)),
+          Catalog.readVersion(s, root, "docs", Some(r2)),
+          Seq("doc_id"), Seq("text"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -6413,6 +6437,24 @@ object SparkEntry {
     // every greedy MMR step unrolled as a materialized CTE; integer
     // x1e4 step scores, ties on ascending id — argmax engine-exact
     "x171_mmr_rerank" -> mmrOracleSql(k = 10, poolK = 30),
+    // x114's replay verbatim: the diff of two time-travel reads must
+    // equal the diff of the same revisions built in memory
+    "x175_version_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 1),
+        |j AS (
+        |  SELECT coalesce(v1.text, ' ') AS t1, coalesce(v2.text, ' ') AS t2,
+        |    v1.doc_id IS NULL AS no1, v2.doc_id IS NULL AS no2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT
+        |  CASE WHEN no1 THEN 'added' WHEN no2 THEN 'removed'
+        |       WHEN t1 <> t2 THEN 'changed' ELSE 'unchanged' END AS status,
+        |  count(*)::BIGINT AS n
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // both member tables at both bundle versions, replayed from the
     // deterministic splits; version numbers are the commit sequence
     "x173_bundle_commit" ->

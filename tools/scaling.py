@@ -81,7 +81,8 @@ FAMILIES = {
                  "x162_integrity_audit", "x163_ingest_freshness",
                  "x164_association_rules", "x166_dsir_from_store",
                  "x168_nb_from_store", "x169_lm_count_merge",
-                 "x172_versioned_table", "x173_bundle_commit"],
+                 "x172_versioned_table", "x173_bundle_commit",
+                 "x175_version_diff"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
               "x126_label_prop", "x142_triangle_census",
               "x156_kcore_trade"],
