@@ -1020,15 +1020,20 @@ object Dedup {
   def writePairStore(df: DataFrame, dir: String, idCol: String,
       textCol: String, threshold: Double, shingleSize: Int = 3,
       numHashes: Int = 48, bands: Int = 12): Unit = {
-    writeLshIndex(df, dir, idCol, textCol, shingleSize, numHashes, bands)
-    writePairTable(df, dir, idCol, textCol, threshold, shingleSize,
-      numHashes, bands)
     // a rebuild starts a fresh ingest history: markers from the previous
-    // bundle's batches must not suppress this bundle's first ingests
+    // bundle's batches must not suppress this bundle's first ingests.
+    // The ledger clears BEFORE the table rewrites — a crash between
+    // ledger-clear and table-write only risks re-ingesting inputs the
+    // restarted rebuild overwrites anyway (benign), whereas the reverse
+    // order left stale markers that silently SKIPPED the new store's
+    // first batches after a crash between table-write and ledger-clear.
     val ledger = new org.apache.hadoop.fs.Path(pairLedgerDir(dir))
     val fs = ledger.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(ledger)) { fs.delete(ledger, true); () }
+    writeLshIndex(df, dir, idCol, textCol, shingleSize, numHashes, bands)
+    writePairTable(df, dir, idCol, textCol, threshold, shingleSize,
+      numHashes, bands)
   }
 
   /** Batch-id ledger directory of a [[writePairStore]] bundle — one empty
@@ -1036,26 +1041,22 @@ object Dedup {
     */
   def pairLedgerDir(dir: String): String = s"$dir/.batch_ledger"
 
-  /** [[appendPairStore]] with replay protection — the call production
-    * orchestrators should make: each ingest names its batch with a stable
-    * id, and an id already present in the ledger ([[pairLedgerDir]]) is
-    * skipped outright. Without the guard a replayed batch double-appends
-    * identical pair AND bucket rows, silently corrupting every pair
-    * consumer downstream (clusters, keep-best, triangle census) — the
-    * same failure mode the streaming twin
-    * ([[graft.streaming.PairStream]]) already gates with its marker-file
-    * ledger, now closed on the batch path too. Returns true iff the
+  /** DEPRECATED in favor of [[ingestPairBundle]] — new code must take
+    * the bundle path. This is [[appendPairStore]] with marker-file
+    * replay protection: an id already present in the ledger
+    * ([[pairLedgerDir]]) is skipped outright, so a replayed batch
+    * cannot double-append pair AND bucket rows. Returns true iff the
     * batch was ingested (false = replay, store untouched).
     *
-    * Honestly-stated residual (same as the streaming twin): the
-    * pairs+buckets+marker sequence is not atomic, so a crash between the
-    * appends and the marker write replays the batch on retry; closable
-    * only by a transactional table format committing data and ledger
-    * together. (The commit primitives now exist —
-    * [[graft.sources.Catalog.commitVersion]] single-table,
-    * [[graft.sources.Catalog.commitBundle]] multi-table; migrating this
-    * band-partitioned bundle onto manifest-listed bundle versions is
-    * the remaining step.)
+    * Why deprecated: the pairs+buckets+marker sequence here is not
+    * atomic — a crash between the appends and the marker write replays
+    * the batch on retry (double-append). [[ingestPairBundle]] closes
+    * exactly that window by recording the batch id IN the bundle
+    * manifest ([[graft.sources.Catalog.appendBundle]]): data and replay
+    * ledger publish in one rename, no gap. Kept only as the flat-store
+    * API for stores already laid out by [[writePairStore]]; everything
+    * internal ([[graft.SparkEntry.pairTruth]], the streaming twin's
+    * recommended path) builds on the bundle store.
     */
   def ingestPairBatch(batch: DataFrame, corpus: DataFrame, dir: String,
       batchId: String, threshold: Double, idCol: String = "doc_id",

@@ -191,24 +191,96 @@ object Catalog {
 
   /** Commit `df` as the table's next version — the minimal transactional
     * table format the maintenance ledgers name as their residual: data
-    * lands in a NEW immutable directory (`<base>/<n>`, Spark's `_SUCCESS`
-    * marker written last), and only then does the `_latest` pointer flip.
+    * lands ONCE in a hidden staging directory, then an O(1) directory
+    * rename claims the next version slot (`<base>/<n>` appears atomically
+    * WITH its `_SUCCESS`), and only then does the `_latest` pointer flip.
     * A crash anywhere leaves readers on the previous version, or on the
-    * new one if its `_SUCCESS` landed — monotone, never partial, because
+    * new one if its rename landed — monotone, never partial, because
     * [[latestVersion]] falls back to the highest COMMITTED (`_SUCCESS`-
     * bearing) directory whenever the pointer is missing or stale-low.
     * Old versions stay readable ([[readVersion]] — time travel) until
-    * pruned by retention. Single-writer contract per table (two racing
-    * writers could pick the same n); readers need no coordination.
+    * pruned by retention.
+    *
+    * Concurrency: OPTIMISTIC multi-writer. Racing writers compute the
+    * same `next`; one rename wins the slot, the loser detects the loss
+    * via its ownership marker (`_writer-<token>`, an underscore-hidden
+    * empty file that rides in the staged data — local/HDFS `rename` into
+    * a directory created concurrently NESTS the source instead of
+    * failing, so success must be verified, not assumed), re-reads the
+    * latest version, and re-claims under a bumped number — the data is
+    * never rewritten, each retry is one rename ([[claimVersionSlot]]).
+    * A crashed writer leaves only an ignorable `.staging-*` directory
+    * (reclaimed by [[pruneVersions]]), never a blocked version slot.
     */
   def commitVersion(df: DataFrame, root: String, ref: String): Long = {
     val spark = df.sparkSession
     val base = new HPath(versionsDir(root, ref))
     val f = fsFor(spark, base)
-    val next = latestVersion(spark, root, ref).getOrElse(0L) + 1
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$base/$next")
+    val token = newCommitToken()
+    val staging = new HPath(base, s".staging-$token")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    f.create(new HPath(staging, s"_writer-$token"), true).close()
+    val next = claimVersionSlot(f, base, staging, token,
+      p => f.exists(new HPath(p, "_SUCCESS")), "commitVersion")((_, _) => true)
     flipPointer(f, base, next, "commitVersion")
     next
+  }
+
+  /** Bounded retry budget for optimistic version-slot claims. Each retry
+    * is a metadata rename, never a data rewrite, so losing a race is
+    * cheap; exhausting the budget means pathological contention and
+    * fails loudly.
+    */
+  private[graft] val MaxCommitAttempts = 8
+
+  private def newCommitToken(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** Claim the next version slot under `base` by renaming `staging` into
+    * it — the shared optimistic-commit core of [[commitVersion]],
+    * [[commitBundle]] and [[appendBundle]].
+    *
+    * Per attempt: recompute `next` off the newest `committed` directory,
+    * clear a target that exists but never committed (committed
+    * directories appear ATOMICALLY via this same rename, so an
+    * uncommitted numbered directory is by definition a crashed legacy
+    * writer's garbage — deleting it can never un-commit data; at worst
+    * it fails a still-running in-place writer loudly, which then
+    * retries), run `prepare(next)` to (re)write any version-number-
+    * dependent staging content (bundle manifests), and rename. A rename
+    * that "succeeds" is trusted only if the caller's ownership marker
+    * (`_writer-<token>`) is visible at the target: local and HDFS
+    * `rename` NEST the source into a directory that appeared between the
+    * existence check and the rename, in which case the nested staging
+    * directory is adopted as the new source and the claim retries under
+    * the next number. `prepare(next, staging)` receives the CURRENT
+    * staging path (it moves when a nested rename is adopted); returning
+    * false aborts the claim (the staging directory is deleted) and
+    * surfaces as -1 — [[appendBundle]] uses it when a racing writer
+    * committed the same batch id first.
+    */
+  private def claimVersionSlot(f: FileSystem, base: HPath, staging0: HPath,
+      token: String, committed: HPath => Boolean, op: String)
+      (prepare: (Long, HPath) => Boolean): Long = {
+    var staging = staging0
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      attempts += 1
+      val next = latestIn(f, base, committed).getOrElse(0L) + 1
+      val target = new HPath(base, next.toString)
+      if (f.exists(target) && !committed(target)) f.delete(target, true)
+      if (!f.exists(target)) {
+        if (!prepare(next, staging)) { f.delete(staging, true); return -1L }
+        if (f.rename(staging, target)) {
+          if (f.exists(new HPath(target, s"_writer-$token"))) return next
+          val nested = new HPath(target, staging.getName)
+          if (f.exists(nested)) staging = nested
+          else sys.error(s"$op: staging directory lost claiming $target")
+        }
+      }
+    }
+    sys.error(s"$op: no version slot claimed under $base after " +
+      s"$MaxCommitAttempts attempts — pathological writer contention")
   }
 
   /** Pointer flip: write-temp + delete + rename. The delete→rename gap
@@ -279,20 +351,62 @@ object Catalog {
   }
 
   /** Drop committed versions older than the newest `keep` — retention
-    * for the immutable history. The pointer target is never dropped.
+    * for the immutable history. The pointer target is never dropped, and
+    * `keep` counts COMMITTED versions only (a crashed writer's garbage
+    * never consumes a retention slot; it is reclaimed here instead, both
+    * uncommitted numbered directories and stale `.staging-*` leftovers).
+    *
+    * `minAgeMs` is the reader grace period: nothing whose modification
+    * time is younger than `now − minAgeMs` is deleted, regardless of the
+    * keep count — so a long-running time-travel reader on an old version
+    * keeps its files for at least that long after the version was
+    * superseded. 0 (the default) reclaims immediately.
     */
   def pruneVersions(spark: SparkSession, root: String, ref: String,
-      keep: Int): Unit = {
+      keep: Int, minAgeMs: Long = 0L): Unit = {
     require(keep >= 1, s"pruneVersions: keep=$keep must be >= 1")
     val base = new HPath(versionsDir(root, ref))
     val f = fsFor(spark, base)
     if (!f.exists(base)) return
     val latest = latestVersion(spark, root, ref).getOrElse(return)
-    f.listStatus(base).toSeq
+    val old = graceFilter(f, base, minAgeMs)
+    val committedVs = f.listStatus(base).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.forall(_.isDigit))
-      .map(_.getPath.getName.toLong).sorted.reverse.drop(keep)
-      .filter(_ != latest)
-      .foreach(v => f.delete(new HPath(base, v.toString), true))
+      .map(_.getPath)
+      .filter(p => f.exists(new HPath(p, "_SUCCESS")))
+      .map(_.getName.toLong)
+    committedVs.sorted.reverse.drop(keep)
+      .filter(_ != latest).map(v => new HPath(base, v.toString))
+      .filter(old).foreach(p => f.delete(p, true))
+    pruneGarbage(f, base, p => f.exists(new HPath(p, "_SUCCESS")), old)
+  }
+
+  /** mtime-based retention grace: true iff the path is old enough to
+    * reclaim under `minAgeMs` (always true at the 0 default).
+    */
+  private def graceFilter(f: FileSystem, base: HPath,
+      minAgeMs: Long): HPath => Boolean = {
+    if (minAgeMs <= 0) _ => true
+    else {
+      val cutoff = System.currentTimeMillis() - minAgeMs
+      p => f.getFileStatus(p).getModificationTime <= cutoff
+    }
+  }
+
+  /** Reclaim crashed-writer leftovers under a versions/bundle base:
+    * `.staging-*` directories and numbered directories that never
+    * committed — both invisible to readers, both subject to the same
+    * grace period (a staging dir younger than the grace may belong to a
+    * LIVE writer racing for a slot).
+    */
+  private def pruneGarbage(f: FileSystem, base: HPath,
+      committed: HPath => Boolean, old: HPath => Boolean): Unit = {
+    f.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith(".staging-") || (n.forall(_.isDigit) && !committed(p))
+      }
+      .filter(old).foreach(p => f.delete(p, true))
   }
 
   // ----------------------------------------------- versioned bundles
@@ -310,29 +424,21 @@ object Catalog {
   final case class BundleManifest(batches: Seq[String],
       dirs: Map[String, Seq[String]])
 
-  private def writeManifest(f: FileSystem, base: HPath, next: Long,
-      m: BundleManifest, op: String): Unit = {
+  /** (Re)write a staged bundle manifest. The manifest body references
+    * version-NUMBERED data directories, so the optimistic claim loop
+    * rewrites it per attempted version number; atomicity comes from the
+    * staging-directory rename that publishes manifest and member file
+    * sets in one metadata operation ("committed" = the manifest exists,
+    * and it can only appear together with the data it lists).
+    */
+  private def writeStagedManifest(f: FileSystem, staging: HPath,
+      m: BundleManifest): Unit = {
     val body = (s"#batches=${m.batches.mkString(",")}" +:
       m.dirs.toSeq.sortBy(_._1).flatMap { case (ref, ds) =>
         ds.map(d => s"$ref\t$d")
       }).mkString("\n")
-    val tmp = new HPath(base, s"._manifest.tmp.$next")
-    val out = f.create(tmp, true)
+    val out = f.create(new HPath(staging, "_manifest"), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    val manifest = new HPath(s"$base/$next/_manifest")
-    if (!f.rename(tmp, manifest))
-      sys.error(s"$op: manifest publish failed for $base/$next")
-  }
-
-  /** Drop a crashed writer's UNCOMMITTED leftover (a version directory
-    * without a manifest is garbage by definition — single-writer), so
-    * the retry's `ErrorIfExists` data writes don't collide with it.
-    */
-  private def clearUncommitted(f: FileSystem, base: HPath, next: Long): Unit = {
-    val vdir = new HPath(s"$base/$next")
-    if (f.exists(vdir) && !f.exists(new HPath(vdir, "_manifest"))) {
-      f.delete(vdir, true); ()
-    }
   }
 
   /** Read a committed version's manifest. */
@@ -360,15 +466,20 @@ object Catalog {
 
   /** Atomic MULTI-table commit — the cross-table consistency
     * [[commitVersion]]'s single-table protocol cannot give: all member
-    * tables land inside ONE new numbered version directory, a
-    * `_manifest` file naming the member data directories renames in
-    * LAST, and only then does the bundle pointer flip. "Committed" =
-    * the manifest exists — a crash after some tables but before the
-    * manifest leaves an invisible version — so readers resolving every
-    * member through [[readBundleTable]] can never observe table A at
-    * version n and table B at n−1. A full-snapshot commit; it resets
-    * the batch-ingest history ([[appendBundle]] grows it).
-    * Single-writer per bundle.
+    * tables land inside ONE new numbered version directory together
+    * with the `_manifest` file naming their data directories (the whole
+    * set published by a single staged directory rename), and only then
+    * does the bundle pointer flip. "Committed" = the manifest exists —
+    * a crash before the rename leaves only an invisible staging
+    * directory — so readers resolving every member through
+    * [[readBundleTable]] can never observe table A at version n and
+    * table B at n−1. A full-snapshot commit; it resets the batch-ingest
+    * history ([[appendBundle]] grows it).
+    *
+    * Concurrency: the same optimistic staged-rename claim as
+    * [[commitVersion]] — racing committers both land, as distinct
+    * versions; each retry rewrites only the tiny manifest and costs one
+    * rename, never a data rewrite.
     */
   def commitBundle(tables: Seq[(String, DataFrame)], root: String,
       bundle: String, batchIds: Seq[String] = Nil): Long = {
@@ -378,19 +489,24 @@ object Catalog {
     val spark = tables.head._2.sparkSession
     val base = new HPath(bundleDir(root, bundle))
     val f = fsFor(spark, base)
-    val next = latestBundleVersion(spark, root, bundle).getOrElse(0L) + 1
-    clearUncommitted(f, base, next)
+    val token = newCommitToken()
+    val staging = new HPath(base, s".staging-$token")
     tables.foreach { case (ref, df) =>
-      df.write.mode(SaveMode.ErrorIfExists)
-        .parquet(s"$base/$next/${tableName(ref)}.parquet")
+      df.write.mode(SaveMode.Overwrite)
+        .parquet(s"$staging/${tableName(ref)}.parquet")
     }
+    f.create(new HPath(staging, s"_writer-$token"), true).close()
     // batchIds seeds the ingest ledger: a snapshot BUILT from a batch
     // (the streaming twin's first micro-batch) records that batch's id,
     // so its post-crash replay is rejected by the same manifest check
-    writeManifest(f, base, next, BundleManifest(batchIds,
-      tables.map { case (ref, _) =>
-        ref -> Seq(s"$next/${tableName(ref)}.parquet")
-      }.toMap), "commitBundle")
+    val next = claimVersionSlot(f, base, staging, token,
+      p => f.exists(new HPath(p, "_manifest")), "commitBundle") { (n, st) =>
+      writeStagedManifest(f, st, BundleManifest(batchIds,
+        tables.map { case (ref, _) =>
+          ref -> Seq(s"$n/${tableName(ref)}.parquet")
+        }.toMap))
+      true
+    }
     flipPointer(f, base, next, "commitBundle")
     next
   }
@@ -406,6 +522,15 @@ object Catalog {
     * append→marker gap replays on a crash between them — there is NO
     * window where data committed but the ledger entry didn't: they are
     * the same file.
+    *
+    * Concurrency: optimistic, like [[commitVersion]]. The batch file
+    * sets write ONCE into staging; each claim attempt re-reads the
+    * NEWEST manifest (a racing append may have advanced it) and rebuilds
+    * the merged manifest against it, so two concurrent appends of
+    * different batches both land, serialized by the slot rename — and a
+    * racer that committed the SAME batch id first turns this call into
+    * the ordinary replay-rejected false, checked again atomically at
+    * every claim attempt.
     */
   def appendBundle(tables: Seq[(String, DataFrame)], root: String,
       bundle: String, batchId: String): Boolean = {
@@ -415,27 +540,36 @@ object Catalog {
     val spark = tables.head._2.sparkSession
     val base = new HPath(bundleDir(root, bundle))
     val f = fsFor(spark, base)
-    val prior = bundleManifest(spark, root, bundle)
-    if (prior.batches.contains(batchId)) false
-    else {
-      require(tables.forall { case (ref, _) => prior.dirs.contains(ref) },
-        s"appendBundle: unknown member in ${tables.map(_._1)} " +
-          s"(bundle has ${prior.dirs.keys})")
-      val next = latestBundleVersion(spark, root, bundle).getOrElse(0L) + 1
-      clearUncommitted(f, base, next)
-      tables.foreach { case (ref, df) =>
-        df.write.mode(SaveMode.ErrorIfExists)
-          .parquet(s"$base/$next/${tableName(ref)}.parquet")
-      }
-      val merged = prior.dirs.map { case (ref, ds) =>
-        ref -> (if (tables.exists(_._1 == ref))
-          ds :+ s"$next/${tableName(ref)}.parquet" else ds)
-      }
-      writeManifest(f, base, next,
-        BundleManifest(prior.batches :+ batchId, merged), "appendBundle")
-      flipPointer(f, base, next, "appendBundle")
-      true
+    // cheap pre-check before any data work; the authoritative check
+    // re-runs inside every claim attempt below
+    if (bundleManifest(spark, root, bundle).batches.contains(batchId))
+      return false
+    val token = newCommitToken()
+    val staging = new HPath(base, s".staging-$token")
+    tables.foreach { case (ref, df) =>
+      df.write.mode(SaveMode.Overwrite)
+        .parquet(s"$staging/${tableName(ref)}.parquet")
     }
+    f.create(new HPath(staging, s"_writer-$token"), true).close()
+    val next = claimVersionSlot(f, base, staging, token,
+      p => f.exists(new HPath(p, "_manifest")), "appendBundle") { (n, st) =>
+      val prior = bundleManifest(spark, root, bundle)
+      if (prior.batches.contains(batchId)) false
+      else {
+        require(tables.forall { case (ref, _) => prior.dirs.contains(ref) },
+          s"appendBundle: unknown member in ${tables.map(_._1)} " +
+            s"(bundle has ${prior.dirs.keys})")
+        val merged = prior.dirs.map { case (ref, ds) =>
+          ref -> (if (tables.exists(_._1 == ref))
+            ds :+ s"$n/${tableName(ref)}.parquet" else ds)
+        }
+        writeStagedManifest(f, st,
+          BundleManifest(prior.batches :+ batchId, merged))
+        true
+      }
+    }
+    if (next < 0) false
+    else { flipPointer(f, base, next, "appendBundle"); true }
   }
 
   /** Bundle compaction — after many [[appendBundle]] batches every
@@ -459,14 +593,18 @@ object Catalog {
     * sets living in older version directories, so this deletes only
     * numbered directories that no kept manifest references — after a
     * [[compactBundle]] (whose snapshot references only itself), all
-    * older directories become unreferenced and reclaimable.
+    * older directories become unreferenced and reclaimable. Same
+    * `minAgeMs` reader grace as [[pruneVersions]]: a version (or a
+    * crashed writer's staging leftover, reclaimed here too) younger
+    * than the grace survives regardless of the keep count.
     */
   def pruneBundleVersions(spark: SparkSession, root: String,
-      bundle: String, keep: Int): Unit = {
+      bundle: String, keep: Int, minAgeMs: Long = 0L): Unit = {
     require(keep >= 1, s"pruneBundleVersions: keep=$keep must be >= 1")
     val base = new HPath(bundleDir(root, bundle))
     val f = fsFor(spark, base)
     if (!f.exists(base)) return
+    val old = graceFilter(f, base, minAgeMs)
     val committed = f.listStatus(base).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.forall(_.isDigit))
       .map(_.getPath)
@@ -477,8 +615,9 @@ object Catalog {
       bundleManifest(spark, root, bundle, Some(v))
         .dirs.values.flatten.map(_.split("/").head.toLong)
     }.toSet ++ kept
-    committed.filterNot(referenced)
-      .foreach(v => f.delete(new HPath(base, v.toString), true))
+    committed.filterNot(referenced).map(v => new HPath(base, v.toString))
+      .filter(old).foreach(p => f.delete(p, true))
+    pruneGarbage(f, base, p => f.exists(new HPath(p, "_manifest")), old)
   }
 
   /** The bundle's newest committed version — committed = manifest

@@ -38,7 +38,12 @@ object LmStream {
           if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/counts.parquet"))) {
             LmStore.write(batch.toDF(), "text", dir)
             // write clears the ledger — re-mark the creating batch so a
-            // post-crash replay of THIS micro-batch cannot double-ingest
+            // replay of THIS micro-batch is normally rejected. Residual
+            // (same write→mark gap LmStore documents): a crash BETWEEN
+            // write and mark replays the creating batch through ingest
+            // and doubles its counts; closable only by publishing counts
+            // and marker in one atomic step (the bundle-manifest ledger,
+            // Catalog.appendBundle, is that shape)
             LmStore.mark(s, dir, batchId.toString)
           } else {
             LmStore.ingest(batch.toDF(), "text", dir, batchId.toString)

@@ -477,4 +477,101 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.table(spark, root, "raw").count() === 10)
     assert(Catalog.table(spark, root, "derived").agg(sum("id2")).as[Long].head() === 110)
   }
+
+  test("optimistic commit: interleaved committers all land as distinct readable versions") {
+    val root = Files.createTempDirectory("graft-occ").toString
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val threads = (1 to 3).map { w =>
+      new Thread(() => {
+        for (i <- 1 to 2) {
+          val n = (w * 100 + i).toLong
+          val v = Catalog.commitVersion((1L to n).toDF("id"), root, "t")
+          results.add((v, n))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val got = results.asScala.toSeq
+    // every commit claimed its OWN version: 6 commits → versions 1..6
+    assert(got.map(_._1).sorted == (1L to 6L), s"versions: ${got.map(_._1)}")
+    // each version serves exactly the data its committer wrote
+    got.foreach { case (v, n) =>
+      assert(Catalog.readVersion(spark, root, "t", Some(v)).count() == n,
+        s"version $v corrupted")
+    }
+    // pointer ends on the highest committed version
+    assert(Catalog.latestVersion(spark, root, "t").contains(6L))
+  }
+
+  test("commitVersion reclaims a crashed writer's uncommitted slot instead of wedging") {
+    val root = Files.createTempDirectory("graft-wedge").toString
+    assert(Catalog.commitVersion((1L to 5L).toDF("id"), root, "t") == 1L)
+    // a crashed legacy in-place writer left a partial version 2: no
+    // _SUCCESS — before the staged-claim protocol this slot was
+    // permanently unwritable (every retry recomputed next=2 and failed)
+    val base = new java.io.File(Catalog.versionsDir(root, "t"))
+    val stale = new java.io.File(base, "2")
+    assert(stale.mkdir())
+    java.nio.file.Files.write(new java.io.File(stale, "part-0.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    val v2 = Catalog.commitVersion((1L to 7L).toDF("id"), root, "t")
+    assert(v2 == 2L, s"expected reclaimed slot 2, got $v2")
+    assert(Catalog.readVersion(spark, root, "t", Some(2L)).count() == 7L)
+  }
+
+  test("prune grace: versions younger than minAge survive regardless of keep count") {
+    val root = Files.createTempDirectory("graft-grace").toString
+    (1 to 3).foreach(i => Catalog.commitVersion((1L to i.toLong).toDF("id"), root, "t"))
+    // all three versions were just written: an hour-long grace keeps them
+    Catalog.pruneVersions(spark, root, "t", keep = 1, minAgeMs = 3600L * 1000)
+    val base = new java.io.File(Catalog.versionsDir(root, "t"))
+    def versions() = base.listFiles.filter(f =>
+      f.isDirectory && f.getName.forall(_.isDigit)).map(_.getName.toLong).toSet
+    assert(versions() == Set(1L, 2L, 3L), s"grace violated: ${versions()}")
+    // without the grace the same call reclaims immediately
+    Catalog.pruneVersions(spark, root, "t", keep = 1)
+    assert(versions() == Set(3L))
+
+    val v1 = Catalog.commitBundle(Seq("a" -> (1L to 4L).toDF("id")), root, "p")
+    val v2 = Catalog.commitBundle(Seq("a" -> (1L to 9L).toDF("id")), root, "p")
+    assert(v1 == 1L && v2 == 2L)
+    Catalog.pruneBundleVersions(spark, root, "p", keep = 1,
+      minAgeMs = 3600L * 1000)
+    val bb = new java.io.File(Catalog.bundleDir(root, "p"))
+    def bvs() = bb.listFiles.filter(f =>
+      f.isDirectory && f.getName.forall(_.isDigit)).map(_.getName.toLong).toSet
+    assert(bvs() == Set(1L, 2L), s"bundle grace violated: ${bvs()}")
+    Catalog.pruneBundleVersions(spark, root, "p", keep = 1)
+    assert(bvs() == Set(2L))
+  }
+
+  test("concurrent appendBundle: same batch id lands exactly once; distinct ids both land") {
+    val root = Files.createTempDirectory("graft-ab-race").toString
+    Catalog.commitBundle(Seq("rows" -> (1L to 10L).toDF("id")), root, "q")
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val same = (1 to 2).map { w =>
+      new Thread(() => outcomes.add(Catalog.appendBundle(
+        Seq("rows" -> (100L * w until 100L * w + 5).toDF("id")), root, "q",
+        "batch-dup")))
+    }
+    same.foreach(_.start()); same.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(outcomes.asScala.toSeq.sorted == Seq(false, true),
+      s"same-id race: ${outcomes.asScala.toSeq}")
+    val m1 = Catalog.bundleManifest(spark, root, "q")
+    assert(m1.batches.count(_ == "batch-dup") == 1)
+    assert(Catalog.readBundleTable(spark, root, "q", "rows").count() == 15L)
+
+    val distinct = (1 to 2).map { w =>
+      new Thread(() => outcomes.add(Catalog.appendBundle(
+        Seq("rows" -> (1000L * w until 1000L * w + 3).toDF("id")), root, "q",
+        s"batch-$w")))
+    }
+    distinct.foreach(_.start()); distinct.foreach(_.join())
+    val m2 = Catalog.bundleManifest(spark, root, "q")
+    assert(m2.batches.toSet == Set("batch-dup", "batch-1", "batch-2"),
+      s"batches: ${m2.batches}")
+    assert(Catalog.readBundleTable(spark, root, "q", "rows").count() == 21L)
+  }
 }
