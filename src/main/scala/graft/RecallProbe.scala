@@ -80,6 +80,20 @@ object RecallProbe {
       val ex = exact.count()
       println(s"[probe] $sf x165 fused overlap = $ov/$ex = ${ov.toDouble / ex}")
       spark.catalog.clearCache()
+      // x176 composed three-stage serve: final diversified top-10 overlap
+      // vs the exact composition (stored bm25 + brute-force vectors +
+      // the same fusion and the same integer greedy)
+      val served176 = Similarity.threeStageServe(spark, tix, aix, e, terms,
+        q165, k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6)
+        .persist()
+      val exactPool = Similarity.rrfFuse(lex, exactVec, k = 30)
+      val exact176 = Similarity.mmrRerankPool(e, q165,
+        exactPool.select(col("nid")), k = 10).persist()
+      val ov176 = served176.select(col("nid"))
+        .join(exact176.select(col("nid")), Seq("nid"), "left_semi").count()
+      val ex176 = exact176.count()
+      println(s"[probe] $sf x176 mmr overlap = $ov176/$ex176 = ${ov176.toDouble / ex176}")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

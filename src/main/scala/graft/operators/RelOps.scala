@@ -181,6 +181,39 @@ object RelOps {
           .otherwise(lit("unchanged")).as("status"): _*)
   }
 
+  /** [[snapshotDiff]] across a SCHEMA CHANGE — the versioned store
+    * serves every version with its OWN schema (time travel), so a diff
+    * spanning an evolved commit must not read "this version has a new
+    * column" as "every row changed": content equality is decided over
+    * the non-key columns the two versions SHARE (sorted for a
+    * deterministic hash input), and columns present on one side only
+    * are surfaced to the caller via [[schemaDelta]] instead of
+    * polluting the row classification. A key present in both versions
+    * with equal shared-column content is `unchanged` even though the
+    * new version carries a column the old one lacks.
+    */
+  def evolvedSnapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val common = oldDf.columns.toSeq.intersect(newDf.columns.toSeq)
+      .filterNot(keys.contains).sorted
+    require(common.nonEmpty,
+      s"evolvedSnapshotDiff: versions share no non-key columns " +
+        s"(${oldDf.columns.toSeq} vs ${newDf.columns.toSeq})")
+    snapshotDiff(oldDf, newDf, keys, common)
+  }
+
+  /** The schema change between two table versions, as data: per column
+    * that is not common to both, one row (column, side) with side
+    * `added` (new version only) or `removed` (old version only) —
+    * the audit companion of [[evolvedSnapshotDiff]].
+    */
+  def schemaDelta(oldDf: DataFrame, newDf: DataFrame): Seq[(String, String)] = {
+    val o = oldDf.columns.toSet
+    val n = newDf.columns.toSet
+    ((n -- o).toSeq.sorted.map(_ -> "added") ++
+      (o -- n).toSeq.sorted.map(_ -> "removed"))
+  }
+
   /** Apply a CDC changelog to produce the current snapshot: keep the
     * LATEST operation per key (ordered by `seqCols`, e.g. a commit
     * timestamp plus a change id as tiebreak) and drop keys whose latest

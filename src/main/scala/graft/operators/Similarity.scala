@@ -227,18 +227,42 @@ object Similarity {
       poolK: Int = 30): DataFrame = {
     require(k >= 1 && poolK >= k && poolK <= 256,
       s"mmrRerank: k=$k poolK=$poolK out of range")
+    mmrRerankPool(vecs, queryVec,
+      bruteForceKnn(vecs, queryVec, poolK).select(col("nid")), k)
+  }
+
+  /** The MMR core over an EXPLICIT candidate pool — the shape the
+    * composed serving stack needs: `pool` (one `nid` column, ≤ 256
+    * candidates — a retrieval shortlist, never the corpus) arrives from
+    * whatever retrieval stage ran before ([[bruteForceKnn]] for the
+    * exact baseline, [[hybridStoredServe]]'s fused list for the
+    * production path in [[threeStageServe]]), relevance is recomputed
+    * here as the ×10⁴-rounded integer cosine of each pool member to the
+    * query (bit-identical to [[bruteForceKnn]]'s scoring expression, so
+    * pool-from-knn replays exactly), and the λ=0.5 greedy runs
+    * driver-side over the collected pool — bounded by construction at
+    * pool² (id, id, long) rows; corpus size never enters.
+    */
+  def mmrRerankPool(vecs: DataFrame, queryVec: DataFrame, pool: DataFrame,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"mmrRerankPool: k=$k")
     val spark = vecs.sparkSession
     val d = dotFor(vecs)
-    val pool = bruteForceKnn(vecs, queryVec, poolK)
-      .select(col("nid"), round(col("sim") * lit(1e4), 0).cast("long")
-        .as("qsim4"))
+    val ids = pool.select(col("nid")).distinct()
+    val sub = vecs.join(broadcast(ids), vecs(idCol) === ids("nid"), "left_semi")
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", sqrt(d(col("v"), col("v"))))
       .persist()
     try {
-      val ids = pool.select(col("nid"))
-      val sub = vecs.join(broadcast(ids),
-          vecs("vec_id") === ids("nid"), "left_semi")
-        .select(col("vec_id").as("id"), asDouble(col("embedding")).as("v"))
-        .withColumn("n", sqrt(d(col("v"), col("v"))))
+      require(sub.count() <= 256,
+        "mmrRerankPool: pool exceeds the 256-candidate driver-greedy bound")
+      val q = queryVec.select(asDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", sqrt(d(col("qv"), col("qv"))))
+      val qsims = sub.crossJoin(broadcast(q))
+        .select(col("id").as("nid"),
+          round(when(col("n") * col("qn") === 0, lit(0.0d))
+            .otherwise(d(col("qv"), col("v")) / (col("n") * col("qn")))
+            * lit(1e4), 0).cast("long").as("qsim4"))
       val pa = sub.select(col("id").as("na"), col("v").as("va"), col("n").as("nna"))
       val pb = sub.select(col("id").as("nb"), col("v").as("vb"), col("n").as("nnb"))
       val pairSims = pa.crossJoin(broadcast(pb))
@@ -247,8 +271,8 @@ object Similarity {
           round(when(col("nna") * col("nnb") === 0, lit(0.0d))
             .otherwise(d(col("va"), col("vb")) / (col("nna") * col("nnb")))
             * lit(1e4), 0).cast("long").as("psim4"))
-      // bounded driver greedy: poolK candidates, poolK² pair rows
-      val cand = pool.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // bounded driver greedy: pool candidates, pool² pair rows
+      val cand = qsims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val psim = pairSims.collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
@@ -264,7 +288,33 @@ object Similarity {
       }
       import spark.implicits._
       selected.toSeq.toDF("rank", "nid", "mmr4")
-    } finally { pool.unpersist(); () }
+    } finally { sub.unpersist(); () }
+  }
+
+  /** The COMPOSED three-stage serving stack — the query a production
+    * search deployment actually runs, as one operator: (1) retrieval
+    * off both STORED indexes (BM25 postings pruned to the query terms'
+    * shards, ANN codes pruned to the probed cells), (2) reciprocal-rank
+    * fusion of the two pools ([[rrfFuse]] — the same arithmetic as the
+    * exact baseline), (3) maximal-marginal-relevance diversification of
+    * the fused shortlist ([[mmrRerankPool]] — the greedy bounded at
+    * `fuseK`² driver-side rows). Nothing in the composition touches
+    * corpus text or trains: both expensive passes happened once at
+    * index build, every serve-time scan is directory-pruned, and the
+    * only corpus-sized frame (`vecs`) is read solely to fetch the
+    * shortlist's own vectors through a broadcast semi-join.
+    */
+  def threeStageServe(spark: org.apache.spark.sql.SparkSession,
+      textIdx: String, annIdx: String, vecs: DataFrame,
+      queryTerms: Seq[String], queryVec: DataFrame, k: Int,
+      fuseK: Int = 30, poolK: Int = 50, rrfK: Int = 60, rerank: Int = 150,
+      nProbe: Int = 6): DataFrame = {
+    require(fuseK >= k && fuseK <= 256,
+      s"threeStageServe: fuseK=$fuseK out of range for k=$k")
+    val fused = hybridStoredServe(spark, textIdx, annIdx, vecs, queryTerms,
+      queryVec, k = fuseK, poolK = poolK, rrfK = rrfK, rerank = rerank,
+      nProbe = nProbe)
+    mmrRerankPool(vecs, queryVec, fused.select(col("nid")), k)
   }
 
   /** Exact cosine re-rank of a candidate shortlist: `pairs` (qid, nid)

@@ -78,6 +78,26 @@ class RelOpsSpec extends AnyFunSuite {
       4L -> "changed", 5L -> "changed", 6L -> "added"))
   }
 
+  test("evolvedSnapshotDiff compares shared columns only; schemaDelta reports the change") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    // v2 adds `extra` and drops nothing; row 2's shared column changed,
+    // row 1's did not — the added column must NOT flip row 1 to changed
+    val v2 = Seq((1L, "a", "x"), (2L, "B", "y"), (4L, "d", "z"))
+      .toDF("id", "v", "extra")
+    val got = RelOps.evolvedSnapshotDiff(v1, v2, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    assert(RelOps.schemaDelta(v1, v2) === Seq("extra" -> "added"))
+    assert(RelOps.schemaDelta(v2, v1) === Seq("extra" -> "removed"))
+    // no shared non-key columns → refuse loudly, never an empty hash
+    intercept[IllegalArgumentException] {
+      RelOps.evolvedSnapshotDiff(
+        Seq((1L, "a")).toDF("id", "only_old"),
+        Seq((1L, "b")).toDF("id", "only_new"), Seq("id"))
+    }
+  }
+
   test("cdcApply keeps the latest op per key and drops tombstoned keys") {
     val log = Seq(
       // key 1: upsert then later upsert — latest value wins

@@ -445,4 +445,76 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected <= 3 of 16 cell partitions read, got $cellsRead")
     spark.catalog.clearCache()
   }
+
+  test("threeStageServe: composed = fused shortlist through the shared greedy; stores pruned end to end") {
+    import graft.operators.{AnnIndex, Embeddings, RelOps, TextIndex}
+    spark.catalog.clearCache() // scan census below — no foreign cache substitution
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val q = e.where(col("vec_id") < 1)
+    val terms = Seq("join", "vector")
+    val tix = "/tmp/graft/simspec_3stage_tix"
+    val aix = "/tmp/graft/simspec_3stage_aix"
+    TextIndex.write(docs, tix)
+    AnnIndex.write(e, Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2),
+      aix, nCentroids = 16, trainIters = 2, spill = 2)
+    val got = Similarity.threeStageServe(spark, tix, aix, e, terms, q,
+        k = 5, fuseK = 15, poolK = 20, rerank = 60, nProbe = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // the same composition built BY HAND from the public stages: the
+    // stored fusion at fuseK, then the shared pool-greedy. Equality pins
+    // the wiring — the composed serve cannot secretly pool from
+    // anything but the fused stored-index shortlist
+    val fused = Similarity.hybridStoredServe(spark, tix, aix, e, terms, q,
+      k = 15, poolK = 20, rerank = 60, nProbe = 3)
+    // collect fused ITSELF: the scan census reads runtime metrics off
+    // this exact executed plan — the store-touching stage of the serve
+    val fusedRows = fused.collect()
+    assert(fusedRows.length == 15)
+    val want = Similarity.mmrRerankPool(e, q, fused.select(col("nid")),
+        k = 5)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want && got.size == 5, s"got $got want $want")
+    // diversification really happened off the fused list: every served
+    // nid is a fused candidate. (No monotone-score assertion — with
+    // negative pairwise cosines a later step's `qsim4 − max psim4` can
+    // legitimately exceed an earlier one's.)
+    val fusedIds = fusedRows.map(_.getLong(0)).toSet
+    assert(got.forall(r => fusedIds.contains(r._2)))
+
+    // the store-touching stage reads ONLY pruned directories: postings
+    // scan limited to the query terms' shards, codes scan to the probed
+    // cells — end to end, the composed serve touches the two stores
+    // nowhere else (the MMR stage reads only the shortlist's own
+    // vectors through a broadcast semi-join on the embeddings table)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec    => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec       => scans(qs.plan)
+      case m: InMemoryTableScanExec => scans(m.relation.cachedPlan)
+      case other                    => other.children.flatMap(scans)
+    }
+    val all = scans(fused.queryExecution.executedPlan)
+    val postings = all.find(_.toString.contains("postings.parquet"))
+      .getOrElse(fail("no postings.parquet scan in the fused stage"))
+    val nShards = terms.map(TextIndex.shardOf).distinct.size
+    assert(postings.toString.contains("PartitionFilters"))
+    val shardsRead = postings.metrics("numPartitions").value
+    assert(shardsRead > 0 && shardsRead <= nShards,
+      s"expected <= $nShards postings shards read, got $shardsRead")
+    val codes = all.find(_.toString.contains("codes.parquet"))
+      .getOrElse(fail("no codes.parquet scan in the fused stage"))
+    assert(codes.toString.contains("PartitionFilters"))
+    val cellsRead = codes.metrics("numPartitions").value
+    assert(cellsRead > 0 && cellsRead <= 3,
+      s"expected <= 3 of 16 cell partitions read, got $cellsRead")
+    spark.catalog.clearCache()
+  }
 }

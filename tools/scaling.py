@@ -56,7 +56,8 @@ FAMILIES = {
               "x95_stored_ann_index", "x96_stored_index_append",
               "x102_label_confusion", "x110_label_outliers",
               "x121_embed_dim_stats", "x122_pca_top", "x161_hybrid_rrf",
-              "x165_hybrid_stored_serve", "x171_mmr_rerank"],
+              "x165_hybrid_stored_serve", "x171_mmr_rerank",
+              "x176_three_stage_serve"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
               "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp",
               "x104_hll_distinct", "x107_incremental_stats",
@@ -82,7 +83,7 @@ FAMILIES = {
                  "x164_association_rules", "x166_dsir_from_store",
                  "x168_nb_from_store", "x169_lm_count_merge",
                  "x172_versioned_table", "x173_bundle_commit",
-                 "x175_version_diff"],
+                 "x175_version_diff", "x177_schema_evolved_diff"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
               "x126_label_prop", "x142_triangle_census",
               "x156_kcore_trade"],
