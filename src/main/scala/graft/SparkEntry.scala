@@ -3356,6 +3356,55 @@ object SparkEntry {
             .as("schema_delta"))
         .orderBy(col("status"))
     }),
+
+    // Point-in-time dimension serve off the versioned store (x178) —
+    // the reproducibility workflow the version history exists for:
+    // every fact scores against the dimension VERSION that was in force
+    // at the fact's own timestamp (training-feature reproduction /
+    // SCD-2 semantics, but the "slowly changing dimension" is just the
+    // store's commit history — no merge bookkeeping). Three balance
+    // snapshots commit as store versions; the version pick is a
+    // BROADCAST range join of events against the half-open validity
+    // intervals (Temporal.validityIntervals + broadcastRangeJoin — the
+    // fact stream never shuffles for the pick, the version history is
+    // a handful of rows), then one hash equi-join on (version, custkey)
+    // against the union of time-travel reads. Integer-exact end to
+    // end: balances ride as cents-longs, event values as x10^6 longs,
+    // so every sum is order-free and the oracle replays the same
+    // ladder from the raw tables.
+    "x178_pit_dim_serve" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"/tmp/graft/x178_pit_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("bal_c"))
+      val v2d = base.withColumn("bal_c", col("bal_c") +
+        when(col("c_custkey") % 7 === 0, 10000L).otherwise(0L))
+      val v3d = v2d.withColumn("bal_c", col("bal_c") +
+        when(col("c_custkey") % 5 === 0, 5000L).otherwise(0L))
+      val vs = Seq(base, v2d, v3d)
+        .map(d => Catalog.commitVersion(d, root, "cust"))
+      val bounds = vs.zip(Seq("2024-01-01 00:00:00", "2024-01-11 00:00:00",
+          "2024-01-21 00:00:00")).toDF("version", "vfs")
+        .withColumn("valid_from", to_timestamp(col("vfs"))).drop("vfs")
+      val intervals = Temporal.validityIntervals(bounds, "valid_from",
+        to_timestamp(lit("2100-01-01 00:00:00")))
+      val ev = Catalog.events(s, dir).select(col("user_id"),
+        col("event_type"), col("ts"),
+        round(col("value") * 1e6, 0).cast("long").as("val6"))
+      val dim = vs.map(v => Catalog.readVersion(s, root, "cust", Some(v))
+          .select(lit(v).as("version"), col("c_custkey").as("user_id"),
+            col("bal_c")))
+        .reduce(_ unionByName _)
+      Temporal.broadcastRangeJoin(ev, intervals, "ts", "valid_from",
+          "__valid_to")
+        .join(dim, Seq("version", "user_id"))
+        .groupBy(col("version"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("val6")).as("sum_val6"),
+          sum(col("bal_c")).as("sum_bal_c"))
+        .orderBy(col("version"), col("event_type"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -6642,6 +6691,37 @@ object SparkEntry {
         |  count(*)::BIGINT AS n,
         |  'source:added' AS schema_delta
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the PiT serve replays from the raw tables: the same three balance
+    // snapshots, the version in force CASE-derived from the same fixed
+    // boundaries, the same integer sums
+    "x178_pit_dim_serve" ->
+      """WITH base AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |d AS (
+        |  SELECT 1 AS v, c_custkey, bal_c FROM base
+        |  UNION ALL
+        |  SELECT 2, c_custkey,
+        |    bal_c + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 3, c_custkey,
+        |    bal_c + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END
+        |          + CASE WHEN c_custkey % 5 = 0 THEN 5000 ELSE 0 END
+        |  FROM base),
+        |ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(round(value * 1e6) AS BIGINT) AS val6,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-21 00:00:00' THEN 3
+        |         WHEN ts >= TIMESTAMP '2024-01-11 00:00:00' THEN 2
+        |         ELSE 1 END AS v
+        |  FROM events)
+        |SELECT CAST(ev.v AS BIGINT) AS version, event_type,
+        |  count(*)::BIGINT AS n,
+        |  sum(ev.val6)::BIGINT AS sum_val6,
+        |  sum(d.bal_c)::BIGINT AS sum_bal_c
+        |FROM ev JOIN d ON d.v = ev.v AND d.c_custkey = ev.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // both member tables at both bundle versions, replayed from the
     // deterministic splits; version numbers are the commit sequence
     "x173_bundle_commit" ->

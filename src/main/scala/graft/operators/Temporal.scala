@@ -75,6 +75,22 @@ object Temporal {
     matched.select(out: _*)
   }
 
+  /** Half-open validity intervals from a version boundary list: each
+    * version row gains `__valid_to` = the NEXT version's valid-from (the
+    * provided `horizon` for the newest version), turning a (version,
+    * valid_from) history into the interval table a point-in-time
+    * dimension lookup range-joins against ([[broadcastRangeJoin]] —
+    * facts never shuffle for the version pick). The global window is
+    * safe by construction: the input is a version HISTORY — one row per
+    * committed version, never data-sized.
+    */
+  def validityIntervals(versions: DataFrame, validFromCol: String,
+      horizon: Column): DataFrame = {
+    val w = Window.orderBy(col(validFromCol))
+    versions.withColumn("__valid_to",
+      coalesce(lead(col(validFromCol), 1).over(w), horizon))
+  }
+
   /** Interval join against a BROADCAST-sized interval table: rows of
     * `facts` matched to `intervals` rows where
     * `loCol <= valueCol < hiCol` (half-open). Plan: BroadcastNestedLoopJoin

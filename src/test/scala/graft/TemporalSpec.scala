@@ -203,4 +203,32 @@ class TemporalSpec extends AnyFunSuite {
     assert(math.abs(sides("train") - 800L) <= 1, sides.toString)
     assert(sides("train") + sides("test") === 1000L)
   }
+
+  test("validityIntervals: half-open windows chain version boundaries; horizon closes the newest") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val bounds = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-11 00:00:00"),
+        (3L, "2024-01-21 00:00:00")).toDF("version", "vfs")
+      .withColumn("valid_from", to_timestamp(col("vfs"))).drop("vfs")
+    val horizon = to_timestamp(lit("2100-01-01 00:00:00"))
+    val iv = Temporal.validityIntervals(bounds, "valid_from", horizon)
+      .orderBy(col("version"))
+      .select(col("version"), col("valid_from").cast("string"),
+        col("__valid_to").cast("string"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(iv == Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-11 00:00:00"),
+      (2L, "2024-01-11 00:00:00", "2024-01-21 00:00:00"),
+      (3L, "2024-01-21 00:00:00", "2100-01-01 00:00:00")))
+    // composed with the broadcast range join: a fact AT a boundary
+    // belongs to the NEWER version (half-open), one interval per fact
+    val facts = Seq((10L, "2024-01-10 23:59:59"), (11L, "2024-01-11 00:00:00"),
+        (12L, "2024-01-21 00:00:00"))
+      .toDF("fid", "tss").withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val picked = Temporal.broadcastRangeJoin(facts,
+        Temporal.validityIntervals(bounds, "valid_from", horizon),
+        "ts", "valid_from", "__valid_to")
+      .select(col("fid"), col("version"))
+      .as[(Long, Long)].collect().toMap
+    assert(picked == Map(10L -> 1L, 11L -> 2L, 12L -> 3L))
+  }
 }
