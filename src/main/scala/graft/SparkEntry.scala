@@ -3405,6 +3405,46 @@ object SparkEntry {
           sum(col("bal_c")).as("sum_bal_c"))
         .orderBy(col("version"), col("event_type"))
     }),
+
+    // LM count store on the atomic bundle (x179) — x169's ingest
+    // MIGRATED onto the manifest ledger, the same move x174 made for
+    // the pair store: each batch's count table lands as an LSM-style
+    // DELTA file set with the batch id riding IN the manifest (data and
+    // replay guard are one rename — the flat store's swap→marker window
+    // is gone, and even the CREATE is seeded into its own commit, so
+    // the re-mark step the streaming twin needed no longer exists).
+    // The plan replays BOTH the seed batch and an ingested batch
+    // in-plan (both rejected), compacts the three delta file sets under
+    // the oracle hash (ledger preserved — x170's discipline; the counts
+    // table is Heaps-bounded, so the rewrite is sublinear in corpus),
+    // and serves the LM off the merged counts. Oracle is x169's refit
+    // replay VERBATIM: bundle-ingest ≡ flat-ingest ≡ refit end to end.
+    "x179_lm_bundle_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = s"/tmp/graft/x179_lmb_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      graft.operators.LmStore.writeBundle(docs.where(col("doc_id") % 3 === 0),
+        "text", root, "lm", seedBatchIds = Seq("b0"))
+      val i1 = graft.operators.LmStore.ingestBundle(
+        docs.where(col("doc_id") % 3 === 1), "text", root, "lm", "b1")
+      val r0 = graft.operators.LmStore.ingestBundle(
+        docs.where(col("doc_id") % 3 === 0), "text", root, "lm", "b0")
+      val i2 = graft.operators.LmStore.ingestBundle(
+        docs.where(col("doc_id") % 3 === 2), "text", root, "lm", "b2")
+      val r1 = graft.operators.LmStore.ingestBundle(
+        docs.where(col("doc_id") % 3 === 1), "text", root, "lm", "b1")
+      require(i1 && !r0 && i2 && !r1,
+        s"bundle LM ledger broken: i1=$i1 r0=$r0 i2=$i2 r1=$r1")
+      Catalog.compactBundle(s, root, "lm")
+      require(!graft.operators.LmStore.ingestBundle(
+        docs.where(col("doc_id") % 3 === 2), "text", root, "lm", "b2"),
+        "compaction must not reopen the ledger")
+      val (voc, denom) = graft.operators.LmStore.loadBundle(s, root, "lm",
+        vocabSize = 20)
+      TextStats.unigramLogProbFromLm(docs, "doc_id", "text", voc, denom)
+        .select(col("doc_id"), roundz(col("unigram_lp"), 6).as("unigram_lp"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -6722,6 +6762,26 @@ object SparkEntry {
         |  sum(d.bal_c)::BIGINT AS sum_bal_c
         |FROM ev JOIN d ON d.v = ev.v AND d.c_custkey = ev.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // x169's refit replay VERBATIM: the bundle-ledgered delta ingest
+    // plus compaction must serve counts identical to one-shot fitting
+    "x179_lm_bundle_store" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        |voc AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20),
+        |vn AS (SELECT count(*) AS v FROM voc),
+        |sc AS (
+        |  SELECT tk.doc_id,
+        |    avg(log10((coalesce(voc.c, 0) + 1) / (tot.n + vn.v + 1.0))) AS lp
+        |  FROM tk LEFT JOIN voc USING (tok), tot, vn
+        |  GROUP BY 1)
+        |SELECT d.doc_id, (round(sc.lp, 6) + 0) AS unigram_lp
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // both member tables at both bundle versions, replayed from the
     // deterministic splits; version numbers are the commit sequence
     "x173_bundle_commit" ->

@@ -22,10 +22,19 @@ import graft.sources.Catalog
   *
   * Ingest is LEDGERED like the pair store
   * ([[graft.operators.Dedup.ingestPairBatch]]): counts double on replay,
-  * so a batch id already in the ledger is skipped. Same honestly-stated
-  * residual: the rewrite+marker sequence is not atomic — a crash between
-  * swap and marker replays the batch; closable only by a transactional
-  * table format.
+  * so a batch id already in the ledger is skipped. The flat-store path
+  * ([[write]]/[[ingest]]/[[mark]]) has the marker ledgers' honest
+  * residual — the rewrite+marker sequence is not atomic, a crash
+  * between swap and marker replays the batch — and is DEPRECATED in
+  * favor of the bundle-backed variant below
+  * ([[writeBundle]]/[[ingestBundle]]/[[loadBundle]]), where the batch
+  * id rides IN the bundle manifest: data and replay ledger publish in
+  * one rename, no window at all. The bundle variant is also the better
+  * 100 TB shape — each ingest APPENDS the batch's own count delta as a
+  * new file set (LSM-style; resident counts never rewritten), the load
+  * group-sums across file sets, and
+  * [[graft.sources.Catalog.compactBundle]] collapses the deltas with
+  * the ledger preserved.
   */
 object LmStore {
 
@@ -95,9 +104,16 @@ object LmStore {
     * 1-row sum — same as in-query fitting.
     */
   def load(spark: SparkSession, dir: String,
+      vocabSize: Int): (DataFrame, Double) =
+    lmFromCounts(spark, spark.read.parquet(s"$dir/counts.parquet"), vocabSize)
+
+  /** `unigramLm`'s load convention off ANY merged count frame: top-K
+    * vocab (count-desc/token-asc), add-one denominator `n + v + 1` over
+    * the total. Driver traffic: one K-row collect + one 1-row sum.
+    */
+  private def lmFromCounts(spark: SparkSession, cnt: DataFrame,
       vocabSize: Int): (DataFrame, Double) = {
     require(vocabSize > 0, s"vocabSize=$vocabSize must be positive")
-    val cnt = spark.read.parquet(s"$dir/counts.parquet")
     val top = cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize).collect()
     val nRow = cnt.agg(sum(col("c"))).collect()(0)
     val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
@@ -107,4 +123,47 @@ object LmStore {
         .add("tok", "string").add("c", "long"))
     (vocabDf, (n + top.length + 1).toDouble)
   }
+
+  // ------------- bundle-backed store: the manifest IS the ledger -------------
+
+  /** Build the count store ON the atomic bundle store
+    * ([[graft.sources.Catalog.commitBundle]]). `seedBatchIds` records
+    * the creating batch(es) in the manifest itself, which closes the
+    * window [[mark]] exists to paper over: there is no moment where the
+    * counts are committed but the creating batch's ledger entry is not —
+    * they are the same rename. Replaying the CREATE is also safe: a
+    * second snapshot commit with identical content supersedes the first
+    * (readers resolve the latest committed version only).
+    */
+  def writeBundle(docs: DataFrame, textCol: String, root: String,
+      name: String, seedBatchIds: Seq[String] = Nil): Long =
+    Catalog.commitBundle(Seq("counts" -> counts(docs, textCol)), root,
+      name, seedBatchIds)
+
+  /** Ledgered ingest as an LSM-style DELTA append: the batch's own count
+    * table lands as a NEW file set via
+    * [[graft.sources.Catalog.appendBundle]] — resident counts are never
+    * rewritten (vs [[ingest]]'s whole-table staged rewrite), and the
+    * batch id rides in the manifest, so data and replay guard publish
+    * atomically. Returns true iff ingested (false = replay, store
+    * untouched). Counts merge by addition, so deferring the merge to
+    * [[loadBundle]]'s group-sum is exact; after many batches,
+    * [[graft.sources.Catalog.compactBundle]] collapses the deltas into
+    * one file set with the ledger preserved.
+    */
+  def ingestBundle(batch: DataFrame, textCol: String, root: String,
+      name: String, batchId: String): Boolean =
+    Catalog.appendBundle(Seq("counts" -> counts(batch, textCol)), root,
+      name, batchId)
+
+  /** Load the LM off the bundle store: group-sum the delta file sets
+    * (exact — counts are an additive monoid), then the same top-K
+    * convention as [[load]], so bundle-served ≡ flat-served ≡ refit.
+    */
+  def loadBundle(spark: SparkSession, root: String, name: String,
+      vocabSize: Int): (DataFrame, Double) =
+    lmFromCounts(spark,
+      Catalog.readBundleTable(spark, root, name, "counts")
+        .groupBy(col("tok")).agg(sum(col("c")).as("c")),
+      vocabSize)
 }

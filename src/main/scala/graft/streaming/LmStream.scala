@@ -54,4 +54,38 @@ object LmStream {
       .outputMode("update")
       .start()
   }
+
+  /** The bundle-backed twin — [[lmStream]] with the manifest as the
+    * ledger ([[graft.operators.LmStore.writeBundle]]/[[
+    * graft.operators.LmStore.ingestBundle]]): the creating micro-batch
+    * seeds its own id INTO the commit manifest, so every crash window
+    * is closed — a replayed create commits an identical superseding
+    * snapshot (readers resolve the latest version only), and a replayed
+    * ingest is rejected by the manifest atomically. No re-mark step
+    * exists because no marker exists.
+    */
+  def lmBundleStream(spark: SparkSession, srcDir: String, root: String,
+      name: String, checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = spark.readStream.schema(CorpusIngest.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+    checkpointDir.fold(w)(w.option("checkpointLocation", _))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          if (graft.sources.Catalog.latestBundleVersion(s, root, name).isEmpty) {
+            LmStore.writeBundle(batch.toDF(), "text", root, name,
+              Seq(batchId.toString))
+            ()
+          } else {
+            LmStore.ingestBundle(batch.toDF(), "text", root, name,
+              batchId.toString)
+            ()
+          }
+        }
+      }
+      .outputMode("update")
+      .start()
+  }
 }

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{count, date_trunc, lit}
+import org.apache.spark.sql.functions.{count, date_trunc, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Catalog
@@ -549,6 +549,47 @@ class StreamingSpec extends AnyFunSuite {
     val oneShot = LmStore.counts(all, "text")
       .orderBy($"tok").collect().map(_.toSeq).toSeq
     assert(streamed == oneShot && streamed.nonEmpty)
+  }
+
+  test("streaming LM bundle store: manifest-ledgered, exactly-once, no re-mark step") {
+    import graft.streaming.LmStream
+    import graft.operators.LmStore
+    val src = Files.createTempDirectory("graft_lmb_src")
+    val root = Files.createTempDirectory("graft_lmb_store").toString
+    def doc(id: Long, text: String) = (id, text, "en", "s0", text.length.toLong)
+    def stage(name: String, docs: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_lmb_stage")
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    stage("b0.parquet", Seq(doc(1, "alpha beta beta gamma")))
+    stage("b1.parquet", Seq(doc(2, "beta gamma delta"), doc(3, "alpha alpha")))
+    stage("b2.parquet", Seq(doc(4, "epsilon")))
+    val q = LmStream.lmBundleStream(spark, src.toString, root, "lm")
+    try q.processAllAvailable() finally q.stop()
+    val all = Seq(doc(1, "alpha beta beta gamma"),
+      doc(2, "beta gamma delta"), doc(3, "alpha alpha"), doc(4, "epsilon"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def merged() = Catalog.readBundleTable(spark, root, "lm", "counts")
+      .groupBy($"tok").agg(sum($"c").as("c"))
+      .orderBy($"tok").collect().map(_.toSeq).toSeq
+    val oneShot = LmStore.counts(all, "text")
+      .orderBy($"tok").collect().map(_.toSeq).toSeq
+    assert(merged() == oneShot && oneShot.nonEmpty)
+    // every micro-batch id is in the manifest — INCLUDING the creating
+    // batch (seeded into its own commit; the flat twin needed a
+    // separate re-mark with a documented crash window)
+    val m = Catalog.bundleManifest(spark, root, "lm")
+    assert(m.batches.toSet == Set("0", "1", "2"), s"ledger: ${m.batches}")
+    // a replayed micro-batch (crash-recovery path) is rejected by the
+    // manifest atomically, store untouched
+    assert(!LmStore.ingestBundle(all.where($"doc_id" === 2 || $"doc_id" === 3),
+      "text", root, "lm", "1"))
+    assert(merged() == oneShot)
+    assert(Catalog.bundleManifest(spark, root, "lm") == m)
   }
 
   test("streaming corpus ingest decontaminates each micro-batch against the table") {

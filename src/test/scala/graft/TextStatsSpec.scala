@@ -473,6 +473,47 @@ class TextStatsSpec extends AnyFunSuite {
     assert(stored() == afterB1)
   }
 
+  test("LmStore bundle: delta-append ingest == refit; seed + replay rejected; compaction keeps ledger") {
+    import graft.operators.LmStore
+    import graft.sources.Catalog
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .where(col("doc_id") < 300)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lm-bundle").toString
+    LmStore.writeBundle(docs.where(col("doc_id") % 3 === 0), "text", root,
+      "lm", seedBatchIds = Seq("b0"))
+    assert(LmStore.ingestBundle(docs.where(col("doc_id") % 3 === 1), "text",
+      root, "lm", "b1"))
+    // the CREATE's own id is in the manifest: its replay is rejected
+    // with no re-mark step (the window LmStore.mark papered over)
+    assert(!LmStore.ingestBundle(docs.where(col("doc_id") % 3 === 0), "text",
+      root, "lm", "b0"))
+    assert(!LmStore.ingestBundle(docs.where(col("doc_id") % 3 === 1), "text",
+      root, "lm", "b1"))
+    assert(LmStore.ingestBundle(docs.where(col("doc_id") % 3 === 2), "text",
+      root, "lm", "b2"))
+    // merged delta file sets == one-shot counts, and load == flat load
+    def merged() = Catalog.readBundleTable(spark, root, "lm", "counts")
+      .groupBy(col("tok")).agg(sum(col("c")).as("c"))
+      .orderBy(col("tok")).collect().map(_.toSeq).toSeq
+    val oneShot = LmStore.counts(docs, "text")
+      .orderBy(col("tok")).collect().map(_.toSeq).toSeq
+    assert(merged() == oneShot && oneShot.nonEmpty)
+    val (voc, denom) = LmStore.loadBundle(spark, root, "lm", vocabSize = 20)
+    val (fitVoc, fitDenom) = TextStats.fitUnigramLm(docs, "text", 20)
+    assert(denom == fitDenom)
+    assert(voc.orderBy(col("tok")).collect().map(_.toSeq).toSeq
+      == fitVoc.orderBy(col("tok")).collect().map(_.toSeq).toSeq)
+    // compaction collapses deltas, serve identical, ledger preserved
+    assert(Catalog.bundleManifest(spark, root, "lm").dirs("counts").size == 3)
+    Catalog.compactBundle(spark, root, "lm")
+    assert(Catalog.bundleManifest(spark, root, "lm").dirs("counts").size == 1)
+    assert(merged() == oneShot)
+    assert(!LmStore.ingestBundle(docs.where(col("doc_id") % 3 === 2), "text",
+      root, "lm", "b2"), "compaction must not reopen the ledger")
+  }
+
   test("stored NB model: serve == in-query fit; OOV docs predict null, mixed docs classify") {
     import graft.operators.NbModel
     val docs = spark.read
