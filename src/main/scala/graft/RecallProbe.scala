@@ -94,6 +94,27 @@ object RecallProbe {
       val ex176 = exact176.count()
       println(s"[probe] $sf x176 mmr overlap = $ov176/$ex176 = ${ov176.toDouble / ex176}")
       spark.catalog.clearCache()
+      // x180 filtered composed serve: final top-10 overlap vs the exact
+      // FILTERED composition (stored bm25-within + brute force over the
+      // filtered corpus + same fusion and greedy)
+      val allowed = e.where(col("label") < 5).select(col("vec_id"))
+      val served180 = Similarity.threeStageServe(spark, tix, aix, e, terms,
+        q165, k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6,
+        within = Some(allowed)).persist()
+      val lexF = graft.operators.TextIndex.bm25Search(spark, tix, terms,
+          k = 50, within = Some(allowed))
+        .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
+      val exactVecF = Similarity.bruteForceKnn(
+          e.join(allowed, Seq("vec_id"), "left_semi"), q165, k = 50)
+        .select(col("nid"), col("rank").as("vrank"))
+      val exact180 = Similarity.mmrRerankPool(e, q165,
+        Similarity.rrfFuse(lexF, exactVecF, k = 30).select(col("nid")),
+        k = 10).persist()
+      val ov180 = served180.select(col("nid"))
+        .join(exact180.select(col("nid")), Seq("nid"), "left_semi").count()
+      val ex180 = exact180.count()
+      println(s"[probe] $sf x180 filtered overlap = $ov180/$ex180 = ${ov180.toDouble / ex180}")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -3445,6 +3445,59 @@ object SparkEntry {
         .select(col("doc_id"), roundz(col("unigram_lp"), 6).as("unigram_lp"))
         .orderBy(col("doc_id"))
     }),
+
+    // FILTERED composed serve (x180) — x176 with the one thing every
+    // production search request carries that x176's stack ignored: a
+    // metadata filter. The predicate resolves to an allowed-id frame
+    // and restricts the CANDIDATE set on BOTH stored retrieval sides
+    // before their top-k (BM25 keeps GLOBAL corpus statistics — a
+    // filter narrows who may return, not what words mean; the ANN side
+    // semi-joins the cell-pruned codes before ADC scoring, so a
+    // selective filter also shrinks the shortlist work), then fusion
+    // and MMR run over the already-filtered pool. Three checks under
+    // the hash: result count, all_allowed (no served id outside the
+    // filter — earned, the engine counts violations), and the overlap
+    // floor vs the exact FILTERED composition (same stored BM25-within
+    // ranks, brute force over the filtered corpus, same fusion+greedy).
+    // Measured overlap (RecallProbe): 0.6 / 0.5 / 0.6 across SFs —
+    // floor 0.4 sits under the weakest point.
+    "x180_filtered_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 1)
+      val terms = Seq("join", "hash", "vector")
+      val allowed = e.where(col("label") < 5).select(col("vec_id"))
+      val tix = s"/tmp/graft/x180_tix_${storeTag(dir)}"
+      val aix = s"/tmp/graft/x180_aix_${storeTag(dir)}"
+      TextIndex.write(docs, tix)
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      AnnIndex.write(e, books, aix, nCentroids = 16, trainIters = 4, spill = 2)
+      val served = Similarity.threeStageServe(s, tix, aix, e, terms, q,
+        k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6,
+        within = Some(allowed)).persist()
+      val viol = served
+        .join(allowed.select(col("vec_id").as("nid")), Seq("nid"), "left_anti")
+        .agg(count(lit(1)).as("__viol"))
+      val lex = TextIndex.bm25Search(s, tix, terms, k = 50,
+          within = Some(allowed))
+        .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
+      val exactVec = Similarity.bruteForceKnn(
+          e.join(allowed, Seq("vec_id"), "left_semi"), q, k = 50)
+        .select(col("nid"), col("rank").as("vrank"))
+      val exactPool = Similarity.rrfFuse(lex, exactVec, k = 30)
+      val exact = Similarity.mmrRerankPool(e, q, exactPool.select(col("nid")),
+        k = 10)
+      val ov = served.select(col("nid"))
+        .join(exact.select(col("nid")), Seq("nid"), "left_semi")
+        .agg(count(lit(1)).as("__ov"))
+      served.agg(count(lit(1)).as("n_results"))
+        .crossJoin(broadcast(viol))
+        .crossJoin(broadcast(ov))
+        .select(col("n_results"),
+          (col("__viol") === lit(0L)).as("all_allowed"),
+          (col("__ov") >= lit(4L)).as("overlap_ok"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -3623,6 +3676,24 @@ object SparkEntry {
           Similarity.threeStageServe(s, hybT(dir), hybA(dir), e,
             Seq("join", "hash", "vector"), e.where(col("vec_id") < 1),
             k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6)
+        })),
+      // same stores as x165/x176 — the filter is a serve-time argument,
+      // not an index property, which is exactly the point measured here
+      "x180_filtered_serve" -> ((
+        (s: SparkSession, dir: String) => {
+          val e = t(s, dir, "embeddings")
+          TextIndex.write(t(s, dir, "documents"), hybT(dir))
+          val books = Embeddings.pqTrain(
+            RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+          AnnIndex.write(e, books, hybA(dir), nCentroids = 16,
+            trainIters = 4, spill = 2)
+        },
+        (s: SparkSession, dir: String) => {
+          val e = t(s, dir, "embeddings")
+          Similarity.threeStageServe(s, hybT(dir), hybA(dir), e,
+            Seq("join", "hash", "vector"), e.where(col("vec_id") < 1),
+            k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6,
+            within = Some(e.where(col("label") < 5).select(col("vec_id"))))
         })),
     )
   }
@@ -6762,6 +6833,12 @@ object SparkEntry {
         |  sum(d.bal_c)::BIGINT AS sum_bal_c
         |FROM ev JOIN d ON d.v = ev.v AND d.c_custkey = ev.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // shape contract like x176, plus the earned filter property: the
+    // engine counts served ids outside the allowed set (must be 0) and
+    // overlap vs the exact FILTERED composition
+    "x180_filtered_serve" ->
+      ("SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS all_allowed, " +
+        "TRUE AS overlap_ok"),
     // x169's refit replay VERBATIM: the bundle-ledgered delta ingest
     // plus compaction must serve counts identical to one-shot fitting
     "x179_lm_bundle_store" ->

@@ -147,10 +147,17 @@ object AnnIndex {
     * against the corpus's raw vectors. Returns (qid, nid, sim, rank) like
     * every kNN in the family — a persisted, materialized frame; the
     * caller owns its one unpersist (see [[graft.Lifecycle]]).
+    *
+    * `within` (one id column, any name) restricts the CANDIDATE set —
+    * filtered vector search over the same stored index. The semi-join
+    * lands on the cell-pruned decoded codes BEFORE ADC scoring, so a
+    * selective filter shrinks the shortlist work too; the exact re-rank
+    * only ever sees filtered candidates through the shortlist.
     */
   def knn(spark: SparkSession, dir: String, corpus: DataFrame,
       queries: DataFrame, k: Int, rerank: Int = 50, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      within: Option[DataFrame] = None): DataFrame = {
     require(rerank > k, s"AnnIndex.knn: rerank=$rerank must exceed k=$k")
     val centroids = readCentroids(spark, dir)
     val books = readBooks(spark, dir)
@@ -163,8 +170,13 @@ object AnnIndex {
     // the partition column makes the codes scan read ONLY those cells
     val probeCells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val decoded = spark.read.parquet(s"$dir/codes.parquet")
+    val pruned = spark.read.parquet(s"$dir/codes.parquet")
       .where(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+    val kept = within.fold(pruned) { w =>
+      val ids = w.select(col(w.columns.head).as("__within_id"))
+      pruned.join(ids, pruned(idCol) === ids("__within_id"), "left_semi")
+    }
+    val decoded = kept
       .withColumn("cvec", asDouble(Embeddings.pqDecode(col("pq"), books)))
       .select(col(idCol).as("nid"), col("cell"), col("cvec"),
         sqrt(Similarity.dot(col("cvec"), col("cvec"))).as("cn"))

@@ -189,17 +189,24 @@ object Similarity {
     * stores plus the bounded meta/quantizer tables. Single-query
     * contract: `queryVec` is one vector (its id only excludes itself
     * from the vector pool).
+    *
+    * `within` (one id column, any name) is the production metadata
+    * filter, applied as a candidate restriction on BOTH retrieval sides
+    * before their top-k (global BM25 statistics, per
+    * [[graft.operators.TextIndex.bm25Search]]); the fused result can
+    * then only contain allowed ids.
     */
   def hybridStoredServe(spark: org.apache.spark.sql.SparkSession,
       textIdx: String, annIdx: String, vecs: DataFrame,
       queryTerms: Seq[String], queryVec: DataFrame, k: Int,
       poolK: Int = 50, rrfK: Int = 60, rerank: Int = 150,
-      nProbe: Int = 6): DataFrame = {
+      nProbe: Int = 6, within: Option[DataFrame] = None): DataFrame = {
     require(poolK >= k, s"hybridStoredServe: poolK=$poolK < k=$k")
-    val lex = TextIndex.bm25Search(spark, textIdx, queryTerms, k = poolK)
+    val lex = TextIndex.bm25Search(spark, textIdx, queryTerms, k = poolK,
+        within = within)
       .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
     val vec = AnnIndex.knn(spark, annIdx, vecs, queryVec, k = poolK,
-        rerank = rerank, nProbe = nProbe)
+        rerank = rerank, nProbe = nProbe, within = within)
       .select(col("nid"), col("rank").as("vrank"))
     rrfFuse(lex, vec, k, rrfK)
   }
@@ -308,12 +315,14 @@ object Similarity {
       textIdx: String, annIdx: String, vecs: DataFrame,
       queryTerms: Seq[String], queryVec: DataFrame, k: Int,
       fuseK: Int = 30, poolK: Int = 50, rrfK: Int = 60, rerank: Int = 150,
-      nProbe: Int = 6): DataFrame = {
+      nProbe: Int = 6, within: Option[DataFrame] = None): DataFrame = {
     require(fuseK >= k && fuseK <= 256,
       s"threeStageServe: fuseK=$fuseK out of range for k=$k")
     val fused = hybridStoredServe(spark, textIdx, annIdx, vecs, queryTerms,
       queryVec, k = fuseK, poolK = poolK, rrfK = rrfK, rerank = rerank,
-      nProbe = nProbe)
+      nProbe = nProbe, within = within)
+    // the MMR pool is the fused shortlist, which is already filtered
+    // when `within` is set — the greedy never reintroduces candidates
     mmrRerankPool(vecs, queryVec, fused.select(col("nid")), k)
   }
 

@@ -175,9 +175,17 @@ object TextIndex {
     * flake between engines — and the top-k is a distributed TakeOrdered
     * on (score desc, doc_id), never a global window over the candidates.
     * Returns (doc_id, score_x10k, rank).
+    *
+    * `within` (one id column, any name) restricts the CANDIDATE set —
+    * the production filtered-search shape (a metadata predicate
+    * resolved to allowed ids). Lucene semantics: the corpus statistics
+    * (N, avgdl, df) stay GLOBAL — a filter narrows who may be returned,
+    * not what words mean — so the semi-join applies after per-posting
+    * scoring, before the top-k; per-doc scores are identical filtered
+    * or not, ranks renumber within the filtered set.
     */
   def bm25Search(spark: SparkSession, dir: String, queryTerms: Seq[String],
-      k: Int): DataFrame = {
+      k: Int, within: Option[DataFrame] = None): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Search: no terms")
     val ts = queryTerms.distinct
     val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
@@ -194,7 +202,11 @@ object TextIndex {
           + lit(0.75) * (col("dl") / lit(avgdl)))))
       .withColumn("__sx",
         round(col("__idf") * col("__tfn") * lit(10000.0), 0).cast("long"))
-    val top = scored.groupBy(col("doc_id"))
+    val eligible = within.fold(scored) { w =>
+      val ids = w.select(col(w.columns.head).as("__within_id"))
+      scored.join(ids, scored("doc_id") === ids("__within_id"), "left_semi")
+    }
+    val top = eligible.groupBy(col("doc_id"))
       .agg(sum(col("__sx")).as("score_x10k"))
       .orderBy(col("score_x10k").desc, col("doc_id"))
       .limit(k)

@@ -517,4 +517,59 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected <= 3 of 16 cell partitions read, got $cellsRead")
     spark.catalog.clearCache()
   }
+
+  test("filtered serve: results within the allowed set; wiring equals hand-filtered stages") {
+    import graft.operators.{AnnIndex, Embeddings, RelOps, TextIndex}
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val q = e.where(col("vec_id") < 1)
+    val terms = Seq("join", "vector")
+    val tix = "/tmp/graft/simspec_filt_tix"
+    val aix = "/tmp/graft/simspec_filt_aix"
+    TextIndex.write(docs, tix)
+    AnnIndex.write(e, Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2),
+      aix, nCentroids = 16, trainIters = 2, spill = 2)
+    val allowed = e.where(col("label") < 5).select(col("vec_id"))
+    val got = Similarity.threeStageServe(spark, tix, aix, e, terms, q,
+        k = 5, fuseK = 15, poolK = 20, rerank = 60, nProbe = 3,
+        within = Some(allowed))
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.size == 5)
+    // the filter is honored end to end: nothing outside the allowed set
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => allowedIds.contains(r._2)),
+      s"served ids outside filter: ${got.map(_._2).filterNot(allowedIds)}")
+    // wiring: identical to composing the filtered stages by hand
+    val lex = TextIndex.bm25Search(spark, tix, terms, k = 20,
+        within = Some(allowed))
+      .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
+    val vec = AnnIndex.knn(spark, aix, e, q, k = 20, rerank = 60,
+        nProbe = 3, within = Some(allowed))
+      .select(col("nid"), col("rank").as("vrank"))
+    val fused = Similarity.rrfFuse(lex, vec, k = 15)
+    val want = Similarity.mmrRerankPool(e, q, fused.select(col("nid")),
+        k = 5)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got $got want $want")
+    // bm25Search keeps GLOBAL statistics under a filter: the per-doc
+    // score of a doc that survives filtering is unchanged, only ranks
+    // renumber within the filtered set
+    val unfiltered = TextIndex.bm25Search(spark, tix, terms, k = 200)
+      .select(col("doc_id"), col("score_x10k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val filteredScores = TextIndex.bm25Search(spark, tix, terms, k = 200,
+        within = Some(allowed))
+      .select(col("doc_id"), col("score_x10k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(filteredScores.nonEmpty)
+    filteredScores.foreach { case (id, sc) =>
+      assert(allowedIds.contains(id))
+      assert(unfiltered.get(id).forall(_ == sc),
+        s"doc $id score changed under filter")
+    }
+    spark.catalog.clearCache()
+  }
 }

@@ -57,7 +57,7 @@ FAMILIES = {
               "x102_label_confusion", "x110_label_outliers",
               "x121_embed_dim_stats", "x122_pca_top", "x161_hybrid_rrf",
               "x165_hybrid_stored_serve", "x171_mmr_rerank",
-              "x176_three_stage_serve"],
+              "x176_three_stage_serve", "x180_filtered_serve"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
               "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp",
               "x104_hll_distinct", "x107_incremental_stats",
