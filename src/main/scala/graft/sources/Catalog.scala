@@ -378,7 +378,7 @@ object Catalog {
     committedVs.sorted.reverse.drop(keep)
       .filter(_ != latest).map(v => new HPath(base, v.toString))
       .filter(old).foreach(p => f.delete(p, true))
-    pruneGarbage(f, base, p => f.exists(new HPath(p, "_SUCCESS")), old)
+    pruneGarbage(f, base, p => f.exists(new HPath(p, "_SUCCESS")), minAgeMs)
   }
 
   /** mtime-based retention grace: true iff the path is old enough to
@@ -393,14 +393,27 @@ object Catalog {
     }
   }
 
+  /** Minimum age before prune reclaims writer garbage, regardless of the
+    * caller's `minAgeMs`: a `.staging-*` directory (or an in-place
+    * writer's uncommitted numbered directory) younger than this may
+    * belong to a LIVE writer mid-claim, and deleting it would fail that
+    * writer's commit for no reason. One hour dwarfs any commit's
+    * staging window while still reclaiming crashed writers promptly.
+    * (Claim-time reclaim in [[claimVersionSlot]] is different: there the
+    * slot is being contended NOW, and an uncommitted occupant must yield
+    * — at worst a still-running legacy writer fails loudly and retries.)
+    */
+  private[graft] val GarbageGraceMs: Long = 60L * 60 * 1000
+
   /** Reclaim crashed-writer leftovers under a versions/bundle base:
     * `.staging-*` directories and numbered directories that never
-    * committed — both invisible to readers, both subject to the same
-    * grace period (a staging dir younger than the grace may belong to a
-    * LIVE writer racing for a slot).
+    * committed — both invisible to readers, both under
+    * `max(minAgeMs, GarbageGraceMs)` so a live writer's staging is
+    * never collected out from under it.
     */
   private def pruneGarbage(f: FileSystem, base: HPath,
-      committed: HPath => Boolean, old: HPath => Boolean): Unit = {
+      committed: HPath => Boolean, minAgeMs: Long): Unit = {
+    val old = graceFilter(f, base, math.max(minAgeMs, GarbageGraceMs))
     f.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath)
       .filter { p =>
         val n = p.getName
@@ -617,7 +630,7 @@ object Catalog {
     }.toSet ++ kept
     committed.filterNot(referenced).map(v => new HPath(base, v.toString))
       .filter(old).foreach(p => f.delete(p, true))
-    pruneGarbage(f, base, p => f.exists(new HPath(p, "_manifest")), old)
+    pruneGarbage(f, base, p => f.exists(new HPath(p, "_manifest")), minAgeMs)
   }
 
   /** The bundle's newest committed version — committed = manifest

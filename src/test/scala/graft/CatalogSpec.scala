@@ -532,6 +532,13 @@ class CatalogSpec extends AnyFunSuite {
     // without the grace the same call reclaims immediately
     Catalog.pruneVersions(spark, root, "t", keep = 1)
     assert(versions() == Set(3L))
+    // a fresh staging dir is NEVER collected (it may belong to a live
+    // writer mid-claim): garbage reclaim has its own 1h floor even at
+    // minAgeMs = 0
+    val liveStaging = new java.io.File(base, ".staging-livewriter")
+    assert(liveStaging.mkdir())
+    Catalog.pruneVersions(spark, root, "t", keep = 1)
+    assert(liveStaging.exists(), "live writer's staging dir was collected")
 
     val v1 = Catalog.commitBundle(Seq("a" -> (1L to 4L).toDF("id")), root, "p")
     val v2 = Catalog.commitBundle(Seq("a" -> (1L to 9L).toDF("id")), root, "p")
