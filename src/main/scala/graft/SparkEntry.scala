@@ -3498,6 +3498,62 @@ object SparkEntry {
           (col("__viol") === lit(0L)).as("all_allowed"),
           (col("__ov") >= lit(4L)).as("overlap_ok"))
     }),
+
+    // Version history collapsed to SCD-2 intervals (x181) — the
+    // storage-efficient PiT serve completing x178: instead of scanning
+    // every snapshot at lookup time, the commit history collapses to
+    // one row per UNCHANGED RUN per key (Temporal.scd2 with the store
+    // VERSION as the sequence column — commit history IS a change log,
+    // so the log-collapse operator applies verbatim), and any version's
+    // table rebuilds from the intervals by a 3-row broadcast range
+    // probe. Two earned properties under the hash: the interval count
+    // (SQL derives it per key from the bump rule — one run plus one per
+    // balance change) and pit_equal — the engine rebuilds ALL versions
+    // from the intervals and anti-joins both directions against the
+    // time-travel reads; a lost run, a wrong boundary, or a phantom
+    // interval makes the rebuilt table differ and flips it. Keys
+    // present in every snapshot by construction (interval collapse
+    // reads absence as "no change", the documented scd2 contract —
+    // deletions need a tombstone column, out of scope here).
+    "x181_version_history_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"/tmp/graft/x181_scd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("bal_c"))
+      val v2d = base.withColumn("bal_c", col("bal_c") +
+        when(col("c_custkey") % 7 === 0, 10000L).otherwise(0L))
+      val v3d = v2d.withColumn("bal_c", col("bal_c") +
+        when(col("c_custkey") % 5 === 0, 5000L).otherwise(0L))
+      val vs = Seq(base, v2d, v3d)
+        .map(d => Catalog.commitVersion(d, root, "cust"))
+      val hist = vs.map(v => Catalog.readVersion(s, root, "cust", Some(v))
+          .withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+      val iv = graft.Lifecycle.withMaterialized()(Temporal.scd2(
+        hist, Seq("c_custkey"), "version", Seq("bal_c")))
+      // rebuild every version from the intervals: 3-row version frame,
+      // half-open [eff_from, eff_to) membership, broadcast probe
+      val vers = vs.toDF("version")
+      val rebuilt = iv.join(broadcast(vers),
+          vers("version") >= iv("eff_from") &&
+            (iv("eff_to").isNull || vers("version") < iv("eff_to")))
+        .select(vers("version"), col("c_custkey"), col("bal_c"))
+      val direct = hist.select(col("version"), col("c_custkey"), col("bal_c"))
+      val key3 = Seq("version", "c_custkey", "bal_c")
+      val mism = rebuilt.join(direct, key3, "left_anti")
+        .agg(count(lit(1)).as("__m1"))
+        .crossJoin(broadcast(direct.join(rebuilt, key3, "left_anti")
+          .agg(count(lit(1)).as("__m2"))))
+      iv.agg(countDistinct(col("c_custkey")).as("n_keys"),
+          count(lit(1)).as("n_intervals"))
+        .crossJoin(broadcast(
+          direct.agg(count(lit(1)).as("n_snapshot_rows"))))
+        .crossJoin(broadcast(mism))
+        .select(col("n_keys"), col("n_intervals"), col("n_snapshot_rows"),
+          (col("__m1") + col("__m2") === lit(0L)).as("pit_equal"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -6839,6 +6895,20 @@ object SparkEntry {
     "x180_filtered_serve" ->
       ("SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS all_allowed, " +
         "TRUE AS overlap_ok"),
+    // interval count replays from the bump rule (one run per key plus
+    // one per balance change); pit_equal is EARNED — the engine
+    // rebuilds all versions from the intervals and diffs both ways
+    "x181_version_history_scd2" ->
+      """WITH k AS (
+        |  SELECT c_custkey,
+        |    1 + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS n_iv
+        |  FROM customer)
+        |SELECT count(*)::BIGINT AS n_keys,
+        |  sum(n_iv)::BIGINT AS n_intervals,
+        |  (3 * count(*))::BIGINT AS n_snapshot_rows,
+        |  TRUE AS pit_equal
+        |FROM k""".stripMargin,
     // x169's refit replay VERBATIM: the bundle-ledgered delta ingest
     // plus compaction must serve counts identical to one-shot fitting
     "x179_lm_bundle_store" ->

@@ -84,7 +84,8 @@ FAMILIES = {
                  "x168_nb_from_store", "x169_lm_count_merge",
                  "x172_versioned_table", "x173_bundle_commit",
                  "x175_version_diff", "x177_schema_evolved_diff",
-                 "x178_pit_dim_serve", "x179_lm_bundle_store"],
+                 "x178_pit_dim_serve", "x179_lm_bundle_store",
+                 "x181_version_history_scd2"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
               "x126_label_prop", "x142_triangle_census",
               "x156_kcore_trade"],
