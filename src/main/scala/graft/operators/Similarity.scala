@@ -240,7 +240,9 @@ object Similarity {
 
   /** The MMR core over an EXPLICIT candidate pool — the shape the
     * composed serving stack needs: `pool` (one `nid` column, ≤ 256
-    * candidates — a retrieval shortlist, never the corpus) arrives from
+    * candidates — a retrieval shortlist, never the corpus; every id must
+    * resolve to a `vecs` row, enforced loudly — a silent drop would
+    * return fewer than k with no signal) arrives from
     * whatever retrieval stage ran before ([[bruteForceKnn]] for the
     * exact baseline, [[hybridStoredServe]]'s fused list for the
     * production path in [[threeStageServe]]), relevance is recomputed
@@ -255,13 +257,21 @@ object Similarity {
     require(k >= 1, s"mmrRerankPool: k=$k")
     val spark = vecs.sparkSession
     val d = dotFor(vecs)
-    val ids = pool.select(col("nid")).distinct()
+    val ids = pool.select(col("nid")).distinct().persist()
     val sub = vecs.join(broadcast(ids), vecs(idCol) === ids("nid"), "left_semi")
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", sqrt(d(col("v"), col("v"))))
       .persist()
     try {
-      require(sub.count() <= 256,
+      val nSub = sub.count()
+      // every pool id must resolve to a vector: a doc-id/vec-id space
+      // mismatch between the retrieval stage and the vector table would
+      // otherwise silently shrink the result below k with no signal
+      val nPool = ids.count()
+      require(nSub == nPool, s"mmrRerankPool: ${nPool - nSub} of $nPool " +
+        s"pool ids have no '$idCol' row in the vector table — id-space " +
+        "mismatch between the retrieval stage and the vectors")
+      require(nSub <= 256,
         "mmrRerankPool: pool exceeds the 256-candidate driver-greedy bound")
       val q = queryVec.select(asDouble(col(vecCol)).as("qv"))
         .withColumn("qn", sqrt(d(col("qv"), col("qv"))))
@@ -295,7 +305,7 @@ object Similarity {
       }
       import spark.implicits._
       selected.toSeq.toDF("rank", "nid", "mmr4")
-    } finally { sub.unpersist(); () }
+    } finally { sub.unpersist(); ids.unpersist(); () }
   }
 
   /** The COMPOSED three-stage serving stack — the query a production

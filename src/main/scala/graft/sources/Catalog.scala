@@ -266,6 +266,19 @@ object Catalog {
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
       attempts += 1
+      // The staging data must still be OURS before anything references it:
+      // an adopted nested staging lives inside an uncommitted numbered
+      // directory, which a CONCURRENT claimer's clear step may delete
+      // wholesale. Without this check, `prepare` would recreate the
+      // vanished directory (file create auto-creates parents) holding
+      // ONLY the manifest, and the rename would publish a committed
+      // version whose manifest references data that no longer exists —
+      // every reader breaks. Fail loudly BEFORE publishing instead; the
+      // caller retries the whole commit (data rewrite, not corruption).
+      if (!f.exists(new HPath(staging, s"_writer-$token")))
+        sys.error(s"$op: staging directory lost before claiming under " +
+          s"$base (a concurrent claimer reclaimed the uncommitted slot " +
+          "it was nested in) — retry the commit")
       val next = latestIn(f, base, committed).getOrElse(0L) + 1
       val target = new HPath(base, next.toString)
       if (f.exists(target) && !committed(target)) f.delete(target, true)
@@ -286,15 +299,54 @@ object Catalog {
   /** Pointer flip: write-temp + delete + rename. The delete→rename gap
     * is not atomic, but a missing pointer only sends readers through
     * the committed-directory fallback — same answer, two extra lists.
+    *
+    * Concurrency: callers are now racing committers whose version slots
+    * ALREADY committed, so a failed rename (HDFS fails a rename onto a
+    * file a racer just flipped in) must never surface as an error — the
+    * orchestrator would retry an append that actually landed and read
+    * the replay-rejected false for a committed batch. On failure,
+    * re-read the pointer: at or above `next` means a racer's flip
+    * already satisfied ours (readers can only be ahead); below means
+    * the racer was older — retry the flip, bounded. Even exhausting the
+    * budget only warns: the slot IS committed, and [[latestIn]] never
+    * trusts a stale-low pointer below the committed-directory max.
     */
   private def flipPointer(f: FileSystem, base: HPath, next: Long,
       op: String): Unit = {
-    val tmp = new HPath(base, s"._latest.tmp.$next")
-    val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     val ptr = new HPath(base, "_latest")
-    if (f.exists(ptr)) f.delete(ptr, false)
-    if (!f.rename(tmp, ptr)) sys.error(s"$op: pointer flip failed for $base")
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      attempts += 1
+      val tmp = new HPath(base, s"._latest.tmp.$next")
+      val out = f.create(tmp, true)
+      try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+      if (f.exists(ptr)) f.delete(ptr, false)
+      if (f.rename(tmp, ptr)) return
+      f.delete(tmp, false)
+      if (readPointer(f, base).exists(_ >= next)) return
+    }
+    System.err.println(s"[graft] $op: pointer flip for $base lost " +
+      s"$MaxCommitAttempts races; readers fall back to the committed-" +
+      "directory scan (correct, two extra lists) until the next commit")
+  }
+
+  /** The `_latest` pointer's value, if present and well-formed. A racer
+    * may delete the pointer between the existence check and the open
+    * (the flip's delete→rename gap), which reads as absent, not an
+    * error — callers all tolerate a missing pointer.
+    */
+  private def readPointer(f: FileSystem, base: HPath): Option[Long] = {
+    val ptr = new HPath(base, "_latest")
+    try {
+      if (!f.exists(ptr)) None
+      else {
+        val in = f.open(ptr)
+        try {
+          val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+        } finally in.close()
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** Newest committed version under `base`: the `_latest` pointer when
@@ -309,18 +361,7 @@ object Catalog {
       .map(_.getPath)
       .filter(committed)
       .map(_.getName.toLong)
-    val pointed = {
-      val ptr = new HPath(base, "_latest")
-      if (!f.exists(ptr)) None
-      else {
-        val in = f.open(ptr)
-        try {
-          val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
-        } finally in.close()
-      }
-    }
-    (dirs ++ pointed).reduceOption(_ max _)
+    (dirs ++ readPointer(f, base)).reduceOption(_ max _)
   }
 
   /** The table's newest committed version: the `_latest` pointer when
@@ -412,14 +453,31 @@ object Catalog {
     * never collected out from under it.
     */
   private def pruneGarbage(f: FileSystem, base: HPath,
-      committed: HPath => Boolean, minAgeMs: Long): Unit = {
-    val old = graceFilter(f, base, math.max(minAgeMs, GarbageGraceMs))
-    f.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n.startsWith(".staging-") || (n.forall(_.isDigit) && !committed(p))
-      }
-      .filter(old).foreach(p => f.delete(p, true))
+      committed: HPath => Boolean, minAgeMs: Long): Unit =
+    garbageUnder(f, base, committed)
+      .filter(graceFilter(f, base, math.max(minAgeMs, GarbageGraceMs)))
+      .foreach(p => f.delete(p, true))
+
+  /** Crashed-writer leftovers under a versions/bundle base: top-level
+    * `.staging-*` directories and uncommitted numbered directories, PLUS
+    * `.staging-*` stranded one level INSIDE committed numbered
+    * directories — a claim loser's rename nests its staging into the
+    * winner's dir, and if that writer crashed before adopting it the
+    * leftover is invisible to readers (dot-prefixed) but would otherwise
+    * leak disk forever, unseen by the top-level scan.
+    */
+  private def garbageUnder(f: FileSystem, base: HPath,
+      committed: HPath => Boolean): Seq[HPath] = {
+    val top = f.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath)
+    val direct = top.filter { p =>
+      val n = p.getName
+      n.startsWith(".staging-") || (n.forall(_.isDigit) && !committed(p))
+    }
+    val nested = top
+      .filter(p => p.getName.forall(_.isDigit) && committed(p))
+      .flatMap(p => f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(".staging-")))
+    direct ++ nested
   }
 
   // ----------------------------------------------- versioned bundles

@@ -553,6 +553,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(bvs() == Set(2L))
   }
 
+  test("prune reclaims a crashed loser's staging NESTED inside a committed version dir") {
+    val root = Files.createTempDirectory("graft-nested").toString
+    (1 to 2).foreach(i => Catalog.commitVersion((1L to i.toLong).toDF("id"), root, "t"))
+    val base = new java.io.File(Catalog.versionsDir(root, "t"))
+    // a claim loser's rename nested its staging into the winner's v2 and
+    // the loser crashed before adopting it — invisible to readers, and
+    // before the nested scan invisible to retention too
+    val nested = new java.io.File(new java.io.File(base, "2"), ".staging-crashed")
+    assert(nested.mkdir())
+    java.nio.file.Files.write(new java.io.File(nested, "_writer-crashed").toPath,
+      Array.empty[Byte])
+    // fresh: the 1h garbage floor protects it (could be a live writer)
+    Catalog.pruneVersions(spark, root, "t", keep = 2)
+    assert(nested.exists(), "fresh nested staging must survive the grace floor")
+    // age it past the floor: now it is reclaimable garbage
+    val old = System.currentTimeMillis() - 2L * 3600 * 1000
+    assert(nested.setLastModified(old))
+    Catalog.pruneVersions(spark, root, "t", keep = 2)
+    assert(!nested.exists(), "aged nested staging leaked")
+    // the committed version it was nested in still serves
+    assert(Catalog.readVersion(spark, root, "t", Some(2L)).count() == 2L)
+  }
+
   test("concurrent appendBundle: same batch id lands exactly once; distinct ids both land") {
     val root = Files.createTempDirectory("graft-ab-race").toString
     Catalog.commitBundle(Seq("rows" -> (1L to 10L).toDF("id")), root, "q")

@@ -159,6 +159,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p.map(_._2).toSeq === again.toSeq)
   }
 
+  test("mmrRerankPool fails loudly when a pool id has no vector row") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val q = e.where($"vec_id" < 1)
+    val pool = Seq(1L, 2L, 999999999L).toDF("nid") // last id not in the corpus
+    val err = intercept[IllegalArgumentException] {
+      Similarity.mmrRerankPool(e, q, pool, k = 2).collect()
+    }
+    assert(err.getMessage.contains("id-space mismatch"), err.getMessage)
+    // the all-resolvable pool still serves
+    assert(Similarity.mmrRerankPool(e, q, Seq(1L, 2L, 3L).toDF("nid"), k = 2)
+      .count() == 2L)
+  }
+
   test("native vec_dot matches the interpreted HOF dot bit-for-bit") {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
