@@ -489,11 +489,16 @@ object Catalog {
   def bundleDir(root: String, bundle: String): String =
     s"${root.stripSuffix("/")}/${bundle}_bundle"
 
-  /** Parsed bundle manifest: the ingested batch ids and, per member
-    * table, the base-relative data directories its rows live in.
+  /** Parsed bundle manifest: the ingested batch ids, per member table
+    * the base-relative data directories its rows live in, and per
+    * member its Hive partition columns (empty = flat). Partitioning is
+    * a CREATE-time layout decision recorded IN the manifest so appends
+    * and compaction can never silently flatten a directory layout a
+    * serving index prunes by.
     */
   final case class BundleManifest(batches: Seq[String],
-      dirs: Map[String, Seq[String]])
+      dirs: Map[String, Seq[String]],
+      parts: Map[String, Seq[String]] = Map.empty)
 
   /** (Re)write a staged bundle manifest. The manifest body references
     * version-NUMBERED data directories, so the optimistic claim loop
@@ -504,7 +509,12 @@ object Catalog {
     */
   private def writeStagedManifest(f: FileSystem, staging: HPath,
       m: BundleManifest): Unit = {
-    val body = (s"#batches=${m.batches.mkString(",")}" +:
+    val partsLine =
+      if (m.parts.isEmpty) Seq.empty
+      else Seq("#parts=" + m.parts.toSeq.sortBy(_._1)
+        .map { case (ref, cols) => s"$ref:${cols.mkString("|")}" }
+        .mkString(","))
+    val body = ((s"#batches=${m.batches.mkString(",")}" +: partsLine) ++
       m.dirs.toSeq.sortBy(_._1).flatMap { case (ref, ds) =>
         ds.map(d => s"$ref\t$d")
       }).mkString("\n")
@@ -529,10 +539,29 @@ object Catalog {
     val batches = lines.headOption.filter(_.startsWith("#batches="))
       .map(_.stripPrefix("#batches=")).filter(_.nonEmpty)
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    val parts = lines.find(_.startsWith("#parts="))
+      .map(_.stripPrefix("#parts=")).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map { e =>
+        val Array(ref, cols) = e.split(":", 2)
+        ref -> cols.split("\\|").toSeq
+      }.toMap).getOrElse(Map.empty[String, Seq[String]])
     val dirs = lines.filterNot(_.startsWith("#"))
       .map { l => val Array(ref, d) = l.split("\t", 2); (ref, d) }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    BundleManifest(batches, dirs)
+    BundleManifest(batches, dirs, parts)
+  }
+
+  /** One member's staged write, honoring the bundle's declared partition
+    * columns — the single write shape [[commitBundle]] and
+    * [[appendBundle]] share, so a partitioned member's directory layout
+    * (the thing a serving index prunes by) is identical at create,
+    * append, and compaction.
+    */
+  private def writeMember(staging: HPath, ref: String, df: DataFrame,
+      parts: Map[String, Seq[String]]): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    parts.get(ref).filter(_.nonEmpty).fold(w)(cs => w.partitionBy(cs: _*))
+      .parquet(s"$staging/${tableName(ref)}.parquet")
   }
 
   /** Atomic MULTI-table commit — the cross-table consistency
@@ -553,19 +582,20 @@ object Catalog {
     * rename, never a data rewrite.
     */
   def commitBundle(tables: Seq[(String, DataFrame)], root: String,
-      bundle: String, batchIds: Seq[String] = Nil): Long = {
+      bundle: String, batchIds: Seq[String] = Nil,
+      partitionBy: Map[String, Seq[String]] = Map.empty): Long = {
     require(tables.nonEmpty, "commitBundle: no member tables")
     require(tables.map(_._1).distinct.size == tables.size,
       s"commitBundle: duplicate member refs in ${tables.map(_._1)}")
+    require(partitionBy.keySet.subsetOf(tables.map(_._1).toSet),
+      s"commitBundle: partitionBy names non-members " +
+        s"${partitionBy.keySet -- tables.map(_._1)}")
     val spark = tables.head._2.sparkSession
     val base = new HPath(bundleDir(root, bundle))
     val f = fsFor(spark, base)
     val token = newCommitToken()
     val staging = new HPath(base, s".staging-$token")
-    tables.foreach { case (ref, df) =>
-      df.write.mode(SaveMode.Overwrite)
-        .parquet(s"$staging/${tableName(ref)}.parquet")
-    }
+    tables.foreach { case (ref, df) => writeMember(staging, ref, df, partitionBy) }
     f.create(new HPath(staging, s"_writer-$token"), true).close()
     // batchIds seeds the ingest ledger: a snapshot BUILT from a batch
     // (the streaming twin's first micro-batch) records that batch's id,
@@ -575,7 +605,7 @@ object Catalog {
       writeStagedManifest(f, st, BundleManifest(batchIds,
         tables.map { case (ref, _) =>
           ref -> Seq(s"$n/${tableName(ref)}.parquet")
-        }.toMap))
+        }.toMap, partitionBy))
       true
     }
     flipPointer(f, base, next, "commitBundle")
@@ -612,15 +642,14 @@ object Catalog {
     val base = new HPath(bundleDir(root, bundle))
     val f = fsFor(spark, base)
     // cheap pre-check before any data work; the authoritative check
-    // re-runs inside every claim attempt below
-    if (bundleManifest(spark, root, bundle).batches.contains(batchId))
-      return false
+    // re-runs inside every claim attempt below. The manifest's declared
+    // partition columns apply to the staged batch writes too — an append
+    // can never flatten a partitioned member's layout.
+    val pre = bundleManifest(spark, root, bundle)
+    if (pre.batches.contains(batchId)) return false
     val token = newCommitToken()
     val staging = new HPath(base, s".staging-$token")
-    tables.foreach { case (ref, df) =>
-      df.write.mode(SaveMode.Overwrite)
-        .parquet(s"$staging/${tableName(ref)}.parquet")
-    }
+    tables.foreach { case (ref, df) => writeMember(staging, ref, df, pre.parts) }
     f.create(new HPath(staging, s"_writer-$token"), true).close()
     val next = claimVersionSlot(f, base, staging, token,
       p => f.exists(new HPath(p, "_manifest")), "appendBundle") { (n, st) =>
@@ -635,7 +664,7 @@ object Catalog {
             ds :+ s"$n/${tableName(ref)}.parquet" else ds)
         }
         writeStagedManifest(f, st,
-          BundleManifest(prior.batches :+ batchId, merged))
+          BundleManifest(prior.batches :+ batchId, merged, prior.parts))
         true
       }
     }
@@ -657,7 +686,7 @@ object Catalog {
     commitBundle(
       prior.dirs.keys.toSeq.sorted.map(ref =>
         ref -> readBundleTable(spark, root, bundle, ref)),
-      root, bundle, prior.batches)
+      root, bundle, prior.batches, prior.parts)
   }
 
   /** Retention for bundle versions. Append manifests REFERENCE file
@@ -711,7 +740,15 @@ object Catalog {
     val m = bundleManifest(spark, root, bundle, version)
     require(m.dirs.contains(ref),
       s"readBundleTable: '$ref' not in bundle (members: ${m.dirs.keys})")
-    spark.read.parquet(m.dirs(ref).map(d => s"$base/$d"): _*)
+    val paths = m.dirs(ref).map(d => s"$base/$d")
+    // A partitioned member's file sets are each a partition-discovery
+    // root; one multi-path read would try to relate them through their
+    // version directories and fail (CONFLICTING_DIRECTORY_STRUCTURES).
+    // Union per-file-set reads instead — a partition predicate still
+    // prunes every branch's directory listing.
+    if (m.parts.get(ref).exists(_.nonEmpty) && paths.size > 1)
+      paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    else spark.read.parquet(paths: _*)
   }
 
   /** Replace `dst` with `staged` via rename-out → rename-in → rollback:

@@ -553,6 +553,44 @@ class CatalogSpec extends AnyFunSuite {
     assert(bvs() == Set(2L))
   }
 
+  test("partitioned bundle member: layout declared at create survives append and compaction") {
+    val root = Files.createTempDirectory("graft-bpart").toString
+    val mk = (ids: Seq[Long]) => ids.map(i => (i, (i % 4).toInt)).toDF("id", "cell")
+    Catalog.commitBundle(Seq("codes" -> mk(0L until 40L), "meta" -> Seq(1L).toDF("one")),
+      root, "ix", batchIds = Seq("b0"), partitionBy = Map("codes" -> Seq("cell")))
+    assert(Catalog.bundleManifest(spark, root, "ix").parts == Map("codes" -> Seq("cell")))
+    // append inherits the layout from the manifest — no param to forget
+    assert(Catalog.appendBundle(Seq("codes" -> mk(100L until 120L)), root, "ix", "b1"))
+    val v2dir = new java.io.File(Catalog.bundleDir(root, "ix"), "2/codes.parquet")
+    assert(v2dir.listFiles.exists(f => f.isDirectory && f.getName.startsWith("cell=")),
+      s"append flattened the partition layout: ${v2dir.listFiles.map(_.getName).toSeq}")
+    // multi-file-set read reconstructs the partition column across versions
+    val all = Catalog.readBundleTable(spark, root, "ix", "codes")
+    assert(all.columns.contains("cell") && all.count() == 60L)
+    assert(all.where(col("cell") === 2).count() == 15L)
+    // compaction preserves both the rows and the directory layout
+    val cv = Catalog.compactBundle(spark, root, "ix")
+    val cdir = new java.io.File(Catalog.bundleDir(root, "ix"), s"$cv/codes.parquet")
+    assert(cdir.listFiles.exists(f => f.isDirectory && f.getName.startsWith("cell=")),
+      "compaction flattened the partition layout")
+    val post = Catalog.readBundleTable(spark, root, "ix", "codes")
+    assert(post.count() == 60L && post.where(col("cell") === 2).count() == 15L)
+    assert(Catalog.bundleManifest(spark, root, "ix").parts == Map("codes" -> Seq("cell")))
+    // a partition predicate prunes the scan to the matching directory only
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val pruned = post.where(col("cell") === 1)
+    pruned.collect()
+    val executed = pruned.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val scan = executed.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    assert(scan.metrics("numPartitions").value === 1,
+      s"expected 1 cell directory read, got ${scan.metrics("numPartitions").value}")
+  }
+
   test("prune reclaims a crashed loser's staging NESTED inside a committed version dir") {
     val root = Files.createTempDirectory("graft-nested").toString
     (1 to 2).foreach(i => Catalog.commitVersion((1L to i.toLong).toDF("id"), root, "t"))
