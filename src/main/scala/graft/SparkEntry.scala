@@ -3554,6 +3554,63 @@ object SparkEntry {
         .select(col("n_keys"), col("n_intervals"), col("n_snapshot_rows"),
           (col("__m1") + col("__m2") === lit(0L)).as("pit_equal"))
     }),
+
+    // ANN index on the atomic bundle (x182) — the serving index joins
+    // the store-protocol migration (x174 pairs, x179 LM counts):
+    // centroids, codebooks, the build's spill and the cell-partitioned
+    // codes publish in ONE manifest rename, so a crash mid-rebuild can
+    // never pair new centroids with old codes, and appends are LEDGERED
+    // — the plan replays an append in-plan (rejected; the flat append
+    // would double-append, and duplicate nids then occupy multiple
+    // top-k slots in the exact re-rank). Three checks under the hash:
+    // result count, compaction_stable (EARNED — the engine serves the
+    // same queries before and after compactBundle and anti-joins both
+    // directions on (qid, nid, rank); the rewrite losing or doubling a
+    // code row flips it), and the recall floor vs exact brute force.
+    // Measured overlap (deterministic): 27/30, 28/30, 17/30 at
+    // sf0.001/0.01/0.1 (k=10 over the 5000-vector sf0.1 corpus is the
+    // hard point — x95's k=5 serve measures 0.7 there, same profile) —
+    // floor 16 sits strictly under the weakest point.
+    "x182_ann_bundle_store" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 3)
+      val root = s"/tmp/graft/x182_annb_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      val base = e.where(col("vec_id") % 4 =!= 3)
+      val batch = e.where(col("vec_id") % 4 === 3)
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(base, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      AnnIndex.writeBundle(base, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      val a1 = AnnIndex.appendBundle(s, root, "ann", batch, "b1")
+      val r0 = AnnIndex.appendBundle(s, root, "ann", batch, "b1")
+      require(a1 && !r0, s"ann bundle ledger broken: a1=$a1 r0=$r0")
+      val pre = AnnIndex.knnBundle(s, root, "ann", e, q, k = 10,
+        rerank = 200, nProbe = 8)
+      Catalog.compactBundle(s, root, "ann")
+      require(!AnnIndex.appendBundle(s, root, "ann", batch, "b1"),
+        "compaction must not reopen the ledger")
+      val post = AnnIndex.knnBundle(s, root, "ann", e, q, k = 10,
+        rerank = 200, nProbe = 8)
+      val key = Seq("qid", "nid", "rank")
+      val m1 = pre.select(key.map(col): _*)
+        .join(post.select(key.map(col): _*), key, "left_anti")
+        .agg(count(lit(1)).as("__m1"))
+      val m2 = post.select(key.map(col): _*)
+        .join(pre.select(key.map(col): _*), key, "left_anti")
+        .agg(count(lit(1)).as("__m2"))
+      val exact = Similarity.bruteForceKnn(e, q, k = 10)
+      val ov = pre.select(col("qid"), col("nid"))
+        .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"),
+          "left_semi")
+        .agg(count(lit(1)).as("__ov"))
+      pre.agg(count(lit(1)).as("n_results"))
+        .crossJoin(broadcast(m1)).crossJoin(broadcast(m2))
+        .crossJoin(broadcast(ov))
+        .select(col("n_results"),
+          (col("__m1") + col("__m2") === lit(0L)).as("compaction_stable"),
+          (col("__ov") >= lit(16L)).as("recall_ok"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -3579,6 +3636,7 @@ object SparkEntry {
     def lmRoot(dir: String) = s"/tmp/graft/serve_x166_${storeTag(dir)}"
     def cmpIdx(dir: String) = s"/tmp/graft/serve_x170_${storeTag(dir)}"
     def bndRoot(dir: String) = s"/tmp/graft/serve_x174_${storeTag(dir)}"
+    def annbRoot(dir: String) = s"/tmp/graft/serve_x182_${storeTag(dir)}"
     Map(
       "x95_stored_ann_index" -> ((
         (s: SparkSession, dir: String) => {
@@ -3732,6 +3790,28 @@ object SparkEntry {
           Similarity.threeStageServe(s, hybT(dir), hybA(dir), e,
             Seq("join", "hash", "vector"), e.where(col("vec_id") < 1),
             k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6)
+        })),
+      // the bundle-backed ANN index: built + appended once (untimed),
+      // the timed number is the manifest-resolved cell-pruned serve —
+      // trend-comparable to x95's flat-directory serve beside it
+      "x182_ann_bundle_store" -> ((
+        (s: SparkSession, dir: String) => {
+          val e = t(s, dir, "embeddings")
+          deleteRecursively(new java.io.File(annbRoot(dir)))
+          val base = e.where(col("vec_id") % 4 =!= 3)
+          val books = Embeddings.pqTrain(
+            RelOps.hashSample(base, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+          AnnIndex.writeBundle(base, books, annbRoot(dir), "ann",
+            nCentroids = 16, trainIters = 4, spill = 2,
+            seedBatchIds = Seq("b0"))
+          AnnIndex.appendBundle(s, annbRoot(dir), "ann",
+            e.where(col("vec_id") % 4 === 3), "b1")
+          ()
+        },
+        (s: SparkSession, dir: String) => {
+          val e = t(s, dir, "embeddings")
+          AnnIndex.knnBundle(s, annbRoot(dir), "ann", e,
+            e.where(col("vec_id") < 8), k = 5, rerank = 150, nProbe = 6)
         })),
       // same stores as x165/x176 — the filter is a serve-time argument,
       // not an index property, which is exactly the point measured here
@@ -6929,6 +7009,12 @@ object SparkEntry {
         |SELECT d.doc_id, (round(sc.lp, 6) + 0) AS unigram_lp
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // shape contract like x176: compaction_stable and the recall floor
+    // are EARNED in-plan (pre/post-compaction serves anti-joined both
+    // ways; overlap vs brute force), the append replay is require()d
+    "x182_ann_bundle_store" ->
+      ("SELECT CAST(30 AS BIGINT) AS n_results, TRUE AS compaction_stable, " +
+        "TRUE AS recall_ok"),
     // both member tables at both bundle versions, replayed from the
     // deterministic splits; version numbers are the commit sequence
     "x173_bundle_commit" ->

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.sources.Catalog
+
 /** STORED IVF-PQ index: the index as tables, not a session object.
   *
   * `ivfPqKnn` rebuilds its quantizer and codes per call — right for a
@@ -58,23 +60,40 @@ object AnnIndex {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     require(spill >= 1, s"AnnIndex.write: spill=$spill must be >= 1")
     val spark = candidates.sparkSession
-    import spark.implicits._
-    val centroids =
-      if (trainIters > 0)
-        Similarity.kmeansCentroids(candidates, nCentroids, trainIters, idCol, vecCol)
-          .toIndexedSeq.zipWithIndex.map { case (cv, i) => (i, cv) }
-      else Similarity.sampleCentroids(candidates, nCentroids, idCol, vecCol)
-    centroids.map { case (i, v) => (i, v) }.toDF("cell", "centroid")
-      .repartition(1)
+    val centroids = trainCentroids(candidates, nCentroids, trainIters, idCol, vecCol)
+    centroidsDf(spark, centroids)
       .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    books.indices.flatMap { j =>
-      books(j).indices.map(c => (j, c, books(j)(c)))
-    }.toDF("sub", "code", "centroid")
-      .repartition(1)
+    booksDf(spark, books)
       .write.mode("overwrite").parquet(s"$dir/books.parquet")
     encodeAssign(candidates, books, centroids, spill, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes.parquet")
+  }
+
+  /** The quantizer, trained (spherical k-means) or hash-order sampled —
+    * the one step of every index build that decides the cells.
+    */
+  private def trainCentroids(candidates: DataFrame, nCentroids: Int,
+      trainIters: Int, idCol: String, vecCol: String): Seq[(Int, Seq[Double])] =
+    if (trainIters > 0)
+      Similarity.kmeansCentroids(candidates, nCentroids, trainIters, idCol, vecCol)
+        .toIndexedSeq.zipWithIndex.map { case (cv, i) => (i, cv) }
+    else Similarity.sampleCentroids(candidates, nCentroids, idCol, vecCol)
+
+  private def centroidsDf(spark: SparkSession,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    centroids.map { case (i, v) => (i, v) }.toDF("cell", "centroid")
+      .repartition(1)
+  }
+
+  private def booksDf(spark: SparkSession,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): DataFrame = {
+    import spark.implicits._
+    books.indices.flatMap { j =>
+      books(j).indices.map(c => (j, c, books(j)(c)))
+    }.toDF("sub", "code", "centroid")
+      .repartition(1)
   }
 
   /** (id, pq, cell) rows for a vector frame against a FROZEN quantizer +
@@ -125,16 +144,21 @@ object AnnIndex {
 
   /** The quantizer, read back (bounded: nCentroids rows). */
   def readCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
-    spark.read.parquet(s"$dir/centroids.parquet")
-      .orderBy(col("cell"))
+    parseCentroids(spark.read.parquet(s"$dir/centroids.parquet"))
+
+  /** The PQ codebooks, read back (bounded: m×k rows). */
+  def readBooks(spark: SparkSession,
+      dir: String): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    parseBooks(spark.read.parquet(s"$dir/books.parquet"))
+
+  private def parseCentroids(df: DataFrame): Seq[(Int, Seq[Double])] =
+    df.select(col("cell"), col("centroid")).orderBy(col("cell"))
       .collect()
       .toIndexedSeq
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
 
-  /** The PQ codebooks, read back (bounded: m×k rows). */
-  def readBooks(spark: SparkSession,
-      dir: String): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
-    val rows = spark.read.parquet(s"$dir/books.parquet")
+  private def parseBooks(df: DataFrame): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val rows = df.select(col("sub"), col("code"), col("centroid"))
       .orderBy(col("sub"), col("code"))
       .collect()
     rows.groupBy(_.getInt(0)).toIndexedSeq.sortBy(_._1).map { case (_, rs) =>
@@ -157,10 +181,26 @@ object AnnIndex {
   def knn(spark: SparkSession, dir: String, corpus: DataFrame,
       queries: DataFrame, k: Int, rerank: Int = 50, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      within: Option[DataFrame] = None): DataFrame = {
+      within: Option[DataFrame] = None): DataFrame =
+    serveCore(spark, readCentroids(spark, dir), readBooks(spark, dir),
+      spark.read.parquet(s"$dir/codes.parquet"), corpus, queries, k,
+      rerank, nProbe, idCol, vecCol, within)
+
+  /** The one serve plan both the flat-directory index and the
+    * bundle-backed index ([[knnBundle]]) run: probe cells planned on the
+    * driver, `codesAll` pruned by the probe list (a partition filter —
+    * only the probed cell directories are listed), ADC shortlist, exact
+    * re-rank. The codes SOURCE is the only thing that differs between
+    * the two stores, so their serves cannot drift.
+    */
+  private def serveCore(spark: SparkSession,
+      centroids: Seq[(Int, Seq[Double])],
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      codesAll: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, rerank: Int, nProbe: Int,
+      idCol: String, vecCol: String,
+      within: Option[DataFrame]): DataFrame = {
     require(rerank > k, s"AnnIndex.knn: rerank=$rerank must exceed k=$k")
-    val centroids = readCentroids(spark, dir)
-    val books = readBooks(spark, dir)
     val probed = queries
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
       .withColumn("qn", sqrt(Similarity.dot(col("qvec"), col("qvec"))))
@@ -170,7 +210,7 @@ object AnnIndex {
     // the partition column makes the codes scan read ONLY those cells
     val probeCells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val pruned = spark.read.parquet(s"$dir/codes.parquet")
+    val pruned = codesAll
       .where(col("cell").isin(probeCells.map(Integer.valueOf): _*))
     val kept = within.fold(pruned) { w =>
       val ids = w.select(col(w.columns.head).as("__within_id"))
@@ -197,4 +237,74 @@ object AnnIndex {
     graft.Lifecycle.withMaterialized()(
       Similarity.rerankExact(shortlist, corpus, queries, k, idCol, vecCol))
   }
+
+  // ------------- bundle-backed index: the manifest IS the ledger -------------
+
+  /** Build the index ON the atomic bundle store
+    * ([[graft.sources.Catalog.commitBundle]]) — the store-protocol
+    * migration the flat [[write]] lacks: centroids, codebooks and codes
+    * publish in ONE staged-directory rename, so a crash mid-rebuild can
+    * never leave new centroids beside old codes (codes encoded against
+    * one codebook, decoded with another — wrong distances, no error).
+    * The codes member keeps its cell partitioning (declared in the
+    * manifest, so appends and compaction preserve the pruning layout),
+    * and `spill` rides in a one-row `params` member so the append path
+    * reads the build's own setting instead of trusting a caller to
+    * repeat it. `seedBatchIds` records the creating batch(es) in the
+    * manifest's ledger, closing the create-replay window.
+    */
+  def writeBundle(candidates: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], root: String,
+      name: String, nCentroids: Int = 16, trainIters: Int = 0,
+      spill: Int = 1, idCol: String = "vec_id", vecCol: String = "embedding",
+      seedBatchIds: Seq[String] = Nil): Long = {
+    require(spill >= 1, s"AnnIndex.writeBundle: spill=$spill must be >= 1")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(candidates, nCentroids, trainIters, idCol, vecCol)
+    Catalog.commitBundle(Seq(
+        "centroids" -> centroidsDf(spark, centroids),
+        "books" -> booksDf(spark, books),
+        "params" -> Seq(spill).toDF("spill").repartition(1),
+        "codes" -> encodeAssign(candidates, books, centroids, spill, idCol, vecCol)),
+      root, name, seedBatchIds, partitionBy = Map("codes" -> Seq("cell")))
+  }
+
+  /** LEDGERED incremental append — [[append]] with the at-least-once
+    * residual closed: the batch's code rows land as a new file set via
+    * [[graft.sources.Catalog.appendBundle]] with the batch id IN the
+    * manifest, so a replayed append returns false with the index
+    * untouched (the flat append double-appends, and duplicate nid
+    * candidates then occupy multiple top-k slots in the exact re-rank,
+    * silently displacing real neighbors). The quantizer, codebooks AND
+    * the build's `spill` are read back frozen from the bundle itself —
+    * batch assignment runs the exact build arithmetic by construction.
+    */
+  def appendBundle(spark: SparkSession, root: String, name: String,
+      batch: DataFrame, batchId: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    val centroids = parseCentroids(Catalog.readBundleTable(spark, root, name, "centroids"))
+    val books = parseBooks(Catalog.readBundleTable(spark, root, name, "books"))
+    val spill = Catalog.readBundleTable(spark, root, name, "params")
+      .select(col("spill")).collect()(0).getInt(0)
+    Catalog.appendBundle(
+      Seq("codes" -> encodeAssign(batch, books, centroids, spill, idCol, vecCol)),
+      root, name, batchId)
+  }
+
+  /** Training-free serve off the BUNDLE-backed index — the same plan as
+    * [[knn]] (shared [[serveCore]]), with centroids/books/codes resolved
+    * through one committed manifest version: a serve can never see a
+    * half-rebuilt index, and the probe list still prunes the codes scan
+    * to the probed cell directories of every committed file set.
+    */
+  def knnBundle(spark: SparkSession, root: String, name: String,
+      corpus: DataFrame, queries: DataFrame, k: Int, rerank: Int = 50,
+      nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
+      within: Option[DataFrame] = None): DataFrame =
+    serveCore(spark,
+      parseCentroids(Catalog.readBundleTable(spark, root, name, "centroids")),
+      parseBooks(Catalog.readBundleTable(spark, root, name, "books")),
+      Catalog.readBundleTable(spark, root, name, "codes"),
+      corpus, queries, k, rerank, nProbe, idCol, vecCol, within)
 }

@@ -110,4 +110,74 @@ class AnnIndexSpec extends AnyFunSuite {
       s"expected <= 6 of 16 cell partitions read, got $read")
     spark.catalog.clearCache()
   }
+
+  test("bundle index: atomic build, ledgered append, serve stable across compaction") {
+    val root = java.nio.file.Files.createTempDirectory("graft-annb").toString
+    val corpus = embeddings.where(col("vec_id") < 200)
+    val base = corpus.where(col("vec_id") % 10 =!= 0)
+    val batch = corpus.where(col("vec_id") % 10 === 0)
+    val books = trainedBooks
+    AnnIndex.writeBundle(base, books, root, "ann", nCentroids = 4,
+      trainIters = 2, spill = 2, seedBatchIds = Seq("b0"))
+    // append is ledgered: first lands, replay rejected with index untouched
+    assert(AnnIndex.appendBundle(spark, root, "ann", batch, "b1"))
+    val nCodes = graft.sources.Catalog
+      .readBundleTable(spark, root, "ann", "codes").count()
+    assert(!AnnIndex.appendBundle(spark, root, "ann", batch, "b1"),
+      "replayed append must be rejected")
+    assert(graft.sources.Catalog
+      .readBundleTable(spark, root, "ann", "codes").count() == nCodes,
+      "replay mutated the index")
+    // exhaustive serve equals brute force over the merged corpus — the
+    // appended vectors are first-class residents, assigned by the build's
+    // own spill read back from the params member
+    val q = corpus.where(col("vec_id") < 3)
+    def serve() = AnnIndex.knnBundle(spark, root, "ann", corpus, q, k = 5,
+      rerank = 500, nProbe = 4).orderBy(col("qid"), col("rank")).collect()
+    val got = serve()
+    val want = Similarity.bruteForceKnn(corpus, q, k = 5)
+      .orderBy(col("qid"), col("rank")).collect()
+    assert(got.length == want.length && got.length == 15)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1),
+        s"got $g want $w")
+    }
+    spark.catalog.clearCache()
+    // compaction rewrites the delta file sets; serve is bit-identical and
+    // the ledger survives (a replay after compaction is still rejected)
+    graft.sources.Catalog.compactBundle(spark, root, "ann")
+    val post = serve()
+    assert(post.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq,
+      "serve changed across compaction")
+    assert(!AnnIndex.appendBundle(spark, root, "ann", batch, "b1"),
+      "compaction must not reopen the ledger")
+    spark.catalog.clearCache()
+  }
+
+  test("bundle index crash states: half-rebuilt version invisible, old index serves") {
+    val root = java.nio.file.Files.createTempDirectory("graft-anncrash").toString
+    val corpus = embeddings.where(col("vec_id") < 100)
+    AnnIndex.writeBundle(corpus, trainedBooks, root, "ann", nCentroids = 4)
+    val q = corpus.where(col("vec_id") < 2)
+    val before = AnnIndex.knnBundle(spark, root, "ann", corpus, q, k = 3,
+      rerank = 200, nProbe = 4).orderBy(col("qid"), col("rank")).collect()
+    spark.catalog.clearCache()
+    // a rebuild that crashed AFTER writing new centroids/codes but BEFORE
+    // the manifest: the version directory exists with member data, yet
+    // stays invisible — the serve still resolves the committed v1, so new
+    // centroids can never pair with old codes
+    val base = new java.io.File(graft.sources.Catalog.bundleDir(root, "ann"))
+    val half = new java.io.File(base, "2")
+    corpus.limit(3).select(col("vec_id")).write
+      .parquet(s"$half/centroids.parquet")
+    val after = AnnIndex.knnBundle(spark, root, "ann", corpus, q, k = 3,
+      rerank = 200, nProbe = 4).orderBy(col("qid"), col("rank")).collect()
+    assert(after.map(_.toSeq).toSeq == before.map(_.toSeq).toSeq,
+      "half-committed rebuild leaked into the serve")
+    // the crashed rebuild's slot is reclaimed by the next committer
+    AnnIndex.writeBundle(corpus, trainedBooks, root, "ann", nCentroids = 4)
+    assert(graft.sources.Catalog.latestBundleVersion(spark, root, "ann")
+      .contains(2L), "crashed slot not reclaimed")
+    spark.catalog.clearCache()
+  }
 }
