@@ -3611,6 +3611,65 @@ object SparkEntry {
           (col("__m1") + col("__m2") === lit(0L)).as("compaction_stable"),
           (col("__ov") >= lit(16L)).as("recall_ok"))
     }),
+
+    // Text index on the atomic bundle (x186) — the SECOND serving index
+    // joins the store protocol (x182 did the ANN side), completing the
+    // migration: postings (shard-partitioned, layout declared in the
+    // manifest) and the batch's meta delta publish in one manifest
+    // rename, appends are LEDGERED (replayed in-plan → rejected; the
+    // flat append would double posting rows, doubling tf AND df and
+    // inflating every BM25 score the doc appears in), and corpus stats
+    // ride as per-batch delta rows summed at serve — the flat path's
+    // postings-append → meta-rewrite crash gap is gone. Three checks
+    // under the hash: result count, compaction_stable (pre/post-
+    // compaction BM25 serves anti-joined both ways on the full ranked
+    // row), and matches_flat — the bundle serve over base∪batch
+    // anti-joined both ways against a flat FULL-REBUILD index over the
+    // same corpus, on BOTH the BM25 ranked list and the positional
+    // phrase serve: ledgered incremental ingest must be byte-equivalent
+    // to rebuilding from scratch.
+    "x186_text_bundle_store" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val root = s"/tmp/graft/x186_tixb_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      val base = d.where(col("doc_id") % 4 =!= 3)
+      val batch = d.where(col("doc_id") % 4 === 3)
+      TextIndex.writeBundle(base, root, "tix", seedBatchIds = Seq("b0"))
+      val a1 = TextIndex.appendBundle(s, root, "tix", batch, "b1")
+      val r0 = TextIndex.appendBundle(s, root, "tix", batch, "b1")
+      require(a1 && !r0, s"text bundle ledger broken: a1=$a1 r0=$r0")
+      val terms = Seq("join", "hash", "vector")
+      val pre = TextIndex.bm25SearchBundle(s, root, "tix", terms, k = 10)
+      Catalog.compactBundle(s, root, "tix")
+      require(!TextIndex.appendBundle(s, root, "tix", batch, "b1"),
+        "compaction must not reopen the ledger")
+      val post = TextIndex.bm25SearchBundle(s, root, "tix", terms, k = 10)
+      val flat = s"/tmp/graft/x186_flat_${storeTag(dir)}"
+      TextIndex.write(d, flat)
+      val ref = TextIndex.bm25Search(s, flat, terms, k = 10)
+      val key = Seq("doc_id", "score_x10k", "rank")
+      def diff(a: DataFrame, b: DataFrame, as: String) =
+        a.select(key.map(col): _*).join(b.select(key.map(col): _*),
+          key, "left_anti").agg(count(lit(1)).as(as))
+      val ph = TextIndex.phraseSearchBundle(s, root, "tix",
+        Seq("table", "hash"))
+      val phRef = TextIndex.phraseSearch(s, flat, Seq("table", "hash"))
+      val pkey = Seq("doc_id", "n_occ")
+      def pdiff(a: DataFrame, b: DataFrame, as: String) =
+        a.select(pkey.map(col): _*).join(b.select(pkey.map(col): _*),
+          pkey, "left_anti").agg(count(lit(1)).as(as))
+      pre.agg(count(lit(1)).as("n_results"))
+        .crossJoin(broadcast(diff(pre, post, "__m1")))
+        .crossJoin(broadcast(diff(post, pre, "__m2")))
+        .crossJoin(broadcast(diff(pre, ref, "__f1")))
+        .crossJoin(broadcast(diff(ref, pre, "__f2")))
+        .crossJoin(broadcast(pdiff(ph, phRef, "__p1")))
+        .crossJoin(broadcast(pdiff(phRef, ph, "__p2")))
+        .select(col("n_results"),
+          (col("__m1") + col("__m2") === lit(0L)).as("compaction_stable"),
+          (col("__f1") + col("__f2") + col("__p1") + col("__p2")
+            === lit(0L)).as("matches_flat"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -3637,6 +3696,7 @@ object SparkEntry {
     def cmpIdx(dir: String) = s"/tmp/graft/serve_x170_${storeTag(dir)}"
     def bndRoot(dir: String) = s"/tmp/graft/serve_x174_${storeTag(dir)}"
     def annbRoot(dir: String) = s"/tmp/graft/serve_x182_${storeTag(dir)}"
+    def tixbRoot(dir: String) = s"/tmp/graft/serve_x186_${storeTag(dir)}"
     Map(
       "x95_stored_ann_index" -> ((
         (s: SparkSession, dir: String) => {
@@ -3831,6 +3891,21 @@ object SparkEntry {
             k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6,
             within = Some(e.where(col("label") < 5).select(col("vec_id"))))
         })),
+      // the text twin of x182's serve trend: BM25 off the bundle-backed
+      // postings (manifest-resolved file sets, shard predicate pruning
+      // each committed set's listing) — should track x129's flat serve
+      "x186_text_bundle_store" -> ((
+        (s: SparkSession, dir: String) => {
+          val d = t(s, dir, "documents")
+          TextIndex.writeBundle(d.where(col("doc_id") % 4 =!= 3),
+            tixbRoot(dir), "tix", seedBatchIds = Seq("b0"))
+          TextIndex.appendBundle(s, tixbRoot(dir), "tix",
+            d.where(col("doc_id") % 4 === 3), "b1")
+          ()
+        },
+        (s: SparkSession, dir: String) =>
+          TextIndex.bm25SearchBundle(s, tixbRoot(dir), "tix",
+            Seq("join", "hash", "vector"), k = 10))),
     )
   }
 
@@ -7015,6 +7090,13 @@ object SparkEntry {
     "x182_ann_bundle_store" ->
       ("SELECT CAST(30 AS BIGINT) AS n_results, TRUE AS compaction_stable, " +
         "TRUE AS recall_ok"),
+    // shape contract like x182: compaction stability and the
+    // bundle-serve ≡ flat-full-rebuild equivalence (BM25 ranked rows AND
+    // positional phrase rows, anti-joined both ways) are EARNED in-plan;
+    // the append replay is require()d
+    "x186_text_bundle_store" ->
+      ("SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS compaction_stable, " +
+        "TRUE AS matches_flat"),
     // both member tables at both bundle versions, replayed from the
     // deterministic splits; version numbers are the commit sequence
     "x173_bundle_commit" ->

@@ -336,6 +336,33 @@ object Similarity {
     mmrRerankPool(vecs, queryVec, fused.select(col("nid")), k)
   }
 
+  /** [[threeStageServe]] with BOTH retrieval stages resolved through
+    * atomic bundle stores ([[TextIndex.bm25SearchBundle]] +
+    * [[AnnIndex.knnBundle]]) instead of flat directories — the serve a
+    * production deployment runs once its indexes ride the ledgered
+    * store protocol: every scan sees one committed manifest version of
+    * each index (never a half-rebuilt one), and the plan is otherwise
+    * identical (shared BM25/ADC cores, same [[rrfFuse]] arithmetic,
+    * same [[mmrRerankPool]] greedy), so flat and bundle serves cannot
+    * drift.
+    */
+  def threeStageServeBundle(spark: org.apache.spark.sql.SparkSession,
+      textRoot: String, textName: String, annRoot: String, annName: String,
+      vecs: DataFrame, queryTerms: Seq[String], queryVec: DataFrame, k: Int,
+      fuseK: Int = 30, poolK: Int = 50, rrfK: Int = 60, rerank: Int = 150,
+      nProbe: Int = 6, within: Option[DataFrame] = None): DataFrame = {
+    require(fuseK >= k && fuseK <= 256,
+      s"threeStageServeBundle: fuseK=$fuseK out of range for k=$k")
+    val lex = TextIndex.bm25SearchBundle(spark, textRoot, textName,
+        queryTerms, k = poolK, within = within)
+      .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
+    val vec = AnnIndex.knnBundle(spark, annRoot, annName, vecs, queryVec,
+        k = poolK, rerank = rerank, nProbe = nProbe, within = within)
+      .select(col("nid"), col("rank").as("vrank"))
+    val fused = rrfFuse(lex, vec, fuseK, rrfK)
+    mmrRerankPool(vecs, queryVec, fused.select(col("nid")), k)
+  }
+
   /** Exact cosine re-rank of a candidate shortlist: `pairs` (qid, nid)
     * joins back to the raw vectors and only those |queries| × shortlist
     * rows are scored exactly — the second stage of every

@@ -6,6 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.sources.Catalog
+
 /** STORED inverted text index: ranked retrieval as tables, not a session
   * object — the text twin of [[AnnIndex]].
   *
@@ -137,29 +139,41 @@ object TextIndex {
   /** The probe-shard postings scan every serve starts from: shards
     * planned on the driver from the query's own terms, bound as a static
     * partition filter; the term predicate then narrows within the shard.
+    * Takes the full postings FRAME (flat directory or bundle member —
+    * the one place the two stores differ), so every serve below runs the
+    * identical plan against either store and the two can never drift.
     */
-  private def prunedPostings(spark: SparkSession, dir: String,
+  private def prunedFrom(postingsAll: DataFrame,
       ts: Seq[String]): DataFrame = {
     val shards = ts.map(shardOf).distinct.sorted
-    spark.read.parquet(s"$dir/postings.parquet")
+    postingsAll
       .where(col("shard").isin(shards.map(Integer.valueOf): _*)
         && col("term").isin(ts: _*))
   }
 
-  /** Conjunctive (every-term) match against the stored index: the pruned
-    * postings of the query terms, grouped by doc, kept when the doc holds
-    * ALL of them. Returns (doc_id) — ordering is the caller's.
+  private def prunedPostings(spark: SparkSession, dir: String,
+      ts: Seq[String]): DataFrame =
+    prunedFrom(spark.read.parquet(s"$dir/postings.parquet"), ts)
+
+  /** Conjunctive (every-term) match: the pruned postings of the query
+    * terms, grouped by doc, kept when the doc holds ALL of them — the
+    * core both stores serve. Returns (doc_id); ordering is the caller's.
     */
-  def booleanSearch(spark: SparkSession, dir: String,
+  private def booleanCore(postingsAll: DataFrame,
       queryTerms: Seq[String]): DataFrame = {
     require(queryTerms.nonEmpty, "booleanSearch: no terms")
     val ts = queryTerms.distinct
-    prunedPostings(spark, dir, ts)
+    prunedFrom(postingsAll, ts)
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("term")).as("__nt"))
       .where(col("__nt") === ts.size)
       .select(col("doc_id"))
   }
+
+  /** Conjunctive (every-term) match against the stored index. */
+  def booleanSearch(spark: SparkSession, dir: String,
+      queryTerms: Seq[String]): DataFrame =
+    booleanCore(spark.read.parquet(s"$dir/postings.parquet"), queryTerms)
 
   /** BM25 top-k over the stored index (disjunctive, the classic ranked
     * retrieval): per-(term, doc) score
@@ -186,13 +200,25 @@ object TextIndex {
     */
   def bm25Search(spark: SparkSession, dir: String, queryTerms: Seq[String],
       k: Int, within: Option[DataFrame] = None): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25Search: no terms")
-    val ts = queryTerms.distinct
     val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
-    val nDocs = meta.getLong(0)
-    val avgdl = meta.getLong(1).toDouble / nDocs
+    bm25Core(spark.read.parquet(s"$dir/postings.parquet"),
+      meta.getLong(0), meta.getLong(1), queryTerms, k, within)
+  }
+
+  /** The BM25 plan both stores serve — corpus stats arrive as the two
+    * scalars (nDocs, sumDl) however the store keeps them (one meta row
+    * for the flat directory, summed per-batch delta rows for the
+    * bundle).
+    */
+  private def bm25Core(postingsAll: DataFrame, nDocs: Long, sumDl: Long,
+      queryTerms: Seq[String], k: Int,
+      within: Option[DataFrame]): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search: no terms")
+    require(nDocs > 0, "bm25Search: empty index (no documents)")
+    val ts = queryTerms.distinct
+    val avgdl = sumDl.toDouble / nDocs
     val dfW = Window.partitionBy(col("term"))
-    val scored = prunedPostings(spark, dir, ts)
+    val scored = prunedFrom(postingsAll, ts)
       .withColumn("__df", count(lit(1)).over(dfW))
       .withColumn("__idf", round(
         log((lit(nDocs.toDouble) - col("__df") + lit(0.5))
@@ -226,11 +252,15 @@ object TextIndex {
     * ordering is the caller's.
     */
   def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String]): DataFrame =
+    phraseCore(spark, spark.read.parquet(s"$dir/postings.parquet"), phrase)
+
+  private def phraseCore(spark: SparkSession, postingsAll: DataFrame,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch: empty phrase")
     val slots = spark.createDataFrame(phrase.zipWithIndex)
       .toDF("term", "idx")
-    val bound = prunedPostings(spark, dir, phrase.distinct)
+    val bound = prunedFrom(postingsAll, phrase.distinct)
       .join(broadcast(slots), Seq("term"))
       .select(col("doc_id"),
         transform(col("positions"), p => p - col("idx")).as("__adj"))
@@ -244,4 +274,107 @@ object TextIndex {
       .where(col("n_occ") > 0)
       .select(col("doc_id"), col("n_occ"))
   }
+
+  // ------------- bundle-backed index: the manifest IS the ledger -------------
+
+  /** One (n_docs, sum_dl) row describing a batch's postings — the
+    * bundle's meta is LSM-style: every commit/append lands one delta
+    * row, and [[bundleStats]] sums them at serve. Correct because a doc
+    * arrives in exactly one batch (the same contract [[append]] states),
+    * so per-batch distinct doc counts add up to the corpus's. Derived
+    * from the batch's own postings frame, so the stored stats always
+    * describe exactly the postings that landed beside them.
+    */
+  private def batchMeta(batchPostings: DataFrame): DataFrame =
+    batchPostings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
+      .repartition(1)
+
+  /** Build the index ON the atomic bundle store
+    * ([[graft.sources.Catalog.commitBundle]]) — the store-protocol
+    * migration the flat [[write]] lacks, and the text twin of
+    * [[AnnIndex.writeBundle]]: postings (shard-partitioned, declared in
+    * the manifest so appends and compaction preserve the pruning
+    * layout) and the batch's meta delta publish in ONE staged-directory
+    * rename — a crash mid-rebuild can never leave postings beside stats
+    * describing a different corpus. `seedBatchIds` records the creating
+    * batch(es) in the manifest's ledger, closing the create-replay
+    * window. The postings frame is persisted across the two member
+    * writes so the corpus is tokenized once, like the flat build.
+    */
+  def writeBundle(docs: DataFrame, root: String, name: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      seedBatchIds: Seq[String] = Nil): Long = {
+    val p = postings(docs, idCol, textCol).persist()
+    try Catalog.commitBundle(
+      Seq("postings" -> p, "meta" -> batchMeta(p)),
+      root, name, seedBatchIds, partitionBy = Map("postings" -> Seq("shard")))
+    finally { p.unpersist(); () }
+  }
+
+  /** LEDGERED incremental append — [[append]] with the at-least-once
+    * residual closed: the batch's posting rows land as a new file set
+    * via [[graft.sources.Catalog.appendBundle]] with the batch id IN
+    * the manifest, so a replayed append returns false with the index
+    * untouched. The flat append double-appends on replay: duplicate
+    * posting rows double a term's tf AND df, silently inflating every
+    * BM25 score the doc appears in. The batch's meta delta rides in the
+    * same atomic version, so corpus stats and postings can never
+    * disagree — the flat path's postings-append → meta-rewrite gap is
+    * gone.
+    */
+  def appendBundle(spark: SparkSession, root: String, name: String,
+      docs: DataFrame, batchId: String, idCol: String = "doc_id",
+      textCol: String = "text"): Boolean = {
+    val p = postings(docs, idCol, textCol).persist()
+    try Catalog.appendBundle(
+      Seq("postings" -> p, "meta" -> batchMeta(p)),
+      root, name, batchId)
+    finally { p.unpersist(); () }
+  }
+
+  /** Corpus stats off the bundle: the meta member's delta rows summed —
+    * bounded at one row per ingested batch (compaction collapses the
+    * file sets; the rows still sum identically).
+    */
+  private def bundleStats(spark: SparkSession, root: String,
+      name: String): (Long, Long) = {
+    val r = Catalog.readBundleTable(spark, root, name, "meta")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)),
+        coalesce(sum(col("sum_dl")), lit(0L)))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Conjunctive match off the BUNDLE-backed index — same core plan as
+    * [[booleanSearch]], postings resolved through one committed
+    * manifest version (a serve can never see a half-rebuilt index; the
+    * driver-planned shard predicate still prunes every committed file
+    * set's directory listing).
+    */
+  def booleanSearchBundle(spark: SparkSession, root: String, name: String,
+      queryTerms: Seq[String]): DataFrame =
+    booleanCore(Catalog.readBundleTable(spark, root, name, "postings"),
+      queryTerms)
+
+  /** BM25 top-k off the BUNDLE-backed index — same core plan as
+    * [[bm25Search]] (shared [[bm25Core]]), corpus stats summed from the
+    * meta deltas of exactly the committed batches.
+    */
+  def bm25SearchBundle(spark: SparkSession, root: String, name: String,
+      queryTerms: Seq[String], k: Int,
+      within: Option[DataFrame] = None): DataFrame = {
+    val (nDocs, sumDl) = bundleStats(spark, root, name)
+    bm25Core(Catalog.readBundleTable(spark, root, name, "postings"),
+      nDocs, sumDl, queryTerms, k, within)
+  }
+
+  /** Exact phrase match off the BUNDLE-backed index — shared
+    * [[phraseCore]].
+    */
+  def phraseSearchBundle(spark: SparkSession, root: String, name: String,
+      phrase: Seq[String]): DataFrame =
+    phraseCore(spark,
+      Catalog.readBundleTable(spark, root, name, "postings"), phrase)
 }

@@ -531,6 +531,40 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("threeStageServeBundle equals the flat threeStageServe over the same stores") {
+    import graft.operators.{AnnIndex, Embeddings, RelOps, TextIndex}
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val q = e.where(col("vec_id") < 1)
+    val terms = Seq("join", "vector")
+    val tix = "/tmp/graft/simspec_b3_tix"
+    val aix = "/tmp/graft/simspec_b3_aix"
+    val root = java.nio.file.Files.createTempDirectory("graft-b3").toString
+    val books = Embeddings.pqTrain(
+      RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2)
+    // the same corpus through both store protocols: the deterministic
+    // builds (shared trainCentroids/encodeAssign, shared postings pass)
+    // must produce byte-equivalent indexes, and the shared serve cores
+    // must then produce the identical three-stage result — flat and
+    // bundle deployments of the production stack cannot drift
+    TextIndex.write(docs, tix)
+    AnnIndex.write(e, books, aix, nCentroids = 16, trainIters = 2, spill = 2)
+    TextIndex.writeBundle(docs, root, "tix", seedBatchIds = Seq("b0"))
+    AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+      trainIters = 2, spill = 2, seedBatchIds = Seq("b0"))
+    val flat = Similarity.threeStageServe(spark, tix, aix, e, terms, q,
+        k = 5, fuseK = 15, poolK = 20, rerank = 60, nProbe = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val bundle = Similarity.threeStageServeBundle(spark, root, "tix",
+        root, "ann", e, terms, q,
+        k = 5, fuseK = 15, poolK = 20, rerank = 60, nProbe = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(bundle == flat && bundle.size == 5, s"bundle $bundle flat $flat")
+    spark.catalog.clearCache()
+  }
+
   test("filtered serve: results within the allowed set; wiring equals hand-filtered stages") {
     import graft.operators.{AnnIndex, Embeddings, RelOps, TextIndex}
     val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")

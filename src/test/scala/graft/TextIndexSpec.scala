@@ -132,4 +132,107 @@ class TextIndexSpec extends AnyFunSuite {
       .where(size(TextIndex.terms(col("text"))) > 0).count()
     assert(meta.getLong(0) == nExpected)
   }
+
+  test("bundle index: atomic build, ledgered append, serve equals flat rebuild across compaction") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tixb").toString
+    val corpus = docs.where(col("doc_id") < 300)
+    val base = corpus.where(col("doc_id") % 5 =!= 0)
+    val delta = corpus.where(col("doc_id") % 5 === 0)
+    TextIndex.writeBundle(base, root, "tix", seedBatchIds = Seq("b0"))
+    // create-replay closed: the seeding batch id is already in the ledger
+    assert(!TextIndex.appendBundle(spark, root, "tix", base, "b0"),
+      "seed batch replay must be rejected")
+    assert(TextIndex.appendBundle(spark, root, "tix", delta, "b1"))
+    val nPostings = graft.sources.Catalog
+      .readBundleTable(spark, root, "tix", "postings").count()
+    assert(!TextIndex.appendBundle(spark, root, "tix", delta, "b1"),
+      "replayed append must be rejected")
+    assert(graft.sources.Catalog
+      .readBundleTable(spark, root, "tix", "postings").count() == nPostings,
+      "replay mutated the index")
+    // bundle serve over base∪delta ≡ flat full rebuild — BM25 ranked rows,
+    // boolean match set, and positional phrase rows
+    val flatDir = "/tmp/graft/textindex_spec_bundle_flat"
+    TextIndex.write(corpus, flatDir)
+    val qs = Seq("scan", "merge", "vector")
+    def bm25() = TextIndex.bm25SearchBundle(spark, root, "tix", qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val got = bm25()
+    val want = TextIndex.bm25Search(spark, flatDir, qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want && got.nonEmpty)
+    val gotBool = TextIndex.booleanSearchBundle(spark, root, "tix",
+        Seq("join", "hash"))
+      .orderBy(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val wantBool = TextIndex.booleanSearch(spark, flatDir, Seq("join", "hash"))
+      .orderBy(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(gotBool == wantBool && gotBool.nonEmpty)
+    val gotPh = TextIndex.phraseSearchBundle(spark, root, "tix",
+        Seq("table", "hash"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wantPh = TextIndex.phraseSearch(spark, flatDir, Seq("table", "hash"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotPh == wantPh)
+    // compaction rewrites the delta file sets; serve is bit-identical and
+    // the ledger survives
+    graft.sources.Catalog.compactBundle(spark, root, "tix")
+    assert(bm25() == got, "serve changed across compaction")
+    assert(!TextIndex.appendBundle(spark, root, "tix", delta, "b1"),
+      "compaction must not reopen the ledger")
+  }
+
+  test("bundle index crash states: half-rebuilt version invisible, old index serves") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tixcrash").toString
+    val corpus = docs.where(col("doc_id") < 150)
+    TextIndex.writeBundle(corpus, root, "tix", seedBatchIds = Seq("b0"))
+    val qs = Seq("scan", "merge", "vector")
+    def bm25() = TextIndex.bm25SearchBundle(spark, root, "tix", qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val before = bm25()
+    // a rebuild that crashed AFTER writing new postings but BEFORE the
+    // manifest: the version directory exists with member data, yet stays
+    // invisible — the serve still resolves committed v1, so postings can
+    // never pair with stats describing a different corpus
+    val base = new java.io.File(graft.sources.Catalog.bundleDir(root, "tix"))
+    val half = new java.io.File(base, "2")
+    corpus.limit(3).select(col("doc_id")).write
+      .parquet(s"$half/postings.parquet")
+    assert(bm25() == before, "half-committed rebuild leaked into the serve")
+    // the crashed rebuild's slot is reclaimed by the next committer
+    TextIndex.writeBundle(corpus, root, "tix", seedBatchIds = Seq("b0"))
+    assert(graft.sources.Catalog.latestBundleVersion(spark, root, "tix")
+      .contains(2L), "crashed slot not reclaimed")
+  }
+
+  test("bundle serve scans only the query terms' shard partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tixprune").toString
+    TextIndex.writeBundle(docs, root, "tix", seedBatchIds = Seq("b0"))
+    val ts = Seq("join", "hash")
+    val shards = ts.map(TextIndex.shardOf).distinct
+    val serve = TextIndex.bm25SearchBundle(spark, root, "tix", ts, k = 5)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec    => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec       => scans(qs.plan)
+      case other                    => other.children.flatMap(scans)
+    }
+    serve.collect() // materialize so AQE finalizes the executed plan
+    // match on the relation's root paths, not toString — the bundle's
+    // temp-dir path pushes the member name past simpleString truncation
+    val postingScans = scans(serve.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("postings.parquet")))
+    assert(postingScans.nonEmpty, "no postings scan in the bundle serve plan")
+    postingScans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        "shard list must bind as a partition filter on the bundle member")
+      val read = sc.metrics("numPartitions").value
+      assert(read <= shards.size,
+        s"expected <= ${shards.size} shard partitions read, got $read")
+    }
+  }
 }
