@@ -65,7 +65,12 @@ object RecallProbe {
       val terms = Seq("join", "hash", "vector")
       val tix = s"/tmp/graft/probe_x165_tix_$sf"
       val aix = s"/tmp/graft/probe_x165_aix_$sf"
-      graft.operators.TextIndex.write(docs, tix)
+      // aligned build (threeStageServe contract): only embedded docs —
+      // at sf0.1 the corpus has docs without vectors, and the x176/x180
+      // probes below run the MMR stage whose pool must resolve
+      graft.operators.TextIndex.write(docs
+        .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi"), tix)
       graft.operators.AnnIndex.write(e, books, aix, nCentroids = 16,
         trainIters = 4, spill = 2)
       val served = Similarity.hybridStoredServe(spark, tix, aix, e, terms,

@@ -146,6 +146,22 @@ object Similarity {
       .select(col("qid"), col("nid"), col("lrank"))
     val vec = bruteForceKnn(vecs, queryVecs, poolK, vecIdCol, vecCol)
       .select(col("qid"), col("nid"), col("rank").as("vrank"))
+    rrfFuseBatch(lex, vec, k, rrfK)
+  }
+
+  /** Per-query reciprocal-rank fusion — [[rrfFuse]] generalized to N
+    * queries in one plan: `lex` (qid, nid, lrank) and `vec` (qid, nid,
+    * vrank) full-outer-join on (qid, nid), each side contributes
+    * `1/(rrfK + rank)` when present, top-k per qid. The window is
+    * qid-partitioned over at most 2·poolK rows per query — never
+    * corpus-sized, and never the single-partition global window the
+    * one-query [[rrfFuse]] is allowed. One implementation serves
+    * [[hybridRrf]] (the exact baseline) and the batched stored serve,
+    * so fusion arithmetic cannot drift between them.
+    */
+  def rrfFuseBatch(lex: DataFrame, vec: DataFrame, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && rrfK >= 1, s"rrfFuseBatch: k=$k rrfK=$rrfK")
     val fw = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
     lex.join(vec, Seq("qid", "nid"), "full_outer")
       .withColumn("rrf",
@@ -292,20 +308,152 @@ object Similarity {
       val cand = qsims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val psim = pairSims.collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-      val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-      val remaining = scala.collection.mutable.TreeSet.empty[Long] ++ cand.keys
-      for (rank <- 1 to math.min(k, cand.size)) {
-        val best = remaining.map { nid =>
-          val penalty = if (selected.isEmpty) 0L
-            else selected.map { case (_, s, _) => psim((nid, s)) }.max
-          (nid, cand(nid) - (if (selected.isEmpty) 0L else penalty))
-        }.minBy { case (nid, s) => (-s, nid) } // score desc, id asc
-        selected += ((rank, best._1, best._2))
-        remaining -= best._1
-      }
       import spark.implicits._
-      selected.toSeq.toDF("rank", "nid", "mmr4")
+      mmrGreedy(cand, psim, k).toDF("rank", "nid", "mmr4")
     } finally { sub.unpersist(); ids.unpersist(); () }
+  }
+
+  /** The λ=0.5 integer MMR greedy over ONE query's collected pool — the
+    * single driver-side step both [[mmrRerankPool]] and the batched
+    * [[mmrRerankPoolBatch]] run, so single and batched serves select
+    * identically by construction. Ties break (score desc, id asc);
+    * rank 1 is pure relevance.
+    */
+  private def mmrGreedy(cand: Map[Long, Long],
+      psim: Map[(Long, Long), Long], k: Int): Seq[(Int, Long, Long)] = {
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val remaining = scala.collection.mutable.TreeSet.empty[Long] ++ cand.keys
+    for (rank <- 1 to math.min(k, cand.size)) {
+      val best = remaining.map { nid =>
+        val penalty = if (selected.isEmpty) 0L
+          else selected.map { case (_, s, _) => psim((nid, s)) }.max
+        (nid, cand(nid) - (if (selected.isEmpty) 0L else penalty))
+      }.minBy { case (nid, s) => (-s, nid) } // score desc, id asc
+      selected += ((rank, best._1, best._2))
+      remaining -= best._1
+    }
+    selected.toSeq
+  }
+
+  /** Hard ceiling on the pair rows the batched greedy may collect:
+    * Σ_q pool_q² must fit the driver comfortably — 2²⁰ (id, id, long)
+    * rows ≈ 24 MB. At fuseK=30 that admits ~1100 queries per plan; at
+    * the 256-candidate single-query bound, 16. Callers batching more
+    * split the query set — an explicit cap, not a silent truncation.
+    */
+  val MaxBatchGreedyPairRows: Long = 1L << 20
+
+  /** [[mmrRerankPool]] generalized to N queries in ONE plan: `pool` is
+    * (qid, nid) per-query shortlists, `queryVecs` the matching query
+    * vectors, and the greedy runs per qid over the collected pools —
+    * each query's selection is EXACTLY what [[mmrRerankPool]] would
+    * pick alone (shared [[mmrGreedy]], same ×10⁴ integer cosines), so
+    * batching is a throughput decision, never a semantics one. The
+    * distributed work (pool-vector resolution, per-qid relevance and
+    * pairwise cosines) is one plan over Σ pool_q rows and Σ pool_q²
+    * pair rows, capped by [[MaxBatchGreedyPairRows]] and the per-query
+    * 256-candidate bound before anything is collected. Every (qid,
+    * nid) must resolve to a vector row — loud failure, same contract
+    * as the single-query pool. Returns (qid, rank, nid, mmr4).
+    */
+  def mmrRerankPoolBatch(vecs: DataFrame, queryVecs: DataFrame,
+      pool: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"mmrRerankPoolBatch: k=$k")
+    val spark = vecs.sparkSession
+    val d = dotFor(vecs)
+    val ids = pool.select(col("qid"), col("nid")).distinct().persist()
+    try {
+      val sizes = ids.groupBy(col("qid")).agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(sizes.nonEmpty, "mmrRerankPoolBatch: empty pool")
+      require(sizes.values.forall(_ <= 256),
+        s"mmrRerankPoolBatch: a per-query pool exceeds the 256-candidate " +
+          s"driver-greedy bound (max ${sizes.values.max})")
+      val pairRows = sizes.values.map(n => n * n).sum
+      require(pairRows <= MaxBatchGreedyPairRows,
+        s"mmrRerankPoolBatch: ${sizes.size} pools collect $pairRows pair " +
+          s"rows > $MaxBatchGreedyPairRows — split the query batch")
+      val nids = ids.select(col("nid")).distinct()
+      val sub = vecs
+        .join(broadcast(nids), vecs(idCol) === nids("nid"), "left_semi")
+        .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("n", sqrt(d(col("v"), col("v"))))
+      val poolVecs = ids.join(broadcast(sub), ids("nid") === sub("id"))
+        .select(col("qid"), col("nid"), col("v"), col("n"))
+        .persist()
+      try {
+        val nResolved = poolVecs.count()
+        val nPool = sizes.values.sum
+        require(nResolved == nPool,
+          s"mmrRerankPoolBatch: ${nPool - nResolved} of $nPool pool ids " +
+            s"have no '$idCol' row in the vector table — id-space mismatch " +
+            "between the retrieval stage and the vectors")
+        val q = queryVecs
+          .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+          .withColumn("qn", sqrt(d(col("qv"), col("qv"))))
+        val qsims = poolVecs.join(broadcast(q), Seq("qid"))
+          .select(col("qid"), col("nid"),
+            round(when(col("n") * col("qn") === 0, lit(0.0d))
+              .otherwise(d(col("qv"), col("v")) / (col("n") * col("qn")))
+              * lit(1e4), 0).cast("long").as("qsim4"))
+        val pa = poolVecs.select(col("qid"), col("nid").as("na"),
+          col("v").as("va"), col("n").as("nna"))
+        val pb = poolVecs.select(col("qid"), col("nid").as("nb"),
+          col("v").as("vb"), col("n").as("nnb"))
+        val pairSims = pa.join(pb, Seq("qid"))
+          .where(col("na") =!= col("nb"))
+          .select(col("qid"), col("na"), col("nb"),
+            round(when(col("nna") * col("nnb") === 0, lit(0.0d))
+              .otherwise(d(col("va"), col("vb")) / (col("nna") * col("nnb")))
+              * lit(1e4), 0).cast("long").as("psim4"))
+        val candByQ = qsims.collect()
+          .groupBy(_.getLong(0))
+          .map { case (qid, rs) =>
+            qid -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+        val psimByQ = pairSims.collect()
+          .groupBy(_.getLong(0))
+          .map { case (qid, rs) =>
+            qid -> rs.map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap }
+        val rows = candByQ.keys.toSeq.sorted.flatMap { qid =>
+          mmrGreedy(candByQ(qid), psimByQ.getOrElse(qid, Map.empty), k)
+            .map { case (rank, nid, mmr4) => (qid, rank, nid, mmr4) }
+        }
+        import spark.implicits._
+        rows.toDF("qid", "rank", "nid", "mmr4")
+      } finally { poolVecs.unpersist(); () }
+    } finally { ids.unpersist(); () }
+  }
+
+  /** [[threeStageServe]] generalized to N queries in ONE plan — the
+    * offline-eval / bulk-serving shape: each query arrives as (qid,
+    * terms) plus its vector row, batched BM25 prunes the postings scan
+    * ONCE to the union of the queries' term shards
+    * ([[TextIndex.bm25SearchBatch]]), the stored ANN serve already
+    * carries qid natively ([[AnnIndex.knn]]), fusion is per-qid
+    * ([[rrfFuseBatch]]) and the greedy runs per qid over the collected
+    * fused pools ([[mmrRerankPoolBatch]] — bounded at Σ fuseK² pair
+    * rows with an explicit cap). Per-query results are EXACTLY the
+    * single-query [[threeStageServe]]'s (shared cores end to end).
+    * Returns (qid, rank, nid, mmr4).
+    */
+  def threeStageServeBatch(spark: org.apache.spark.sql.SparkSession,
+      textIdx: String, annIdx: String, vecs: DataFrame,
+      queryTerms: Seq[(Long, Seq[String])], queryVecs: DataFrame, k: Int,
+      fuseK: Int = 30, poolK: Int = 50, rrfK: Int = 60, rerank: Int = 150,
+      nProbe: Int = 6, within: Option[DataFrame] = None): DataFrame = {
+    require(fuseK >= k && fuseK <= 256,
+      s"threeStageServeBatch: fuseK=$fuseK out of range for k=$k")
+    val lex = TextIndex.bm25SearchBatch(spark, textIdx, queryTerms,
+        k = poolK, within = within)
+      .select(col("qid"), col("doc_id").as("nid"),
+        col("rank").cast("int").as("lrank"))
+    val vec = AnnIndex.knn(spark, annIdx, vecs, queryVecs, k = poolK,
+        rerank = rerank, nProbe = nProbe, within = within)
+      .select(col("qid"), col("nid"), col("rank").as("vrank"))
+    val fused = rrfFuseBatch(lex, vec, fuseK, rrfK)
+    mmrRerankPoolBatch(vecs, queryVecs,
+      fused.select(col("qid"), col("nid")), k)
   }
 
   /** The COMPOSED three-stage serving stack — the query a production
@@ -320,6 +468,15 @@ object Similarity {
     * index build, every serve-time scan is directory-pruned, and the
     * only corpus-sized frame (`vecs`) is read solely to fetch the
     * shortlist's own vectors through a broadcast semi-join.
+    *
+    * ALIGNMENT CONTRACT: the text index must index a subset of the
+    * embedded corpus (build it over the docs that have vector rows) —
+    * the MMR stage needs every fused candidate's vector, and a fused
+    * id with no `vecs` row fails loudly ([[mmrRerankPool]]'s
+    * resolution check) rather than silently shrinking the pool below
+    * fuseK. Alignment is a BUILD-time property (one ingest-side
+    * semi-join), deliberately not re-checked with a serve-time join
+    * against the corpus-sized vector id set.
     */
   def threeStageServe(spark: org.apache.spark.sql.SparkSession,
       textIdx: String, annIdx: String, vecs: DataFrame,

@@ -240,6 +240,77 @@ object TextIndex {
       Window.orderBy(col("score_x10k").desc, col("doc_id"))))
   }
 
+  /** BATCHED BM25 — N queries' top-k in ONE plan, the shape an offline
+    * eval or bulk re-embedding pipeline runs: `queryTerms` is (qid,
+    * terms) pairs; the postings scan is pruned ONCE to the union of all
+    * queries' term shards, a broadcast (qid, term) table fans each
+    * posting row out to exactly the queries that asked for its term,
+    * and per-(qid, doc) scores sum only that query's terms. Per-term
+    * arithmetic is [[bm25Search]]'s exactly (df is the term's global
+    * posting count — independent of which queries mention it), so a
+    * one-query batch replays the single serve verbatim. The top-k is a
+    * qid-partitioned window: per-partition rows are one query's
+    * candidates (bounded by its terms' document frequencies), and
+    * queries rank in parallel — never the single-partition global
+    * window the one-query path avoids with TakeOrdered. Returns
+    * (qid, doc_id, score_x10k, rank).
+    */
+  def bm25SearchBatch(spark: SparkSession, dir: String,
+      queryTerms: Seq[(Long, Seq[String])], k: Int,
+      within: Option[DataFrame] = None): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+    bm25BatchCore(spark, spark.read.parquet(s"$dir/postings.parquet"),
+      meta.getLong(0), meta.getLong(1), queryTerms, k, within)
+  }
+
+  /** [[bm25SearchBatch]] off the BUNDLE-backed index. */
+  def bm25SearchBatchBundle(spark: SparkSession, root: String, name: String,
+      queryTerms: Seq[(Long, Seq[String])], k: Int,
+      within: Option[DataFrame] = None): DataFrame = {
+    val (nDocs, sumDl) = bundleStats(spark, root, name)
+    bm25BatchCore(spark,
+      Catalog.readBundleTable(spark, root, name, "postings"),
+      nDocs, sumDl, queryTerms, k, within)
+  }
+
+  private def bm25BatchCore(spark: SparkSession, postingsAll: DataFrame,
+      nDocs: Long, sumDl: Long, queryTerms: Seq[(Long, Seq[String])],
+      k: Int, within: Option[DataFrame]): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.forall(_._2.nonEmpty),
+      "bm25SearchBatch: every query needs terms")
+    require(queryTerms.map(_._1).distinct.size == queryTerms.size,
+      "bm25SearchBatch: duplicate qid")
+    require(nDocs > 0, "bm25SearchBatch: empty index (no documents)")
+    val allTerms = queryTerms.flatMap(_._2).distinct
+    val avgdl = sumDl.toDouble / nDocs
+    val dfW = Window.partitionBy(col("term"))
+    val scored = prunedFrom(postingsAll, allTerms)
+      .withColumn("__df", count(lit(1)).over(dfW))
+      .withColumn("__idf", round(
+        log((lit(nDocs.toDouble) - col("__df") + lit(0.5))
+          / (col("__df") + lit(0.5)) + lit(1.0)), 8))
+      .withColumn("__tfn", (col("tf") * lit(2.2))
+        / (col("tf") + lit(1.2) * (lit(0.25)
+          + lit(0.75) * (col("dl") / lit(avgdl)))))
+      .withColumn("__sx",
+        round(col("__idf") * col("__tfn") * lit(10000.0), 0).cast("long"))
+    val qt = spark.createDataFrame(
+        queryTerms.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
+      .toDF("qid", "term")
+    val perQ = scored.join(broadcast(qt), Seq("term"))
+    val eligible = within.fold(perQ) { w =>
+      val ids = w.select(col(w.columns.head).as("__within_id"))
+      perQ.join(ids, perQ("doc_id") === ids("__within_id"), "left_semi")
+    }
+    val rw = Window.partitionBy(col("qid"))
+      .orderBy(col("score_x10k").desc, col("doc_id"))
+    eligible.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("__sx")).as("score_x10k"))
+      .withColumn("rank", row_number().over(rw))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("score_x10k"), col("rank"))
+  }
+
   /** Exact phrase match from the positional postings — the query shape
     * boolean AND cannot express ("table hash" as adjacent tokens, not
     * co-occurrence). Classic positional-intersection: slot i of the

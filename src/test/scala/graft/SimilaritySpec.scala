@@ -565,6 +565,46 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("batched serve: per-qid results equal the single-query serve, caps enforced") {
+    import graft.operators.{AnnIndex, Embeddings, RelOps, TextIndex}
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val tix = "/tmp/graft/simspec_batch_tix"
+    val aix = "/tmp/graft/simspec_batch_aix"
+    TextIndex.write(docs, tix)
+    AnnIndex.write(e, Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2),
+      aix, nCentroids = 16, trainIters = 2, spill = 2)
+    val batch = Seq(0L -> Seq("join", "vector"), 1L -> Seq("hash", "scan"),
+      2L -> Seq("merge", "table"))
+    val qvecs = e.where(col("vec_id") < 3)
+    val got = Similarity.threeStageServeBatch(spark, tix, aix, e, batch,
+        qvecs, k = 5, fuseK = 15, poolK = 20, rerank = 60, nProbe = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq }
+    assert(got.keySet == Set(0L, 1L, 2L))
+    batch.foreach { case (qid, ts) =>
+      val single = Similarity.threeStageServe(spark, tix, aix, e, ts,
+          e.where(col("vec_id") === qid), k = 5, fuseK = 15, poolK = 20,
+          rerank = 60, nProbe = 3)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got(qid) == single && single.size == 5,
+        s"qid $qid: batch ${got(qid)} != single $single")
+      spark.catalog.clearCache()
+    }
+    // caps are explicit, not silent: an over-wide per-query pool refuses
+    val wide = e.limit(300).select(lit(0L).as("qid"),
+      col("vec_id").as("nid"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mmrRerankPoolBatch(e, e.where(col("vec_id") < 1), wide, 5)
+    }
+    assert(ex.getMessage.contains("256-candidate"))
+    spark.catalog.clearCache()
+  }
+
   test("filtered serve: results within the allowed set; wiring equals hand-filtered stages") {
     import graft.operators.{AnnIndex, Embeddings, RelOps, TextIndex}
     val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")

@@ -133,6 +133,46 @@ class TextIndexSpec extends AnyFunSuite {
     assert(meta.getLong(0) == nExpected)
   }
 
+  test("bm25SearchBatch: each query's rows equal its own single-query serve") {
+    val idx = "/tmp/graft/textindex_spec_batch"
+    TextIndex.write(docs, idx)
+    val batch = Seq(
+      0L -> Seq("join", "hash"),
+      1L -> Seq("vector", "scan", "merge"),
+      2L -> Seq("join", "vector"))
+    val got = TextIndex.bm25SearchBatch(spark, idx, batch, k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(t => (t._2, t._3, t._4)).sortBy(_._3).toSeq }
+    batch.foreach { case (qid, ts) =>
+      val single = TextIndex.bm25Search(spark, idx, ts, k = 8)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(got(qid) == single && single.nonEmpty,
+        s"qid $qid: batch ${got(qid)} != single $single")
+    }
+    // the batched scan still prunes: union of the three term sets' shards
+    val ts = batch.flatMap(_._2).distinct
+    val serve = TextIndex.bm25SearchBatch(spark, idx, batch, k = 8)
+    serve.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec    => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec       => scans(qs.plan)
+      case other                    => other.children.flatMap(scans)
+    }
+    val sc = scans(serve.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths
+        .exists(_.toString.contains("postings.parquet")))
+      .getOrElse(fail("no postings scan in the batched serve plan"))
+    assert(sc.partitionFilters.nonEmpty)
+    assert(sc.metrics("numPartitions").value
+      <= ts.map(TextIndex.shardOf).distinct.size)
+  }
+
   test("bundle index: atomic build, ledgered append, serve equals flat rebuild across compaction") {
     val root = java.nio.file.Files.createTempDirectory("graft-tixb").toString
     val corpus = docs.where(col("doc_id") < 300)
