@@ -3558,6 +3558,58 @@ object SparkEntry {
           (col("__ov") >= lit(4L)).as("overlap_ok"))
     }),
 
+    // PiT serve OFF THE INTERVAL TABLE (x184) — x178's reproducibility
+    // query with the dimension side x181 proved equivalent: the commit
+    // history collapses ONCE at ingest to the SCD-2 interval table
+    // (one row per unchanged run per key), and the SERVE reads only
+    // that bounded table — the union of V time-travel snapshot reads
+    // (x178's dim frame, V× dim size) never appears in the serve path.
+    // The version pick is the same broadcast range probe over the
+    // handful-of-rows commit history; the dim value then arrives by
+    // ONE hash equi-join on key with a residual half-open version-
+    // range predicate against the intervals. The oracle is x178's
+    // VERBATIM: serving off intervals must be hash-indistinguishable
+    // from serving off the snapshots.
+    "x184_pit_interval_serve" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"/tmp/graft/x184_pit_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("bal_c"))
+      val v2d = base.withColumn("bal_c", col("bal_c") +
+        when(col("c_custkey") % 7 === 0, 10000L).otherwise(0L))
+      val v3d = v2d.withColumn("bal_c", col("bal_c") +
+        when(col("c_custkey") % 5 === 0, 5000L).otherwise(0L))
+      val vs = Seq(base, v2d, v3d)
+        .map(d => Catalog.commitVersion(d, root, "cust"))
+      // ingest-side, once: history → intervals (at scale this is
+      // maintained incrementally by scd2Merge, never re-collapsed)
+      val hist = vs.map(v => Catalog.readVersion(s, root, "cust", Some(v))
+          .withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+      val iv = graft.Lifecycle.withMaterialized()(Temporal.scd2(
+        hist, Seq("c_custkey"), "version", Seq("bal_c")))
+      val bounds = vs.zip(Seq("2024-01-01 00:00:00", "2024-01-11 00:00:00",
+          "2024-01-21 00:00:00")).toDF("version", "vfs")
+        .withColumn("valid_from", to_timestamp(col("vfs"))).drop("vfs")
+      val intervals = Temporal.validityIntervals(bounds, "valid_from",
+        to_timestamp(lit("2100-01-01 00:00:00")))
+      val ev = Catalog.events(s, dir).select(col("user_id"),
+        col("event_type"), col("ts"),
+        round(col("value") * 1e6, 0).cast("long").as("val6"))
+      val picked = Temporal.broadcastRangeJoin(ev, intervals, "ts",
+        "valid_from", "__valid_to")
+      picked.join(iv,
+          picked("user_id") === iv("c_custkey") &&
+            iv("eff_from") <= picked("version") &&
+            (iv("eff_to").isNull || picked("version") < iv("eff_to")))
+        .groupBy(picked("version"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("val6")).as("sum_val6"),
+          sum(col("bal_c")).as("sum_bal_c"))
+        .orderBy(picked("version"), col("event_type"))
+    }),
+
     // Version history collapsed to SCD-2 intervals (x181) — the
     // storage-efficient PiT serve completing x178: instead of scanning
     // every snapshot at lookup time, the commit history collapses to
@@ -3756,6 +3808,7 @@ object SparkEntry {
     def bndRoot(dir: String) = s"/tmp/graft/serve_x174_${storeTag(dir)}"
     def annbRoot(dir: String) = s"/tmp/graft/serve_x182_${storeTag(dir)}"
     def tixbRoot(dir: String) = s"/tmp/graft/serve_x186_${storeTag(dir)}"
+    def pitRoot(dir: String) = s"/tmp/graft/serve_x184_${storeTag(dir)}"
     Map(
       "x95_stored_ann_index" -> ((
         (s: SparkSession, dir: String) => {
@@ -3984,6 +4037,52 @@ object SparkEntry {
             k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6,
             within = Some(e.where(col("label") < 5).select(col("vec_id"))))
         })),
+      // the PiT serve number production pays repeatedly: version pick
+      // (broadcast range probe) + ONE equi-join against the stored
+      // interval table — the collapse ran once at build, V snapshots
+      // never scanned under the timer
+      "x184_pit_interval_serve" -> ((
+        (s: SparkSession, dir: String) => {
+          import s.implicits._
+          val root = pitRoot(dir)
+          deleteRecursively(new java.io.File(root))
+          val base = t(s, dir, "customer")
+            .select(col("c_custkey"),
+              round(col("c_acctbal") * 100, 0).cast("long").as("bal_c"))
+          val v2d = base.withColumn("bal_c", col("bal_c") +
+            when(col("c_custkey") % 7 === 0, 10000L).otherwise(0L))
+          val v3d = v2d.withColumn("bal_c", col("bal_c") +
+            when(col("c_custkey") % 5 === 0, 5000L).otherwise(0L))
+          val vs = Seq(base, v2d, v3d)
+            .map(d => Catalog.commitVersion(d, root, "cust"))
+          val hist = vs.map(v => Catalog.readVersion(s, root, "cust", Some(v))
+              .withColumn("version", lit(v)))
+            .reduce(_ unionByName _)
+          Temporal.scd2(hist, Seq("c_custkey"), "version", Seq("bal_c"))
+            .write.mode("overwrite").parquet(s"$root/intervals.parquet")
+        },
+        (s: SparkSession, dir: String) => {
+          import s.implicits._
+          val iv = s.read.parquet(s"${pitRoot(dir)}/intervals.parquet")
+          val bounds = Seq(1L, 2L, 3L)
+            .zip(Seq("2024-01-01 00:00:00", "2024-01-11 00:00:00",
+              "2024-01-21 00:00:00")).toDF("version", "vfs")
+            .withColumn("valid_from", to_timestamp(col("vfs"))).drop("vfs")
+          val intervals = Temporal.validityIntervals(bounds, "valid_from",
+            to_timestamp(lit("2100-01-01 00:00:00")))
+          val ev = Catalog.events(s, dir).select(col("user_id"),
+            col("event_type"), col("ts"),
+            round(col("value") * 1e6, 0).cast("long").as("val6"))
+          val picked = Temporal.broadcastRangeJoin(ev, intervals, "ts",
+            "valid_from", "__valid_to")
+          picked.join(iv,
+              picked("user_id") === iv("c_custkey") &&
+                iv("eff_from") <= picked("version") &&
+                (iv("eff_to").isNull || picked("version") < iv("eff_to")))
+            .groupBy(picked("version"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("val6")).as("sum_val6"),
+              sum(col("bal_c")).as("sum_bal_c"))
+        })),
       // the text twin of x182's serve trend: BM25 off the bundle-backed
       // postings (manifest-resolved file sets, shard predicate pruning
       // each committed set's listing) — should track x129's flat serve
@@ -4136,6 +4235,39 @@ object SparkEntry {
          |GROUP BY dw.source ORDER BY source""".stripMargin
     ((Seq(head) ++ roundCtes ++ applyCtes) :+ tail).mkString(",\n")
   }
+
+  /** The PiT ladder replay shared by x178 (snapshot-union dim) and
+    * x184 (interval-table dim) — ONE oracle string, because the two
+    * serves must produce the identical table.
+    */
+  private val pitLadderOracleSql: String =
+      """WITH base AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |d AS (
+        |  SELECT 1 AS v, c_custkey, bal_c FROM base
+        |  UNION ALL
+        |  SELECT 2, c_custkey,
+        |    bal_c + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 3, c_custkey,
+        |    bal_c + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END
+        |          + CASE WHEN c_custkey % 5 = 0 THEN 5000 ELSE 0 END
+        |  FROM base),
+        |ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(round(value * 1e6) AS BIGINT) AS val6,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-21 00:00:00' THEN 3
+        |         WHEN ts >= TIMESTAMP '2024-01-11 00:00:00' THEN 2
+        |         ELSE 1 END AS v
+        |  FROM events)
+        |SELECT CAST(ev.v AS BIGINT) AS version, event_type,
+        |  count(*)::BIGINT AS n,
+        |  sum(ev.val6)::BIGINT AS sum_val6,
+        |  sum(d.bal_c)::BIGINT AS sum_bal_c
+        |FROM ev JOIN d ON d.v = ev.v AND d.c_custkey = ev.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // all 8 training rounds replayed verbatim — pair counts, tie-break,
@@ -7109,34 +7241,10 @@ object SparkEntry {
     // the PiT serve replays from the raw tables: the same three balance
     // snapshots, the version in force CASE-derived from the same fixed
     // boundaries, the same integer sums
-    "x178_pit_dim_serve" ->
-      """WITH base AS (
-        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
-        |  FROM customer),
-        |d AS (
-        |  SELECT 1 AS v, c_custkey, bal_c FROM base
-        |  UNION ALL
-        |  SELECT 2, c_custkey,
-        |    bal_c + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END
-        |  FROM base
-        |  UNION ALL
-        |  SELECT 3, c_custkey,
-        |    bal_c + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END
-        |          + CASE WHEN c_custkey % 5 = 0 THEN 5000 ELSE 0 END
-        |  FROM base),
-        |ev AS (
-        |  SELECT user_id, event_type,
-        |    CAST(round(value * 1e6) AS BIGINT) AS val6,
-        |    CASE WHEN ts >= TIMESTAMP '2024-01-21 00:00:00' THEN 3
-        |         WHEN ts >= TIMESTAMP '2024-01-11 00:00:00' THEN 2
-        |         ELSE 1 END AS v
-        |  FROM events)
-        |SELECT CAST(ev.v AS BIGINT) AS version, event_type,
-        |  count(*)::BIGINT AS n,
-        |  sum(ev.val6)::BIGINT AS sum_val6,
-        |  sum(d.bal_c)::BIGINT AS sum_bal_c
-        |FROM ev JOIN d ON d.v = ev.v AND d.c_custkey = ev.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x178_pit_dim_serve" -> pitLadderOracleSql,
+    // x178's oracle VERBATIM: the interval-table serve must be
+    // hash-indistinguishable from the snapshot-union serve
+    "x184_pit_interval_serve" -> pitLadderOracleSql,
     // shape contract like x176, plus the earned filter property: the
     // engine counts served ids outside the allowed set (must be 0) and
     // overlap vs the exact FILTERED composition
