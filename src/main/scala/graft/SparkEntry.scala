@@ -3610,6 +3610,57 @@ object SparkEntry {
         .orderBy(picked("version"), col("event_type"))
     }),
 
+    // Prune dry-run / store-health report (x185) — the observability
+    // row beside x163's feed-liveness: at 100 TB an operator reads
+    // WHAT a retention pass would reclaim (versions, ages, sizes,
+    // orphaned writer garbage, and why each row lives or dies) BEFORE
+    // running it. The would_reclaim decision is computed by the SAME
+    // functions the prunes execute (Catalog.versionVictims /
+    // bundleVictims / garbageVictims — one decision path, so the
+    // dry-run can never disagree with the action), and the plan EARNS
+    // that: after the report, the real prunes run, and the surviving
+    // rows are anti-joined both ways against the report's
+    // not-reclaimed rows — a report that over- or under-predicts
+    // flips prune_matched. Fixture: 4 table commits at keep=2 (two
+    // retention victims, one keep-window, one latest), a fresh crashed
+    // staging dir (writer-grace — the 1h floor protects a live
+    // writer), and a bundle whose compaction left two unreferenced
+    // versions at keep=1. age_ms/bytes are telemetry and stay out of
+    // the hashed projection.
+    "x185_store_health" -> ((s, dir) => {
+      val root = s"/tmp/graft/x185_health_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      (1 to 4).foreach(i =>
+        Catalog.commitVersion(d.where(col("doc_id") % 4 < i), root, "docs"))
+      new java.io.File(
+        s"$root/docs_versions/.staging-deadbeef").mkdirs()
+      Catalog.commitBundle(Seq("m" -> d.where(col("doc_id") % 2 === 0)),
+        root, "b", Seq("b0"))
+      Catalog.appendBundle(Seq("m" -> d.where(col("doc_id") % 2 === 1)),
+        root, "b", "b1")
+      Catalog.compactBundle(s, root, "b")
+      def report() = Catalog.storeHealth(s, root, "docs", keep = 2)
+        .unionByName(Catalog.bundleHealth(s, root, "b", keep = 1))
+      val rep = graft.Lifecycle.withMaterialized()(report())
+      Catalog.pruneVersions(s, root, "docs", keep = 2)
+      Catalog.pruneBundleVersions(s, root, "b", keep = 1)
+      val after = report().select(col("kind"), col("name"))
+      val predicted = rep.where(!col("would_reclaim"))
+        .select(col("kind"), col("name"))
+      val m1 = after.join(predicted, Seq("kind", "name"), "left_anti")
+        .agg(count(lit(1)).as("__m1"))
+      val m2 = predicted.join(after, Seq("kind", "name"), "left_anti")
+        .agg(count(lit(1)).as("__m2"))
+      rep.select(col("kind"), col("name"), col("version"),
+          col("committed"), col("is_latest"), col("would_reclaim"),
+          col("reason"))
+        .crossJoin(broadcast(m1.crossJoin(broadcast(m2))
+          .select((col("__m1") + col("__m2") === lit(0L))
+            .as("prune_matched"))))
+        .orderBy(col("kind"), col("version"), col("name"))
+    }),
+
     // Version history collapsed to SCD-2 intervals (x181) — the
     // storage-efficient PiT serve completing x178: instead of scanning
     // every snapshot at lookup time, the commit history collapses to
@@ -7245,6 +7296,21 @@ object SparkEntry {
     // x178's oracle VERBATIM: the interval-table serve must be
     // hash-indistinguishable from the snapshot-union serve
     "x184_pit_interval_serve" -> pitLadderOracleSql,
+    // the fixture is fully determined by the commit/compact sequence;
+    // prune_matched is EARNED in-plan (the real prunes run after the
+    // report and the survivors are diffed against its prediction)
+    "x185_store_health" ->
+      """SELECT * FROM (VALUES
+        |  ('bundle', '1', CAST(1 AS BIGINT), TRUE, FALSE, TRUE, 'retention', TRUE),
+        |  ('bundle', '2', CAST(2 AS BIGINT), TRUE, FALSE, TRUE, 'retention', TRUE),
+        |  ('bundle', '3', CAST(3 AS BIGINT), TRUE, TRUE, FALSE, 'latest', TRUE),
+        |  ('table', '.staging-deadbeef', CAST(-1 AS BIGINT), FALSE, FALSE, FALSE, 'writer-grace', TRUE),
+        |  ('table', '1', CAST(1 AS BIGINT), TRUE, FALSE, TRUE, 'retention', TRUE),
+        |  ('table', '2', CAST(2 AS BIGINT), TRUE, FALSE, TRUE, 'retention', TRUE),
+        |  ('table', '3', CAST(3 AS BIGINT), TRUE, FALSE, FALSE, 'keep-window', TRUE),
+        |  ('table', '4', CAST(4 AS BIGINT), TRUE, TRUE, FALSE, 'latest', TRUE)
+        |) AS t(kind, name, version, committed, is_latest, would_reclaim, reason, prune_matched)
+        |ORDER BY kind, version, name""".stripMargin,
     // shape contract like x176, plus the earned filter property: the
     // engine counts served ids outside the allowed set (must be 0) and
     // overlap vs the exact FILTERED composition

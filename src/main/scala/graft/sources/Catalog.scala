@@ -410,16 +410,29 @@ object Catalog {
     val f = fsFor(spark, base)
     if (!f.exists(base)) return
     val latest = latestVersion(spark, root, ref).getOrElse(return)
+    versionVictims(f, base, keep, minAgeMs,
+      p => f.exists(new HPath(p, "_SUCCESS")), latest)
+      .foreach(p => f.delete(p, true))
+    pruneGarbage(f, base, p => f.exists(new HPath(p, "_SUCCESS")), minAgeMs)
+  }
+
+  /** The version directories a [[pruneVersions]](keep, minAgeMs) call
+    * WOULD delete — the one decision function the prune and the
+    * [[storeHealth]] report share, so a dry-run can never disagree
+    * with the action it predicts.
+    */
+  private def versionVictims(f: FileSystem, base: HPath, keep: Int,
+      minAgeMs: Long, committed: HPath => Boolean,
+      latest: Long): Seq[HPath] = {
     val old = graceFilter(f, base, minAgeMs)
     val committedVs = f.listStatus(base).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.forall(_.isDigit))
       .map(_.getPath)
-      .filter(p => f.exists(new HPath(p, "_SUCCESS")))
+      .filter(committed)
       .map(_.getName.toLong)
     committedVs.sorted.reverse.drop(keep)
       .filter(_ != latest).map(v => new HPath(base, v.toString))
-      .filter(old).foreach(p => f.delete(p, true))
-    pruneGarbage(f, base, p => f.exists(new HPath(p, "_SUCCESS")), minAgeMs)
+      .filter(old)
   }
 
   /** mtime-based retention grace: true iff the path is old enough to
@@ -454,9 +467,16 @@ object Catalog {
     */
   private def pruneGarbage(f: FileSystem, base: HPath,
       committed: HPath => Boolean, minAgeMs: Long): Unit =
+    garbageVictims(f, base, committed, minAgeMs).foreach(p => f.delete(p, true))
+
+  /** The garbage paths a prune WOULD reclaim — shared by the prunes and
+    * [[storeHealth]], same dry-run-equals-action contract as
+    * [[versionVictims]].
+    */
+  private def garbageVictims(f: FileSystem, base: HPath,
+      committed: HPath => Boolean, minAgeMs: Long): Seq[HPath] =
     garbageUnder(f, base, committed)
       .filter(graceFilter(f, base, math.max(minAgeMs, GarbageGraceMs)))
-      .foreach(p => f.delete(p, true))
 
   /** Crashed-writer leftovers under a versions/bundle base: top-level
     * `.staging-*` directories and uncommitted numbered directories, PLUS
@@ -704,6 +724,19 @@ object Catalog {
     val base = new HPath(bundleDir(root, bundle))
     val f = fsFor(spark, base)
     if (!f.exists(base)) return
+    bundleVictims(spark, f, root, bundle, base, keep, minAgeMs)
+      .foreach(p => f.delete(p, true))
+    pruneGarbage(f, base, p => f.exists(new HPath(p, "_manifest")), minAgeMs)
+  }
+
+  /** The version directories a [[pruneBundleVersions]](keep, minAgeMs)
+    * call WOULD delete — shared with [[bundleHealth]]; a kept
+    * manifest's file-set references protect the older directories they
+    * live in.
+    */
+  private def bundleVictims(spark: SparkSession, f: FileSystem,
+      root: String, bundle: String, base: HPath, keep: Int,
+      minAgeMs: Long): Seq[HPath] = {
     val old = graceFilter(f, base, minAgeMs)
     val committed = f.listStatus(base).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.forall(_.isDigit))
@@ -716,8 +749,118 @@ object Catalog {
         .dirs.values.flatten.map(_.split("/").head.toLong)
     }.toSet ++ kept
     committed.filterNot(referenced).map(v => new HPath(base, v.toString))
-      .filter(old).foreach(p => f.delete(p, true))
-    pruneGarbage(f, base, p => f.exists(new HPath(p, "_manifest")), minAgeMs)
+      .filter(old)
+  }
+
+  // ------------------------------------- store health / prune dry-run
+
+  /** Store-health report over a versioned TABLE root — the dry-run an
+    * operator reads BEFORE reclaiming at 100 TB: one row per committed
+    * version and per writer-garbage leftover, with age/size telemetry
+    * and, for the given (keep, minAgeMs), whether the next
+    * [[pruneVersions]] call would reclaim it and why. The
+    * would_reclaim decision comes from the SAME functions the prune
+    * executes ([[versionVictims]] / [[garbageVictims]]), so the report
+    * can never disagree with the action it predicts (CatalogSpec pins
+    * report ≡ subsequent prune on the same fixture). Columns: kind,
+    * name (base-relative), version (−1 for garbage rows), committed,
+    * is_latest, age_ms, bytes, would_reclaim, reason — age_ms/bytes
+    * are telemetry (wall-clock/layout dependent); deterministic
+    * consumers select the rest.
+    */
+  def storeHealth(spark: SparkSession, root: String, ref: String,
+      keep: Int, minAgeMs: Long = 0L): DataFrame = {
+    require(keep >= 1, s"storeHealth: keep=$keep must be >= 1")
+    val base = new HPath(versionsDir(root, ref))
+    val f = fsFor(spark, base)
+    val committedP = (p: HPath) => f.exists(new HPath(p, "_SUCCESS"))
+    val latest = latestVersion(spark, root, ref).getOrElse(-1L)
+    val victims = if (!f.exists(base)) Seq.empty[HPath]
+      else versionVictims(f, base, keep, minAgeMs, committedP, latest)
+    val garbage = if (!f.exists(base)) Seq.empty[HPath]
+      else garbageVictims(f, base, committedP, minAgeMs)
+    healthRows(spark, f, base, "table", committedP, latest, keep,
+      victims, garbage, referenced = None)
+  }
+
+  /** [[storeHealth]] for a BUNDLE root, against [[pruneBundleVersions]]:
+    * additionally distinguishes versions that survive only because a
+    * kept manifest still references their file sets (`referenced`).
+    */
+  def bundleHealth(spark: SparkSession, root: String, bundle: String,
+      keep: Int, minAgeMs: Long = 0L): DataFrame = {
+    require(keep >= 1, s"bundleHealth: keep=$keep must be >= 1")
+    val base = new HPath(bundleDir(root, bundle))
+    val f = fsFor(spark, base)
+    val committedP = (p: HPath) => f.exists(new HPath(p, "_manifest"))
+    val latest = latestBundleVersion(spark, root, bundle).getOrElse(-1L)
+    val committed = if (!f.exists(base)) Seq.empty[Long]
+      else f.listStatus(base).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.forall(_.isDigit))
+        .map(_.getPath).filter(committedP).map(_.getName.toLong).sorted
+    val kept = committed.takeRight(keep)
+    val referenced = kept.flatMap { v =>
+      bundleManifest(spark, root, bundle, Some(v))
+        .dirs.values.flatten.map(_.split("/").head.toLong)
+    }.toSet
+    val victims = if (!f.exists(base)) Seq.empty[HPath]
+      else bundleVictims(spark, f, root, bundle, base, keep, minAgeMs)
+    val garbage = if (!f.exists(base)) Seq.empty[HPath]
+      else garbageVictims(f, base, committedP, minAgeMs)
+    healthRows(spark, f, base, "bundle", committedP, latest, keep,
+      victims, garbage, referenced = Some(referenced))
+  }
+
+  /** Assemble the health rows: committed versions first, then garbage.
+    * Reasons are presentation; the reclaim DECISION is the victim sets
+    * passed in (computed by the prune's own functions).
+    */
+  private def healthRows(spark: SparkSession, f: FileSystem, base: HPath,
+      kind: String, committedP: HPath => Boolean, latest: Long, keep: Int,
+      victims: Seq[HPath], garbage: Seq[HPath],
+      referenced: Option[Set[Long]]): DataFrame = {
+    import spark.implicits._
+    if (!f.exists(base))
+      return Seq.empty[(String, String, Long, Boolean, Boolean, Long, Long,
+        Boolean, String)].toDF("kind", "name", "version", "committed",
+        "is_latest", "age_ms", "bytes", "would_reclaim", "reason")
+    val now = System.currentTimeMillis()
+    // base-relative display name, robust to scheme/authority differences
+    // between listStatus results and the caller-built base path
+    def relName(p: HPath): String = {
+      val b = HPath.getPathWithoutSchemeAndAuthority(base).toString
+      val s = HPath.getPathWithoutSchemeAndAuthority(p).toString
+      if (s.startsWith(b + "/")) s.substring(b.length + 1) else p.getName
+    }
+    val victimNames = victims.map(_.getName).toSet
+    val garbageNames = garbage.map(relName).toSet
+    val committedVs = f.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.forall(_.isDigit))
+      .map(_.getPath).filter(committedP).map(_.getName.toLong).sorted
+    val keptWindow = committedVs.takeRight(keep).toSet
+    val vRows = committedVs.map { v =>
+      val p = new HPath(base, v.toString)
+      val reclaim = victimNames.contains(v.toString)
+      val reason =
+        if (reclaim) "retention"
+        else if (v == latest) "latest"
+        else if (keptWindow.contains(v)) "keep-window"
+        else if (referenced.exists(_.contains(v))) "referenced"
+        else "reader-grace"
+      (kind, v.toString, v, true, v == latest,
+        now - f.getFileStatus(p).getModificationTime,
+        f.getContentSummary(p).getLength, reclaim, reason)
+    }
+    val gRows = garbageUnder(f, base, committedP).map { p =>
+      val rel = relName(p)
+      val reclaim = garbageNames.contains(rel)
+      (kind, rel, -1L, false, false,
+        now - f.getFileStatus(p).getModificationTime,
+        f.getContentSummary(p).getLength, reclaim,
+        if (reclaim) "garbage" else "writer-grace")
+    }
+    (vRows ++ gRows).toDF("kind", "name", "version", "committed",
+      "is_latest", "age_ms", "bytes", "would_reclaim", "reason")
   }
 
   /** The bundle's newest committed version — committed = manifest

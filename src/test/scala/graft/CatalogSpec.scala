@@ -642,4 +642,59 @@ class CatalogSpec extends AnyFunSuite {
       s"batches: ${m2.batches}")
     assert(Catalog.readBundleTable(spark, root, "q", "rows").count() == 21L)
   }
+
+  test("storeHealth/bundleHealth: dry-run equals the subsequent prune, aged garbage included") {
+    val root = Files.createTempDirectory("graft-health").toString
+    (1 to 4).foreach(i => Catalog.commitVersion((1L to i.toLong).toDF("id"), root, "t"))
+    val base = new java.io.File(Catalog.versionsDir(root, "t"))
+    // a crashed writer's staging, aged PAST the 1h garbage floor: the
+    // report must call it reclaimable and the prune must then take it
+    val dead = new java.io.File(base, ".staging-crashed")
+    assert(dead.mkdir())
+    assert(dead.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000))
+    // and a live writer's fresh staging: reported, NOT reclaimable
+    val live = new java.io.File(base, ".staging-live")
+    assert(live.mkdir())
+    val rep = Catalog.storeHealth(spark, root, "t", keep = 2).collect()
+      .map(r => (r.getString(1), r.getBoolean(7), r.getString(8))).toSet
+    assert(rep == Set(
+      ("1", true, "retention"), ("2", true, "retention"),
+      ("3", false, "keep-window"), ("4", false, "latest"),
+      (".staging-crashed", true, "garbage"),
+      (".staging-live", false, "writer-grace")), s"report: $rep")
+    // telemetry columns are populated (ages non-negative, sizes >= 0)
+    val tele = Catalog.storeHealth(spark, root, "t", keep = 2)
+      .where(col("age_ms") < 0 || col("bytes") < 0).count()
+    assert(tele == 0)
+    Catalog.pruneVersions(spark, root, "t", keep = 2)
+    val left = base.listFiles.filter(_.isDirectory).map(_.getName).toSet
+    val predicted = rep.collect { case (n, false, _) => n }
+    assert(left == predicted,
+      s"prune took a different action than the report predicted: $left vs $predicted")
+
+    // bundle: compaction leaves two unreferenced versions at keep=1
+    Catalog.commitBundle(Seq("m" -> (1L to 4L).toDF("id")), root, "b", Seq("b0"))
+    Catalog.appendBundle(Seq("m" -> (5L to 9L).toDF("id")), root, "b", "b1")
+    Catalog.compactBundle(spark, root, "b")
+    val brep = Catalog.bundleHealth(spark, root, "b", keep = 1).collect()
+      .map(r => (r.getString(1), r.getBoolean(7), r.getString(8))).toSet
+    assert(brep == Set(
+      ("1", true, "retention"), ("2", true, "retention"),
+      ("3", false, "latest")), s"bundle report: $brep")
+    // an append-chained bundle at keep=1 WITHOUT compaction keeps the
+    // referenced older versions alive - and the report says why
+    Catalog.commitBundle(Seq("m" -> (1L to 4L).toDF("id")), root, "c", Seq("b0"))
+    Catalog.appendBundle(Seq("m" -> (5L to 9L).toDF("id")), root, "c", "b1")
+    val crep = Catalog.bundleHealth(spark, root, "c", keep = 1).collect()
+      .map(r => (r.getString(1), r.getBoolean(7), r.getString(8))).toSet
+    assert(crep == Set(("1", false, "referenced"), ("2", false, "latest")),
+      s"append-chain report: $crep")
+    Catalog.pruneBundleVersions(spark, root, "b", keep = 1)
+    Catalog.pruneBundleVersions(spark, root, "c", keep = 1)
+    def bvs(b: String) = new java.io.File(Catalog.bundleDir(root, b))
+      .listFiles.filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+      .map(_.getName).toSet
+    assert(bvs("b") == Set("3") && bvs("c") == Set("1", "2"),
+      s"bundle prunes diverged from their reports: b=${bvs("b")} c=${bvs("c")}")
+  }
 }
