@@ -697,4 +697,64 @@ class CatalogSpec extends AnyFunSuite {
     assert(bvs("b") == Set("3") && bvs("c") == Set("1", "2"),
       s"bundle prunes diverged from their reports: b=${bvs("b")} c=${bvs("c")}")
   }
+
+  test("object-store rename shim: protocol correct and claim loss detected under copy+delete rename") {
+    // the 100 TB deployment target is object storage, where directory
+    // rename is emulated as copy-then-delete; the commit protocol's
+    // correctness must not secretly depend on posix/HDFS rename atomicity
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.nonatomic.impl", classOf[NonAtomicRenameFileSystem].getName)
+    val tmp = Files.createTempDirectory("graft-nonatomic").toString
+    val root = s"nonatomic://$tmp"
+    // deterministic claim-loss probe: under copy+delete a rename onto an
+    // existing version directory still NESTS, and the ownership marker is
+    // then NOT visible at the target root - exactly the signal
+    // claimVersionSlot keys on to detect a lost race
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val probe = new org.apache.hadoop.fs.Path(s"$root/probe")
+    assert(f.mkdirs(new org.apache.hadoop.fs.Path(probe, "7")))
+    assert(f.mkdirs(new org.apache.hadoop.fs.Path(probe, ".staging-tok")))
+    f.create(new org.apache.hadoop.fs.Path(probe,
+      ".staging-tok/_writer-tok"), true).close()
+    assert(f.rename(new org.apache.hadoop.fs.Path(probe, ".staging-tok"),
+      new org.apache.hadoop.fs.Path(probe, "7")),
+      "nesting rename must report success (as local/HDFS do)")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(probe, "7/_writer-tok")),
+      "marker visible at target root despite a lost claim")
+    assert(f.exists(new org.apache.hadoop.fs.Path(probe,
+      "7/.staging-tok/_writer-tok")),
+      "nested staging (the retry source) must survive the lost claim")
+
+    // the full protocol on the shim: sequential commits, racing
+    // committers, and the ledgered bundle append all behave exactly as
+    // on an atomic-rename filesystem
+    assert(Catalog.commitVersion((1L to 3L).toDF("id"), root, "t") == 1L)
+    assert(Catalog.commitVersion((1L to 5L).toDF("id"), root, "t") == 2L)
+    assert(Catalog.readVersion(spark, root, "t", Some(1L)).count() == 3L)
+    assert(Catalog.readVersion(spark, root, "t", Some(2L)).count() == 5L)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val threads = (1 to 3).map { w =>
+      new Thread(() => {
+        for (i <- 1 to 2) {
+          val n = (w * 100 + i).toLong
+          val v = Catalog.commitVersion((1L to n).toDF("id"), root, "t")
+          results.add((v, n))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val got = results.asScala.toSeq
+    assert(got.map(_._1).sorted == (3L to 8L), s"versions: ${got.map(_._1)}")
+    got.foreach { case (v, n) =>
+      assert(Catalog.readVersion(spark, root, "t", Some(v)).count() == n,
+        s"version $v corrupted under copy+delete rename")
+    }
+    assert(Catalog.latestVersion(spark, root, "t").contains(8L))
+    Catalog.commitBundle(Seq("m" -> (1L to 4L).toDF("id")), root, "b", Seq("b0"))
+    assert(Catalog.appendBundle(Seq("m" -> (5L to 6L).toDF("id")), root, "b", "b1"))
+    assert(!Catalog.appendBundle(Seq("m" -> (5L to 6L).toDF("id")), root, "b", "b1"),
+      "replay must stay rejected on the shim")
+    assert(Catalog.readBundleTable(spark, root, "b", "m").count() == 6L)
+  }
 }
