@@ -2904,23 +2904,32 @@ object SparkEntry {
     // the FULL corpus — x2's oracle verbatim, so incremental ≡ one-shot
     // ≡ exact is checked end to end (DedupSpec additionally pins a
     // three-batch ingest against a one-shot rebuild row-for-row). The
-    // ingest goes through the LEDGERED path (ingestPairBatch) and is
-    // deliberately issued twice with the same batch id: the second call
-    // is a replay and must be a no-op — a double-append would double
-    // every pair row and flip the oracle hash.
+    // ingest goes through the LEDGERED path and is deliberately issued
+    // twice with the same batch id: the second call is a replay and
+    // must be a no-op — a double-append would double every pair row
+    // and flip the oracle hash. Since round 13 this key is a thin
+    // alias of the BUNDLE-backed store (the marker-file flat store is
+    // retired from all non-test callers; x174 is the canonical bundle
+    // ingest) — the declared key stays stable, the oracle is
+    // unchanged, and the store underneath is the atomic one.
     "x159_pair_store_ingest" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val root = s"/tmp/graft/x159_store_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
       val corpus = docs.where(col("doc_id") % 5 =!= 4)
       val batch = docs.where(col("doc_id") % 5 === 4)
-      Dedup.writePairStore(corpus, root, "doc_id", "text", threshold = 0.9)
-      val first = Dedup.ingestPairBatch(batch, corpus, root,
-        batchId = "day-0001", threshold = 0.9)
-      val replay = Dedup.ingestPairBatch(batch, corpus, root,
-        batchId = "day-0001", threshold = 0.9)
+      Dedup.writePairBundle(corpus, root, "neardup", "doc_id", "text",
+        threshold = 0.9)
+      val first = Dedup.ingestPairBundle(batch, corpus, root, "neardup",
+        batchId = "day-0001", idCol = "doc_id", textCol = "text",
+        threshold = 0.9)
+      val replay = Dedup.ingestPairBundle(batch, corpus, root, "neardup",
+        batchId = "day-0001", idCol = "doc_id", textCol = "text",
+        threshold = 0.9)
       require(first && !replay,
         s"pair-store ledger broken: first=$first replay=$replay")
-      Dedup.pairTable(s, root).orderBy(col("a"), col("b"))
+      Catalog.readBundleTable(s, root, "neardup", "pairs")
+        .orderBy(col("a"), col("b"))
     }),
 
     // Source overlap matrix (x160) — x136 catches whole near-dup
@@ -3094,20 +3103,26 @@ object SparkEntry {
     // document — the oracle is x60's replay VERBATIM, so ingest ≡ refit
     // is checked end to end: doubled counts from a replay, a lost batch,
     // or a load-convention drift each flip the hash.
+    // Since round 13 this key is a thin alias of the BUNDLE-backed LM
+    // store (the flat swap→marker store is retired from all non-test
+    // callers; x179 is the canonical bundle ingest with compaction) —
+    // declared key and oracle unchanged, the store underneath atomic.
     "x169_lm_count_merge" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val root = s"/tmp/graft/x169_lmc_${storeTag(dir)}"
-      graft.operators.LmStore.write(docs.where(col("doc_id") % 3 === 0),
-        "text", root)
-      val i1 = graft.operators.LmStore.ingest(
-        docs.where(col("doc_id") % 3 === 1), "text", root, "b1")
-      val r1 = graft.operators.LmStore.ingest(
-        docs.where(col("doc_id") % 3 === 1), "text", root, "b1")
-      val i2 = graft.operators.LmStore.ingest(
-        docs.where(col("doc_id") % 3 === 2), "text", root, "b2")
+      deleteRecursively(new java.io.File(root))
+      graft.operators.LmStore.writeBundle(docs.where(col("doc_id") % 3 === 0),
+        "text", root, "lm", seedBatchIds = Seq("b0"))
+      val i1 = graft.operators.LmStore.ingestBundle(
+        docs.where(col("doc_id") % 3 === 1), "text", root, "lm", "b1")
+      val r1 = graft.operators.LmStore.ingestBundle(
+        docs.where(col("doc_id") % 3 === 1), "text", root, "lm", "b1")
+      val i2 = graft.operators.LmStore.ingestBundle(
+        docs.where(col("doc_id") % 3 === 2), "text", root, "lm", "b2")
       require(i1 && !r1 && i2,
         s"lm-store ledger broken: i1=$i1 replay=$r1 i2=$i2")
-      val (voc, denom) = graft.operators.LmStore.load(s, root, vocabSize = 20)
+      val (voc, denom) = graft.operators.LmStore.loadBundle(s, root, "lm",
+        vocabSize = 20)
       TextStats.unigramLogProbFromLm(docs, "doc_id", "text", voc, denom)
         .select(col("doc_id"), roundz(col("unigram_lp"), 6).as("unigram_lp"))
         .orderBy(col("doc_id"))
@@ -3902,17 +3917,26 @@ object SparkEntry {
             docs.where(col("doc_id") % 5 =!= 4), lshIdx(dir),
             "doc_id", "text", threshold = 0.9)
         })),
+      // since round 13 an alias of the bundle ingest (flat store
+      // retired) — kept so the serve trend row stays continuous;
+      // expect it to track x174's number
       "x159_pair_store_ingest" -> ((
-        (s: SparkSession, dir: String) =>
-          Dedup.writePairStore(
+        (s: SparkSession, dir: String) => {
+          deleteRecursively(new java.io.File(pairIdx(dir)))
+          Dedup.writePairBundle(
             t(s, dir, "documents").where(col("doc_id") % 5 =!= 4),
-            pairIdx(dir), "doc_id", "text", threshold = 0.9),
+            pairIdx(dir), "neardup", "doc_id", "text", threshold = 0.9)
+        },
         (s: SparkSession, dir: String) => {
           val docs = t(s, dir, "documents")
           val corpus = docs.where(col("doc_id") % 5 =!= 4)
           val batch = docs.where(col("doc_id") % 5 === 4)
-          val cross = Dedup.matchesAgainstLshIndex(batch, corpus,
-            pairIdx(dir), "doc_id", "text", threshold = 0.9)
+          val stored = Catalog.readBundleTable(s, pairIdx(dir), "neardup",
+              "buckets")
+            .select(col("doc_id"), col("band").cast("int").as("band"),
+              col("bucket"))
+          val cross = Dedup.incrementalMinhashMatchesWithIndex(batch,
+            corpus, stored, "doc_id", "text", threshold = 0.9)
           val within = Dedup.minhashPairs(batch, "doc_id", "text",
             threshold = 0.9)
           cross.select(least(col("new_id"), col("corpus_id")).as("a"),

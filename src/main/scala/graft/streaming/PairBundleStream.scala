@@ -7,9 +7,10 @@ import graft.operators.Dedup
 import graft.sources.Catalog
 
 /** Streaming pair-store maintenance ON the atomic bundle store — x174's
-  * streaming twin, and the closure of [[PairStream]]'s honestly-stated
-  * residual: there, the pairs+buckets+corpus+marker sequence was four
-  * separate writes, so a crash mid-sequence replayed the batch. Here
+  * streaming twin, and the closure of the retired flat PairStream's
+  * honestly-stated residual (removed in round 13): there, the
+  * pairs+buckets+corpus+marker sequence was four separate writes, so a
+  * crash mid-sequence replayed the batch. Here
   * the corpus rides as a THIRD bundle member, so pairs, buckets, the
   * corpus, and the batch ledger publish in ONE manifest rename per
   * micro-batch; a replayed micro-batch id is rejected atomically by the

@@ -423,47 +423,6 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming pair-store ingest equals a one-shot batch build") {
-    import graft.streaming.PairStream
-    import graft.operators.Dedup
-    val src = Files.createTempDirectory("graft_pair_src")
-    val dir = Files.createTempDirectory("graft_pair_store").toString + "/store"
-    def doc(id: Long, text: String) = (id, text, "en", "s0", text.length.toLong)
-    def stage(name: String, docs: Seq[(Long, String, String, String, Long)]): Unit = {
-      val tmp = Files.createTempDirectory("graft_pair_stage")
-      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
-      Files.move(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
-    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    val other = "one two three four five six seven eight nine ten eleven"
-    stage("b0.parquet", Seq(doc(1, base), doc(2, other)))
-    stage("b1.parquet", Seq(
-      doc(10, base),                       // cross-batch near-dup of 1
-      doc(11, base.replace("kappa", "KAPPA")),
-      doc(12, "fresh unrelated content that matches nothing else at all")))
-    stage("b2.parquet", Seq(doc(20, other.replace("eleven", "ELEVEN"))))
-    val q = PairStream.pairStream(spark, src.toString, dir, threshold = 0.5)
-    try q.processAllAvailable() finally q.stop()
-    // stream-built store ≡ one-shot batch build over the same corpus
-    val all = Seq(doc(1, base), doc(2, other), doc(10, base),
-      doc(11, base.replace("kappa", "KAPPA")),
-      doc(12, "fresh unrelated content that matches nothing else at all"),
-      doc(20, other.replace("eleven", "ELEVEN")))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val oneShot = Files.createTempDirectory("graft_pair_oneshot").toString
-    Dedup.writePairStore(all, oneShot, "doc_id", "text", threshold = 0.5)
-    def rows(d: String) = Dedup.pairTable(spark, d)
-      .orderBy($"a", $"b").collect().map(_.toSeq).toSeq
-    val streamed = rows(dir)
-    assert(streamed == rows(oneShot) && streamed.nonEmpty)
-    // cross-batch pair (1,10) must be present: the second batch matched
-    // against the STORE built by the first
-    assert(streamed.exists(r => r.head == 1L && r(1) == 10L))
-  }
-
   test("streaming pair-bundle ingest equals a one-shot bundle build, all members atomic") {
     import graft.streaming.PairBundleStream
     import graft.operators.Dedup
@@ -520,35 +479,6 @@ class StreamingSpec extends AnyFunSuite {
       Catalog.readBundleTable(spark, root, "neardup", "corpus"),
       root, "neardup", m.batches.head, "doc_id", "text", threshold = 0.5))
     assert(Catalog.bundleManifest(spark, root, "neardup") == m)
-  }
-
-  test("streaming LM count-merge equals a one-shot batch count") {
-    import graft.streaming.LmStream
-    import graft.operators.LmStore
-    val src = Files.createTempDirectory("graft_lm_src")
-    val dir = Files.createTempDirectory("graft_lm_store").toString + "/store"
-    def doc(id: Long, text: String) = (id, text, "en", "s0", text.length.toLong)
-    def stage(name: String, docs: Seq[(Long, String, String, String, Long)]): Unit = {
-      val tmp = Files.createTempDirectory("graft_lm_stage")
-      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
-      Files.move(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
-    stage("b0.parquet", Seq(doc(1, "alpha beta beta gamma")))
-    stage("b1.parquet", Seq(doc(2, "beta gamma delta"), doc(3, "alpha alpha")))
-    stage("b2.parquet", Seq(doc(4, "epsilon")))
-    val q = LmStream.lmStream(spark, src.toString, dir)
-    try q.processAllAvailable() finally q.stop()
-    val all = Seq(doc(1, "alpha beta beta gamma"),
-      doc(2, "beta gamma delta"), doc(3, "alpha alpha"), doc(4, "epsilon"))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val streamed = spark.read.parquet(s"$dir/counts.parquet")
-      .orderBy($"tok").collect().map(_.toSeq).toSeq
-    val oneShot = LmStore.counts(all, "text")
-      .orderBy($"tok").collect().map(_.toSeq).toSeq
-    assert(streamed == oneShot && streamed.nonEmpty)
   }
 
   test("streaming LM bundle store: manifest-ledgered, exactly-once, no re-mark step") {
