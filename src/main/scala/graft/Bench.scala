@@ -149,11 +149,19 @@ object Bench {
     // old full per-query "queries" map should fail loudly on the missing
     // key rather than silently read 5 entries as if they were all of them
     // (the full map lives in the detail file, under "queries").
+    // each slow entry carries median AND best so the artifact is
+    // self-adjudicating: median >> best = an environment stall owned a
+    // rep (ignore), median ≈ best with both elevated = the plan really
+    // got slower (investigate). value_kind names the headline's
+    // aggregation explicitly — it is a sum of per-query MEDIANS, never
+    // of rep sums, so one stalled rep cannot own the headline.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, v, b) =>
+        s"\"" + k + "\":{\"median\":" + v + ",\"best\":" + b + "}" }
+      .mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","best_total":$bestTotal,"slowest":$slowest,"serve_only":$serveJson,"sf":"$sfDir","reps":$reps,"queries_n":${results.size},"failed_n":$nFailed,"detail":"/tmp/graft/bench_last.json"}""")
+      s"""{"metric":"total","value":$total,"value_kind":"sum_of_per_query_medians","unit":"sec","best_total":$bestTotal,"slowest":$slowest,"serve_only":$serveJson,"sf":"$sfDir","reps":$reps,"queries_n":${results.size},"failed_n":$nFailed,"detail":"/tmp/graft/bench_last.json"}""")
     spark.stop()
   }
 }
