@@ -3789,6 +3789,55 @@ object SparkEntry {
           (col("__ov") >= lit(16L)).as("recall_ok"))
     }),
 
+    // The production stack FULLY on the bundle protocol (x187) — the
+    // round's store migrations composed: x176's three-stage serve with
+    // BOTH retrieval indexes resolved through atomic bundle manifests
+    // (x186 text + x182 ANN), and the one claim worth hashing: a
+    // bundle deployment serves EXACTLY what the flat deployment serves
+    // over the same corpus. Both stacks build in-plan from the same
+    // aligned corpus and the same trained codebooks (the deterministic
+    // builds share trainCentroids/encodeAssign and the postings pass),
+    // both serve through the shared cores, and the two final ranked
+    // lists anti-join both ways on the full (rank, nid, mmr4) row —
+    // a store-protocol-induced drift anywhere in postings, stats,
+    // codes, or manifest resolution flips matches_flat.
+    "x187_bundle_stack_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 1)
+      val terms = Seq("join", "hash", "vector")
+      val aligned = docs.join(e.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val tix = s"/tmp/graft/x187_tix_${storeTag(dir)}"
+      val aix = s"/tmp/graft/x187_aix_${storeTag(dir)}"
+      val root = s"/tmp/graft/x187_bnd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      TextIndex.write(aligned, tix)
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      AnnIndex.write(e, books, aix, nCentroids = 16, trainIters = 4,
+        spill = 2)
+      TextIndex.writeBundle(aligned, root, "tix", seedBatchIds = Seq("b0"))
+      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      val flat = Similarity.threeStageServe(s, tix, aix, e, terms, q,
+        k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6)
+      val bundle = Similarity.threeStageServeBundle(s, root, "tix",
+        root, "ann", e, terms, q,
+        k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6)
+      val key = Seq("rank", "nid", "mmr4")
+      val m1 = bundle.select(key.map(col): _*)
+        .join(flat.select(key.map(col): _*), key, "left_anti")
+        .agg(count(lit(1)).as("__m1"))
+      val m2 = flat.select(key.map(col): _*)
+        .join(bundle.select(key.map(col): _*), key, "left_anti")
+        .agg(count(lit(1)).as("__m2"))
+      bundle.agg(count(lit(1)).as("n_results"))
+        .crossJoin(broadcast(m1)).crossJoin(broadcast(m2))
+        .select(col("n_results"),
+          (col("__m1") + col("__m2") === lit(0L)).as("matches_flat"))
+    }),
+
     // Text index on the atomic bundle (x186) — the SECOND serving index
     // joins the store protocol (x182 did the ANN side), completing the
     // migration: postings (shard-partitioned, layout declared in the
@@ -3875,6 +3924,7 @@ object SparkEntry {
     def annbRoot(dir: String) = s"/tmp/graft/serve_x182_${storeTag(dir)}"
     def tixbRoot(dir: String) = s"/tmp/graft/serve_x186_${storeTag(dir)}"
     def pitRoot(dir: String) = s"/tmp/graft/serve_x184_${storeTag(dir)}"
+    def bstkRoot(dir: String) = s"/tmp/graft/serve_x187_${storeTag(dir)}"
     Map(
       "x95_stored_ann_index" -> ((
         (s: SparkSession, dir: String) => {
@@ -4157,6 +4207,33 @@ object SparkEntry {
             .groupBy(picked("version"), col("event_type"))
             .agg(count(lit(1)).as("n"), sum(col("val6")).as("sum_val6"),
               sum(col("bal_c")).as("sum_bal_c"))
+        })),
+      // the fully bundle-backed production serve — read beside x176's
+      // flat-store serve_only: the manifest resolution and per-file-set
+      // union must add ~nothing at serve time, which this row proves
+      // round over round
+      "x187_bundle_stack_serve" -> ((
+        (s: SparkSession, dir: String) => {
+          val e = t(s, dir, "embeddings")
+          deleteRecursively(new java.io.File(bstkRoot(dir)))
+          val aligned = t(s, dir, "documents")
+            .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+              "left_semi")
+          TextIndex.writeBundle(aligned, bstkRoot(dir), "tix",
+            seedBatchIds = Seq("b0"))
+          val books = Embeddings.pqTrain(
+            RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+          AnnIndex.writeBundle(e, books, bstkRoot(dir), "ann",
+            nCentroids = 16, trainIters = 4, spill = 2,
+            seedBatchIds = Seq("b0"))
+          ()
+        },
+        (s: SparkSession, dir: String) => {
+          val e = t(s, dir, "embeddings")
+          Similarity.threeStageServeBundle(s, bstkRoot(dir), "tix",
+            bstkRoot(dir), "ann", e, Seq("join", "hash", "vector"),
+            e.where(col("vec_id") < 1), k = 10, fuseK = 30, poolK = 50,
+            rerank = 150, nProbe = 6)
         })),
       // the text twin of x182's serve trend: BM25 off the bundle-backed
       // postings (manifest-resolved file sets, shard predicate pruning
@@ -7387,6 +7464,11 @@ object SparkEntry {
     "x183_batched_serve" ->
       ("SELECT CAST(80 AS BIGINT) AS n_results, " +
         "CAST(8 AS BIGINT) AS n_queries, TRUE AS overlap_ok"),
+    // the flat ≡ bundle equivalence of the WHOLE serving stack is
+    // EARNED in-plan (final ranked lists anti-joined both ways on the
+    // full row); the count is literal
+    "x187_bundle_stack_serve" ->
+      "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS matches_flat",
     // shape contract like x182: compaction stability and the
     // bundle-serve ≡ flat-full-rebuild equivalence (BM25 ranked rows AND
     // positional phrase rows, anti-joined both ways) are EARNED in-plan;

@@ -57,7 +57,9 @@ FAMILIES = {
               "x102_label_confusion", "x110_label_outliers",
               "x121_embed_dim_stats", "x122_pca_top", "x161_hybrid_rrf",
               "x165_hybrid_stored_serve", "x171_mmr_rerank",
-              "x176_three_stage_serve", "x180_filtered_serve"],
+              "x176_three_stage_serve", "x180_filtered_serve",
+              "x182_ann_bundle_store", "x183_batched_serve",
+              "x187_bundle_stack_serve"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
               "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp",
               "x104_hll_distinct", "x107_incremental_stats",
@@ -69,7 +71,8 @@ FAMILIES = {
     "text_index": ["x129_stored_text_index", "x130_bm25_search",
                    "x132_dup_gram_fraction", "x133_phrase_search",
                    "x134_text_index_append", "x153_bpe_tokens",
-                   "x155_bpe_from_store", "x157_skipgram_counts"],
+                   "x155_bpe_from_store", "x157_skipgram_counts",
+                   "x186_text_bundle_store"],
     "training": ["x97_balanced_shards", "x99_diverse_sample",
                  "x114_snapshot_diff", "x115_fuzzy_match",
                  "x116_nb_classify", "x117_cdc_apply", "x118_drift_psi",
@@ -85,7 +88,8 @@ FAMILIES = {
                  "x172_versioned_table", "x173_bundle_commit",
                  "x175_version_diff", "x177_schema_evolved_diff",
                  "x178_pit_dim_serve", "x179_lm_bundle_store",
-                 "x181_version_history_scd2"],
+                 "x181_version_history_scd2", "x184_pit_interval_serve",
+                 "x185_store_health"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
               "x126_label_prop", "x142_triangle_census",
               "x156_kcore_trade"],
