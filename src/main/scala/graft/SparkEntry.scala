@@ -3543,7 +3543,12 @@ object SparkEntry {
       val allowed = e.where(col("label") < 5).select(col("vec_id"))
       val tix = s"/tmp/graft/x180_tix_${storeTag(dir)}"
       val aix = s"/tmp/graft/x180_aix_${storeTag(dir)}"
-      TextIndex.write(docs, tix)
+      // alignment contract (see x176): index only the embedded docs —
+      // the `within` filter alone also guarantees pool resolution, but
+      // the store should match what the probe and every other composed
+      // serve builds
+      TextIndex.write(docs.join(e.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"), tix)
       val books = Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
       AnnIndex.write(e, books, aix, nCentroids = 16, trainIters = 4, spill = 2)

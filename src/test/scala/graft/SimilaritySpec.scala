@@ -603,6 +603,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("256-candidate"))
     spark.catalog.clearCache()
+
+    // the filtered batch: within restricts BOTH retrieval sides before
+    // top-k per query, exactly as the single filtered serve does
+    val allowed = e.where(col("label") < 5).select(col("vec_id"))
+    val gotF = Similarity.threeStageServeBatch(spark, tix, aix, e,
+        batch.take(2), e.where(col("vec_id") < 2), k = 5, fuseK = 15,
+        poolK = 20, rerank = 60, nProbe = 3, within = Some(allowed))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq }
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    batch.take(2).foreach { case (qid, ts) =>
+      val single = Similarity.threeStageServe(spark, tix, aix, e, ts,
+          e.where(col("vec_id") === qid), k = 5, fuseK = 15, poolK = 20,
+          rerank = 60, nProbe = 3, within = Some(allowed))
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(gotF(qid) == single && single.size == 5,
+        s"filtered qid $qid: batch ${gotF(qid)} != single $single")
+      assert(gotF(qid).forall(r => allowedIds.contains(r._2)),
+        s"filtered qid $qid served an id outside the allowed set")
+      spark.catalog.clearCache()
+    }
   }
 
   test("filtered serve: results within the allowed set; wiring equals hand-filtered stages") {
