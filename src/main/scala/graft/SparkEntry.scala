@@ -3794,6 +3794,75 @@ object SparkEntry {
           (col("__ov") >= lit(16L)).as("recall_ok"))
     }),
 
+    // TAKEDOWN across the serving stores (x188) — the deletion path a
+    // production corpus store fields routinely (contaminated-document
+    // removal, copyright / right-to-be-forgotten): one atomic version
+    // per store removes an id set via Catalog.rewriteBundleMembers —
+    // affected members rewritten by broadcast anti-join, untouched
+    // members (quantizer, codebooks) carried by manifest REFERENCE,
+    // never read or rewritten, the batch ledger preserved (the plan
+    // replays an ingest after the takedown: still rejected). Two
+    // earned equivalences under the hash: the text index's post-
+    // takedown BM25 serve anti-joins empty both ways against a flat
+    // index REBUILT without the removed docs (the corpus-stats
+    // compensation delta must land exactly — a wrong (−n, −Σdl) row
+    // shifts avgdl and every score), and the ANN index's post-takedown
+    // exhaustive serve (all cells probed, corpus-wide rerank) equals
+    // brute force over the REMAINING vectors — a leftover code row
+    // would surface a removed id, a lost one would drop a survivor.
+    "x188_takedown" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val root = s"/tmp/graft/x188_td_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      val rmDocs = docs.where(col("doc_id") % 10 === 3).select(col("doc_id"))
+      TextIndex.writeBundle(docs.where(col("doc_id") % 2 === 0), root,
+        "tix", seedBatchIds = Seq("b0"))
+      require(TextIndex.appendBundle(s, root, "tix",
+        docs.where(col("doc_id") % 2 === 1), "b1"), "append failed")
+      TextIndex.retractBundle(s, root, "tix", rmDocs)
+      require(!TextIndex.appendBundle(s, root, "tix",
+        docs.where(col("doc_id") % 2 === 1), "b1"),
+        "takedown must not reopen the ledger")
+      val terms = Seq("join", "hash", "vector")
+      val post = TextIndex.bm25SearchBundle(s, root, "tix", terms, k = 10)
+      val flat = s"/tmp/graft/x188_flat_${storeTag(dir)}"
+      TextIndex.write(docs.join(rmDocs, Seq("doc_id"), "left_anti"), flat)
+      val ref = TextIndex.bm25Search(s, flat, terms, k = 10)
+      val tkey = Seq("doc_id", "score_x10k", "rank")
+      val t1 = post.select(tkey.map(col): _*)
+        .join(ref.select(tkey.map(col): _*), tkey, "left_anti")
+        .agg(count(lit(1)).as("__t1"))
+      val t2 = ref.select(tkey.map(col): _*)
+        .join(post.select(tkey.map(col): _*), tkey, "left_anti")
+        .agg(count(lit(1)).as("__t2"))
+      val rmVecs = e.where(col("vec_id") % 10 === 3).select(col("vec_id"))
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      AnnIndex.retractBundle(s, root, "ann", rmVecs)
+      val q = e.where(col("vec_id") < 3)
+      val served = AnnIndex.knnBundle(s, root, "ann", e, q, k = 10,
+        rerank = 100000, nProbe = 16)
+      val exact = Similarity.bruteForceKnn(
+        e.join(rmVecs, Seq("vec_id"), "left_anti"), q, k = 10)
+      val akey = Seq("qid", "nid", "rank")
+      val a1 = served.select(akey.map(col): _*)
+        .join(exact.select(akey.map(col): _*), akey, "left_anti")
+        .agg(count(lit(1)).as("__a1"))
+      val a2 = exact.select(akey.map(col): _*)
+        .join(served.select(akey.map(col): _*), akey, "left_anti")
+        .agg(count(lit(1)).as("__a2"))
+      post.agg(count(lit(1)).as("n_text_results"))
+        .crossJoin(broadcast(served.agg(count(lit(1)).as("n_ann_results"))))
+        .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+        .crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
+        .select(col("n_text_results"), col("n_ann_results"),
+          (col("__t1") + col("__t2") === lit(0L)).as("text_matches_rebuild"),
+          (col("__a1") + col("__a2") === lit(0L)).as("ann_matches_exact"))
+    }),
+
     // The production stack FULLY on the bundle protocol (x187) — the
     // round's store migrations composed: x176's three-stage serve with
     // BOTH retrieval indexes resolved through atomic bundle manifests
@@ -7474,6 +7543,13 @@ object SparkEntry {
     // full row); the count is literal
     "x187_bundle_stack_serve" ->
       "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS matches_flat",
+    // both takedown equivalences are EARNED in-plan (post-takedown
+    // serves anti-joined both ways against rebuild-without-the-ids /
+    // brute-force-over-the-remaining); the ledger replay is require()d
+    "x188_takedown" ->
+      ("SELECT CAST(10 AS BIGINT) AS n_text_results, " +
+        "CAST(30 AS BIGINT) AS n_ann_results, " +
+        "TRUE AS text_matches_rebuild, TRUE AS ann_matches_exact"),
     // shape contract like x182: compaction stability and the
     // bundle-serve ≡ flat-full-rebuild equivalence (BM25 ranked rows AND
     // positional phrase rows, anti-joined both ways) are EARNED in-plan;

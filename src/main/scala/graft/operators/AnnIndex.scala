@@ -307,4 +307,24 @@ object AnnIndex {
       parseBooks(Catalog.readBundleTable(spark, root, name, "books")),
       Catalog.readBundleTable(spark, root, name, "codes"),
       corpus, queries, k, rerank, nProbe, idCol, vecCol, within)
+
+  /** TAKEDOWN: remove a vector id set from the bundle-backed index in
+    * ONE atomic version — the ANN twin of
+    * [[TextIndex.retractBundle]]: the codes member loses the removed
+    * ids by a broadcast anti-join (one pass, cell layout preserved by
+    * the manifest), while the quantizer, codebooks and params carry
+    * forward BY REFERENCE (never read or rewritten — removing vectors
+    * cannot move a frozen quantizer, and every surviving code stays
+    * valid). Ledger preserved; serves after the flip return exactly
+    * what an index rebuilt without the ids returns (AnnIndexSpec pins
+    * the exhaustive serve against brute force over the remaining
+    * corpus); rows leave disk at retention. `ids`: one id column.
+    */
+  def retractBundle(spark: SparkSession, root: String, name: String,
+      ids: DataFrame, idCol: String = "vec_id"): Long = {
+    val rm = broadcast(ids.select(col(ids.columns.head).as("__rm_id")))
+    Catalog.rewriteBundleMembers(spark, root, name, Map(
+      "codes" -> ((c: DataFrame) =>
+        c.join(rm, c(idCol) === rm("__rm_id"), "left_anti"))))
+  }
 }

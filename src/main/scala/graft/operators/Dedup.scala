@@ -1180,6 +1180,35 @@ object Dedup {
     }
   }
 
+  /** TAKEDOWN for the pair bundle — the dedup twin of
+    * [[graft.operators.TextIndex.retractBundle]]: every pair touching a
+    * removed id goes (its duplicate relation is void once the doc is
+    * gone), the removed ids' LSH buckets go (the next ingest batch can
+    * no longer match against them), and the corpus member — present in
+    * the streaming bundle — loses the docs, all in ONE atomic version
+    * via [[graft.sources.Catalog.rewriteBundleMembers]] with the batch
+    * ledger preserved. Broadcast anti-joins (takedown lists are small),
+    * untouched members carried by reference.
+    */
+  def retractPairBundle(spark: org.apache.spark.sql.SparkSession,
+      root: String, bundle: String, ids: DataFrame,
+      idCol: String = "doc_id"): Long = {
+    val rmA = broadcast(ids.select(col(ids.columns.head).as("__rm_a")))
+    val rmB = broadcast(ids.select(col(ids.columns.head).as("__rm_b")))
+    val m = graft.sources.Catalog.bundleManifest(spark, root, bundle)
+    val base: Map[String, DataFrame => DataFrame] = Map(
+      "pairs" -> ((p: DataFrame) =>
+        p.join(rmA, p("a") === rmA("__rm_a"), "left_anti")
+          .join(rmB, col("b") === rmB("__rm_b"), "left_anti")),
+      "buckets" -> ((b: DataFrame) =>
+        b.join(rmA, b(idCol) === rmA("__rm_a"), "left_anti")))
+    val all = if (m.dirs.contains("corpus"))
+      base + ("corpus" -> ((c: DataFrame) =>
+        c.join(rmA, c(idCol) === rmA("__rm_a"), "left_anti")))
+    else base
+    graft.sources.Catalog.rewriteBundleMembers(spark, root, bundle, all)
+  }
+
   /** The new batch with exact and near duplicates of the corpus removed —
     * the per-ingest decontamination step of a continuously growing corpus.
     * Within-batch duplicates are a separate, composable concern

@@ -156,6 +156,23 @@ object LmStore {
     Catalog.appendBundle(Seq("counts" -> counts(batch, textCol)), root,
       name, batchId)
 
+  /** TAKEDOWN: subtract a removed document batch's counts from the
+    * bundle store — counts are an additive monoid, so retraction is
+    * just a NEGATIVE delta appended through the same ledgered path
+    * ([[graft.sources.Catalog.appendBundle]], batch id in the
+    * manifest): O(removed batch), never a store rewrite, replayed
+    * takedowns rejected like any batch, [[loadBundle]]'s group-sum
+    * exact after any interleaving. Caller contract (same as every
+    * ingest path): `removed` is exactly the docs previously ingested —
+    * retracting text that never entered the store drives counts
+    * negative.
+    */
+  def retractBundle(removed: DataFrame, textCol: String, root: String,
+      name: String, batchId: String): Boolean =
+    Catalog.appendBundle(Seq("counts" ->
+        counts(removed, textCol).select(col("tok"), (-col("c")).as("c"))),
+      root, name, batchId)
+
   /** Load the LM off the bundle store: group-sum the delta file sets
     * (exact — counts are an additive monoid), then the same top-K
     * convention as [[load]], so bundle-served ≡ flat-served ≡ refit.

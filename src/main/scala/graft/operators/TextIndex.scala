@@ -448,4 +448,39 @@ object TextIndex {
       phrase: Seq[String]): DataFrame =
     phraseCore(spark,
       Catalog.readBundleTable(spark, root, name, "postings"), phrase)
+
+  /** TAKEDOWN: remove a document id set from the bundle-backed index in
+    * ONE atomic version (contamination removal, copyright /
+    * right-to-be-forgotten deletes — the operation a production corpus
+    * store fields routinely at 100 TB): postings lose the removed
+    * docs' rows by a broadcast anti-join (takedown lists are small;
+    * the postings scan is one pass, shard layout preserved by the
+    * manifest), and the corpus stats are COMPENSATED with one negative
+    * (−n_docs, −sum_dl) delta row computed from the removed docs' own
+    * current postings — the same LSM shape the ingest deltas use, so
+    * [[bundleStats]]' sum is exact after any interleaving of ingests
+    * and takedowns. The batch ledger carries over (a takedown must not
+    * reopen replayed batches), every serve after the flip is
+    * bit-equivalent to an index rebuilt without the docs
+    * (TextIndexSpec pins BM25/boolean/phrase), and the removed rows
+    * physically leave disk at [[graft.sources.Catalog.pruneBundleVersions]]
+    * retention — run it after a takedown that must be durable.
+    * `ids`: one id column, any name.
+    */
+  def retractBundle(spark: SparkSession, root: String, name: String,
+      ids: DataFrame): Long = {
+    val rm = broadcast(ids.select(col(ids.columns.head).as("__rm_id")))
+    Catalog.rewriteBundleMembers(spark, root, name, Map(
+      "postings" -> ((p: DataFrame) =>
+        p.join(rm, p("doc_id") === rm("__rm_id"), "left_anti")),
+      "meta" -> ((m: DataFrame) => {
+        val comp = Catalog.readBundleTable(spark, root, name, "postings")
+          .join(rm, col("doc_id") === rm("__rm_id"), "left_semi")
+          .select(col("doc_id"), col("dl")).distinct()
+          .agg((-count(lit(1))).as("n_docs"),
+            (-coalesce(sum(col("dl").cast("long")), lit(0L))).as("sum_dl"))
+          .repartition(1)
+        m.unionByName(comp)
+      })))
+  }
 }

@@ -211,6 +211,15 @@ object Catalog {
     * never rewritten, each retry is one rename ([[claimVersionSlot]]).
     * A crashed writer leaves only an ignorable `.staging-*` directory
     * (reclaimed by [[pruneVersions]]), never a blocked version slot.
+    *
+    * MULTI-writer claims additionally require ATOMIC directory rename
+    * (posix/HDFS). On object stores, where connectors emulate rename
+    * as copy+delete, two racers can interleave one slot (the
+    * uncommitted-target clear destroys a racer's in-flight copy) —
+    * detected loudly via the foreign-marker check in
+    * [[claimVersionSlot]], proven by CatalogSpec's shim; deploy
+    * single-writer per store there, or coordinate commits externally
+    * (the same caveat class as [[atomicSwap]]).
     */
   def commitVersion(df: DataFrame, root: String, ref: String): Long = {
     val spark = df.sparkSession
@@ -285,7 +294,26 @@ object Catalog {
       if (!f.exists(target)) {
         if (!prepare(next, staging)) { f.delete(staging, true); return -1L }
         if (f.rename(staging, target)) {
-          if (f.exists(new HPath(target, s"_writer-$token"))) return next
+          if (f.exists(new HPath(target, s"_writer-$token"))) {
+            // Foreign ROOT-LEVEL marker beside ours = two writers'
+            // file sets interleaved into one slot. Impossible under
+            // atomic rename (a racer's staging nests as a directory,
+            // its marker a level down) — it means this filesystem
+            // emulates rename as copy+delete and the uncommitted-
+            // target clear destroyed a racer's in-flight copy. Fail
+            // LOUDLY instead of publishing interleaved data: the
+            // multi-writer claim protocol requires atomic rename
+            // (posix/HDFS); object stores need external coordination
+            // (see the atomicSwap caveat).
+            val foreign = f.listStatus(target).toSeq.map(_.getPath.getName)
+              .filter(n => n.startsWith("_writer-") && n != s"_writer-$token")
+            if (foreign.nonEmpty)
+              sys.error(s"$op: slot $target contains another writer's " +
+                s"marker ($foreign) beside ours — non-atomic rename " +
+                "interleaved two commits; multi-writer claims require " +
+                "atomic rename or external coordination on this store")
+            return next
+          }
           val nested = new HPath(target, staging.getName)
           if (f.exists(nested)) staging = nested
           else sys.error(s"$op: staging directory lost claiming $target")
@@ -707,6 +735,67 @@ object Catalog {
       prior.dirs.keys.toSeq.sorted.map(ref =>
         ref -> readBundleTable(spark, root, bundle, ref)),
       root, bundle, prior.batches, prior.parts)
+  }
+
+  /** Atomic selective-member REWRITE — the takedown/retraction shape a
+    * production corpus store needs (contaminated-document removal,
+    * copyright/right-to-be-forgotten deletes): each member named in
+    * `rewrite` is read at the current version, transformed, and lands
+    * as ONE new file set in the next version; members NOT named carry
+    * forward by manifest reference — their resident file sets are
+    * never read or rewritten, which is the difference between pricing
+    * a takedown at O(affected members) and O(store). The batch ledger
+    * carries over verbatim: a retraction must not reopen replayed
+    * batches. Published with the same staged-rename + pointer-flip
+    * atomicity as every commit — a reader sees the store entirely
+    * before or entirely after the takedown, and older versions remain
+    * time-travel-readable until [[pruneBundleVersions]] retention
+    * (which is where the retracted rows physically leave disk — run it
+    * after a takedown when the deletion must be durable on storage).
+    * Partition columns declared in the manifest apply to the rewritten
+    * members, so a takedown can never flatten a serving index's
+    * pruning layout.
+    */
+  def rewriteBundleMembers(spark: SparkSession, root: String,
+      bundle: String,
+      rewrite: Map[String, DataFrame => DataFrame]): Long = {
+    require(rewrite.nonEmpty, "rewriteBundleMembers: nothing to rewrite")
+    val prior = bundleManifest(spark, root, bundle)
+    require(rewrite.keySet.subsetOf(prior.dirs.keySet),
+      s"rewriteBundleMembers: unknown member in ${rewrite.keys.toSeq} " +
+        s"(bundle has ${prior.dirs.keys})")
+    val base = new HPath(bundleDir(root, bundle))
+    val f = fsFor(spark, base)
+    val token = newCommitToken()
+    val staging = new HPath(base, s".staging-$token")
+    rewrite.toSeq.sortBy(_._1).foreach { case (ref, fn) =>
+      writeMember(staging, ref,
+        fn(readBundleTable(spark, root, bundle, ref)), prior.parts)
+    }
+    f.create(new HPath(staging, s"_writer-$token"), true).close()
+    val next = claimVersionSlot(f, base, staging, token,
+      p => f.exists(new HPath(p, "_manifest")), "rewriteBundleMembers") {
+      (n, st) =>
+        val cur = bundleManifest(spark, root, bundle)
+        // the rewritten members were computed from `prior`'s file sets;
+        // if a racing append advanced one of them since, publishing the
+        // stale rewrite would silently DROP that batch — fail loudly
+        // instead (a takedown racing live ingest is a coordination
+        // error; the retraction is simply retried)
+        rewrite.keys.foreach { ref =>
+          if (cur.dirs(ref) != prior.dirs(ref))
+            sys.error(s"rewriteBundleMembers: member '$ref' advanced " +
+              s"during the rewrite (racing append) — retry the takedown")
+        }
+        writeStagedManifest(f, st, BundleManifest(cur.batches,
+          cur.dirs.map { case (ref, ds) =>
+            ref -> (if (rewrite.contains(ref))
+              Seq(s"$n/${tableName(ref)}.parquet") else ds)
+          }, cur.parts))
+        true
+    }
+    flipPointer(f, base, next, "rewriteBundleMembers")
+    next
   }
 
   /** Retention for bundle versions. Append manifests REFERENCE file

@@ -154,6 +154,39 @@ class AnnIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bundle takedown: codes rewritten, quantizer carried by reference, serve equals brute force on the remainder") {
+    val root = java.nio.file.Files.createTempDirectory("graft-annrm").toString
+    val corpus = embeddings.where(col("vec_id") < 200)
+    AnnIndex.writeBundle(corpus, trainedBooks, root, "ann", nCentroids = 4,
+      trainIters = 2, spill = 2, seedBatchIds = Seq("b0"))
+    val m1 = graft.sources.Catalog.bundleManifest(spark, root, "ann")
+    val rm = corpus.where(col("vec_id") % 10 === 3).select(col("vec_id"))
+    AnnIndex.retractBundle(spark, root, "ann", rm)
+    val m2 = graft.sources.Catalog.bundleManifest(spark, root, "ann")
+    // only codes moved: quantizer/books/params file sets are the SAME
+    // manifest references — the takedown never read or rewrote them
+    assert(m2.dirs("centroids") == m1.dirs("centroids"))
+    assert(m2.dirs("books") == m1.dirs("books"))
+    assert(m2.dirs("params") == m1.dirs("params"))
+    assert(m2.dirs("codes") != m1.dirs("codes"))
+    assert(m2.batches == m1.batches, "takedown must preserve the ledger")
+    // exhaustive serve over the post-takedown index = brute force over
+    // the REMAINING corpus: a leftover code would surface a removed id,
+    // a lost one would drop a survivor
+    val q = corpus.where(col("vec_id") < 3)
+    val got = AnnIndex.knnBundle(spark, root, "ann", corpus, q, k = 5,
+      rerank = 500, nProbe = 4).orderBy(col("qid"), col("rank")).collect()
+    val want = Similarity.bruteForceKnn(
+        corpus.join(rm, Seq("vec_id"), "left_anti"), q, k = 5)
+      .orderBy(col("qid"), col("rank")).collect()
+    assert(got.length == want.length && got.length == 15)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1),
+        s"got $g want $w")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("bundle index crash states: half-rebuilt version invisible, old index serves") {
     val root = java.nio.file.Files.createTempDirectory("graft-anncrash").toString
     val corpus = embeddings.where(col("vec_id") < 100)

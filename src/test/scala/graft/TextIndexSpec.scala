@@ -223,6 +223,47 @@ class TextIndexSpec extends AnyFunSuite {
       "compaction must not reopen the ledger")
   }
 
+  test("bundle takedown: serves equal a rebuild without the docs; stats compensated; ledger kept") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tixrm").toString
+    val corpus = docs.where(col("doc_id") < 300)
+    TextIndex.writeBundle(corpus.where(col("doc_id") % 2 === 0), root, "tix",
+      seedBatchIds = Seq("b0"))
+    assert(TextIndex.appendBundle(spark, root, "tix",
+      corpus.where(col("doc_id") % 2 === 1), "b1"))
+    val rm = corpus.where(col("doc_id") % 10 === 3).select(col("doc_id"))
+    TextIndex.retractBundle(spark, root, "tix", rm)
+    assert(!TextIndex.appendBundle(spark, root, "tix",
+      corpus.where(col("doc_id") % 2 === 1), "b1"),
+      "takedown must not reopen the ledger")
+    val flat = "/tmp/graft/textindex_spec_rm_flat"
+    TextIndex.write(corpus.join(rm, Seq("doc_id"), "left_anti"), flat)
+    // BM25 equivalence is the stats-compensation proof: a wrong
+    // (−n_docs, −Σdl) delta shifts avgdl and every score
+    val qs = Seq("scan", "merge", "vector")
+    val gotB = TextIndex.bm25SearchBundle(spark, root, "tix", qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val wantB = TextIndex.bm25Search(spark, flat, qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(gotB == wantB && gotB.nonEmpty)
+    val gotBool = TextIndex.booleanSearchBundle(spark, root, "tix",
+        Seq("join", "hash")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val wantBool = TextIndex.booleanSearch(spark, flat, Seq("join", "hash"))
+      .orderBy(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(gotBool == wantBool)
+    val gotPh = TextIndex.phraseSearchBundle(spark, root, "tix",
+        Seq("table", "hash")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wantPh = TextIndex.phraseSearch(spark, flat, Seq("table", "hash"))
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotPh == wantPh)
+    // no removed id survives anywhere in the postings member
+    val leftover = graft.sources.Catalog
+      .readBundleTable(spark, root, "tix", "postings")
+      .join(rm, Seq("doc_id"), "left_semi").count()
+    assert(leftover == 0, s"$leftover posting rows survived the takedown")
+  }
+
   test("bundle index crash states: half-rebuilt version invisible, old index serves") {
     val root = java.nio.file.Files.createTempDirectory("graft-tixcrash").toString
     val corpus = docs.where(col("doc_id") < 150)

@@ -512,6 +512,20 @@ class TextStatsSpec extends AnyFunSuite {
     assert(merged() == oneShot)
     assert(!LmStore.ingestBundle(docs.where(col("doc_id") % 3 === 2), "text",
       root, "lm", "b2"), "compaction must not reopen the ledger")
+    // TAKEDOWN: a negative delta through the ordinary ledgered append —
+    // load afterwards == refit on the remaining corpus, and the
+    // retraction batch id is itself replay-protected
+    val rm = docs.where(col("doc_id") % 10 === 3)
+    assert(LmStore.retractBundle(rm, "text", root, "lm", "rm-0001"))
+    assert(!LmStore.retractBundle(rm, "text", root, "lm", "rm-0001"),
+      "replayed takedown must be rejected (it would subtract twice)")
+    val remaining = docs.join(rm.select(col("doc_id")), Seq("doc_id"),
+      "left_anti")
+    val (voc2, denom2) = LmStore.loadBundle(spark, root, "lm", vocabSize = 20)
+    val (fitVoc2, fitDenom2) = TextStats.fitUnigramLm(remaining, "text", 20)
+    assert(denom2 == fitDenom2)
+    assert(voc2.orderBy(col("tok")).collect().map(_.toSeq).toSeq
+      == fitVoc2.orderBy(col("tok")).collect().map(_.toSeq).toSeq)
   }
 
   test("stored NB model: serve == in-query fit; OOV docs predict null, mixed docs classify") {
