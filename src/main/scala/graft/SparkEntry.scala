@@ -3737,6 +3737,72 @@ object SparkEntry {
           (col("__m1") + col("__m2") === lit(0L)).as("pit_equal"))
     }),
 
+    // SCD-2 with TOMBSTONES (x189) — closing x181's documented scope
+    // cut ("deletions need a tombstone column, out of scope"): the
+    // commit history now contains DELETIONS (keys absent from a
+    // snapshot that were present in the previous one), the change log
+    // derives them as presence-diff tombstone rows, and
+    // Temporal.scd2(deleteCol) closes the key's open interval at the
+    // delete version and opens none — the key is simply absent for the
+    // span until its re-insert, which always opens a NEW interval even
+    // when it carries the pre-delete values (a delete and the first
+    // row after one break the run unconditionally; value-equality
+    // across the gap must not silently collapse the deletion — the
+    // dimension-side of the x188 takedown story). Earned under the
+    // hash: pit_equal — every version rebuilt from the intervals
+    // anti-joined both ways against the direct time-travel reads, so a
+    // phantom interval spanning the deleted gap, a lost re-insert, or
+    // a wrong boundary flips it; the interval count replays in SQL
+    // from the bump-and-tombstone rule.
+    "x189_scd2_tombstones" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"/tmp/graft/x189_ts_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("bal_c"))
+      val v2d = base.withColumn("bal_c", col("bal_c") +
+          when(col("c_custkey") % 7 === 0, 10000L).otherwise(0L))
+        .where(col("c_custkey") % 9 =!= 0) // deleted in v2
+      val v3d = base.withColumn("bal_c", col("bal_c") +
+        when(col("c_custkey") % 7 === 0, 10000L).otherwise(0L) +
+        when(col("c_custkey") % 5 === 0, 5000L).otherwise(0L)) // all back
+      val vs = Seq(base, v2d, v3d)
+        .map(d => Catalog.commitVersion(d, root, "cust"))
+      val reads = vs.map(v => Catalog.readVersion(s, root, "cust", Some(v))
+        .withColumn("version", lit(v)))
+      val hist = reads.reduce(_ unionByName _)
+      // presence-diff tombstones: in v_{i-1}, gone in v_i
+      val dels = vs.zip(reads).sliding(2).map { case Seq((_, p), (vn, c)) =>
+        p.select(col("c_custkey"))
+          .join(c.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
+          .select(col("c_custkey"), lit(null).cast("long").as("bal_c"),
+            lit(vn).as("version"), lit(true).as("del"))
+      }.reduce(_ unionByName _)
+      val changelog = hist.withColumn("del", lit(false)).unionByName(dels)
+      val iv = graft.Lifecycle.withMaterialized()(Temporal.scd2(
+        changelog, Seq("c_custkey"), "version", Seq("bal_c"),
+        deleteCol = Some("del")))
+      val vers = vs.toDF("version")
+      val rebuilt = iv.join(broadcast(vers),
+          vers("version") >= iv("eff_from") &&
+            (iv("eff_to").isNull || vers("version") < iv("eff_to")))
+        .select(vers("version"), col("c_custkey"), col("bal_c"))
+      val direct = hist.select(col("version"), col("c_custkey"), col("bal_c"))
+      val key3 = Seq("version", "c_custkey", "bal_c")
+      val mism = rebuilt.join(direct, key3, "left_anti")
+        .agg(count(lit(1)).as("__m1"))
+        .crossJoin(broadcast(direct.join(rebuilt, key3, "left_anti")
+          .agg(count(lit(1)).as("__m2"))))
+      iv.agg(countDistinct(col("c_custkey")).as("n_keys"),
+          count(lit(1)).as("n_intervals"))
+        .crossJoin(broadcast(
+          direct.agg(count(lit(1)).as("n_snapshot_rows"))))
+        .crossJoin(broadcast(mism))
+        .select(col("n_keys"), col("n_intervals"), col("n_snapshot_rows"),
+          (col("__m1") + col("__m2") === lit(0L)).as("pit_equal"))
+    }),
+
     // ANN index on the atomic bundle (x182) — the serving index joins
     // the store-protocol migration (x174 pairs, x179 LM counts):
     // centroids, codebooks, the build's spill and the cell-partitioned
@@ -7504,6 +7570,24 @@ object SparkEntry {
         |SELECT count(*)::BIGINT AS n_keys,
         |  sum(n_iv)::BIGINT AS n_intervals,
         |  (3 * count(*))::BIGINT AS n_snapshot_rows,
+        |  TRUE AS pit_equal
+        |FROM k""".stripMargin,
+    // interval count replays from the bump-and-tombstone rule (a
+    // deleted-and-reinserted key holds exactly two intervals; others
+    // one plus one per balance change); pit_equal is EARNED in-plan
+    "x189_scd2_tombstones" ->
+      """WITH k AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 9 = 0 THEN 2
+        |         ELSE 1 + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END
+        |                + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END
+        |    END AS n_iv
+        |  FROM customer)
+        |SELECT count(*)::BIGINT AS n_keys,
+        |  sum(n_iv)::BIGINT AS n_intervals,
+        |  (3 * count(*)
+        |    - (SELECT count(*) FROM customer WHERE c_custkey % 9 = 0))::BIGINT
+        |    AS n_snapshot_rows,
         |  TRUE AS pit_equal
         |FROM k""".stripMargin,
     // x169's refit replay VERBATIM: the bundle-ledgered delta ingest

@@ -218,27 +218,42 @@ object Temporal {
   }
 
   def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
-      valueCols: Seq[String], tieBreak: Seq[String] = Seq.empty): DataFrame = {
+      valueCols: Seq[String], tieBreak: Seq[String] = Seq.empty,
+      deleteCol: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "scd2 needs keys and tracked values")
     val ord = (col(tsCol) +: tieBreak.map(col)).toIndexedSeq
     val wOrd = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
     val changed = valueCols
       .map(v => !(col(v) <=> lag(col(v), 1).over(wOrd)))
       .reduce(_ || _)
+    // TOMBSTONES (deleteCol): a delete change CLOSES the entity's open
+    // interval at its ts and opens none — the key is simply absent for
+    // the span until a re-insert. A delete (and the first row after
+    // one) always breaks the run REGARDLESS of tracked values: a
+    // re-insert carrying the pre-delete values would otherwise compare
+    // value-equal across the gap and silently collapse the deletion.
+    // The delete row rides through the run/lead machinery (so the
+    // previous interval's eff_to lands on the delete ts) and is dropped
+    // from the output at the end.
+    val isDel = deleteCol.fold(lit(false))(c => coalesce(col(c), lit(false)))
     // A key's first row must survive EXPLICITLY: when its tracked values
     // are all null, `null <=> lag(=null)` is TRUE and the <=>-based change
     // test alone would drop the entity's first validity interval.
     val runs = changes
-      .withColumn("__chg", row_number().over(wOrd) === 1 || changed)
+      .withColumn("__del", isDel)
+      .withColumn("__chg", row_number().over(wOrd) === 1 || changed ||
+        col("__del") || coalesce(lag(col("__del"), 1).over(wOrd), lit(false)))
       .where(col("__chg"))
       .drop("__chg")
     val wRun = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((col(tsCol) +: tieBreak.map(col)).toIndexedSeq: _*)
-    runs
+    val iv = runs
       .withColumn("eff_from", col(tsCol))
       .withColumn("eff_to", lead(col(tsCol), 1).over(wRun))
       .withColumn("is_current", col("eff_to").isNull)
       .drop(tsCol)
+    deleteCol.fold(iv.drop("__del"))(c =>
+      iv.where(!col("__del")).drop("__del", c))
   }
 
   /** Temporal train/test split: rows at or before `cutoff` are `train`,

@@ -231,4 +231,34 @@ class TemporalSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(picked == Map(10L -> 1L, 11L -> 2L, 12L -> 3L))
   }
+
+  test("scd2 tombstones: a delete closes the interval, a re-insert reopens even with identical values") {
+    import org.apache.spark.sql.functions.col
+    val log = Seq(
+      ("A", 1L, Option(10L), false),
+      ("A", 3L, Option.empty[Long], true), // delete at version 3
+      ("A", 5L, Option(10L), false),       // re-insert with the SAME value
+      ("B", 1L, Option(7L), false),
+      ("B", 4L, Option(8L), false),
+      ("B", 6L, Option(8L), false))        // genuine no-op: still collapses
+      .toDF("k", "version", "bal", "del")
+    val iv = Temporal.scd2(log, Seq("k"), "version", Seq("bal"),
+      deleteCol = Some("del"))
+    assert(!iv.columns.contains("del") && !iv.columns.contains("__del"))
+    val rows = iv.select(col("k"), col("bal"), col("eff_from"),
+        col("eff_to"), col("is_current"))
+      .as[(String, Option[Long], Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rows === Seq(
+      // A: [1,3) closed BY the delete, absent [3,5), reopened at 5 —
+      // the identical value must not collapse across the gap
+      ("A", Some(10L), 1L, Some(3L), false),
+      ("A", Some(10L), 5L, None, true),
+      ("B", Some(7L), 1L, Some(4L), false),
+      ("B", Some(8L), 4L, None, true)))
+    // without deleteCol the same log treats the tombstone as a value row
+    // (legacy behavior preserved)
+    val legacy = Temporal.scd2(log, Seq("k"), "version", Seq("bal"))
+    assert(legacy.where(col("k") === "A").count() === 3)
+  }
 }

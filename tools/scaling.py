@@ -89,7 +89,7 @@ FAMILIES = {
                  "x175_version_diff", "x177_schema_evolved_diff",
                  "x178_pit_dim_serve", "x179_lm_bundle_store",
                  "x181_version_history_scd2", "x184_pit_interval_serve",
-                 "x188_takedown",
+                 "x188_takedown", "x189_scd2_tombstones",
                  "x185_store_health"],
     "graph": ["x105_pagerank", "x111_trustrank", "x113_hits",
               "x126_label_prop", "x142_triangle_census",
