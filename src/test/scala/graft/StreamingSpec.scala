@@ -694,4 +694,100 @@ class StreamingSpec extends AnyFunSuite {
         s"stream ${log((1L, "g0"))} vs batch $want")
     } finally q.stop()
   }
+
+  test("streaming text-bundle index: stream-built store serves equal to a one-shot build") {
+    import graft.streaming.IndexStream
+    import graft.operators.TextIndex
+    val src = Files.createTempDirectory("graft_tixs_src")
+    val root = Files.createTempDirectory("graft_tixs_store").toString
+    def doc(id: Long, text: String) = (id, text, "en", "s0", text.length.toLong)
+    def stage(name: String, docs: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_tixs_stage")
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    stage("b0.parquet", Seq(doc(1, "alpha beta gamma hash join"),
+      doc(2, "join table scan vector")))
+    stage("b1.parquet", Seq(doc(3, "hash join vector merge"),
+      doc(4, "unrelated words entirely different")))
+    stage("b2.parquet", Seq(doc(5, "vector vector vector join")))
+    val q = IndexStream.textBundleStream(spark, src.toString, root, "tix")
+    try q.processAllAvailable() finally q.stop()
+    val all = Seq(doc(1, "alpha beta gamma hash join"),
+      doc(2, "join table scan vector"), doc(3, "hash join vector merge"),
+      doc(4, "unrelated words entirely different"),
+      doc(5, "vector vector vector join"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val flat = Files.createTempDirectory("graft_tixs_flat").toString
+    TextIndex.write(all, flat)
+    val got = TextIndex.bm25SearchBundle(spark, root, "tix",
+        Seq("join", "vector"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = TextIndex.bm25Search(spark, flat, Seq("join", "vector"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want && got.nonEmpty)
+    // every micro-batch id is in the manifest, including the creating
+    // one; a crash-replayed micro-batch is rejected atomically
+    val m = Catalog.bundleManifest(spark, root, "tix")
+    assert(m.batches.toSet == Set("0", "1", "2"), s"ledger: ${m.batches}")
+    assert(!TextIndex.appendBundle(spark, root, "tix",
+      all.where($"doc_id" === 3 || $"doc_id" === 4), "1"))
+    assert(Catalog.bundleManifest(spark, root, "tix") == m)
+  }
+
+  test("streaming ANN-bundle appends: frozen quantizer, stream equals batch appends") {
+    import graft.streaming.IndexStream
+    import graft.operators.{AnnIndex, Embeddings, RelOps, Similarity}
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 120)
+    val base = e.where(col("vec_id") % 4 === 0)
+    val books = Embeddings.pqTrain(
+      RelOps.hashSample(base, "vec_id", 0.5), m = 8, k = 16, iters = 2)
+    val root = Files.createTempDirectory("graft_anns_store").toString
+    // a stream against a missing index refuses loudly (the quantizer is
+    // a deployment-time modeling decision)
+    val srcDir = Files.createTempDirectory("graft_anns_src")
+    val ex = intercept[IllegalArgumentException] {
+      IndexStream.annBundleStream(spark, srcDir.toString, root, "ann")
+    }
+    assert(ex.getMessage.contains("writeBundle"))
+    AnnIndex.writeBundle(base, books, root, "ann", nCentroids = 4,
+      trainIters = 2, spill = 2, seedBatchIds = Seq("seed"))
+    def stage(name: String, part: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft_anns_stage")
+      e.where(col("vec_id") % 4 === part).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val f = tmp.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+      Files.move(f.toPath, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    stage("b0.parquet", 1)
+    stage("b1.parquet", 2)
+    stage("b2.parquet", 3)
+    val q = IndexStream.annBundleStream(spark, srcDir.toString, root, "ann")
+    try q.processAllAvailable() finally q.stop()
+    // ledger: seed + three micro-batches
+    val m = Catalog.bundleManifest(spark, root, "ann")
+    assert(m.batches.toSet == Set("seed", "0", "1", "2"), s"ledger: ${m.batches}")
+    // the stream-grown index covers the corpus and serves exactly brute
+    // force under an exhaustive probe — appended vectors are first-class
+    val ids = Catalog.readBundleTable(spark, root, "ann", "codes")
+      .select(col("vec_id")).distinct().count()
+    assert(ids == e.count(), "stream-grown index must cover the corpus")
+    val qv = e.where(col("vec_id") < 3)
+    val got = AnnIndex.knnBundle(spark, root, "ann", e, qv, k = 5,
+      rerank = 500, nProbe = 4).orderBy(col("qid"), col("rank")).collect()
+    val want = Similarity.bruteForceKnn(e, qv, k = 5)
+      .orderBy(col("qid"), col("rank")).collect()
+    assert(got.length == want.length && got.length == 15)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1),
+        s"got $g want $w")
+    }
+    spark.catalog.clearCache()
+  }
 }
