@@ -9,6 +9,11 @@ import graft.sources.Catalog
   * contract.
   */
 object RecallProbe {
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRec)
+    f.delete(); ()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Engine.session("recall-probe")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
@@ -28,11 +33,15 @@ object RecallProbe {
       println(s"[probe] $sf x87 recall = $hits/$b = ${hits.toDouble / b}")
       spark.catalog.clearCache()
       // x95 stored-index serve, same construction as its declared query
+      // (bundle-backed since round 14; deterministic build — identical
+      // bytes and recall to the retired flat store)
       val idx = s"/tmp/graft/probe_x95_$sf"
-      graft.operators.AnnIndex.write(e, books, idx, nCentroids = 16,
-        trainIters = 4, spill = 2)
-      val ann95 = graft.operators.AnnIndex.knn(spark, idx, e, q, k = 5,
-        rerank = 150, nProbe = 6)
+      deleteRec(new java.io.File(idx))
+      graft.operators.AnnIndex.writeBundle(e, books, idx, "ann",
+        nCentroids = 16, trainIters = 4, spill = 2,
+        seedBatchIds = Seq("b0"))
+      val ann95 = graft.operators.AnnIndex.knnBundle(spark, idx, "ann", e,
+        q, k = 5, rerank = 150, nProbe = 6)
       val brute95 = Similarity.bruteForceKnn(e, q, k = 5).persist()
       val hits95 = ann95.select(col("qid"), col("nid"))
         .join(brute95.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
@@ -46,11 +55,13 @@ object RecallProbe {
       val books96 = Embeddings.pqTrain(
         RelOps.hashSample(base, "vec_id", 0.25), m = 8, k = 16, iters = 3)
       val idx96 = s"/tmp/graft/probe_x96_$sf"
-      graft.operators.AnnIndex.write(base, books96, idx96, nCentroids = 16,
-        trainIters = 4, spill = 2)
-      graft.operators.AnnIndex.append(spark, idx96, batch, spill = 2)
-      val ann96 = graft.operators.AnnIndex.knn(spark, idx96, e, q, k = 5,
-        rerank = 150, nProbe = 6)
+      deleteRec(new java.io.File(idx96))
+      graft.operators.AnnIndex.writeBundle(base, books96, idx96, "ann",
+        nCentroids = 16, trainIters = 4, spill = 2,
+        seedBatchIds = Seq("b0"))
+      graft.operators.AnnIndex.appendBundle(spark, idx96, "ann", batch, "b1")
+      val ann96 = graft.operators.AnnIndex.knnBundle(spark, idx96, "ann",
+        e, q, k = 5, rerank = 150, nProbe = 6)
       val brute96 = Similarity.bruteForceKnn(e, q, k = 5).persist()
       val hits96 = ann96.select(col("qid"), col("nid"))
         .join(brute96.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
@@ -63,19 +74,22 @@ object RecallProbe {
       val docs = Catalog.table(spark, dir, "documents")
       val q165 = e.where(col("vec_id") < 1)
       val terms = Seq("join", "hash", "vector")
-      val tix = s"/tmp/graft/probe_x165_tix_$sf"
-      val aix = s"/tmp/graft/probe_x165_aix_$sf"
+      val hyb = s"/tmp/graft/probe_x165_bnd_$sf"
+      deleteRec(new java.io.File(hyb))
       // aligned build (threeStageServe contract): only embedded docs —
       // at sf0.1 the corpus has docs without vectors, and the x176/x180
       // probes below run the MMR stage whose pool must resolve
-      graft.operators.TextIndex.write(docs
+      graft.operators.TextIndex.writeBundle(docs
         .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
-          "left_semi"), tix)
-      graft.operators.AnnIndex.write(e, books, aix, nCentroids = 16,
-        trainIters = 4, spill = 2)
-      val served = Similarity.hybridStoredServe(spark, tix, aix, e, terms,
+          "left_semi"), hyb, "tix", seedBatchIds = Seq("b0"))
+      graft.operators.AnnIndex.writeBundle(e, books, hyb, "ann",
+        nCentroids = 16, trainIters = 4, spill = 2,
+        seedBatchIds = Seq("b0"))
+      val served = Similarity.hybridStoredServeBundle(spark, hyb, "tix",
+        hyb, "ann", e, terms,
         q165, k = 10, poolK = 50, rerank = 150, nProbe = 6).persist()
-      val lex = graft.operators.TextIndex.bm25Search(spark, tix, terms, k = 50)
+      val lex = graft.operators.TextIndex.bm25SearchBundle(spark, hyb,
+          "tix", terms, k = 50)
         .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
       val exactVec = Similarity.bruteForceKnn(e, q165, k = 50)
         .select(col("nid"), col("rank").as("vrank"))
@@ -88,7 +102,8 @@ object RecallProbe {
       // x176 composed three-stage serve: final diversified top-10 overlap
       // vs the exact composition (stored bm25 + brute-force vectors +
       // the same fusion and the same integer greedy)
-      val served176 = Similarity.threeStageServe(spark, tix, aix, e, terms,
+      val served176 = Similarity.threeStageServeBundle(spark, hyb, "tix",
+        hyb, "ann", e, terms,
         q165, k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6)
         .persist()
       val exactPool = Similarity.rrfFuse(lex, exactVec, k = 30)
@@ -103,11 +118,12 @@ object RecallProbe {
       // FILTERED composition (stored bm25-within + brute force over the
       // filtered corpus + same fusion and greedy)
       val allowed = e.where(col("label") < 5).select(col("vec_id"))
-      val served180 = Similarity.threeStageServe(spark, tix, aix, e, terms,
+      val served180 = Similarity.threeStageServeBundle(spark, hyb, "tix",
+        hyb, "ann", e, terms,
         q165, k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6,
         within = Some(allowed)).persist()
-      val lexF = graft.operators.TextIndex.bm25Search(spark, tix, terms,
-          k = 50, within = Some(allowed))
+      val lexF = graft.operators.TextIndex.bm25SearchBundle(spark, hyb,
+          "tix", terms, k = 50, within = Some(allowed))
         .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
       val exactVecF = Similarity.bruteForceKnn(
           e.join(allowed, Seq("vec_id"), "left_semi"), q165, k = 50)
@@ -120,6 +136,31 @@ object RecallProbe {
       val ex180 = exact180.count()
       println(s"[probe] $sf x180 filtered overlap = $ov180/$ex180 = ${ov180.toDouble / ex180}")
       spark.catalog.clearCache()
+      // x182 bundle-store serve (base+append split, k=10 over 3 qids):
+      // nProbe sweep to pick the floor margin — the declared query pins
+      // recall_ok at its chosen nProbe, floor ≥3 under the weakest SF
+      val b182 = e.where(col("vec_id") % 4 =!= 3)
+      val books182 = Embeddings.pqTrain(
+        RelOps.hashSample(b182, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      val r182 = s"/tmp/graft/probe_x182_$sf"
+      deleteRec(new java.io.File(r182))
+      graft.operators.AnnIndex.writeBundle(b182, books182, r182, "ann",
+        nCentroids = 16, trainIters = 4, spill = 2,
+        seedBatchIds = Seq("b0"))
+      graft.operators.AnnIndex.appendBundle(spark, r182, "ann",
+        e.where(col("vec_id") % 4 === 3), "b1")
+      val q182 = e.where(col("vec_id") < 3)
+      val brute182 = Similarity.bruteForceKnn(e, q182, k = 10).persist()
+      val b182n = brute182.count()
+      for (np <- Seq(8, 10, 12)) {
+        val hits182 = graft.operators.AnnIndex.knnBundle(spark, r182,
+            "ann", e, q182, k = 10, rerank = 200, nProbe = np)
+          .select(col("qid"), col("nid"))
+          .join(brute182.select(col("qid"), col("nid")),
+            Seq("qid", "nid"), "left_semi").count()
+        println(s"[probe] $sf x182 nProbe=$np recall = $hits182/$b182n")
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

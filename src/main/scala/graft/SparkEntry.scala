@@ -2144,14 +2144,24 @@ object SparkEntry {
     // (deterministic: stored quantizer/books, tie-broken ranks) — same
     // contract family as x78/x87. Measured (RecallProbe): 0.875 / 0.825 /
     // 0.7 at sf0.001/0.01/0.1 — floor 0.65 sits under the weakest point.
+    // Since round 14 a thin alias of the BUNDLE-backed store (the
+    // unledgered flat build is retired from all non-test callers and
+    // kept only as the rebuild baseline inside x186/x187/x188's
+    // equivalence checks): writeBundle runs the same deterministic
+    // trainCentroids/encodeAssign, so the index bytes — and the pinned
+    // recall floors — are unchanged; the store protocol underneath is
+    // the atomic one.
     "x95_stored_ann_index" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 8)
       val books = Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      val idx = s"/tmp/graft/x95_index_${storeTag(dir)}"
-      AnnIndex.write(e, books, idx, nCentroids = 16, trainIters = 4, spill = 2)
-      val ann = AnnIndex.knn(s, idx, e, q, k = 5, rerank = 150, nProbe = 6)
+      val root = s"/tmp/graft/x95_bnd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      val ann = AnnIndex.knnBundle(s, root, "ann", e, q, k = 5,
+        rerank = 150, nProbe = 6)
       annRecallCheck(ann, Similarity.bruteForceKnn(e, q, k = 5),
         minRecall = 0.65)
     }),
@@ -2170,6 +2180,11 @@ object SparkEntry {
     // and appended_ok — the index's distinct id set covers the whole
     // corpus. Measured recall (deterministic): 0.925 / 0.875 / 0.775 at
     // sf0.001/0.01/0.1 — floor 0.7 under the weakest point.
+    // Since round 14 a thin alias of the LEDGERED bundle append (x182
+    // is the canonical bundle-store query; the flat marker-less append
+    // is retired): same frozen-quantizer arithmetic (spill read back
+    // from the params member instead of trusted to the caller), same
+    // oracle and recall floors.
     "x96_stored_index_append" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val base = e.where(col("vec_id") % 10 =!= 0)
@@ -2177,11 +2192,15 @@ object SparkEntry {
       val q = e.where(col("vec_id") < 8)
       val books = Embeddings.pqTrain(
         RelOps.hashSample(base, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      val idx = s"/tmp/graft/x96_index_${storeTag(dir)}"
-      AnnIndex.write(base, books, idx, nCentroids = 16, trainIters = 4, spill = 2)
-      AnnIndex.append(s, idx, batch, spill = 2)
-      val ann = AnnIndex.knn(s, idx, e, q, k = 5, rerank = 150, nProbe = 6)
-      val appendedOk = s.read.parquet(s"$idx/codes.parquet")
+      val root = s"/tmp/graft/x96_bnd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      AnnIndex.writeBundle(base, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      require(AnnIndex.appendBundle(s, root, "ann", batch, "b1"),
+        "x96: bundle append did not land")
+      val ann = AnnIndex.knnBundle(s, root, "ann", e, q, k = 5,
+        rerank = 150, nProbe = 6)
+      val appendedOk = Catalog.readBundleTable(s, root, "ann", "codes")
         .agg(countDistinct(col("vec_id")).as("__n_idx"))
         .crossJoin(e.agg(count(lit(1)).as("__n_corpus")))
         .select((col("__n_idx") === col("__n_corpus")).as("appended_ok"))
@@ -2437,10 +2456,17 @@ object SparkEntry {
     // 3 query terms touch ≤ 3/16 of the index on disk at any corpus
     // size). Conjunctive serve: docs holding ALL query terms — exact set
     // semantics the oracle replays from raw text.
+    // Since round 14 a thin alias of the BUNDLE-backed store (x186 is
+    // the canonical bundle-store query; the flat build is retired to a
+    // rebuild baseline): same postings pass, same shard-pruned serve
+    // core, same oracle — the store protocol underneath is atomic.
     "x129_stored_text_index" -> ((s, dir) => {
-      val idx = s"/tmp/graft/x129_index_${storeTag(dir)}"
-      TextIndex.write(t(s, dir, "documents"), idx)
-      TextIndex.booleanSearch(s, idx, Seq("join", "hash", "vector"))
+      val root = s"/tmp/graft/x129_bnd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      TextIndex.writeBundle(t(s, dir, "documents"), root, "tix",
+        seedBatchIds = Seq("b0"))
+      TextIndex.booleanSearchBundle(s, root, "tix",
+          Seq("join", "hash", "vector"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2452,10 +2478,16 @@ object SparkEntry {
     // are order-free integer sums (no float-summation flake between
     // engines), and the top-k is a distributed TakeOrdered — never a
     // global window over the candidate set.
+    // Bundle alias since round 14 (see x129): BM25's N/avgdl sum from
+    // the manifest's meta deltas, postings and meta resolved at ONE
+    // pinned version; per-term arithmetic and oracle unchanged.
     "x130_bm25_search" -> ((s, dir) => {
-      val idx = s"/tmp/graft/x130_index_${storeTag(dir)}"
-      TextIndex.write(t(s, dir, "documents"), idx)
-      TextIndex.bm25Search(s, idx, Seq("join", "hash", "vector"), k = 10)
+      val root = s"/tmp/graft/x130_bnd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      TextIndex.writeBundle(t(s, dir, "documents"), root, "tix",
+        seedBatchIds = Seq("b0"))
+      TextIndex.bm25SearchBundle(s, root, "tix",
+          Seq("join", "hash", "vector"), k = 10)
         .orderBy(col("rank"))
     }),
 
@@ -2502,10 +2534,14 @@ object SparkEntry {
     // shift by −i and a doc matches once per position common to all
     // slots. Same driver-planned shard prune as every serve; |phrase|
     // rows broadcast. Oracle replays adjacency from the raw token list.
+    // Bundle alias since round 14 (see x129): shared phraseCore, same
+    // positional-intersection serve and oracle.
     "x133_phrase_search" -> ((s, dir) => {
-      val idx = s"/tmp/graft/x133_index_${storeTag(dir)}"
-      TextIndex.write(t(s, dir, "documents"), idx)
-      TextIndex.phraseSearch(s, idx, Seq("table", "hash"))
+      val root = s"/tmp/graft/x133_bnd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      TextIndex.writeBundle(t(s, dir, "documents"), root, "tix",
+        seedBatchIds = Seq("b0"))
+      TextIndex.phraseSearchBundle(s, root, "tix", Seq("table", "hash"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2517,12 +2553,22 @@ object SparkEntry {
     // combined postings so BM25's N/avgdl/df see one corpus. Serve after
     // append ≡ full rebuild (disjoint doc batches ⇒ same posting rows).
     // Oracle replays BM25 over the FULL corpus from raw text.
+    // Since round 14 a thin alias of the LEDGERED bundle append (x186
+    // is the canonical bundle-store query): the batch's postings and
+    // its meta delta publish in one manifest rename — the flat path's
+    // postings-append → meta-rewrite gap is gone; serve and oracle
+    // unchanged (disjoint doc batches ⇒ same posting rows).
     "x134_text_index_append" -> ((s, dir) => {
-      val idx = s"/tmp/graft/x134_index_${storeTag(dir)}"
+      val root = s"/tmp/graft/x134_bnd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
       val docs = t(s, dir, "documents")
-      TextIndex.write(docs.where(col("doc_id") % 5 =!= 0), idx)
-      TextIndex.append(docs.where(col("doc_id") % 5 === 0), idx)
-      TextIndex.bm25Search(s, idx, Seq("scan", "merge", "vector"), k = 10)
+      TextIndex.writeBundle(docs.where(col("doc_id") % 5 =!= 0), root,
+        "tix", seedBatchIds = Seq("b0"))
+      require(TextIndex.appendBundle(s, root, "tix",
+        docs.where(col("doc_id") % 5 === 0), "b1"),
+        "x134: bundle append did not land")
+      TextIndex.bm25SearchBundle(s, root, "tix",
+          Seq("scan", "merge", "vector"), k = 10)
         .orderBy(col("rank"))
     }),
 
@@ -3012,20 +3058,26 @@ object SparkEntry {
     // only approximation in the composition is the ANN side. Measured
     // overlap (RecallProbe, deterministic): 0.6 / 0.8 / 0.8 at
     // sf0.001/0.01/0.1 — floor 0.5 sits under the weakest point.
+    // Since round 14 the serve runs on the atomic BUNDLE stores
+    // (hybridStoredServeBundle — shared BM25/ADC cores, so ranks and
+    // the pinned overlap floors are unchanged; the flat stores are
+    // retired to rebuild baselines inside x186/x187/x188).
     "x165_hybrid_stored_serve" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 1)
       val terms = Seq("join", "hash", "vector")
-      val tix = s"/tmp/graft/x165_tix_${storeTag(dir)}"
-      val aix = s"/tmp/graft/x165_aix_${storeTag(dir)}"
-      TextIndex.write(docs, tix)
+      val root = s"/tmp/graft/x165_bnd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      TextIndex.writeBundle(docs, root, "tix", seedBatchIds = Seq("b0"))
       val books = Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.write(e, books, aix, nCentroids = 16, trainIters = 4, spill = 2)
-      val served = Similarity.hybridStoredServe(s, tix, aix, e, terms, q,
+      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      val served = Similarity.hybridStoredServeBundle(s, root, "tix",
+        root, "ann", e, terms, q,
         k = 10, poolK = 50, rerank = 150, nProbe = 6).persist()
-      val lex = TextIndex.bm25Search(s, tix, terms, k = 50)
+      val lex = TextIndex.bm25SearchBundle(s, root, "tix", terms, k = 50)
         .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
       val exactVec = Similarity.bruteForceKnn(e, q, k = 50)
         .select(col("nid"), col("rank").as("vrank"))
@@ -3303,26 +3355,31 @@ object SparkEntry {
     // two sides). Measured final-list overlap (RecallProbe,
     // deterministic): 0.9 / 0.6 / 0.7 at sf0.001/0.01/0.1 — floor 0.5
     // sits under the weakest point.
+    // Since round 14 the serve runs on the atomic BUNDLE stores
+    // (threeStageServeBundle — shared cores end to end, same floors;
+    // flat stores retired to rebuild baselines).
     "x176_three_stage_serve" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 1)
       val terms = Seq("join", "hash", "vector")
-      val tix = s"/tmp/graft/x176_tix_${storeTag(dir)}"
-      val aix = s"/tmp/graft/x176_aix_${storeTag(dir)}"
+      val root = s"/tmp/graft/x176_bnd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
       // threeStageServe's alignment contract: index only the EMBEDDED
       // docs (at sf0.1 the corpus has docs without vectors) — a fused
       // candidate must resolve to a vector or the MMR stage fails loudly
-      TextIndex.write(docs.join(e.select(col("vec_id").as("doc_id")),
-        Seq("doc_id"), "left_semi"), tix)
+      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
       val books = Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.write(e, books, aix, nCentroids = 16, trainIters = 4, spill = 2)
-      val served = Similarity.threeStageServe(s, tix, aix, e, terms, q,
+      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      val served = Similarity.threeStageServeBundle(s, root, "tix",
+        root, "ann", e, terms, q,
         k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6).persist()
       // the exact composition: stored BM25 ranks (not approximated),
       // brute-force vector ranks, same rrfFuse, same mmrRerankPool
-      val lex = TextIndex.bm25Search(s, tix, terms, k = 50)
+      val lex = TextIndex.bm25SearchBundle(s, root, "tix", terms, k = 50)
         .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
       val exactVec = Similarity.bruteForceKnn(e, q, k = 50)
         .select(col("nid"), col("rank").as("vrank"))
@@ -3361,18 +3418,22 @@ object SparkEntry {
       val batch = (0 until 8).map { i =>
         i.toLong -> Seq(vocab(i), vocab((i + 3) % 8)) }
       val qvecs = e.where(col("vec_id") < 8)
-      val tix = s"/tmp/graft/x183_tix_${storeTag(dir)}"
-      val aix = s"/tmp/graft/x183_aix_${storeTag(dir)}"
+      // since round 14 on the atomic BUNDLE stores (shared batch cores,
+      // same floors; flat stores retired to rebuild baselines)
+      val root = s"/tmp/graft/x183_bnd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
       // alignment contract (see x176): index only the embedded docs
-      TextIndex.write(docs.join(e.select(col("vec_id").as("doc_id")),
-        Seq("doc_id"), "left_semi"), tix)
+      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
       val books = Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.write(e, books, aix, nCentroids = 16, trainIters = 4, spill = 2)
-      val served = Similarity.threeStageServeBatch(s, tix, aix, e, batch,
+      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      val served = Similarity.threeStageServeBatchBundle(s, root, "tix",
+        root, "ann", e, batch,
         qvecs, k = 10, fuseK = 30, poolK = 50, rerank = 150,
         nProbe = 6).persist()
-      val lex = TextIndex.bm25SearchBatch(s, tix, batch, k = 50)
+      val lex = TextIndex.bm25SearchBatchBundle(s, root, "tix", batch, k = 50)
         .select(col("qid"), col("doc_id").as("nid"),
           col("rank").cast("int").as("lrank"))
       val exactVec = Similarity.bruteForceKnn(e, qvecs, k = 50)
@@ -3541,24 +3602,28 @@ object SparkEntry {
       val q = e.where(col("vec_id") < 1)
       val terms = Seq("join", "hash", "vector")
       val allowed = e.where(col("label") < 5).select(col("vec_id"))
-      val tix = s"/tmp/graft/x180_tix_${storeTag(dir)}"
-      val aix = s"/tmp/graft/x180_aix_${storeTag(dir)}"
+      // since round 14 on the atomic BUNDLE stores (shared cores, same
+      // floors; flat stores retired to rebuild baselines)
+      val root = s"/tmp/graft/x180_bnd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
       // alignment contract (see x176): index only the embedded docs —
       // the `within` filter alone also guarantees pool resolution, but
       // the store should match what the probe and every other composed
       // serve builds
-      TextIndex.write(docs.join(e.select(col("vec_id").as("doc_id")),
-        Seq("doc_id"), "left_semi"), tix)
+      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
       val books = Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.write(e, books, aix, nCentroids = 16, trainIters = 4, spill = 2)
-      val served = Similarity.threeStageServe(s, tix, aix, e, terms, q,
+      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      val served = Similarity.threeStageServeBundle(s, root, "tix",
+        root, "ann", e, terms, q,
         k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6,
         within = Some(allowed)).persist()
       val viol = served
         .join(allowed.select(col("vec_id").as("nid")), Seq("nid"), "left_anti")
         .agg(count(lit(1)).as("__viol"))
-      val lex = TextIndex.bm25Search(s, tix, terms, k = 50,
+      val lex = TextIndex.bm25SearchBundle(s, root, "tix", terms, k = 50,
           within = Some(allowed))
         .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
       val exactVec = Similarity.bruteForceKnn(
@@ -4051,13 +4116,27 @@ object SparkEntry {
     * batch-sized file set — cost shown by the full query's timing).
     */
   def serveOnly: Map[String, ((SparkSession, String) => Unit, (SparkSession, String) => DataFrame)] = {
-    def annIdx(dir: String) = s"/tmp/graft/serve_x95_${storeTag(dir)}"
-    def tixIdx(dir: String) = s"/tmp/graft/serve_x129_${storeTag(dir)}"
+    def annIdx(dir: String) = s"/tmp/graft/serve_x95b_${storeTag(dir)}"
+    def tixIdx(dir: String) = s"/tmp/graft/serve_x129b_${storeTag(dir)}"
     def shIdx(dir: String) = s"/tmp/graft/serve_x147_${storeTag(dir)}"
     def lshIdx(dir: String) = s"/tmp/graft/serve_x152_${storeTag(dir)}"
     def pairIdx(dir: String) = s"/tmp/graft/serve_x159_${storeTag(dir)}"
-    def hybT(dir: String) = s"/tmp/graft/serve_x165_tix_${storeTag(dir)}"
-    def hybA(dir: String) = s"/tmp/graft/serve_x165_aix_${storeTag(dir)}"
+    def hybRoot(dir: String) = s"/tmp/graft/serve_x165b_${storeTag(dir)}"
+    // the aligned bundle pair every composed serve builds on (x165/
+    // x176/x180/x183 share it; each build fn rebuilds from scratch)
+    def buildHybridBundles(s: SparkSession, dir: String): Unit = {
+      val e = t(s, dir, "embeddings")
+      deleteRecursively(new java.io.File(hybRoot(dir)))
+      // aligned build (threeStageServe contract): only embedded docs
+      TextIndex.writeBundle(t(s, dir, "documents")
+        .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi"), hybRoot(dir), "tix", seedBatchIds = Seq("b0"))
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      AnnIndex.writeBundle(e, books, hybRoot(dir), "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      ()
+    }
     def lmRoot(dir: String) = s"/tmp/graft/serve_x166_${storeTag(dir)}"
     def cmpIdx(dir: String) = s"/tmp/graft/serve_x170_${storeTag(dir)}"
     def bndRoot(dir: String) = s"/tmp/graft/serve_x174_${storeTag(dir)}"
@@ -4066,24 +4145,34 @@ object SparkEntry {
     def pitRoot(dir: String) = s"/tmp/graft/serve_x184_${storeTag(dir)}"
     def bstkRoot(dir: String) = s"/tmp/graft/serve_x187_${storeTag(dir)}"
     Map(
+      // bundle-backed since round 14 (the declared queries re-pointed;
+      // the serve rows stay trend-continuous — manifest resolution must
+      // add ~nothing, which x187-beside-x176 pinned in r13)
       "x95_stored_ann_index" -> ((
         (s: SparkSession, dir: String) => {
           val e = t(s, dir, "embeddings")
+          deleteRecursively(new java.io.File(annIdx(dir)))
           val books = Embeddings.pqTrain(
             RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-          AnnIndex.write(e, books, annIdx(dir), nCentroids = 16,
-            trainIters = 4, spill = 2)
+          AnnIndex.writeBundle(e, books, annIdx(dir), "ann",
+            nCentroids = 16, trainIters = 4, spill = 2,
+            seedBatchIds = Seq("b0"))
+          ()
         },
         (s: SparkSession, dir: String) => {
           val e = t(s, dir, "embeddings")
-          AnnIndex.knn(s, annIdx(dir), e, e.where(col("vec_id") < 8),
-            k = 5, rerank = 150, nProbe = 6)
+          AnnIndex.knnBundle(s, annIdx(dir), "ann", e,
+            e.where(col("vec_id") < 8), k = 5, rerank = 150, nProbe = 6)
         })),
       "x129_stored_text_index" -> ((
+        (s: SparkSession, dir: String) => {
+          deleteRecursively(new java.io.File(tixIdx(dir)))
+          TextIndex.writeBundle(t(s, dir, "documents"), tixIdx(dir),
+            "tix", seedBatchIds = Seq("b0"))
+          ()
+        },
         (s: SparkSession, dir: String) =>
-          TextIndex.write(t(s, dir, "documents"), tixIdx(dir)),
-        (s: SparkSession, dir: String) =>
-          TextIndex.booleanSearch(s, tixIdx(dir),
+          TextIndex.booleanSearchBundle(s, tixIdx(dir), "tix",
             Seq("join", "hash", "vector")))),
       "x147_stored_decontamination" -> ((
         (s: SparkSession, dir: String) =>
@@ -4135,20 +4224,11 @@ object SparkEntry {
             .unionByName(within.select(col("a"), col("b"), col("jaccard")))
         })),
       "x165_hybrid_stored_serve" -> ((
+        (s: SparkSession, dir: String) => buildHybridBundles(s, dir),
         (s: SparkSession, dir: String) => {
           val e = t(s, dir, "embeddings")
-          // aligned build (threeStageServe contract): only embedded docs
-          TextIndex.write(t(s, dir, "documents")
-            .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
-              "left_semi"), hybT(dir))
-          val books = Embeddings.pqTrain(
-            RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-          AnnIndex.write(e, books, hybA(dir), nCentroids = 16,
-            trainIters = 4, spill = 2)
-        },
-        (s: SparkSession, dir: String) => {
-          val e = t(s, dir, "embeddings")
-          Similarity.hybridStoredServe(s, hybT(dir), hybA(dir), e,
+          Similarity.hybridStoredServeBundle(s, hybRoot(dir), "tix",
+            hybRoot(dir), "ann", e,
             Seq("join", "hash", "vector"), e.where(col("vec_id") < 1),
             k = 10, poolK = 50, rerank = 150, nProbe = 6)
         })),
@@ -4217,20 +4297,11 @@ object SparkEntry {
             .unionByName(within.select(col("a"), col("b"), col("jaccard")))
         })),
       "x176_three_stage_serve" -> ((
+        (s: SparkSession, dir: String) => buildHybridBundles(s, dir),
         (s: SparkSession, dir: String) => {
           val e = t(s, dir, "embeddings")
-          // aligned build (threeStageServe contract): only embedded docs
-          TextIndex.write(t(s, dir, "documents")
-            .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
-              "left_semi"), hybT(dir))
-          val books = Embeddings.pqTrain(
-            RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-          AnnIndex.write(e, books, hybA(dir), nCentroids = 16,
-            trainIters = 4, spill = 2)
-        },
-        (s: SparkSession, dir: String) => {
-          val e = t(s, dir, "embeddings")
-          Similarity.threeStageServe(s, hybT(dir), hybA(dir), e,
+          Similarity.threeStageServeBundle(s, hybRoot(dir), "tix",
+            hybRoot(dir), "ann", e,
             Seq("join", "hash", "vector"), e.where(col("vec_id") < 1),
             k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6)
         })),
@@ -4238,24 +4309,15 @@ object SparkEntry {
       // 8× x176's single-query serve: one plan amortizes the postings/
       // codes scans and the fixed per-plan overhead across the batch
       "x183_batched_serve" -> ((
-        (s: SparkSession, dir: String) => {
-          val e = t(s, dir, "embeddings")
-          // aligned build (threeStageServe contract): only embedded docs
-          TextIndex.write(t(s, dir, "documents")
-            .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
-              "left_semi"), hybT(dir))
-          val books = Embeddings.pqTrain(
-            RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-          AnnIndex.write(e, books, hybA(dir), nCentroids = 16,
-            trainIters = 4, spill = 2)
-        },
+        (s: SparkSession, dir: String) => buildHybridBundles(s, dir),
         (s: SparkSession, dir: String) => {
           val e = t(s, dir, "embeddings")
           val vocab = Seq("join", "hash", "vector", "scan", "merge",
             "table", "index", "sort")
           val batch = (0 until 8).map { i =>
             i.toLong -> Seq(vocab(i), vocab((i + 3) % 8)) }
-          Similarity.threeStageServeBatch(s, hybT(dir), hybA(dir), e,
+          Similarity.threeStageServeBatchBundle(s, hybRoot(dir), "tix",
+            hybRoot(dir), "ann", e,
             batch, e.where(col("vec_id") < 8), k = 10, fuseK = 30,
             poolK = 50, rerank = 150, nProbe = 6)
         })),
@@ -4284,20 +4346,11 @@ object SparkEntry {
       // same stores as x165/x176 — the filter is a serve-time argument,
       // not an index property, which is exactly the point measured here
       "x180_filtered_serve" -> ((
+        (s: SparkSession, dir: String) => buildHybridBundles(s, dir),
         (s: SparkSession, dir: String) => {
           val e = t(s, dir, "embeddings")
-          // aligned build (threeStageServe contract): only embedded docs
-          TextIndex.write(t(s, dir, "documents")
-            .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
-              "left_semi"), hybT(dir))
-          val books = Embeddings.pqTrain(
-            RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-          AnnIndex.write(e, books, hybA(dir), nCentroids = 16,
-            trainIters = 4, spill = 2)
-        },
-        (s: SparkSession, dir: String) => {
-          val e = t(s, dir, "embeddings")
-          Similarity.threeStageServe(s, hybT(dir), hybA(dir), e,
+          Similarity.threeStageServeBundle(s, hybRoot(dir), "tix",
+            hybRoot(dir), "ann", e,
             Seq("join", "hash", "vector"), e.where(col("vec_id") < 1),
             k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6,
             within = Some(e.where(col("label") < 5).select(col("vec_id"))))

@@ -53,7 +53,14 @@ object AnnIndex {
     * from their second-closest cell, which is where a single-assignment
     * IVF loses recall at low nProbe. The serve side collapses the
     * resulting duplicate (qid, nid) pairs.
+    *
+    * DEPRECATED as a production store: a crash mid-rebuild can leave new
+    * centroids beside old codes, and [[append]] replays are unguarded —
+    * [[writeBundle]] publishes all members atomically with a ledgered
+    * manifest. Kept only as the in-plan rebuild BASELINE the bundle
+    * store's equivalence checks compare against (x186/x187/x188).
     */
+  @deprecated("use writeBundle: atomic multi-member publish + ledger", "round-14")
   def write(candidates: DataFrame,
       books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], dir: String,
       nCentroids: Int = 16, trainIters: Int = 0, spill: Int = 1,
@@ -131,7 +138,14 @@ object AnnIndex {
     * `Catalog.compactPartition(spark, dir, "codes", Seq(("cell", c)))`
     * rewrites one cell in place (atomic swap) without touching the
     * quantizer, codebooks, or serve planning.
+    *
+    * DEPRECATED: unledgered — a replayed batch double-appends, and
+    * duplicate nids then occupy multiple top-k slots in the exact
+    * re-rank. [[appendBundle]] records the batch id in the manifest
+    * atomically with the data. Kept only for flat stores already laid
+    * out by [[write]] (rebuild baselines).
     */
+  @deprecated("use appendBundle: ledgered, replay-rejected", "round-14")
   def append(spark: SparkSession, dir: String, batch: DataFrame,
       spill: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -282,31 +296,55 @@ object AnnIndex {
     */
   def appendBundle(spark: SparkSession, root: String, name: String,
       batch: DataFrame, batchId: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
-    val centroids = parseCentroids(Catalog.readBundleTable(spark, root, name, "centroids"))
-    val books = parseBooks(Catalog.readBundleTable(spark, root, name, "books"))
-    val spill = Catalog.readBundleTable(spark, root, name, "params")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      version: Option[Long] = None): Boolean = {
+    // ONE resolved version for all three encode inputs — resolving
+    // latest per member would let a racing retrain pair one version's
+    // centroids with another's codebooks, assigning the batch with
+    // arithmetic no committed index ever had. The claim then re-checks
+    // (atomically, via `pinned`) that those members are STILL the
+    // pinned version's at publish: codes encoded against a quantizer a
+    // racing rebuild superseded must fail loudly, never commit.
+    val v = version.orElse(Catalog.latestBundleVersion(spark, root, name))
+      .getOrElse(sys.error(s"AnnIndex.appendBundle: no committed " +
+        s"versions for '$name' under $root"))
+    val centroids = parseCentroids(
+      Catalog.readBundleTable(spark, root, name, "centroids", Some(v)))
+    val books = parseBooks(
+      Catalog.readBundleTable(spark, root, name, "books", Some(v)))
+    val spill = Catalog.readBundleTable(spark, root, name, "params", Some(v))
       .select(col("spill")).collect()(0).getInt(0)
     Catalog.appendBundle(
       Seq("codes" -> encodeAssign(batch, books, centroids, spill, idCol, vecCol)),
-      root, name, batchId)
+      root, name, batchId,
+      pinned = Some((v, Seq("centroids", "books", "params"))))
   }
 
   /** Training-free serve off the BUNDLE-backed index — the same plan as
-    * [[knn]] (shared [[serveCore]]), with centroids/books/codes resolved
-    * through one committed manifest version: a serve can never see a
-    * half-rebuilt index, and the probe list still prunes the codes scan
-    * to the probed cell directories of every committed file set.
+    * [[knn]] (shared [[serveCore]]), with centroids/books/codes ALL
+    * resolved through ONE committed manifest version: `version` is
+    * resolved (to latest when `None`) exactly once at entry and
+    * threaded through every member read, so a commit landing between
+    * the reads can never pair one version's centroids with another's
+    * codes (wrong distances, no error) — the serve answers entirely
+    * from the pinned version, which stays readable until
+    * [[graft.sources.Catalog.pruneBundleVersions]] retention. Pass
+    * `Some(v)` for explicit time-travel serving.
     */
   def knnBundle(spark: SparkSession, root: String, name: String,
       corpus: DataFrame, queries: DataFrame, k: Int, rerank: Int = 50,
       nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
-      within: Option[DataFrame] = None): DataFrame =
+      within: Option[DataFrame] = None,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(Catalog.latestBundleVersion(spark, root, name))
+      .getOrElse(sys.error(s"AnnIndex.knnBundle: no committed versions " +
+        s"for '$name' under $root"))
     serveCore(spark,
-      parseCentroids(Catalog.readBundleTable(spark, root, name, "centroids")),
-      parseBooks(Catalog.readBundleTable(spark, root, name, "books")),
-      Catalog.readBundleTable(spark, root, name, "codes"),
+      parseCentroids(Catalog.readBundleTable(spark, root, name, "centroids", Some(v))),
+      parseBooks(Catalog.readBundleTable(spark, root, name, "books", Some(v))),
+      Catalog.readBundleTable(spark, root, name, "codes", Some(v)),
       corpus, queries, k, rerank, nProbe, idCol, vecCol, within)
+  }
 
   /** TAKEDOWN: remove a vector id set from the bundle-backed index in
     * ONE atomic version — the ANN twin of

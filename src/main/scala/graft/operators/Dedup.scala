@@ -624,13 +624,26 @@ object Dedup {
     * benchmark documents are never touched (DedupSpec pins it).
     */
   def contaminationAgainstIndex(corpus: DataFrame, dir: String,
-      idCol: String, textCol: String, shingleSize: Int = 8): DataFrame = {
-    val benchShingles = corpus.sparkSession.read
-      .parquet(s"$dir/shingles.parquet")
-      .select(col("sg").as("__s")).withColumn("__hit", lit(1))
+      idCol: String, textCol: String, shingleSize: Int = 8): DataFrame =
+    contaminationServeCore(corpus,
+      corpus.sparkSession.read.parquet(s"$dir/shingles.parquet")
+        .select(col("sg")),
+      idCol, textCol, shingleSize)
+
+  /** The one contamination serve both stores run (flat distinct-shingle
+    * table and provenance-carrying bundle): `benchShingles` is one `sg`
+    * column, distinct'd HERE — so a store holding (sg, benchmark) rows
+    * with a shingle shared by two benchmarks still counts it once per
+    * doc occurrence, identical to the direct [[contamination]] screen.
+    */
+  private def contaminationServeCore(corpus: DataFrame,
+      benchShingles: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame = {
+    val bs = benchShingles.select(col(benchShingles.columns.head).as("__s"))
+      .distinct().withColumn("__hit", lit(1))
     shingled(ensureParallelism(corpus), idCol, textCol, shingleSize, "__sh")
       .select(col(idCol), explode_outer(Staging.pin(col("__sh"))).as("__s"))
-      .join(broadcast(benchShingles), Seq("__s"), "left")
+      .join(broadcast(bs), Seq("__s"), "left")
       .groupBy(col(idCol))
       .agg(count(col("__s")).cast("int").as("n_shingles"),
         count(col("__hit")).as("contaminated"))
@@ -639,6 +652,81 @@ object Dedup {
           .otherwise(col("contaminated").cast("double") / col("n_shingles")), 4)
           .as("contaminated_frac"))
   }
+
+  // -------------- decontamination store on the atomic bundle (provenance)
+
+  /** One benchmark's provenance-carrying shingle rows: (sg,
+    * benchmark_id), distinct per benchmark, shard column for the
+    * manifest's partition layout.
+    */
+  private def benchShingleRows(bench: DataFrame, benchmarkId: String,
+      idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    shingled(bench, idCol, textCol, shingleSize)
+      .select(explode(Staging.pin(col("sh"))).as("sg")).distinct()
+      .withColumn("benchmark_id", lit(benchmarkId))
+      .withColumn("shard", TextIndex.shardCol(col("sg")))
+
+  /** Decontamination store ON the atomic bundle, with PER-BENCHMARK
+    * provenance — the flat [[writeShingleIndex]] stores bare distinct
+    * shingles, which makes benchmark RETIREMENT impossible: dropping a
+    * retired suite's shingles would also drop every shingle it shares
+    * with a kept suite. Here the member holds (sg, benchmark_id) rows
+    * (distinct per benchmark, shard-partitioned like the flat layout),
+    * the serve distincts `sg` (shared shingles count once —
+    * [[contaminationServeCore]]), and [[retractShingleBundle]] removes
+    * exactly one benchmark's rows: a shingle any KEPT benchmark
+    * contributes survives by construction — set semantics, the reverse
+    * of x148's anti-join guard. Ledgered like every bundle store.
+    */
+  def writeShingleBundle(benchmark: DataFrame, benchmarkId: String,
+      root: String, bundle: String, idCol: String, textCol: String,
+      shingleSize: Int = 8, seedBatchIds: Seq[String] = Nil): Long =
+    graft.sources.Catalog.commitBundle(Seq(
+      "shingles" -> benchShingleRows(benchmark, benchmarkId, idCol,
+        textCol, shingleSize)),
+      root, bundle, seedBatchIds,
+      partitionBy = Map("shingles" -> Seq("shard")))
+
+  /** Grow the store by one benchmark, LEDGERED: the suite's provenance
+    * rows land as a new file set with the batch id in the manifest
+    * (replay → false, store untouched). Unlike the flat
+    * [[appendShingleIndex]], no cross-benchmark anti-join is needed —
+    * rows are keyed (sg, benchmark_id), so a shingle shared with a
+    * resident benchmark lands as its own provenance row and the serve's
+    * distinct collapses it.
+    */
+  def ingestShingleBundle(newBench: DataFrame, benchmarkId: String,
+      root: String, bundle: String, batchId: String, idCol: String,
+      textCol: String, shingleSize: Int = 8): Boolean =
+    graft.sources.Catalog.appendBundle(Seq(
+      "shingles" -> benchShingleRows(newBench, benchmarkId, idCol,
+        textCol, shingleSize)),
+      root, bundle, batchId)
+
+  /** BENCHMARK RETIREMENT: drop one benchmark's provenance rows in one
+    * atomic version ([[graft.sources.Catalog.rewriteBundleMembers]] —
+    * ledger preserved, shard layout preserved, O(store member) one-pass
+    * rewrite). Because the serve distincts over the REMAINING rows, a
+    * shingle the retired suite shared with any kept suite keeps
+    * screening — post-retract serve ≡ direct screen against the kept
+    * benchmarks (DedupSpec + x192 pin it, hash-compared).
+    */
+  def retractShingleBundle(spark: org.apache.spark.sql.SparkSession,
+      root: String, bundle: String, benchmarkId: String): Long =
+    graft.sources.Catalog.rewriteBundleMembers(spark, root, bundle, Map(
+      "shingles" -> ((s: DataFrame) =>
+        s.where(col("benchmark_id") =!= lit(benchmarkId)))))
+
+  /** [[contaminationAgainstIndex]] off the bundle store — shared serve
+    * core; the member resolves through one committed manifest version.
+    */
+  def contaminationAgainstBundle(corpus: DataFrame, root: String,
+      bundle: String, idCol: String, textCol: String,
+      shingleSize: Int = 8): DataFrame =
+    contaminationServeCore(corpus,
+      graft.sources.Catalog.readBundleTable(corpus.sparkSession, root,
+        bundle, "shingles").select(col("sg")),
+      idCol, textCol, shingleSize)
 
   // --------------------------------------------- duplicate-cluster assembly
 
@@ -1156,11 +1244,20 @@ object Dedup {
       bands: Int = 12, maxBucketSize: Int = 1000,
       extraMembers: Seq[(String, DataFrame)] = Nil): Boolean = {
     val spark = batch.sparkSession
-    if (graft.sources.Catalog.bundleManifest(spark, root, bundle)
+    // resolve ONE version: the manifest consulted for the replay
+    // pre-check and the bucket index the batch matches against must be
+    // the same committed state, and the append claim re-verifies (via
+    // `pinned`) that no other ingest advanced the buckets in between —
+    // a batch matched against superseded buckets would silently miss
+    // its pairs against the racing batch's documents
+    val pv = graft.sources.Catalog.latestBundleVersion(spark, root, bundle)
+      .getOrElse(sys.error(s"ingestPairBundle: no committed versions " +
+        s"for '$bundle' under $root"))
+    if (graft.sources.Catalog.bundleManifest(spark, root, bundle, Some(pv))
         .batches.contains(batchId)) false
     else {
       val stored = graft.sources.Catalog
-        .readBundleTable(spark, root, bundle, "buckets")
+        .readBundleTable(spark, root, bundle, "buckets", Some(pv))
         .select(col(idCol), col("band").cast("int").as("band"), col("bucket"))
       val cross = incrementalMinhashMatchesWithIndex(batch, corpus, stored,
         idCol, textCol, threshold, shingleSize, numHashes, bands,
@@ -1175,7 +1272,8 @@ object Dedup {
         graft.sources.Catalog.appendBundle(Seq(
           "pairs" -> newPairs,
           "buckets" -> lshBuckets(batch, idCol, textCol, shingleSize,
-            numHashes, bands)) ++ extraMembers, root, bundle, batchId)
+            numHashes, bands)) ++ extraMembers, root, bundle, batchId,
+          pinned = Some((pv, Seq("buckets"))))
       } finally { cross.unpersist(); within.unpersist(); () }
     }
   }
@@ -1195,7 +1293,11 @@ object Dedup {
       idCol: String = "doc_id"): Long = {
     val rmA = broadcast(ids.select(col(ids.columns.head).as("__rm_a")))
     val rmB = broadcast(ids.select(col(ids.columns.head).as("__rm_b")))
-    val m = graft.sources.Catalog.bundleManifest(spark, root, bundle)
+    // pin the member-set probe and the rewrite to one resolved version
+    val pv = graft.sources.Catalog.latestBundleVersion(spark, root, bundle)
+      .getOrElse(sys.error(s"retractPairBundle: no committed versions " +
+        s"for '$bundle' under $root"))
+    val m = graft.sources.Catalog.bundleManifest(spark, root, bundle, Some(pv))
     val base: Map[String, DataFrame => DataFrame] = Map(
       "pairs" -> ((p: DataFrame) =>
         p.join(rmA, p("a") === rmA("__rm_a"), "left_anti")
@@ -1206,7 +1308,8 @@ object Dedup {
       base + ("corpus" -> ((c: DataFrame) =>
         c.join(rmA, c(idCol) === rmA("__rm_a"), "left_anti")))
     else base
-    graft.sources.Catalog.rewriteBundleMembers(spark, root, bundle, all)
+    graft.sources.Catalog.rewriteBundleMembers(spark, root, bundle, all,
+      version = Some(pv))
   }
 
   /** The new batch with exact and near duplicates of the corpus removed —

@@ -176,11 +176,19 @@ object LmStore {
   /** Load the LM off the bundle store: group-sum the delta file sets
     * (exact — counts are an additive monoid), then the same top-K
     * convention as [[load]], so bundle-served ≡ flat-served ≡ refit.
+    * Fully-retracted tokens group-sum to c = 0 ([[retractBundle]]'s
+    * negative deltas) — filtered out BEFORE the top-K, else a corpus
+    * left with fewer than vocabSize live tokens would admit ghost
+    * tokens into the vocab and shift the smoothing denominator,
+    * breaking bundle-served ≡ refit. `version` pins the read for
+    * time-travel serving (None = latest; counts are one member, so a
+    * single read is already torn-proof).
     */
   def loadBundle(spark: SparkSession, root: String, name: String,
-      vocabSize: Int): (DataFrame, Double) =
+      vocabSize: Int, version: Option[Long] = None): (DataFrame, Double) =
     lmFromCounts(spark,
-      Catalog.readBundleTable(spark, root, name, "counts")
-        .groupBy(col("tok")).agg(sum(col("c")).as("c")),
+      Catalog.readBundleTable(spark, root, name, "counts", version)
+        .groupBy(col("tok")).agg(sum(col("c")).as("c"))
+        .where(col("c") > 0),
       vocabSize)
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.sources.Catalog
+
 import graft.functions.Num.roundz
 
 /** Similarity search over an embedding column (`Array[Float]`).
@@ -227,6 +229,38 @@ object Similarity {
     rrfFuse(lex, vec, k, rrfK)
   }
 
+  /** [[hybridStoredServe]] with both retrieval stages on the atomic
+    * BUNDLE stores — same cores, each index resolved at ONE committed
+    * manifest version (resolved once here, threaded through every
+    * member read; see [[threeStageServeBundle]] for the pinning
+    * contract).
+    */
+  def hybridStoredServeBundle(spark: org.apache.spark.sql.SparkSession,
+      textRoot: String, textName: String, annRoot: String, annName: String,
+      vecs: DataFrame, queryTerms: Seq[String], queryVec: DataFrame, k: Int,
+      poolK: Int = 50, rrfK: Int = 60, rerank: Int = 150,
+      nProbe: Int = 6, within: Option[DataFrame] = None,
+      textVersion: Option[Long] = None,
+      annVersion: Option[Long] = None): DataFrame = {
+    require(poolK >= k, s"hybridStoredServeBundle: poolK=$poolK < k=$k")
+    val tv = textVersion
+      .orElse(Catalog.latestBundleVersion(spark, textRoot, textName))
+      .getOrElse(sys.error(s"hybridStoredServeBundle: no committed " +
+        s"versions for text index '$textName' under $textRoot"))
+    val av = annVersion
+      .orElse(Catalog.latestBundleVersion(spark, annRoot, annName))
+      .getOrElse(sys.error(s"hybridStoredServeBundle: no committed " +
+        s"versions for ANN index '$annName' under $annRoot"))
+    val lex = TextIndex.bm25SearchBundle(spark, textRoot, textName,
+        queryTerms, k = poolK, within = within, version = Some(tv))
+      .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
+    val vec = AnnIndex.knnBundle(spark, annRoot, annName, vecs, queryVec,
+        k = poolK, rerank = rerank, nProbe = nProbe, within = within,
+        version = Some(av))
+      .select(col("nid"), col("rank").as("vrank"))
+    rrfFuse(lex, vec, k, rrfK)
+  }
+
   /** Maximal-marginal-relevance diversified re-rank (Carbonell &
     * Goldstein, SIGIR'98, public) of one query's candidate shortlist —
     * the serving stack's third stage after retrieval (x8/x95) and fusion
@@ -411,6 +445,14 @@ object Similarity {
           .groupBy(_.getLong(0))
           .map { case (qid, rs) =>
             qid -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+        // a qid whose pool has no row in queryVecs vanishes in the
+        // inner join above — the pool-resolution check can't see it, so
+        // without this the batch would silently return ZERO rows for
+        // that query; same loud-failure contract as the pool check
+        require(candByQ.keySet == sizes.keySet,
+          s"mmrRerankPoolBatch: qids ${sizes.keySet -- candByQ.keySet} " +
+            s"have a pool but no '$idCol' row in the query-vector table " +
+            "— qid mismatch between the retrieval stage and queryVecs")
         val psimByQ = pairSims.collect()
           .groupBy(_.getLong(0))
           .map { case (qid, rs) =>
@@ -450,6 +492,46 @@ object Similarity {
         col("rank").cast("int").as("lrank"))
     val vec = AnnIndex.knn(spark, annIdx, vecs, queryVecs, k = poolK,
         rerank = rerank, nProbe = nProbe, within = within)
+      .select(col("qid"), col("nid"), col("rank").as("vrank"))
+    val fused = rrfFuseBatch(lex, vec, fuseK, rrfK)
+    mmrRerankPoolBatch(vecs, queryVecs,
+      fused.select(col("qid"), col("nid")), k)
+  }
+
+  /** [[threeStageServeBatch]] with both retrieval stages on the atomic
+    * BUNDLE stores — shared batch cores end to end
+    * ([[graft.operators.TextIndex.bm25SearchBatchBundle]],
+    * [[graft.operators.AnnIndex.knnBundle]] — qid rides natively,
+    * [[rrfFuseBatch]], [[mmrRerankPoolBatch]]), each index resolved at
+    * ONE committed manifest version (see [[threeStageServeBundle]] for
+    * the pinning contract). Per-query results are EXACTLY the
+    * single-query [[threeStageServeBundle]]'s.
+    */
+  def threeStageServeBatchBundle(spark: org.apache.spark.sql.SparkSession,
+      textRoot: String, textName: String, annRoot: String, annName: String,
+      vecs: DataFrame, queryTerms: Seq[(Long, Seq[String])],
+      queryVecs: DataFrame, k: Int,
+      fuseK: Int = 30, poolK: Int = 50, rrfK: Int = 60, rerank: Int = 150,
+      nProbe: Int = 6, within: Option[DataFrame] = None,
+      textVersion: Option[Long] = None,
+      annVersion: Option[Long] = None): DataFrame = {
+    require(fuseK >= k && fuseK <= 256,
+      s"threeStageServeBatchBundle: fuseK=$fuseK out of range for k=$k")
+    val tv = textVersion
+      .orElse(Catalog.latestBundleVersion(spark, textRoot, textName))
+      .getOrElse(sys.error(s"threeStageServeBatchBundle: no committed " +
+        s"versions for text index '$textName' under $textRoot"))
+    val av = annVersion
+      .orElse(Catalog.latestBundleVersion(spark, annRoot, annName))
+      .getOrElse(sys.error(s"threeStageServeBatchBundle: no committed " +
+        s"versions for ANN index '$annName' under $annRoot"))
+    val lex = TextIndex.bm25SearchBatchBundle(spark, textRoot, textName,
+        queryTerms, k = poolK, within = within, version = Some(tv))
+      .select(col("qid"), col("doc_id").as("nid"),
+        col("rank").cast("int").as("lrank"))
+    val vec = AnnIndex.knnBundle(spark, annRoot, annName, vecs, queryVecs,
+        k = poolK, rerank = rerank, nProbe = nProbe, within = within,
+        version = Some(av))
       .select(col("qid"), col("nid"), col("rank").as("vrank"))
     val fused = rrfFuseBatch(lex, vec, fuseK, rrfK)
     mmrRerankPoolBatch(vecs, queryVecs,
@@ -502,19 +584,38 @@ object Similarity {
     * identical (shared BM25/ADC cores, same [[rrfFuse]] arithmetic,
     * same [[mmrRerankPool]] greedy), so flat and bundle serves cannot
     * drift.
+    *
+    * VERSION PINNING: each index's version resolves ONCE here (to
+    * latest when not passed) and threads through every member read of
+    * its serve — a retrain, append, compaction or takedown committing
+    * WHILE this serve runs cannot tear the answer across versions; the
+    * serve returns exactly one committed version's result per index
+    * (SimilaritySpec pins serving under concurrent maintenance). Pass
+    * `textVersion`/`annVersion` for explicit time-travel serving.
     */
   def threeStageServeBundle(spark: org.apache.spark.sql.SparkSession,
       textRoot: String, textName: String, annRoot: String, annName: String,
       vecs: DataFrame, queryTerms: Seq[String], queryVec: DataFrame, k: Int,
       fuseK: Int = 30, poolK: Int = 50, rrfK: Int = 60, rerank: Int = 150,
-      nProbe: Int = 6, within: Option[DataFrame] = None): DataFrame = {
+      nProbe: Int = 6, within: Option[DataFrame] = None,
+      textVersion: Option[Long] = None,
+      annVersion: Option[Long] = None): DataFrame = {
     require(fuseK >= k && fuseK <= 256,
       s"threeStageServeBundle: fuseK=$fuseK out of range for k=$k")
+    val tv = textVersion
+      .orElse(Catalog.latestBundleVersion(spark, textRoot, textName))
+      .getOrElse(sys.error(s"threeStageServeBundle: no committed " +
+        s"versions for text index '$textName' under $textRoot"))
+    val av = annVersion
+      .orElse(Catalog.latestBundleVersion(spark, annRoot, annName))
+      .getOrElse(sys.error(s"threeStageServeBundle: no committed " +
+        s"versions for ANN index '$annName' under $annRoot"))
     val lex = TextIndex.bm25SearchBundle(spark, textRoot, textName,
-        queryTerms, k = poolK, within = within)
+        queryTerms, k = poolK, within = within, version = Some(tv))
       .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
     val vec = AnnIndex.knnBundle(spark, annRoot, annName, vecs, queryVec,
-        k = poolK, rerank = rerank, nProbe = nProbe, within = within)
+        k = poolK, rerank = rerank, nProbe = nProbe, within = within,
+        version = Some(av))
       .select(col("nid"), col("rank").as("vrank"))
     val fused = rrfFuse(lex, vec, fuseK, rrfK)
     mmrRerankPool(vecs, queryVec, fused.select(col("nid")), k)

@@ -180,25 +180,47 @@ object Temporal {
     * `scd2`. Cost scales with the batch's key footprint, not the table.
     *
     * Contract (guarded in-plan, loud): batch changes must be strictly
-    * LATER than the affected key's newest existing version. Out-of-order
-    * arrivals can flip which historical rows collapsed as no-ops, which
-    * an incremental replay cannot reconstruct — rebuild those keys from
-    * the raw log instead. Under the contract,
+    * LATER than the affected key's newest existing version — including
+    * a final CLOSED interval's end (a tombstoned key's delete ts).
+    * Out-of-order arrivals can flip which historical rows collapsed as
+    * no-ops, which an incremental replay cannot reconstruct — rebuild
+    * those keys from the raw log instead. Under the contract,
     * `scd2Merge(scd2(a), b) == scd2(a ∪ b)` exactly (TemporalSpec pins
     * this; the x75 oracle recomputes the full rebuild in SQL).
+    *
+    * TOMBSTONES: an interval table produced by [[scd2]] with
+    * `deleteCol` encodes deletions as GAPS (a row's eff_to not equal
+    * to the key's next eff_from, or a closed final interval). The
+    * eff_from-only replay cannot see them, so merging would silently
+    * resurrect a deleted span when a later re-insert carries the
+    * pre-delete values. Pass the SAME `deleteCol` here: the replay
+    * reconstructs one delete row per gap (at the gap's start — exactly
+    * the original delete's ts) and re-runs [[scd2]] tombstone-aware,
+    * keeping `scd2Merge(scd2(a), b) == scd2(a ∪ b)` for tombstoned
+    * inputs (TemporalSpec pins delete → value-equal re-insert across
+    * the merge). With `deleteCol = None`, an affected key that carries
+    * a gap fails LOUDLY in-plan instead of merging wrongly.
     */
   def scd2Merge(existing: DataFrame, batch: DataFrame, keyCols: Seq[String],
       tsCol: String, valueCols: Seq[String],
-      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+      tieBreak: Seq[String] = Seq.empty,
+      deleteCol: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "scd2Merge needs keys and tracked values")
     require(Seq("eff_from", "eff_to", "is_current").forall(existing.columns.contains),
       "scd2Merge: 'existing' must be an scd2 output (eff_from/eff_to/is_current); " +
         s"got columns [${existing.columns.mkString(", ")}]")
+    deleteCol.foreach(c => require(batch.columns.contains(c),
+      s"scd2Merge: deleteCol '$c' not in the batch (columns " +
+        s"[${batch.columns.mkString(", ")}]) - the batch must carry the " +
+        "delete flag so new tombstones merge through the same column"))
     val affectedKeys = batch.select(keyCols.map(col): _*).distinct()
     val untouched = existing.join(affectedKeys, keyCols, "left_anti")
     val affected = existing.join(affectedKeys, keyCols, "left_semi")
+    // a fully-deleted key's newest event is its delete (= max eff_to),
+    // later than any eff_from — the batch must postdate that too
     val latest = affected.groupBy(keyCols.map(col): _*)
-      .agg(max(col("eff_from")).as("__max_from"))
+      .agg(max(greatest(col("eff_from"),
+        coalesce(col("eff_to"), col("eff_from")))).as("__max_from"))
     val guarded = batch.join(latest, keyCols, "left")
       .withColumn(tsCol,
         when(col("__max_from").isNull || col(tsCol) > col("__max_from"), col(tsCol))
@@ -208,12 +230,39 @@ object Temporal {
             lit("cannot be replayed incrementally - rebuild the affected "),
             lit("keys from the raw change log")))))
       .drop("__max_from")
-    val replayed = affected
+    // deletion gap: this interval closed and no interval opens at its
+    // end — the span [eff_to, next eff_from) had no entity
+    val wNext = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col("eff_from") +: tieBreak.map(col)).toIndexedSeq: _*)
+    val flagged = affected.withColumn("__gap",
+      col("eff_to").isNotNull &&
+        !(col("eff_to") <=> lead(col("eff_from"), 1).over(wNext)))
+    val replayedBase = deleteCol match {
+      case None =>
+        flagged.withColumn("eff_from",
+          when(!col("__gap"), col("eff_from")).otherwise(raise_error(lit(
+            "scd2Merge: 'existing' carries deletion gaps (a tombstoned " +
+              "scd2 output) but no deleteCol was passed - the replay " +
+              "would silently resurrect deleted spans; pass the same " +
+              "deleteCol as the original scd2, or rebuild the affected " +
+              "keys from the raw change log"))))
+          .drop("__gap")
+      case Some(c) =>
+        val live = flagged.drop("__gap").withColumn(c, lit(false))
+        // one synthesized delete per gap, at the closed interval's end —
+        // the original delete row's exact ts; its tracked values ride
+        // along unused (scd2 drops delete rows from the output)
+        val dels = flagged.where(col("__gap"))
+          .withColumn("eff_from", col("eff_to"))
+          .drop("__gap").withColumn(c, lit(true))
+        live.unionByName(dels)
+    }
+    val replayed = replayedBase
       .drop("eff_to", "is_current")
       .withColumnRenamed("eff_from", tsCol)
     val merged = scd2(
       replayed.select(guarded.columns.map(col).toIndexedSeq: _*).unionByName(guarded),
-      keyCols, tsCol, valueCols, tieBreak)
+      keyCols, tsCol, valueCols, tieBreak, deleteCol)
     untouched.unionByName(merged)
   }
 

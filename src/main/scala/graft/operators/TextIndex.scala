@@ -100,7 +100,14 @@ object TextIndex {
     * meta is re-derived from what landed. Zero-token docs hold no postings
     * and can never match a term — they are absent from the index and its
     * meta by construction.
+    *
+    * DEPRECATED as a production store: the postings-write → meta-rewrite
+    * sequence is not atomic (a crash between them serves stats for a
+    * corpus the postings aren't) — [[writeBundle]] publishes both in one
+    * manifest rename. Kept only as the in-plan rebuild BASELINE the
+    * bundle store's equivalence checks compare against (x186/x187/x188).
     */
+  @deprecated("use writeBundle: atomic postings+meta publish + ledger", "round-14")
   def write(docs: DataFrame, dir: String, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     postings(docs, idCol, textCol)
@@ -127,7 +134,14 @@ object TextIndex {
     * `Catalog.compactPartition(spark, dir, "postings", Seq(("shard", s)))`
     * rewrites one shard in place (atomic swap, closed shards compact
     * independently); serve results are identical pre/post (CatalogSpec).
+    *
+    * DEPRECATED: unledgered — a replayed batch doubles a term's tf AND
+    * df, inflating every BM25 score its docs appear in; and the
+    * postings-append → meta-rewrite gap replays on a crash between
+    * them. [[appendBundle]] closes both. Kept only for flat stores
+    * already laid out by [[write]] (rebuild baselines).
     */
+  @deprecated("use appendBundle: ledgered, replay-rejected, atomic with meta", "round-14")
   def append(docs: DataFrame, dir: String, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     postings(docs, idCol, textCol)
@@ -263,13 +277,17 @@ object TextIndex {
       meta.getLong(0), meta.getLong(1), queryTerms, k, within)
   }
 
-  /** [[bm25SearchBatch]] off the BUNDLE-backed index. */
+  /** [[bm25SearchBatch]] off the BUNDLE-backed index — postings and
+    * corpus stats resolved at ONE version ([[resolveVersion]]).
+    */
   def bm25SearchBatchBundle(spark: SparkSession, root: String, name: String,
       queryTerms: Seq[(Long, Seq[String])], k: Int,
-      within: Option[DataFrame] = None): DataFrame = {
-    val (nDocs, sumDl) = bundleStats(spark, root, name)
+      within: Option[DataFrame] = None,
+      version: Option[Long] = None): DataFrame = {
+    val v = resolveVersion(spark, root, name, version, "bm25SearchBatchBundle")
+    val (nDocs, sumDl) = bundleStats(spark, root, name, v)
     bm25BatchCore(spark,
-      Catalog.readBundleTable(spark, root, name, "postings"),
+      Catalog.readBundleTable(spark, root, name, "postings", Some(v)),
       nDocs, sumDl, queryTerms, k, within)
   }
 
@@ -405,13 +423,27 @@ object TextIndex {
     finally { p.unpersist(); () }
   }
 
-  /** Corpus stats off the bundle: the meta member's delta rows summed —
-    * bounded at one row per ingested batch (compaction collapses the
-    * file sets; the rows still sum identically).
+  /** The one version every member read of a serve resolves through:
+    * latest when the caller didn't pin one. Resolving latest PER MEMBER
+    * instead would let a commit landing between the reads pair postings
+    * at version n with stats at n−1 — idf and avgdl describing a corpus
+    * the postings aren't (wrong scores, no error) — the exact torn
+    * multi-member read the bundle protocol exists to prevent.
+    */
+  private def resolveVersion(spark: SparkSession, root: String,
+      name: String, version: Option[Long], op: String): Long =
+    version.orElse(Catalog.latestBundleVersion(spark, root, name))
+      .getOrElse(sys.error(s"TextIndex.$op: no committed versions " +
+        s"for '$name' under $root"))
+
+  /** Corpus stats off the bundle AT a resolved version: the meta
+    * member's delta rows summed — bounded at one row per ingested batch
+    * (compaction collapses the file sets; the rows still sum
+    * identically).
     */
   private def bundleStats(spark: SparkSession, root: String,
-      name: String): (Long, Long) = {
-    val r = Catalog.readBundleTable(spark, root, name, "meta")
+      name: String, version: Long): (Long, Long) = {
+    val r = Catalog.readBundleTable(spark, root, name, "meta", Some(version))
       .agg(coalesce(sum(col("n_docs")), lit(0L)),
         coalesce(sum(col("sum_dl")), lit(0L)))
       .collect()(0)
@@ -420,34 +452,41 @@ object TextIndex {
 
   /** Conjunctive match off the BUNDLE-backed index — same core plan as
     * [[booleanSearch]], postings resolved through one committed
-    * manifest version (a serve can never see a half-rebuilt index; the
-    * driver-planned shard predicate still prunes every committed file
-    * set's directory listing).
+    * manifest version ([[resolveVersion]]; a serve can never see a
+    * half-rebuilt index; the driver-planned shard predicate still
+    * prunes every committed file set's directory listing).
     */
   def booleanSearchBundle(spark: SparkSession, root: String, name: String,
-      queryTerms: Seq[String]): DataFrame =
-    booleanCore(Catalog.readBundleTable(spark, root, name, "postings"),
+      queryTerms: Seq[String], version: Option[Long] = None): DataFrame =
+    booleanCore(Catalog.readBundleTable(spark, root, name, "postings",
+      Some(resolveVersion(spark, root, name, version, "booleanSearchBundle"))),
       queryTerms)
 
   /** BM25 top-k off the BUNDLE-backed index — same core plan as
-    * [[bm25Search]] (shared [[bm25Core]]), corpus stats summed from the
-    * meta deltas of exactly the committed batches.
+    * [[bm25Search]] (shared [[bm25Core]]), with postings AND the meta
+    * stats resolved at ONE version ([[resolveVersion]]) so the idf /
+    * avgdl arithmetic always describes exactly the postings it scores.
+    * Pass `Some(v)` for explicit time-travel serving.
     */
   def bm25SearchBundle(spark: SparkSession, root: String, name: String,
       queryTerms: Seq[String], k: Int,
-      within: Option[DataFrame] = None): DataFrame = {
-    val (nDocs, sumDl) = bundleStats(spark, root, name)
-    bm25Core(Catalog.readBundleTable(spark, root, name, "postings"),
+      within: Option[DataFrame] = None,
+      version: Option[Long] = None): DataFrame = {
+    val v = resolveVersion(spark, root, name, version, "bm25SearchBundle")
+    val (nDocs, sumDl) = bundleStats(spark, root, name, v)
+    bm25Core(Catalog.readBundleTable(spark, root, name, "postings", Some(v)),
       nDocs, sumDl, queryTerms, k, within)
   }
 
   /** Exact phrase match off the BUNDLE-backed index — shared
-    * [[phraseCore]].
+    * [[phraseCore]], postings at one resolved version.
     */
   def phraseSearchBundle(spark: SparkSession, root: String, name: String,
-      phrase: Seq[String]): DataFrame =
+      phrase: Seq[String], version: Option[Long] = None): DataFrame =
     phraseCore(spark,
-      Catalog.readBundleTable(spark, root, name, "postings"), phrase)
+      Catalog.readBundleTable(spark, root, name, "postings",
+        Some(resolveVersion(spark, root, name, version, "phraseSearchBundle"))),
+      phrase)
 
   /** TAKEDOWN: remove a document id set from the bundle-backed index in
     * ONE atomic version (contamination removal, copyright /
@@ -470,17 +509,23 @@ object TextIndex {
   def retractBundle(spark: SparkSession, root: String, name: String,
       ids: DataFrame): Long = {
     val rm = broadcast(ids.select(col(ids.columns.head).as("__rm_id")))
+    // the compensation row reads the postings member too — resolve the
+    // version HERE and pin both the rewrite baseline and this read to
+    // it, so the negative delta always describes exactly the postings
+    // being rewritten
+    val v = resolveVersion(spark, root, name, None, "retractBundle")
     Catalog.rewriteBundleMembers(spark, root, name, Map(
       "postings" -> ((p: DataFrame) =>
         p.join(rm, p("doc_id") === rm("__rm_id"), "left_anti")),
       "meta" -> ((m: DataFrame) => {
-        val comp = Catalog.readBundleTable(spark, root, name, "postings")
+        val comp = Catalog.readBundleTable(spark, root, name, "postings",
+            Some(v))
           .join(rm, col("doc_id") === rm("__rm_id"), "left_semi")
           .select(col("doc_id"), col("dl")).distinct()
           .agg((-count(lit(1))).as("n_docs"),
             (-coalesce(sum(col("dl").cast("long")), lit(0L))).as("sum_dl"))
           .repartition(1)
         m.unionByName(comp)
-      })))
+      })), version = Some(v))
   }
 }

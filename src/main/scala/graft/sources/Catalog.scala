@@ -216,10 +216,14 @@ object Catalog {
     * (posix/HDFS). On object stores, where connectors emulate rename
     * as copy+delete, two racers can interleave one slot (the
     * uncommitted-target clear destroys a racer's in-flight copy) —
-    * detected loudly via the foreign-marker check in
-    * [[claimVersionSlot]], proven by CatalogSpec's shim; deploy
-    * single-writer per store there, or coordinate commits externally
-    * (the same caveat class as [[atomicSwap]]).
+    * USUALLY detected loudly via the foreign-marker check in
+    * [[claimVersionSlot]] (proven by CatalogSpec's shim), but the
+    * check is best-effort: a racer whose marker copy lands after our
+    * listing, or whose marker was destroyed mid-flight leaving only
+    * data files, interleaves undetected. Single-writer per store is
+    * the REQUIREMENT on non-atomic-rename filesystems; coordinate
+    * commits externally otherwise (the same caveat class as
+    * [[atomicSwap]]).
     */
   def commitVersion(df: DataFrame, root: String, ref: String): Long = {
     val spark = df.sparkSession
@@ -628,10 +632,21 @@ object Catalog {
     * [[commitVersion]] — racing committers both land, as distinct
     * versions; each retry rewrites only the tiny manifest and costs one
     * rename, never a data rewrite.
+    *
+    * `supersedes`: a snapshot REPLACING a specific prior version (a
+    * compaction, a rebuild-from-read) passes the version its member
+    * frames were read from; the claim then verifies, atomically at
+    * every attempt, that no other commit has landed since — else it
+    * fails LOUDLY. Without it, a batch appended between the
+    * compaction's read and its commit would survive as a ledger id
+    * whose data the compacted snapshot silently dropped. `None` (the
+    * default) keeps the racing-committers-both-land semantics for
+    * independent snapshot writers.
     */
   def commitBundle(tables: Seq[(String, DataFrame)], root: String,
       bundle: String, batchIds: Seq[String] = Nil,
-      partitionBy: Map[String, Seq[String]] = Map.empty): Long = {
+      partitionBy: Map[String, Seq[String]] = Map.empty,
+      supersedes: Option[Long] = None): Long = {
     require(tables.nonEmpty, "commitBundle: no member tables")
     require(tables.map(_._1).distinct.size == tables.size,
       s"commitBundle: duplicate member refs in ${tables.map(_._1)}")
@@ -650,6 +665,16 @@ object Catalog {
     // so its post-crash replay is rejected by the same manifest check
     val next = claimVersionSlot(f, base, staging, token,
       p => f.exists(new HPath(p, "_manifest")), "commitBundle") { (n, st) =>
+      // next = newest committed + 1, so newest committed = n − 1: a
+      // superseding snapshot that is not landing directly on top of the
+      // version it was computed from would silently drop whatever landed
+      // in between — refuse and let the caller re-read and retry
+      supersedes.foreach { pv =>
+        if (n - 1 != pv)
+          sys.error(s"commitBundle: store advanced past superseded " +
+            s"version $pv (newest committed is ${n - 1}) while this " +
+            "snapshot was being computed — re-read and retry")
+      }
       writeStagedManifest(f, st, BundleManifest(batchIds,
         tables.map { case (ref, _) =>
           ref -> Seq(s"$n/${tableName(ref)}.parquet")
@@ -680,9 +705,21 @@ object Catalog {
     * racer that committed the SAME batch id first turns this call into
     * the ordinary replay-rejected false, checked again atomically at
     * every claim attempt.
+    *
+    * `pinned = Some((v, refs))`: the batch was ENCODED against member
+    * tables read at version `v` (an ANN batch assigned/coded against
+    * v's quantizer and codebooks, a dedup batch matched against v's
+    * bucket index); the claim then verifies, atomically at every
+    * attempt, that each named ref's file-set list is UNCHANGED since
+    * `v` — else it fails LOUDLY instead of committing rows that are
+    * inconsistent with the store they land in (codes a retrained
+    * quantizer decodes to wrong vectors, pairs that missed a racing
+    * batch's buckets). Appends to members NOT named still interleave
+    * freely.
     */
   def appendBundle(tables: Seq[(String, DataFrame)], root: String,
-      bundle: String, batchId: String): Boolean = {
+      bundle: String, batchId: String,
+      pinned: Option[(Long, Seq[String])] = None): Boolean = {
     require(tables.nonEmpty, "appendBundle: no member tables")
     require(batchId.nonEmpty && !batchId.contains(",") && !batchId.contains("\n"),
       s"appendBundle: batchId must be a plain name, got '$batchId'")
@@ -695,6 +732,23 @@ object Catalog {
     // can never flatten a partitioned member's layout.
     val pre = bundleManifest(spark, root, bundle)
     if (pre.batches.contains(batchId)) return false
+    // a pinned version's manifest is immutable — read it once; the
+    // comparison against the CURRENT manifest re-runs per claim attempt
+    val pinnedDirs = pinned.map { case (pv, refs) =>
+      val m = bundleManifest(spark, root, bundle, Some(pv))
+      refs.foreach(r => require(m.dirs.contains(r),
+        s"appendBundle: pinned ref '$r' not in bundle at version $pv"))
+      refs.map(r => r -> m.dirs(r)).toMap
+    }
+    def checkPinned(cur: BundleManifest): Unit = pinnedDirs.foreach(_.foreach {
+      case (ref, ds) =>
+        if (cur.dirs.get(ref) != Some(ds))
+          sys.error(s"appendBundle: member '$ref' advanced since pinned " +
+            s"version ${pinned.get._1} — the batch was encoded against a " +
+            "superseded table (racing retrain/compaction/takedown); " +
+            "re-encode against the current version and retry")
+    })
+    checkPinned(pre)
     val token = newCommitToken()
     val staging = new HPath(base, s".staging-$token")
     tables.foreach { case (ref, df) => writeMember(staging, ref, df, pre.parts) }
@@ -704,6 +758,7 @@ object Catalog {
       val prior = bundleManifest(spark, root, bundle)
       if (prior.batches.contains(batchId)) false
       else {
+        checkPinned(prior)
         require(tables.forall { case (ref, _) => prior.dirs.contains(ref) },
           s"appendBundle: unknown member in ${tables.map(_._1)} " +
             s"(bundle has ${prior.dirs.keys})")
@@ -730,11 +785,19 @@ object Catalog {
     */
   def compactBundle(spark: SparkSession, root: String,
       bundle: String): Long = {
-    val prior = bundleManifest(spark, root, bundle)
+    // resolve ONE version and read every member at it — resolving
+    // latest per member would let a racing commit tear the snapshot —
+    // and pass it as `supersedes` so a batch that lands between this
+    // read and the commit fails the compaction loudly instead of
+    // having its data silently dropped from the compacted snapshot
+    val pv = latestBundleVersion(spark, root, bundle)
+      .getOrElse(sys.error(s"compactBundle: no committed versions for " +
+        s"'$bundle' under $root"))
+    val prior = bundleManifest(spark, root, bundle, Some(pv))
     commitBundle(
       prior.dirs.keys.toSeq.sorted.map(ref =>
-        ref -> readBundleTable(spark, root, bundle, ref)),
-      root, bundle, prior.batches, prior.parts)
+        ref -> readBundleTable(spark, root, bundle, ref, Some(pv))),
+      root, bundle, prior.batches, prior.parts, supersedes = Some(pv))
   }
 
   /** Atomic selective-member REWRITE — the takedown/retraction shape a
@@ -758,9 +821,18 @@ object Catalog {
     */
   def rewriteBundleMembers(spark: SparkSession, root: String,
       bundle: String,
-      rewrite: Map[String, DataFrame => DataFrame]): Long = {
+      rewrite: Map[String, DataFrame => DataFrame],
+      version: Option[Long] = None): Long = {
     require(rewrite.nonEmpty, "rewriteBundleMembers: nothing to rewrite")
-    val prior = bundleManifest(spark, root, bundle)
+    // one resolved version for BOTH the baseline manifest and every
+    // member read below — `prior` and the rewritten data can never
+    // come from different versions, whatever commits race this call.
+    // A caller whose rewrite fns themselves read OTHER members pins
+    // the same version by resolving it first and passing `Some(v)`.
+    val pv = version.orElse(latestBundleVersion(spark, root, bundle))
+      .getOrElse(sys.error(s"rewriteBundleMembers: no committed " +
+        s"versions for '$bundle' under $root"))
+    val prior = bundleManifest(spark, root, bundle, Some(pv))
     require(rewrite.keySet.subsetOf(prior.dirs.keySet),
       s"rewriteBundleMembers: unknown member in ${rewrite.keys.toSeq} " +
         s"(bundle has ${prior.dirs.keys})")
@@ -770,7 +842,7 @@ object Catalog {
     val staging = new HPath(base, s".staging-$token")
     rewrite.toSeq.sortBy(_._1).foreach { case (ref, fn) =>
       writeMember(staging, ref,
-        fn(readBundleTable(spark, root, bundle, ref)), prior.parts)
+        fn(readBundleTable(spark, root, bundle, ref, Some(pv))), prior.parts)
     }
     f.create(new HPath(staging, s"_writer-$token"), true).close()
     val next = claimVersionSlot(f, base, staging, token,

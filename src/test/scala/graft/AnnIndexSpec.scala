@@ -187,6 +187,75 @@ class AnnIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("version pinning: serve answers ONE committed version; append encoded against a superseded quantizer fails loudly") {
+    import graft.sources.Catalog
+    val root = java.nio.file.Files.createTempDirectory("graft-annpin").toString
+    val corpus = embeddings.where(col("vec_id") < 200)
+    val half = corpus.where(col("vec_id") < 100)
+    val books = trainedBooks
+    AnnIndex.writeBundle(half, books, root, "ann", nCentroids = 4,
+      trainIters = 2, spill = 2, seedBatchIds = Seq("b0"))
+    val v1 = Catalog.latestBundleVersion(spark, root, "ann").get
+    def exhaustive(c: org.apache.spark.sql.DataFrame,
+        version: Option[Long]) =
+      AnnIndex.knnBundle(spark, root, "ann", c,
+          corpus.where(col("vec_id") < 3), k = 5, rerank = 500, nProbe = 4,
+          version = version)
+        .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
+    val servedV1 = exhaustive(half, None)
+    spark.catalog.clearCache()
+    // a superseding REBUILD over the full corpus with a retrained
+    // quantizer (different codebooks, different centroids)
+    val books2 = Embeddings.pqTrain(
+      RelOps.hashSample(corpus, "vec_id", 0.4), m = 8, k = 16, iters = 3)
+    AnnIndex.writeBundle(corpus, books2, root, "ann", nCentroids = 8,
+      trainIters = 3, spill = 1, seedBatchIds = Seq("b0v2"))
+    val v2 = Catalog.latestBundleVersion(spark, root, "ann").get
+    assert(v2 == v1 + 1)
+    // a serve that resolved its version BEFORE the rebuild committed
+    // (every member read threads that one version) answers entirely
+    // from v1 — never v2 centroids beside v1 codes
+    assert(exhaustive(half, Some(v1)) == servedV1,
+      "pinned serve mixed versions")
+    spark.catalog.clearCache()
+    // and the default serve answers entirely from the new latest:
+    // exhaustive over v2 (all 8 cells probed) = brute force over the
+    // FULL corpus
+    val wantV2 = Similarity.bruteForceKnn(corpus,
+        corpus.where(col("vec_id") < 3), k = 5)
+      .orderBy(col("qid"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val gotV2 = AnnIndex.knnBundle(spark, root, "ann", corpus,
+        corpus.where(col("vec_id") < 3), k = 5, rerank = 500, nProbe = 8)
+      .orderBy(col("qid"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotV2 == wantV2, s"got $gotV2 want $wantV2")
+    spark.catalog.clearCache()
+    // an append whose encode inputs were read at v1 (the superseded
+    // quantizer) must FAIL LOUDLY at claim: committing those codes
+    // would poison the v2 index with rows no committed quantizer wrote
+    val batch = embeddings
+      .where(col("vec_id") >= 200 && col("vec_id") < 210)
+    val ex = intercept[RuntimeException] {
+      AnnIndex.appendBundle(spark, root, "ann", batch, "b1",
+        version = Some(v1))
+    }
+    assert(ex.getMessage.contains("advanced since pinned"),
+      s"wrong failure: ${ex.getMessage}")
+    assert(!Catalog.bundleManifest(spark, root, "ann").batches.contains("b1"),
+      "failed append must not touch the ledger")
+    // control: pinning the CURRENT version appends fine, and a later
+    // codes-only append does not invalidate a pin on v2's quantizer
+    // (only the encode-input members are pinned, not the codes)
+    assert(AnnIndex.appendBundle(spark, root, "ann", batch, "b1",
+      version = Some(v2)))
+    assert(AnnIndex.appendBundle(spark, root, "ann",
+      embeddings.where(col("vec_id") >= 210 && col("vec_id") < 220), "b2",
+      version = Some(v2)),
+      "codes-only appends must still interleave under a quantizer pin")
+    spark.catalog.clearCache()
+  }
+
   test("bundle index crash states: half-rebuilt version invisible, old index serves") {
     val root = java.nio.file.Files.createTempDirectory("graft-anncrash").toString
     val corpus = embeddings.where(col("vec_id") < 100)

@@ -771,4 +771,73 @@ class CatalogSpec extends AnyFunSuite {
     // time travel still serves the pre-takedown rows until retention
     assert(Catalog.readBundleTable(spark, root, "b", "m", Some(1L)).count() == 5L)
   }
+
+  test("commitBundle supersedes: a snapshot computed from a superseded version refuses to land") {
+    val root = Files.createTempDirectory("graft-sup").toString
+    Catalog.commitBundle(Seq("m" -> (1L to 5L).toDF("id")), root, "b", Seq("b0"))
+    // a batch lands while a compaction-style snapshot is being computed
+    // from v1: publishing that snapshot would silently drop the batch's
+    // rows while keeping (or resetting) its ledger id — refuse loudly
+    assert(Catalog.appendBundle(Seq("m" -> (10L to 12L).toDF("id")),
+      root, "b", "b1"))
+    val ex = intercept[RuntimeException] {
+      Catalog.commitBundle(Seq("m" -> (1L to 5L).toDF("id")), root, "b",
+        Seq("b0"), supersedes = Some(1L))
+    }
+    assert(ex.getMessage.contains("advanced past superseded"),
+      s"wrong failure: ${ex.getMessage}")
+    // the store is untouched: latest still serves both file sets
+    assert(Catalog.readBundleTable(spark, root, "b", "m").count() == 8L)
+    // superseding the ACTUAL latest lands (= what compactBundle passes)
+    val v3 = Catalog.commitBundle(
+      Seq("m" -> Catalog.readBundleTable(spark, root, "b", "m")),
+      root, "b", Seq("b0", "b1"), supersedes = Some(2L))
+    assert(v3 == 3L)
+    assert(Catalog.readBundleTable(spark, root, "b", "m").count() == 8L)
+    assert(Catalog.bundleManifest(spark, root, "b").batches ==
+      Seq("b0", "b1"))
+  }
+
+  test("takedown durability: after retract + compact + prune no file under the store holds a removed id; pruned time-travel refuses") {
+    import graft.operators.{AnnIndex, Embeddings, RelOps}
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .where(col("vec_id") < 150)
+    val root = Files.createTempDirectory("graft-durable").toString
+    val books = Embeddings.pqTrain(
+      RelOps.hashSample(e, "vec_id", 0.5), m = 8, k = 16, iters = 2)
+    AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 4,
+      trainIters = 2, spill = 2, seedBatchIds = Seq("b0"))
+    val vPre = Catalog.latestBundleVersion(spark, root, "ann").get
+    val removed = (0L until 150L by 10L).toSet
+    AnnIndex.retractBundle(spark, root, "ann",
+      removed.toSeq.toDF("vec_id"))
+    // the takedown version references the removed rows' files until
+    // retention — compact so ONLY post-takedown data is referenced,
+    // then prune with zero grace: this is the documented "run after a
+    // takedown that must be durable on storage" sequence
+    Catalog.compactBundle(spark, root, "ann")
+    Catalog.pruneBundleVersions(spark, root, "ann", keep = 1, minAgeMs = 0L)
+    // FILESYSTEM-level proof, not a serve-level one: walk every parquet
+    // file still under the store root and read it raw — no surviving
+    // file set may contain a removed id
+    val base = new java.io.File(Catalog.bundleDir(root, "ann"))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+    val codeFiles = walk(base).map(_.getPath)
+      .filter(p => p.endsWith(".parquet") && p.contains("codes.parquet"))
+    assert(codeFiles.nonEmpty, "expected surviving codes files")
+    val survivors = spark.read.parquet(codeFiles: _*)
+      .select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(removed).isEmpty,
+      s"removed ids still on disk: ${survivors.intersect(removed)}")
+    assert(survivors == (0L until 150L).toSet -- removed,
+      "prune lost surviving rows")
+    // time-travel to the pre-takedown version now correctly REFUSES —
+    // the deletion is durable, not just unreferenced
+    intercept[Exception] {
+      Catalog.readBundleTable(spark, root, "ann", "codes", Some(vPre))
+        .count()
+    }
+    spark.catalog.clearCache()
+  }
 }

@@ -683,4 +683,73 @@ class SimilaritySpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("serve under maintenance: a serve pinned before compaction+append+takedown answers exactly the pinned version") {
+    import graft.operators.{AnnIndex, Embeddings, RelOps, TextIndex}
+    import graft.sources.Catalog
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val docsA = docs.where(col("doc_id") % 7 =!= 6)
+    val eA = e.where(col("vec_id") % 7 =!= 6)
+    val q = e.where(col("vec_id") < 1)
+    val terms = Seq("join", "vector")
+    val root = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val books = Embeddings.pqTrain(
+      RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2)
+    TextIndex.writeBundle(docsA, root, "tix", seedBatchIds = Seq("b0"))
+    AnnIndex.writeBundle(eA, books, root, "ann", nCentroids = 16,
+      trainIters = 2, spill = 2, seedBatchIds = Seq("b0"))
+    val tv = Catalog.latestBundleVersion(spark, root, "tix").get
+    val av = Catalog.latestBundleVersion(spark, root, "ann").get
+    def serve(tvv: Option[Long], avv: Option[Long]) =
+      Similarity.threeStageServeBundle(spark, root, "tix", root, "ann",
+          e, terms, q, k = 5, fuseK = 15, poolK = 20, rerank = 60,
+          nProbe = 3, textVersion = tvv, annVersion = avv)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val before = serve(None, None)
+    assert(before.size == 5)
+    spark.catalog.clearCache()
+    // the full concurrent story, serialized deterministically: an
+    // append, a compaction AND a takedown all commit on both stores.
+    // The serve's ONLY read of mutable state is latestBundleVersion at
+    // entry — everything downstream threads that version — so a serve
+    // that resolved before these commits is exactly a pinned serve,
+    // and must return the pinned version's answer end to end.
+    assert(TextIndex.appendBundle(spark, root, "tix",
+      docs.where(col("doc_id") % 7 === 6), "b1"))
+    assert(AnnIndex.appendBundle(spark, root, "ann",
+      e.where(col("vec_id") % 7 === 6), "b1"))
+    Catalog.compactBundle(spark, root, "tix")
+    Catalog.compactBundle(spark, root, "ann")
+    val rm = before.map(_._2).take(2).toDF("doc_id")
+    TextIndex.retractBundle(spark, root, "tix", rm)
+    AnnIndex.retractBundle(spark, root, "ann", rm, idCol = "vec_id")
+    val pinned = serve(Some(tv), Some(av))
+    assert(pinned == before,
+      s"pinned serve drifted under maintenance: $pinned vs $before")
+    spark.catalog.clearCache()
+    // the fresh serve resolves the post-maintenance latest: the
+    // taken-down ids are gone, and it still returns a full top-k
+    val after = serve(None, None)
+    val removed = rm.collect().map(_.getLong(0)).toSet
+    assert(after.size == 5 && after.forall(r => !removed.contains(r._2)),
+      s"post-takedown serve returned a removed id: $after")
+    spark.catalog.clearCache()
+  }
+
+  test("mmrRerankPoolBatch fails loudly when a pooled qid has no query-vector row") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val pool = Seq((0L, 10L), (0L, 11L), (7777L, 10L), (7777L, 12L))
+      .toDF("qid", "nid")
+    // qid 7777 has no row in the query-vector table: the batch must
+    // refuse, not silently return zero rows for that query
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mmrRerankPoolBatch(e, e.where(col("vec_id") === 0L),
+        pool, k = 2)
+    }
+    assert(ex.getMessage.contains("no 'vec_id' row in the query-vector"),
+      s"wrong failure: ${ex.getMessage}")
+    spark.catalog.clearCache()
+  }
 }

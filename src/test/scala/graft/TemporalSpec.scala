@@ -261,4 +261,62 @@ class TemporalSpec extends AnyFunSuite {
     val legacy = Temporal.scd2(log, Seq("k"), "version", Seq("bal"))
     assert(legacy.where(col("k") === "A").count() === 3)
   }
+
+  test("scd2Merge with deleteCol: replay reconstructs tombstones; merge equals the full rebuild across a deletion gap") {
+    import org.apache.spark.sql.functions.col
+    val early = Seq(
+      ("A", 1L, Option(10L), false),
+      ("A", 3L, Option.empty[Long], true), // delete at 3
+      ("B", 1L, Option(7L), false),        // untouched by the batch
+      ("C", 2L, Option(5L), false),
+      ("C", 4L, Option.empty[Long], true), // delete at 4 ...
+      ("C", 6L, Option(5L), false))        // ... re-insert, same value
+      .toDF("k", "version", "bal", "del")
+    val late = Seq(
+      // the EXACT resurrection trap: a value-equal re-insert after a
+      // deletion gap — a delete-unaware replay would collapse A back
+      // into one interval, silently erasing the [3,8) absence
+      ("A", 8L, Option(10L), false),
+      ("C", 9L, Option.empty[Long], true)) // a delete arriving in the batch
+      .toDF("k", "version", "bal", "del")
+    val existing = Temporal.scd2(early, Seq("k"), "version", Seq("bal"),
+      deleteCol = Some("del"))
+    val merged = Temporal.scd2Merge(existing, late, Seq("k"), "version",
+        Seq("bal"), deleteCol = Some("del"))
+      .select(col("k"), col("bal"), col("eff_from"), col("eff_to"),
+        col("is_current"))
+    val full = Temporal.scd2(early.unionByName(late), Seq("k"), "version",
+        Seq("bal"), deleteCol = Some("del"))
+      .select(col("k"), col("bal"), col("eff_from"), col("eff_to"),
+        col("is_current"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "tombstone-aware merge diverged from the full rebuild")
+    // sanity on the trap itself: A stays two intervals with the gap
+    val a = merged.where(col("k") === "A")
+      .as[(String, Option[Long], Long, Option[Long], Boolean)]
+      .collect().sortBy(_._3).toSeq
+    assert(a === Seq(("A", Some(10L), 1L, Some(3L), false),
+      ("A", Some(10L), 8L, None, true)),
+      s"deletion gap resurrected: $a")
+  }
+
+  test("scd2Merge without deleteCol REFUSES a tombstoned interval table instead of resurrecting deletions") {
+    import org.apache.spark.sql.functions.col
+    val early = Seq(
+      ("A", 1L, Option(10L), false),
+      ("A", 3L, Option.empty[Long], true))
+      .toDF("k", "version", "bal", "del")
+    val existing = Temporal.scd2(early, Seq("k"), "version", Seq("bal"),
+      deleteCol = Some("del"))
+    val late = Seq(("A", 8L, Option(10L), false))
+      .toDF("k", "version", "bal", "del").drop("del")
+    val ex = intercept[Throwable] {
+      Temporal.scd2Merge(existing, late, Seq("k"), "version", Seq("bal"))
+        .collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(ex).contains("deletion gaps"),
+      s"expected loud tombstone guard, got ${msgs(ex)}")
+  }
 }

@@ -526,6 +526,21 @@ class TextStatsSpec extends AnyFunSuite {
     assert(denom2 == fitDenom2)
     assert(voc2.orderBy(col("tok")).collect().map(_.toSeq).toSeq
       == fitVoc2.orderBy(col("tok")).collect().map(_.toSeq).toSeq)
+    // GHOST TOKENS: retract the ENTIRE remaining corpus but one doc —
+    // fully-retracted tokens group-sum to c = 0 and must NOT occupy
+    // vocab slots when the survivor has fewer live tokens than
+    // vocabSize; bundle-served must still equal the refit exactly
+    val keep = remaining.orderBy(col("doc_id")).limit(1)
+    val rmAll = remaining.join(keep.select(col("doc_id")), Seq("doc_id"),
+      "left_anti")
+    assert(LmStore.retractBundle(rmAll, "text", root, "lm", "rm-0002"))
+    val wideVocab = 100000
+    val (voc3, denom3) = LmStore.loadBundle(spark, root, "lm", wideVocab)
+    val (fitVoc3, fitDenom3) = TextStats.fitUnigramLm(keep, "text", wideVocab)
+    assert(denom3 == fitDenom3,
+      s"ghost tokens shifted the denominator: $denom3 vs $fitDenom3")
+    assert(voc3.orderBy(col("tok")).collect().map(_.toSeq).toSeq
+      == fitVoc3.orderBy(col("tok")).collect().map(_.toSeq).toSeq)
   }
 
   test("stored NB model: serve == in-query fit; OOV docs predict null, mixed docs classify") {
