@@ -136,6 +136,37 @@ object RecallProbe {
       val ex180 = exact180.count()
       println(s"[probe] $sf x180 filtered overlap = $ov180/$ex180 = ${ov180.toDouble / ex180}")
       spark.catalog.clearCache()
+      // x191 filtered BATCHED serve: per-qid overlap vs the exact
+      // filtered composition, min over the 8 qids (the floor the
+      // declared query pins)
+      val vocab = Seq("join", "hash", "vector", "scan", "merge",
+        "table", "index", "sort")
+      val batch191 = (0 until 8).map { i =>
+        i.toLong -> Seq(vocab(i), vocab((i + 3) % 8)) }
+      val qvecs191 = e.where(col("vec_id") < 8)
+      val served191 = Similarity.threeStageServeBatchBundle(spark, hyb,
+        "tix", hyb, "ann", e, batch191, qvecs191, k = 10, fuseK = 30,
+        poolK = 50, rerank = 150, nProbe = 6,
+        within = Some(allowed)).persist()
+      val lex191 = graft.operators.TextIndex.bm25SearchBatchBundle(spark,
+          hyb, "tix", batch191, k = 50, within = Some(allowed))
+        .select(col("qid"), col("doc_id").as("nid"),
+          col("rank").cast("int").as("lrank"))
+      val exactVec191 = Similarity.bruteForceKnn(
+          e.join(allowed, Seq("vec_id"), "left_semi"), qvecs191, k = 50)
+        .select(col("qid"), col("nid"), col("rank").as("vrank"))
+      val exact191 = Similarity.mmrRerankPoolBatch(e, qvecs191,
+        Similarity.rrfFuseBatch(lex191, exactVec191, k = 30)
+          .select(col("qid"), col("nid")), k = 10).persist()
+      val perQ191 = served191.select(col("qid"), col("nid"))
+        .join(exact191.select(col("qid"), col("nid")), Seq("qid", "nid"),
+          "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("ov"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val min191 = (0L until 8L).map(qid => perQ191.getOrElse(qid, 0L)).min
+      println(s"[probe] $sf x191 per-qid overlap min = $min191/10 " +
+        s"(all: ${(0L until 8L).map(q => perQ191.getOrElse(q, 0L)).mkString(",")})")
+      spark.catalog.clearCache()
       // x182 bundle-store serve (base+append split, k=10 over 3 qids):
       // nProbe sweep to pick the floor margin — the declared query pins
       // recall_ok at its chosen nProbe, floor ≥3 under the weakest SF

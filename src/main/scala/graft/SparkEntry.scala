@@ -3880,10 +3880,13 @@ object SparkEntry {
     // same queries before and after compactBundle and anti-joins both
     // directions on (qid, nid, rank); the rewrite losing or doubling a
     // code row flips it), and the recall floor vs exact brute force.
-    // Measured overlap (deterministic): 27/30, 28/30, 17/30 at
-    // sf0.001/0.01/0.1 (k=10 over the 5000-vector sf0.1 corpus is the
-    // hard point — x95's k=5 serve measures 0.7 there, same profile) —
-    // floor 16 sits strictly under the weakest point.
+    // Measured overlap at nProbe=10 (deterministic, RecallProbe sweep
+    // 8/10/12): 28/30, 28/30, 21/30 at sf0.001/0.01/0.1 (k=10 over the
+    // 5000-vector sf0.1 corpus is the hard point — x95's k=5 serve
+    // measures 0.7 there, same profile; round 13 served nProbe=8 and
+    // measured 17/30 there, one wobble from the floor — the extra two
+    // probes buy margin 5 at every SF for ~nothing, serve_only has the
+    // headroom) — floor 16 sits ≥ 5 under the weakest point.
     "x182_ann_bundle_store" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 3)
@@ -3899,12 +3902,12 @@ object SparkEntry {
       val r0 = AnnIndex.appendBundle(s, root, "ann", batch, "b1")
       require(a1 && !r0, s"ann bundle ledger broken: a1=$a1 r0=$r0")
       val pre = AnnIndex.knnBundle(s, root, "ann", e, q, k = 10,
-        rerank = 200, nProbe = 8)
+        rerank = 200, nProbe = 10)
       Catalog.compactBundle(s, root, "ann")
       require(!AnnIndex.appendBundle(s, root, "ann", batch, "b1"),
         "compaction must not reopen the ledger")
       val post = AnnIndex.knnBundle(s, root, "ann", e, q, k = 10,
-        rerank = 200, nProbe = 8)
+        rerank = 200, nProbe = 10)
       val key = Seq("qid", "nid", "rank")
       val m1 = pre.select(key.map(col): _*)
         .join(post.select(key.map(col): _*), key, "left_anti")
@@ -4100,6 +4103,173 @@ object SparkEntry {
           (col("__m1") + col("__m2") === lit(0L)).as("compaction_stable"),
           (col("__f1") + col("__f2") + col("__p1") + col("__p2")
             === lit(0L)).as("matches_flat"))
+    }),
+
+    // VERSION-PINNED serving (x190) — the concurrency contract the
+    // bundle protocol owes its readers, as a declared query: every
+    // multi-member serve resolves its index version ONCE and threads it
+    // through every member read, so a takedown (or retrain/compaction)
+    // committing between a serve's reads can never produce an answer
+    // that mixes versions. The plan serves the composed stack, commits
+    // a TAKEDOWN of the serve's own top-2 results on both stores, then
+    // (a) re-serves PINNED at the pre-takedown versions — the full
+    // ranked (rank, nid, mmr4) rows must anti-join EMPTY both ways
+    // against the pre-takedown answer (a single member read resolving
+    // 'latest' would drop the removed docs from one retrieval side and
+    // flip the hash), and (b) re-serves at latest — the removed ids
+    // must be gone (count of violations = 0, earned). Pinned reads stay
+    // valid until pruneBundleVersions retention — time-travel serving
+    // on the serving stores, the PiT dimension story (x178/x184)
+    // extended to the index artifacts.
+    "x190_pinned_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 1)
+      val terms = Seq("join", "hash", "vector")
+      val root = s"/tmp/graft/x190_bnd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      // alignment contract (see x176): index only the embedded docs
+      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      val tv = Catalog.latestBundleVersion(s, root, "tix").get
+      val av = Catalog.latestBundleVersion(s, root, "ann").get
+      def serve(tvv: Option[Long], avv: Option[Long]) =
+        Similarity.threeStageServeBundle(s, root, "tix", root, "ann", e,
+          terms, q, k = 10, fuseK = 30, poolK = 50, rerank = 150,
+          nProbe = 6, textVersion = tvv, annVersion = avv)
+      val pre = serve(None, None).persist()
+      val rm = pre.where(col("rank") <= 2).select(col("nid").as("doc_id"))
+      TextIndex.retractBundle(s, root, "tix", rm)
+      AnnIndex.retractBundle(s, root, "ann", rm)
+      val pinned = serve(Some(tv), Some(av))
+      val now = serve(None, None)
+      val key = Seq("rank", "nid", "mmr4")
+      val m1 = pinned.select(key.map(col): _*)
+        .join(pre.select(key.map(col): _*), key, "left_anti")
+        .agg(count(lit(1)).as("__m1"))
+      val m2 = pre.select(key.map(col): _*)
+        .join(pinned.select(key.map(col): _*), key, "left_anti")
+        .agg(count(lit(1)).as("__m2"))
+      val viol = now.join(rm.select(col("doc_id").as("nid")), Seq("nid"),
+          "left_semi")
+        .agg(count(lit(1)).as("__viol"))
+      pinned.agg(count(lit(1)).as("n_results"))
+        .crossJoin(broadcast(m1)).crossJoin(broadcast(m2))
+        .crossJoin(broadcast(viol))
+        .select(col("n_results"),
+          (col("__m1") + col("__m2") === lit(0L)).as("pinned_matches_pre"),
+          (col("__viol") === lit(0L)).as("latest_clean"))
+    }),
+
+    // FILTERED batched serve (x191) — x180 × x183, the query a
+    // production bulk evaluation actually runs: EIGHT queries in one
+    // plan, every one constrained to an allowed-id set, on the atomic
+    // bundle stores. The filter restricts the candidate set on BOTH
+    // retrieval sides before their per-qid top-k (BM25 keeps GLOBAL
+    // corpus statistics; the ANN side semi-joins the cell-pruned codes
+    // before ADC), then per-qid fusion and the per-qid greedy run over
+    // already-filtered pools. Checks under the hash: total count, all
+    // 8 qids served at k, all_allowed EARNED (the engine counts
+    // served-id violations per qid — must be 0), and a per-qid overlap
+    // floor vs the exact FILTERED composition (batched stored
+    // BM25-within ranks + brute force over the filtered corpus through
+    // the SAME fusion and greedy). Measured min-over-qids overlap
+    // (RecallProbe, deterministic): 5/10 sf0.001, 6/10 sf0.01, 4/10
+    // sf0.1 — floor 2 sits strictly under the weakest point (x183's
+    // margin convention).
+    "x191_filtered_batch_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val vocab = Seq("join", "hash", "vector", "scan", "merge",
+        "table", "index", "sort")
+      val batch = (0 until 8).map { i =>
+        i.toLong -> Seq(vocab(i), vocab((i + 3) % 8)) }
+      val qvecs = e.where(col("vec_id") < 8)
+      val allowed = e.where(col("label") < 5).select(col("vec_id"))
+      val root = s"/tmp/graft/x191_bnd_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      // alignment contract (see x176): index only the embedded docs
+      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      val served = Similarity.threeStageServeBatchBundle(s, root, "tix",
+        root, "ann", e, batch, qvecs, k = 10, fuseK = 30, poolK = 50,
+        rerank = 150, nProbe = 6, within = Some(allowed)).persist()
+      val viol = served
+        .join(allowed.select(col("vec_id").as("nid")), Seq("nid"),
+          "left_anti")
+        .agg(count(lit(1)).as("__viol"))
+      // the exact FILTERED composition: batched stored BM25-within
+      // ranks, brute force over the filtered corpus, same per-qid
+      // fusion, same per-qid integer greedy
+      val lex = TextIndex.bm25SearchBatchBundle(s, root, "tix", batch,
+          k = 50, within = Some(allowed))
+        .select(col("qid"), col("doc_id").as("nid"),
+          col("rank").cast("int").as("lrank"))
+      val exactVec = Similarity.bruteForceKnn(
+          e.join(allowed, Seq("vec_id"), "left_semi"), qvecs, k = 50)
+        .select(col("qid"), col("nid"), col("rank").as("vrank"))
+      val exactPool = Similarity.rrfFuseBatch(lex, exactVec, k = 30)
+      val exact = Similarity.mmrRerankPoolBatch(e, qvecs,
+        exactPool.select(col("qid"), col("nid")), k = 10)
+      val perQid = served.select(col("qid"), col("nid"))
+        .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"),
+          "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("__ov"))
+        .agg(min(col("__ov")).as("__min_ov"), count(lit(1)).as("__nq"))
+      served.agg(count(lit(1)).as("n_results"),
+          countDistinct(col("qid")).as("n_queries"))
+        .crossJoin(broadcast(viol))
+        .crossJoin(broadcast(perQid))
+        .select(col("n_results"), col("n_queries"),
+          (col("__viol") === lit(0L)).as("all_allowed"),
+          (col("__min_ov") >= lit(2L) && col("__nq") === lit(8L))
+            .as("overlap_ok"))
+    }),
+
+    // BENCHMARK RETIREMENT in the decontamination store (x192) — the
+    // deletion story (x188) extended to the LAST stored artifact, with
+    // the twist that makes naive deletion WRONG here: benchmarks share
+    // boilerplate shingles, so dropping a retired suite's shingle SET
+    // would also stop screening everything it shares with kept suites.
+    // The bundle store keeps (sg, benchmark_id) PROVENANCE rows
+    // (distinct per benchmark, shard-partitioned; the serve distincts
+    // sg, so shared shingles still count once — DedupSpec pins serve
+    // equivalence with the flat store), retirement drops exactly one
+    // benchmark's rows in one atomic version (rewriteBundleMembers —
+    // ledger preserved: the replayed ingest stays rejected after the
+    // retract, require()d in-plan), and a shingle any KEPT benchmark
+    // contributes survives by construction — set semantics, the
+    // reverse of x148's append anti-join. The oracle replays the
+    // DIRECT screen against the remaining benchmark from raw text —
+    // the post-retirement store must be indistinguishable from never
+    // having ingested the retired suite.
+    "x192_benchmark_retirement" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = s"/tmp/graft/x192_shg_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      Dedup.writeShingleBundle(docs.where(col("doc_id") % 10 === 0),
+        "bmA", root, "decon", "doc_id", "text", shingleSize = 8,
+        seedBatchIds = Seq("bmA"))
+      val i1 = Dedup.ingestShingleBundle(docs.where(col("doc_id") % 10 === 1),
+        "bmB", root, "decon", "bmB", "doc_id", "text", shingleSize = 8)
+      val r0 = Dedup.ingestShingleBundle(docs.where(col("doc_id") % 10 === 1),
+        "bmB", root, "decon", "bmB", "doc_id", "text", shingleSize = 8)
+      require(i1 && !r0, s"shingle bundle ledger broken: i1=$i1 r0=$r0")
+      Dedup.retractShingleBundle(s, root, "decon", "bmA")
+      require(!Dedup.ingestShingleBundle(docs.where(col("doc_id") % 10 === 1),
+        "bmB", root, "decon", "bmB", "doc_id", "text", shingleSize = 8),
+        "retirement must not reopen the ledger")
+      Dedup.contaminationAgainstBundle(docs, root, "decon", "doc_id",
+          "text", shingleSize = 8)
+        .orderBy(col("doc_id"))
     }),
   )
 
@@ -4320,6 +4490,23 @@ object SparkEntry {
             hybRoot(dir), "ann", e,
             batch, e.where(col("vec_id") < 8), k = 10, fuseK = 30,
             poolK = 50, rerank = 150, nProbe = 6)
+        })),
+      // same stores as x183 — the filtered batched number: the filter
+      // is a serve-time argument on BOTH retrieval sides, amortized
+      // across the batch exactly like the unfiltered plan
+      "x191_filtered_batch_serve" -> ((
+        (s: SparkSession, dir: String) => buildHybridBundles(s, dir),
+        (s: SparkSession, dir: String) => {
+          val e = t(s, dir, "embeddings")
+          val vocab = Seq("join", "hash", "vector", "scan", "merge",
+            "table", "index", "sort")
+          val batch = (0 until 8).map { i =>
+            i.toLong -> Seq(vocab(i), vocab((i + 3) % 8)) }
+          Similarity.threeStageServeBatchBundle(s, hybRoot(dir), "tix",
+            hybRoot(dir), "ann", e,
+            batch, e.where(col("vec_id") < 8), k = 10, fuseK = 30,
+            poolK = 50, rerank = 150, nProbe = 6,
+            within = Some(e.where(col("label") < 5).select(col("vec_id"))))
         })),
       // the bundle-backed ANN index: built + appended once (untimed),
       // the timed number is the manifest-resolved cell-pruned serve —
@@ -7694,6 +7881,47 @@ object SparkEntry {
     "x186_text_bundle_store" ->
       ("SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS compaction_stable, " +
         "TRUE AS matches_flat"),
+    // both pinning claims are EARNED in-plan: the pinned re-serve after
+    // the takedown anti-joins empty both ways against the pre-takedown
+    // answer on the full (rank, nid, mmr4) row, and the latest serve
+    // counts removed-id violations (must be 0); the count is literal
+    "x190_pinned_serve" ->
+      ("SELECT CAST(10 AS BIGINT) AS n_results, " +
+        "TRUE AS pinned_matches_pre, TRUE AS latest_clean"),
+    // shape contract like x180 × x183: all_allowed and the per-qid
+    // overlap floor vs the exact filtered composition are EARNED
+    // in-plan; the counts are literal (8 queries × k=10)
+    "x191_filtered_batch_serve" ->
+      ("SELECT CAST(80 AS BIGINT) AS n_results, " +
+        "CAST(8 AS BIGINT) AS n_queries, TRUE AS all_allowed, " +
+        "TRUE AS overlap_ok"),
+    // post-retirement store+serve ≡ the DIRECT screen against the one
+    // REMAINING benchmark (doc_id % 10 = 1): x147's replay with the
+    // retired suite (% 10 = 0) absent — the retract must leave the
+    // store indistinguishable from never having ingested it, while
+    // shingles shared across suites keep screening (they're bmB's too)
+    "x192_benchmark_retirement" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN
+        |      (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END)
+        |    ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
+        |      for i in range(1, len(toks) - 6)])
+        |    END AS sh
+        |  FROM t),
+        |b AS (SELECT DISTINCT unnest(sh) AS sg FROM s WHERE doc_id % 10 = 1),
+        |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+        |h AS (SELECT doc_id, count(*) AS hits FROM e JOIN b USING (sg) GROUP BY doc_id)
+        |SELECT s.doc_id, len(s.sh) AS n_shingles,
+        |  coalesce(hits, 0) AS contaminated,
+        |  (round(CASE WHEN len(s.sh) = 0 THEN 0.0
+        |    ELSE coalesce(hits, 0)::DOUBLE / len(s.sh) END, 4) + 0) AS contaminated_frac
+        |FROM s LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
     // both member tables at both bundle versions, replayed from the
     // deterministic splits; version numbers are the commit sequence
     "x173_bundle_commit" ->

@@ -829,4 +829,57 @@ class DedupSpec extends AnyFunSuite {
       ("feedA", "feedB", 2L, 0.666667, true)))
     assert(math.abs(got.map(_._4).sum - 1.0) < 1e-5)
   }
+
+  test("shingle bundle: serve equals flat store; retirement keeps shared shingles; ledger survives the retract") {
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .where(col("doc_id") < 400)
+    val bmA = docs.where(col("doc_id") % 10 === 0)
+    val bmB = docs.where(col("doc_id") % 10 === 1)
+    val root = java.nio.file.Files.createTempDirectory("graft-shgb").toString
+    val flat = s"/tmp/graft/dedupspec_shg_flat"
+    Dedup.writeShingleBundle(bmA, "bmA", root, "decon", "doc_id", "text",
+      shingleSize = 8, seedBatchIds = Seq("bmA"))
+    assert(Dedup.ingestShingleBundle(bmB, "bmB", root, "decon", "bmB",
+      "doc_id", "text", shingleSize = 8))
+    assert(!Dedup.ingestShingleBundle(bmB, "bmB", root, "decon", "bmB",
+      "doc_id", "text", shingleSize = 8), "replayed suite ingest landed")
+    // serve ≡ flat store over the same union benchmark (shared core;
+    // the provenance rows' distinct sg = the flat store's distinct set)
+    Dedup.writeShingleIndex(bmA.unionByName(bmB), flat, "doc_id", "text",
+      shingleSize = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(rows(Dedup.contaminationAgainstBundle(docs, root, "decon",
+        "doc_id", "text", shingleSize = 8)) ==
+      rows(Dedup.contaminationAgainstIndex(docs, flat, "doc_id", "text",
+        shingleSize = 8)))
+    spark.catalog.clearCache()
+    // retire bmA: the post-retract serve equals a store never holding
+    // bmA — INCLUDING the shingles bmA shares with bmB (set semantics:
+    // a kept suite's contribution survives the retract)
+    val sharedBefore = graft.sources.Catalog
+      .readBundleTable(spark, root, "decon", "shingles")
+      .groupBy(col("sg")).agg(countDistinct(col("benchmark_id")).as("n"))
+      .where(col("n") === 2).count()
+    Dedup.retractShingleBundle(spark, root, "decon", "bmA")
+    assert(!Dedup.ingestShingleBundle(bmB, "bmB", root, "decon", "bmB",
+      "doc_id", "text", shingleSize = 8),
+      "retirement must not reopen the ledger")
+    val flatB = s"/tmp/graft/dedupspec_shg_flatb"
+    Dedup.writeShingleIndex(bmB, flatB, "doc_id", "text", shingleSize = 8)
+    assert(rows(Dedup.contaminationAgainstBundle(docs, root, "decon",
+        "doc_id", "text", shingleSize = 8)) ==
+      rows(Dedup.contaminationAgainstIndex(docs, flatB, "doc_id", "text",
+        shingleSize = 8)))
+    // the survival claim is non-vacuous only if the suites truly shared
+    // shingles before the retract — and they survive as bmB rows
+    val keptShingles = graft.sources.Catalog
+      .readBundleTable(spark, root, "decon", "shingles")
+    assert(keptShingles.where(col("benchmark_id") === "bmA").count() == 0L)
+    if (sharedBefore > 0)
+      assert(keptShingles.select(col("sg")).distinct().count() >= sharedBefore,
+        "retirement dropped shingles a kept benchmark contributes")
+    spark.catalog.clearCache()
+  }
 }

@@ -738,6 +738,39 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("filtered batched bundle serve equals the flat filtered batch per qid") {
+    import graft.operators.{AnnIndex, Embeddings, RelOps, TextIndex}
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val tix = "/tmp/graft/simspec_fbb_tix"
+    val aix = "/tmp/graft/simspec_fbb_aix"
+    val root = java.nio.file.Files.createTempDirectory("graft-fbb").toString
+    val aligned = docs.join(e.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val books = Embeddings.pqTrain(
+      RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2)
+    TextIndex.write(aligned, tix)
+    AnnIndex.write(e, books, aix, nCentroids = 16, trainIters = 2, spill = 2)
+    TextIndex.writeBundle(aligned, root, "tix", seedBatchIds = Seq("b0"))
+    AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+      trainIters = 2, spill = 2, seedBatchIds = Seq("b0"))
+    val batch = Seq(0L -> Seq("join", "vector"), 1L -> Seq("hash", "scan"))
+    val qvecs = e.where(col("vec_id") < 2)
+    val allowed = e.where(col("label") < 5).select(col("vec_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
+    val flat = rows(Similarity.threeStageServeBatch(spark, tix, aix, e,
+      batch, qvecs, k = 5, fuseK = 15, poolK = 20, rerank = 60,
+      nProbe = 3, within = Some(allowed)))
+    spark.catalog.clearCache()
+    val bundle = rows(Similarity.threeStageServeBatchBundle(spark, root,
+      "tix", root, "ann", e, batch, qvecs, k = 5, fuseK = 15, poolK = 20,
+      rerank = 60, nProbe = 3, within = Some(allowed)))
+    assert(bundle == flat && bundle.size == 10,
+      s"bundle $bundle != flat $flat")
+    spark.catalog.clearCache()
+  }
+
   test("mmrRerankPoolBatch fails loudly when a pooled qid has no query-vector row") {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
     val pool = Seq((0L, 10L), (0L, 11L), (7777L, 10L), (7777L, 12L))

@@ -50,7 +50,8 @@ FAMILIES = {
               "x136_cross_source_dup_share", "x147_stored_decontamination",
               "x148_decontamination_append", "x152_stored_lsh_index",
               "x159_pair_store_ingest", "x160_source_overlap",
-              "x170_compacted_serve", "x174_pair_bundle_ingest"],
+              "x170_compacted_serve", "x174_pair_bundle_ingest",
+              "x192_benchmark_retirement"],
     "ann":   ["x8_knn_brute", "x9_knn_lsh", "x14_knn_ivf",
               "x76_pq_quantize", "x78_knn_ivf_pq", "x87_filtered_ann",
               "x95_stored_ann_index", "x96_stored_index_append",
@@ -59,7 +60,8 @@ FAMILIES = {
               "x165_hybrid_stored_serve", "x171_mmr_rerank",
               "x176_three_stage_serve", "x180_filtered_serve",
               "x182_ann_bundle_store", "x183_batched_serve",
-              "x187_bundle_stack_serve"],
+              "x187_bundle_stack_serve", "x190_pinned_serve",
+              "x191_filtered_batch_serve"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
               "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp",
               "x104_hll_distinct", "x107_incremental_stats",
