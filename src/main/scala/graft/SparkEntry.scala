@@ -3408,7 +3408,7 @@ object SparkEntry {
     // and greedy — the ANN side is the only approximation). Measured
     // min-over-qids overlap (deterministic): 6/10 sf0.001, 4/10
     // sf0.01, 3/10 sf0.1 (the weakest single query at the hard sf0.1
-    // point — same profile as x182's 17/30 there) — floor 2 sits
+    // point — same profile as round-13 x182's 17/30 there) — floor 2 sits
     // strictly under the weakest point.
     "x183_batched_serve" -> ((s, dir) => {
       val docs = t(s, dir, "documents")

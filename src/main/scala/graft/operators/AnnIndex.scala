@@ -195,10 +195,11 @@ object AnnIndex {
   def knn(spark: SparkSession, dir: String, corpus: DataFrame,
       queries: DataFrame, k: Int, rerank: Int = 50, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      within: Option[DataFrame] = None): DataFrame =
+      within: Option[DataFrame] = None,
+      withinPairs: Option[DataFrame] = None): DataFrame =
     serveCore(spark, readCentroids(spark, dir), readBooks(spark, dir),
       spark.read.parquet(s"$dir/codes.parquet"), corpus, queries, k,
-      rerank, nProbe, idCol, vecCol, within)
+      rerank, nProbe, idCol, vecCol, within, withinPairs)
 
   /** The one serve plan both the flat-directory index and the
     * bundle-backed index ([[knnBundle]]) run: probe cells planned on the
@@ -213,7 +214,8 @@ object AnnIndex {
       codesAll: DataFrame, corpus: DataFrame,
       queries: DataFrame, k: Int, rerank: Int, nProbe: Int,
       idCol: String, vecCol: String,
-      within: Option[DataFrame]): DataFrame = {
+      within: Option[DataFrame],
+      withinPairs: Option[DataFrame] = None): DataFrame = {
     require(rerank > k, s"AnnIndex.knn: rerank=$rerank must exceed k=$k")
     val probed = queries
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
@@ -237,13 +239,23 @@ object AnnIndex {
     // a spill-built index holds a vector in several cells: overlapping
     // probes then surface the same (qid, nid) more than once — collapse
     // before ranking (the duplicates carry identical sims)
-    val scored = decoded.join(probed, Seq("cell"))
+    val scoredAll = decoded.join(probed, Seq("cell"))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         when(col("cn") * col("qn") === 0, lit(0.0d))
           .otherwise(Similarity.dot(col("qvec"), col("cvec"))
             / (col("cn") * col("qn"))).as("sim"))
       .dropDuplicates("qid", "nid")
+    // per-QUERY eligibility ((qid, id) rows — a bulk serve's per-request
+    // ACL): unlike the shared `within`, this cannot prune the codes scan
+    // (a code allowed for one query and not another), so it semi-joins
+    // the (qid, nid) scores before the rank window — semantics per qid
+    // equal the single serve with that query's own allowed set
+    val scored = withinPairs.fold(scoredAll) { wp =>
+      val cs = wp.columns
+      val pairs = wp.select(col(cs(0)).as("qid"), col(cs(1)).as("nid"))
+      scoredAll.join(pairs, Seq("qid", "nid"), "left_semi")
+    }
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     val shortlist = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= rerank)
@@ -335,7 +347,8 @@ object AnnIndex {
       corpus: DataFrame, queries: DataFrame, k: Int, rerank: Int = 50,
       nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
       within: Option[DataFrame] = None,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      withinPairs: Option[DataFrame] = None): DataFrame = {
     val v = version.orElse(Catalog.latestBundleVersion(spark, root, name))
       .getOrElse(sys.error(s"AnnIndex.knnBundle: no committed versions " +
         s"for '$name' under $root"))
@@ -343,7 +356,8 @@ object AnnIndex {
       parseCentroids(Catalog.readBundleTable(spark, root, name, "centroids", Some(v))),
       parseBooks(Catalog.readBundleTable(spark, root, name, "books", Some(v))),
       Catalog.readBundleTable(spark, root, name, "codes", Some(v)),
-      corpus, queries, k, rerank, nProbe, idCol, vecCol, within)
+      corpus, queries, k, rerank, nProbe, idCol, vecCol, within,
+      withinPairs)
   }
 
   /** TAKEDOWN: remove a vector id set from the bundle-backed index in

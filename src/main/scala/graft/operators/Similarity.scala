@@ -478,20 +478,28 @@ object Similarity {
     * rows with an explicit cap). Per-query results are EXACTLY the
     * single-query [[threeStageServe]]'s (shared cores end to end).
     * Returns (qid, rank, nid, mmr4).
+    *
+    * Filtering: `within` is one allowed-id set shared by every query;
+    * `withinPairs` is PER-QUERY eligibility as (qid, id) rows — the
+    * per-request ACL shape of a bulk serving tier (both may be set; a
+    * candidate must pass both). Per-qid semantics equal the single
+    * serve with that query's own allowed set (SimilaritySpec pins it).
     */
   def threeStageServeBatch(spark: org.apache.spark.sql.SparkSession,
       textIdx: String, annIdx: String, vecs: DataFrame,
       queryTerms: Seq[(Long, Seq[String])], queryVecs: DataFrame, k: Int,
       fuseK: Int = 30, poolK: Int = 50, rrfK: Int = 60, rerank: Int = 150,
-      nProbe: Int = 6, within: Option[DataFrame] = None): DataFrame = {
+      nProbe: Int = 6, within: Option[DataFrame] = None,
+      withinPairs: Option[DataFrame] = None): DataFrame = {
     require(fuseK >= k && fuseK <= 256,
       s"threeStageServeBatch: fuseK=$fuseK out of range for k=$k")
     val lex = TextIndex.bm25SearchBatch(spark, textIdx, queryTerms,
-        k = poolK, within = within)
+        k = poolK, within = within, withinPairs = withinPairs)
       .select(col("qid"), col("doc_id").as("nid"),
         col("rank").cast("int").as("lrank"))
     val vec = AnnIndex.knn(spark, annIdx, vecs, queryVecs, k = poolK,
-        rerank = rerank, nProbe = nProbe, within = within)
+        rerank = rerank, nProbe = nProbe, within = within,
+        withinPairs = withinPairs)
       .select(col("qid"), col("nid"), col("rank").as("vrank"))
     val fused = rrfFuseBatch(lex, vec, fuseK, rrfK)
     mmrRerankPoolBatch(vecs, queryVecs,
@@ -514,7 +522,8 @@ object Similarity {
       fuseK: Int = 30, poolK: Int = 50, rrfK: Int = 60, rerank: Int = 150,
       nProbe: Int = 6, within: Option[DataFrame] = None,
       textVersion: Option[Long] = None,
-      annVersion: Option[Long] = None): DataFrame = {
+      annVersion: Option[Long] = None,
+      withinPairs: Option[DataFrame] = None): DataFrame = {
     require(fuseK >= k && fuseK <= 256,
       s"threeStageServeBatchBundle: fuseK=$fuseK out of range for k=$k")
     val tv = textVersion
@@ -526,12 +535,13 @@ object Similarity {
       .getOrElse(sys.error(s"threeStageServeBatchBundle: no committed " +
         s"versions for ANN index '$annName' under $annRoot"))
     val lex = TextIndex.bm25SearchBatchBundle(spark, textRoot, textName,
-        queryTerms, k = poolK, within = within, version = Some(tv))
+        queryTerms, k = poolK, within = within, version = Some(tv),
+        withinPairs = withinPairs)
       .select(col("qid"), col("doc_id").as("nid"),
         col("rank").cast("int").as("lrank"))
     val vec = AnnIndex.knnBundle(spark, annRoot, annName, vecs, queryVecs,
         k = poolK, rerank = rerank, nProbe = nProbe, within = within,
-        version = Some(av))
+        version = Some(av), withinPairs = withinPairs)
       .select(col("qid"), col("nid"), col("rank").as("vrank"))
     val fused = rrfFuseBatch(lex, vec, fuseK, rrfK)
     mmrRerankPoolBatch(vecs, queryVecs,

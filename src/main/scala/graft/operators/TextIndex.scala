@@ -271,10 +271,11 @@ object TextIndex {
     */
   def bm25SearchBatch(spark: SparkSession, dir: String,
       queryTerms: Seq[(Long, Seq[String])], k: Int,
-      within: Option[DataFrame] = None): DataFrame = {
+      within: Option[DataFrame] = None,
+      withinPairs: Option[DataFrame] = None): DataFrame = {
     val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
     bm25BatchCore(spark, spark.read.parquet(s"$dir/postings.parquet"),
-      meta.getLong(0), meta.getLong(1), queryTerms, k, within)
+      meta.getLong(0), meta.getLong(1), queryTerms, k, within, withinPairs)
   }
 
   /** [[bm25SearchBatch]] off the BUNDLE-backed index — postings and
@@ -283,17 +284,28 @@ object TextIndex {
   def bm25SearchBatchBundle(spark: SparkSession, root: String, name: String,
       queryTerms: Seq[(Long, Seq[String])], k: Int,
       within: Option[DataFrame] = None,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      withinPairs: Option[DataFrame] = None): DataFrame = {
     val v = resolveVersion(spark, root, name, version, "bm25SearchBatchBundle")
     val (nDocs, sumDl) = bundleStats(spark, root, name, v)
     bm25BatchCore(spark,
       Catalog.readBundleTable(spark, root, name, "postings", Some(v)),
-      nDocs, sumDl, queryTerms, k, within)
+      nDocs, sumDl, queryTerms, k, within, withinPairs)
   }
 
+  /** `within` is ONE allowed-id set shared by every query;
+    * `withinPairs` is PER-QUERY eligibility as (qid, id) rows — the
+    * per-request ACL shape of a bulk serving tier. Both may be set;
+    * a doc must pass both. Either filter lands AFTER the broadcast qid
+    * fan-out and BEFORE the per-(qid, doc) score sum and top-k window,
+    * so global BM25 statistics are untouched (a filter narrows who may
+    * return, never what words mean) and the per-qid semantics equal
+    * the single serve with that query's own allowed set.
+    */
   private def bm25BatchCore(spark: SparkSession, postingsAll: DataFrame,
       nDocs: Long, sumDl: Long, queryTerms: Seq[(Long, Seq[String])],
-      k: Int, within: Option[DataFrame]): DataFrame = {
+      k: Int, within: Option[DataFrame],
+      withinPairs: Option[DataFrame] = None): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.forall(_._2.nonEmpty),
       "bm25SearchBatch: every query needs terms")
     require(queryTerms.map(_._1).distinct.size == queryTerms.size,
@@ -316,9 +328,14 @@ object TextIndex {
         queryTerms.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
       .toDF("qid", "term")
     val perQ = scored.join(broadcast(qt), Seq("term"))
-    val eligible = within.fold(perQ) { w =>
+    val shared = within.fold(perQ) { w =>
       val ids = w.select(col(w.columns.head).as("__within_id"))
       perQ.join(ids, perQ("doc_id") === ids("__within_id"), "left_semi")
+    }
+    val eligible = withinPairs.fold(shared) { wp =>
+      val cs = wp.columns
+      val pairs = wp.select(col(cs(0)).as("qid"), col(cs(1)).as("doc_id"))
+      shared.join(pairs, Seq("qid", "doc_id"), "left_semi")
     }
     val rw = Window.partitionBy(col("qid"))
       .orderBy(col("score_x10k").desc, col("doc_id"))

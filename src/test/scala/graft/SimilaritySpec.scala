@@ -771,6 +771,50 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("per-qid (qid,id) filter: batch equals each single serve with that query's own allowed set") {
+    import graft.operators.{AnnIndex, Embeddings, RelOps, TextIndex}
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val tix = "/tmp/graft/simspec_wp_tix"
+    val aix = "/tmp/graft/simspec_wp_aix"
+    val aligned = docs.join(e.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    TextIndex.write(aligned, tix)
+    AnnIndex.write(e, Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2),
+      aix, nCentroids = 16, trainIters = 2, spill = 2)
+    val batch = Seq(0L -> Seq("join", "vector"), 1L -> Seq("hash", "scan"))
+    val qvecs = e.where(col("vec_id") < 2)
+    // DIFFERENT allowed set per query — the per-request ACL shape the
+    // shared `within` cannot express
+    val allow0 = e.where(col("label") < 5).select(col("vec_id"))
+    val allow1 = e.where(col("label") >= 3).select(col("vec_id"))
+    val pairs = allow0.select(lit(0L).as("qid"), col("vec_id").as("id"))
+      .unionByName(allow1.select(lit(1L).as("qid"), col("vec_id").as("id")))
+    val got = Similarity.threeStageServeBatch(spark, tix, aix, e, batch,
+        qvecs, k = 5, fuseK = 15, poolK = 20, rerank = 60, nProbe = 3,
+        withinPairs = Some(pairs))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq }
+    spark.catalog.clearCache()
+    val allowed = Map(0L -> allow0, 1L -> allow1)
+    batch.foreach { case (qid, ts) =>
+      val single = Similarity.threeStageServe(spark, tix, aix, e, ts,
+          e.where(col("vec_id") === qid), k = 5, fuseK = 15, poolK = 20,
+          rerank = 60, nProbe = 3, within = Some(allowed(qid)))
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got(qid) == single && single.size == 5,
+        s"qid $qid: per-qid-pairs batch ${got(qid)} != single-within $single")
+      val ok = allowed(qid).collect().map(_.getLong(0)).toSet
+      assert(got(qid).forall(r => ok.contains(r._2)),
+        s"qid $qid served an id outside ITS allowed set")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("mmrRerankPoolBatch fails loudly when a pooled qid has no query-vector row") {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
     val pool = Seq((0L, 10L), (0L, 11L), (7777L, 10L), (7777L, 12L))
