@@ -4271,6 +4271,92 @@ object SparkEntry {
           "text", shingleSize = 8)
         .orderBy(col("doc_id"))
     }),
+
+    // Blue/green REINDEX under serve (x193) — the last index-lifecycle
+    // verb (create x182/x186 → append → compact → takedown x188 →
+    // retire x192 → REINDEX): a drifting corpus eventually needs its
+    // quantizer retrained / its tokenization redone, and the rebuild
+    // must be a normal atomic commit under live traffic. reindexBundle
+    // retrains and republishes ALL members as one superseding version
+    // with the batch LEDGER carried over (a plain writeBundle resets
+    // it — the plan proves a replayed historic batch is STILL rejected
+    // after the rebuild, require()d), `supersedes` refuses the rebuild
+    // if an append raced it (CatalogSpec pins the mechanism), and
+    // serves pinned at the pre-reindex version keep answering it —
+    // pinned_stable earns the blue/green claim by anti-joining the
+    // pinned re-serve both ways against the pre-reindex answer on the
+    // full row. The reindexed index itself is proven EXACTLY: both
+    // quantizers changed (retrained on the full corpus, different
+    // sample and iterations) yet the exhaustive serve (all cells
+    // probed, corpus-wide rerank) must equal brute force — a code row
+    // lost in the rebuild, or encoded/decoded through mismatched
+    // codebooks, flips ann_matches_exact. The text side re-tokenizes
+    // and must match a fresh flat rebuild row-for-row
+    // (text_matches_rebuild), with its ledger equally intact.
+    "x193_reindex_under_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 3)
+      val root = s"/tmp/graft/x193_ri_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      // ANN: build on 3/4, append 1/4, then retrain on the whole corpus
+      val base = e.where(col("vec_id") % 4 =!= 3)
+      val batch = e.where(col("vec_id") % 4 === 3)
+      val booksA = Embeddings.pqTrain(
+        RelOps.hashSample(base, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      AnnIndex.writeBundle(base, booksA, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      require(AnnIndex.appendBundle(s, root, "ann", batch, "b1"),
+        "x193: append did not land")
+      val av = Catalog.latestBundleVersion(s, root, "ann").get
+      val pre = AnnIndex.knnBundle(s, root, "ann", e, q, k = 10,
+        rerank = 100000, nProbe = 16).persist()
+      val booksB = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.4), m = 8, k = 16, iters = 4)
+      AnnIndex.reindexBundle(s, root, "ann", e, booksB, nCentroids = 16,
+        trainIters = 2, spill = 1)
+      require(!AnnIndex.appendBundle(s, root, "ann", batch, "b1"),
+        "reindex must not reopen the ledger")
+      val pinned = AnnIndex.knnBundle(s, root, "ann", e, q, k = 10,
+        rerank = 100000, nProbe = 16, version = Some(av))
+      val post = AnnIndex.knnBundle(s, root, "ann", e, q, k = 10,
+        rerank = 100000, nProbe = 16)
+      val exact = Similarity.bruteForceKnn(e, q, k = 10)
+      val akey = Seq("qid", "nid", "rank")
+      def adiff(a: DataFrame, b: DataFrame, as: String) =
+        a.select(akey.map(col): _*).join(b.select(akey.map(col): _*),
+          akey, "left_anti").agg(count(lit(1)).as(as))
+      // text: base+append, reindex (re-tokenize), compare to flat rebuild
+      TextIndex.writeBundle(docs.where(col("doc_id") % 2 === 0), root,
+        "tix", seedBatchIds = Seq("t0"))
+      require(TextIndex.appendBundle(s, root, "tix",
+        docs.where(col("doc_id") % 2 === 1), "t1"), "x193: text append")
+      TextIndex.reindexBundle(s, root, "tix", docs)
+      require(!TextIndex.appendBundle(s, root, "tix",
+        docs.where(col("doc_id") % 2 === 1), "t1"),
+        "text reindex must not reopen the ledger")
+      val terms = Seq("join", "hash", "vector")
+      val tpost = TextIndex.bm25SearchBundle(s, root, "tix", terms, k = 10)
+      val flat = s"/tmp/graft/x193_flat_${storeTag(dir)}"
+      TextIndex.write(docs, flat)
+      val tref = TextIndex.bm25Search(s, flat, terms, k = 10)
+      val tkey = Seq("doc_id", "score_x10k", "rank")
+      def tdiff(a: DataFrame, b: DataFrame, as: String) =
+        a.select(tkey.map(col): _*).join(b.select(tkey.map(col): _*),
+          tkey, "left_anti").agg(count(lit(1)).as(as))
+      post.agg(count(lit(1)).as("n_ann_results"))
+        .crossJoin(broadcast(tpost.agg(count(lit(1)).as("n_text_results"))))
+        .crossJoin(broadcast(adiff(pinned, pre, "__p1")))
+        .crossJoin(broadcast(adiff(pre, pinned, "__p2")))
+        .crossJoin(broadcast(adiff(post, exact, "__a1")))
+        .crossJoin(broadcast(adiff(exact, post, "__a2")))
+        .crossJoin(broadcast(tdiff(tpost, tref, "__t1")))
+        .crossJoin(broadcast(tdiff(tref, tpost, "__t2")))
+        .select(col("n_ann_results"), col("n_text_results"),
+          (col("__p1") + col("__p2") === lit(0L)).as("pinned_stable"),
+          (col("__a1") + col("__a2") === lit(0L)).as("ann_matches_exact"),
+          (col("__t1") + col("__t2") === lit(0L)).as("text_matches_rebuild"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -7888,6 +7974,14 @@ object SparkEntry {
     "x190_pinned_serve" ->
       ("SELECT CAST(10 AS BIGINT) AS n_results, " +
         "TRUE AS pinned_matches_pre, TRUE AS latest_clean"),
+    // all three reindex claims are EARNED in-plan (pinned re-serve ≡
+    // pre-reindex both ways; exhaustive post-reindex serve ≡ brute
+    // force; re-tokenized text ≡ flat rebuild) and both ledger replays
+    // are require()d; the counts are literal
+    "x193_reindex_under_serve" ->
+      ("SELECT CAST(30 AS BIGINT) AS n_ann_results, " +
+        "CAST(10 AS BIGINT) AS n_text_results, TRUE AS pinned_stable, " +
+        "TRUE AS ann_matches_exact, TRUE AS text_matches_rebuild"),
     // shape contract like x180 × x183: all_allowed and the per-qid
     // overlap floor vs the exact filtered composition are EARNED
     // in-plan; the counts are literal (8 queries × k=10)

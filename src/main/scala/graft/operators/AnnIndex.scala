@@ -296,6 +296,43 @@ object AnnIndex {
       root, name, seedBatchIds, partitionBy = Map("codes" -> Seq("cell")))
   }
 
+  /** Blue/green REINDEX: retrain the quantizer on the current corpus
+    * and republish centroids, codebooks, params and freshly-encoded
+    * codes as ONE superseding version — the periodic maintenance a
+    * drifting corpus needs (the frozen quantizer [[appendBundle]]
+    * rightly never moves loses recall as the corpus's direction
+    * clusters drift from the training sample). Three properties make
+    * it safe under live traffic: (a) the batch LEDGER carries over
+    * verbatim ([[writeBundle]] would reset it — a replayed historic
+    * batch would re-ingest after the rebuild), (b) `supersedes` makes
+    * a batch appended between this rebuild's corpus read and its
+    * commit fail the reindex LOUDLY instead of silently vanishing from
+    * the new snapshot ([[graft.sources.Catalog.commitBundle]]), and
+    * (c) in-flight serves pinned at the old version keep answering it
+    * until retention ([[knnBundle]] `version`). `corpus` must be the
+    * store's current logical content — the caller's contract, same as
+    * every rebuild baseline.
+    */
+  def reindexBundle(spark: SparkSession, root: String, name: String,
+      corpus: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      nCentroids: Int = 16, trainIters: Int = 0, spill: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    import spark.implicits._
+    val pv = Catalog.latestBundleVersion(spark, root, name)
+      .getOrElse(sys.error(s"AnnIndex.reindexBundle: no committed " +
+        s"versions for '$name' under $root"))
+    val prior = Catalog.bundleManifest(spark, root, name, Some(pv))
+    val centroids = trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+    Catalog.commitBundle(Seq(
+        "centroids" -> centroidsDf(spark, centroids),
+        "books" -> booksDf(spark, books),
+        "params" -> Seq(spill).toDF("spill").repartition(1),
+        "codes" -> encodeAssign(corpus, books, centroids, spill, idCol, vecCol)),
+      root, name, prior.batches, partitionBy = Map("codes" -> Seq("cell")),
+      supersedes = Some(pv))
+  }
+
   /** LEDGERED incremental append — [[append]] with the at-least-once
     * residual closed: the batch's code rows land as a new file set via
     * [[graft.sources.Catalog.appendBundle]] with the batch id IN the

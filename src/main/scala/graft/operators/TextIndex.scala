@@ -419,6 +419,32 @@ object TextIndex {
     finally { p.unpersist(); () }
   }
 
+  /** Blue/green REINDEX — the text twin of
+    * [[AnnIndex.reindexBundle]]: re-tokenize the current corpus and
+    * republish postings + a fresh one-row meta snapshot as ONE
+    * superseding version with the batch LEDGER carried over (a plain
+    * [[writeBundle]] would reset it — replayed historic batches would
+    * re-ingest after the rebuild) and `supersedes` protection (a batch
+    * landing between this rebuild's read and its commit fails the
+    * reindex loudly instead of silently vanishing). The periodic
+    * maintenance for tokenizer changes or accumulated takedown debt;
+    * serves pinned at the old version keep answering it until
+    * retention.
+    */
+  def reindexBundle(spark: SparkSession, root: String, name: String,
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Long = {
+    val pv = resolveVersion(spark, root, name, None, "reindexBundle")
+    val prior = Catalog.bundleManifest(spark, root, name, Some(pv))
+    val p = postings(docs, idCol, textCol).persist()
+    try Catalog.commitBundle(
+      Seq("postings" -> p, "meta" -> batchMeta(p)),
+      root, name, prior.batches,
+      partitionBy = Map("postings" -> Seq("shard")),
+      supersedes = Some(pv))
+    finally { p.unpersist(); () }
+  }
+
   /** LEDGERED incremental append — [[append]] with the at-least-once
     * residual closed: the batch's posting rows land as a new file set
     * via [[graft.sources.Catalog.appendBundle]] with the batch id IN

@@ -798,6 +798,36 @@ class CatalogSpec extends AnyFunSuite {
       Seq("b0", "b1"))
   }
 
+  test("racing pinned appends: exactly one lands, the loser fails loudly instead of committing stale-encoded rows") {
+    val root = Files.createTempDirectory("graft-pinrace").toString
+    Catalog.commitBundle(Seq("index" -> (1L to 10L).toDF("id")), root,
+      "b", Seq("b0"))
+    // both writers encoded their batch against version 1's index member
+    // and append TO that member: whoever claims second must fail loudly
+    // (its rows were matched/encoded against a superseded table), never
+    // silently commit
+    val outcomes =
+      new java.util.concurrent.ConcurrentLinkedQueue[Either[String, Boolean]]()
+    val ws = (1 to 2).map { w =>
+      new Thread(() =>
+        try outcomes.add(Right(Catalog.appendBundle(
+          Seq("index" -> (100L * w until 100L * w + 5).toDF("id")),
+          root, "b", s"batch-$w", pinned = Some((1L, Seq("index"))))))
+        catch { case e: RuntimeException => outcomes.add(Left(e.getMessage)) })
+    }
+    ws.foreach(_.start()); ws.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val (losers, winners) = outcomes.asScala.toSeq.partition(_.isLeft)
+    assert(winners == Seq(Right(true)) && losers.size == 1,
+      s"expected one winner + one loud loser, got ${outcomes.asScala.toSeq}")
+    assert(losers.head.left.exists(_.contains("advanced since pinned")),
+      s"wrong failure: ${losers.head}")
+    // store state: exactly the winner's batch landed
+    val m = Catalog.bundleManifest(spark, root, "b")
+    assert(m.batches.size == 2 && m.batches.head == "b0")
+    assert(Catalog.readBundleTable(spark, root, "b", "index").count() == 15L)
+  }
+
   test("takedown durability: after retract + compact + prune no file under the store holds a removed id; pruned time-travel refuses") {
     import graft.operators.{AnnIndex, Embeddings, RelOps}
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")

@@ -316,4 +316,73 @@ class TextIndexSpec extends AnyFunSuite {
         s"expected <= ${shards.size} shard partitions read, got $read")
     }
   }
+
+  test("filtered BATCH bundle serve still prunes to the union of the queries' term shards") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tixbprune").toString
+    TextIndex.writeBundle(docs, root, "tix", seedBatchIds = Seq("b0"))
+    val batch = Seq(0L -> Seq("join", "hash"), 1L -> Seq("scan", "merge"))
+    val shards = batch.flatMap(_._2).map(TextIndex.shardOf).distinct
+    val allowed = docs.select(col("doc_id")).where(col("doc_id") % 2 === 0)
+    val pairs = Seq((0L, 0L)).toDF("qid", "id")
+      .unionByName(docs.select(lit(0L).as("qid"), col("doc_id").as("id")))
+      .unionByName(docs.select(lit(1L).as("qid"), col("doc_id").as("id")))
+    val serve = TextIndex.bm25SearchBatchBundle(spark, root, "tix",
+      batch, k = 5, within = Some(allowed), withinPairs = Some(pairs))
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec    => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec       => scans(qs.plan)
+      case other                    => other.children.flatMap(scans)
+    }
+    serve.collect()
+    // the eligibility semi-joins must not defeat the driver-planned
+    // shard predicate: the postings scan still reads only the union of
+    // the two queries' term shards
+    val postingScans = scans(serve.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("postings.parquet")))
+    assert(postingScans.nonEmpty, "no postings scan in the batch plan")
+    postingScans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        "shard list must bind as a partition filter on the bundle member")
+      val read = sc.metrics("numPartitions").value
+      assert(read <= shards.size,
+        s"expected <= ${shards.size} shard partitions read, got $read")
+    }
+  }
+
+  test("reindexBundle: superseding atomic rebuild carries the ledger; pinned serve answers the old version") {
+    import graft.sources.Catalog
+    val root = java.nio.file.Files.createTempDirectory("graft-tixri").toString
+    val base = docs.where(col("doc_id") % 3 =!= 2)
+    val batch = docs.where(col("doc_id") % 3 === 2)
+    TextIndex.writeBundle(base, root, "tix", seedBatchIds = Seq("b0"))
+    assert(TextIndex.appendBundle(spark, root, "tix", batch, "b1"))
+    val pv = Catalog.latestBundleVersion(spark, root, "tix").get
+    val ts = Seq("join", "hash", "vector")
+    val pre = TextIndex.bm25SearchBundle(spark, root, "tix", ts, k = 10)
+      .collect().map(_.toSeq).toSeq
+    val rv = TextIndex.reindexBundle(spark, root, "tix", docs)
+    assert(rv == pv + 1, s"reindex must land as the next version, got $rv")
+    val m = Catalog.bundleManifest(spark, root, "tix")
+    assert(m.batches == Seq("b0", "b1"),
+      "reindex must carry the batch ledger")
+    assert(m.dirs.values.forall(_.size == 1),
+      "reindex publishes one snapshot file set per member")
+    assert(!TextIndex.appendBundle(spark, root, "tix", batch, "b1"),
+      "reindex must not reopen the ledger")
+    // same corpus re-tokenized deterministically → serve unchanged; a
+    // pinned serve answers the superseded version explicitly
+    val post = TextIndex.bm25SearchBundle(spark, root, "tix", ts, k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(post == pre, "re-tokenized reindex of the same corpus drifted")
+    val pinned = TextIndex.bm25SearchBundle(spark, root, "tix", ts,
+        k = 10, version = Some(pv))
+      .collect().map(_.toSeq).toSeq
+    assert(pinned == pre, "pinned serve must answer the old version")
+    spark.catalog.clearCache()
+  }
 }
