@@ -4357,6 +4357,73 @@ object SparkEntry {
           (col("__a1") + col("__a2") === lit(0L)).as("ann_matches_exact"),
           (col("__t1") + col("__t2") === lit(0L)).as("text_matches_rebuild"))
     }),
+
+    // DEPLOYMENT-PINNED stack serve (x194) — the cross-STORE
+    // consistency x190's per-bundle pinning cannot give: each bundle's
+    // commits are atomic, but a takedown spanning the text AND the ANN
+    // store is necessarily TWO commits, and a serve resolving each
+    // store's latest independently between them sees skew — the
+    // removed ids already gone from one retrieval side, still fused in
+    // from the other. The deployment pin (Catalog.commitDeployment) is
+    // the stack's single atomic pointer: the (artifact, version) pairs
+    // a serving tier answers from, committed as one tiny versioned
+    // table; threeStageServeDeployed's ONLY mutable read is that
+    // table's latest version. The plan proves the skew window CLOSED:
+    // it serves at pin d1, commits the text-side takedown (text store
+    // advances; pin still d1 — the exact mid-maintenance state), and
+    // the deployment serve anti-joins EMPTY both ways against the
+    // pre-takedown answer (skew_free, earned — an unpinned serve here
+    // would mix post-takedown postings with pre-takedown codes); then
+    // the ANN takedown lands, the pin flips to d2 LAST, and the serve
+    // at d2 counts zero removed-id violations (latest_clean, earned).
+    "x194_deployment_pinned_stack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 1)
+      val terms = Seq("join", "hash", "vector")
+      val root = s"/tmp/graft/x194_dep_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      // alignment contract (see x176): index only the embedded docs
+      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      val tv1 = Catalog.latestBundleVersion(s, root, "tix").get
+      val av1 = Catalog.latestBundleVersion(s, root, "ann").get
+      Catalog.commitDeployment(s, root, "serving",
+        Map("tix" -> tv1, "ann" -> av1))
+      def serve() = Similarity.threeStageServeDeployed(s, root, "serving",
+        root, "tix", root, "ann", e, terms, q, k = 10, fuseK = 30,
+        poolK = 50, rerank = 150, nProbe = 6)
+      val pre = serve().persist()
+      val rm = pre.where(col("rank") <= 2).select(col("nid").as("doc_id"))
+      // the mid-maintenance state: text store advanced, pin unchanged
+      val tv2 = TextIndex.retractBundle(s, root, "tix", rm)
+      val mid = serve()
+      val key = Seq("rank", "nid", "mmr4")
+      val s1 = mid.select(key.map(col): _*)
+        .join(pre.select(key.map(col): _*), key, "left_anti")
+        .agg(count(lit(1)).as("__s1"))
+      val s2 = pre.select(key.map(col): _*)
+        .join(mid.select(key.map(col): _*), key, "left_anti")
+        .agg(count(lit(1)).as("__s2"))
+      // finish the takedown, flip the pin LAST
+      val av2 = AnnIndex.retractBundle(s, root, "ann", rm)
+      Catalog.commitDeployment(s, root, "serving",
+        Map("tix" -> tv2, "ann" -> av2))
+      val post = serve()
+      val viol = post.join(rm.select(col("doc_id").as("nid")), Seq("nid"),
+          "left_semi")
+        .agg(count(lit(1)).as("__viol"))
+      pre.agg(count(lit(1)).as("n_results"))
+        .crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+        .crossJoin(broadcast(viol))
+        .select(col("n_results"),
+          (col("__s1") + col("__s2") === lit(0L)).as("skew_free"),
+          (col("__viol") === lit(0L)).as("latest_clean"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -7974,6 +8041,14 @@ object SparkEntry {
     "x190_pinned_serve" ->
       ("SELECT CAST(10 AS BIGINT) AS n_results, " +
         "TRUE AS pinned_matches_pre, TRUE AS latest_clean"),
+    // both deployment claims are EARNED in-plan: skew_free (the serve
+    // at the unflipped pin, taken BETWEEN the two stores' takedown
+    // commits, anti-joins empty both ways against the pre-takedown
+    // answer) and latest_clean (zero removed-id violations after the
+    // pin flips); the count is literal
+    "x194_deployment_pinned_stack" ->
+      ("SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS skew_free, " +
+        "TRUE AS latest_clean"),
     // all three reindex claims are EARNED in-plan (pinned re-serve ≡
     // pre-reindex both ways; exhaustive post-reindex serve ≡ brute
     // force; re-tokenized text ≡ flat rebuild) and both ledger replays

@@ -631,6 +631,40 @@ object Similarity {
     mmrRerankPool(vecs, queryVec, fused.select(col("nid")), k)
   }
 
+  /** [[threeStageServeBundle]] with BOTH index versions resolved
+    * through ONE committed deployment pin
+    * ([[graft.sources.Catalog.readDeployment]]) — the serve a
+    * production stack runs once maintenance spans several stores:
+    * per-bundle pinning (x190) guarantees each index answers one
+    * committed version, but a takedown hitting the text AND the ANN
+    * store is two commits, and a serve resolving each store's latest
+    * independently between them sees cross-store SKEW (the removed ids
+    * gone from one retrieval side, still served by the other). Here
+    * the ONLY mutable read is the deployment table's latest version —
+    * everything downstream is pinned by the pin set — so maintenance
+    * that retracts every store first and flips the deployment LAST is
+    * atomic for the whole stack. `pins` keys are the bundle names
+    * (`textName`, `annName`); `deploymentVersion` time-travels the
+    * deployment itself.
+    */
+  def threeStageServeDeployed(spark: org.apache.spark.sql.SparkSession,
+      depRoot: String, depName: String,
+      textRoot: String, textName: String, annRoot: String, annName: String,
+      vecs: DataFrame, queryTerms: Seq[String], queryVec: DataFrame, k: Int,
+      fuseK: Int = 30, poolK: Int = 50, rrfK: Int = 60, rerank: Int = 150,
+      nProbe: Int = 6, within: Option[DataFrame] = None,
+      deploymentVersion: Option[Long] = None): DataFrame = {
+    val pins = Catalog.readDeployment(spark, depRoot, depName,
+      deploymentVersion)
+    def pin(art: String): Long = pins.getOrElse(art,
+      sys.error(s"threeStageServeDeployed: deployment '$depName' has no " +
+        s"pin for artifact '$art' (pins: ${pins.keys.toSeq.sorted})"))
+    threeStageServeBundle(spark, textRoot, textName, annRoot, annName,
+      vecs, queryTerms, queryVec, k, fuseK, poolK, rrfK, rerank, nProbe,
+      within, textVersion = Some(pin(textName)),
+      annVersion = Some(pin(annName)))
+  }
+
   /** Exact cosine re-rank of a candidate shortlist: `pairs` (qid, nid)
     * joins back to the raw vectors and only those |queries| × shortlist
     * rows are scored exactly — the second stage of every

@@ -423,6 +423,49 @@ object Catalog {
     spark.read.parquet(dir.toString)
   }
 
+  // ------------------------------------------------- deployment pins
+
+  /** Atomic DEPLOYMENT PIN: the set of (artifact, version) pairs a
+    * serving tier should answer from, committed as ONE tiny versioned
+    * table ([[commitVersion]] — a handful of rows, atomic like any
+    * commit). This closes the cross-STORE consistency gap the
+    * per-bundle protocol cannot: each bundle's commits are atomic, but
+    * a maintenance action spanning SEVERAL stores (a takedown hitting
+    * the text index and the ANN index of one stack) is necessarily two
+    * commits, and a serve resolving each store's `latest` independently
+    * between them sees SKEW — the removed ids already gone from one
+    * retrieval side, still served by the other. A serve that resolves
+    * its versions through ONE committed deployment pin can never skew:
+    * maintenance retracts every store first and flips the pin LAST, one
+    * atomic pointer for the whole stack (the per-store flips become
+    * invisible staging). Operators must size each store's
+    * [[pruneBundleVersions]] `keep` to cover every version a live pin
+    * names — a pin is a reader, retention is the contract.
+    */
+  def commitDeployment(spark: SparkSession, root: String, name: String,
+      pins: Map[String, Long]): Long = {
+    require(pins.nonEmpty, "commitDeployment: no pins")
+    import spark.implicits._
+    commitVersion(
+      pins.toSeq.sortBy(_._1).toDF("artifact", "version").repartition(1),
+      root, name)
+  }
+
+  /** Read a deployment pin set (`None` = the current deployment) —
+    * bounded at a row per artifact; refuses duplicates loudly.
+    */
+  def readDeployment(spark: SparkSession, root: String, name: String,
+      version: Option[Long] = None): Map[String, Long] = {
+    import org.apache.spark.sql.functions.col
+    val rows = readVersion(spark, root, name, version)
+      .select(col("artifact"), col("version"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val m = rows.toMap
+    require(m.size == rows.length,
+      s"readDeployment: duplicate artifact rows in '$name' under $root")
+    m
+  }
+
   /** Drop committed versions older than the newest `keep` — retention
     * for the immutable history. The pointer target is never dropped, and
     * `keep` counts COMMITTED versions only (a crashed writer's garbage

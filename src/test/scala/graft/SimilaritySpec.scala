@@ -815,6 +815,57 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("deployment pins: deployed serve equals explicitly-pinned serve; missing artifact refuses loudly") {
+    import graft.operators.{AnnIndex, Embeddings, RelOps, TextIndex}
+    import graft.sources.Catalog
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val q = e.where(col("vec_id") < 1)
+    val terms = Seq("join", "vector")
+    val root = java.nio.file.Files.createTempDirectory("graft-dep").toString
+    val aligned = docs.join(e.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    TextIndex.writeBundle(aligned, root, "tix", seedBatchIds = Seq("b0"))
+    AnnIndex.writeBundle(e, Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2),
+      root, "ann", nCentroids = 16, trainIters = 2, spill = 2,
+      seedBatchIds = Seq("b0"))
+    val tv = Catalog.latestBundleVersion(spark, root, "tix").get
+    val av = Catalog.latestBundleVersion(spark, root, "ann").get
+    val d1 = Catalog.commitDeployment(spark, root, "serving",
+      Map("tix" -> tv, "ann" -> av))
+    assert(Catalog.readDeployment(spark, root, "serving") ==
+      Map("tix" -> tv, "ann" -> av))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("rank")).collect().map(_.toSeq).toSeq
+    val deployed = rows(Similarity.threeStageServeDeployed(spark, root,
+      "serving", root, "tix", root, "ann", e, terms, q, k = 5, fuseK = 15,
+      poolK = 20, rerank = 60, nProbe = 3))
+    spark.catalog.clearCache()
+    val pinned = rows(Similarity.threeStageServeBundle(spark, root, "tix",
+      root, "ann", e, terms, q, k = 5, fuseK = 15, poolK = 20, rerank = 60,
+      nProbe = 3, textVersion = Some(tv), annVersion = Some(av)))
+    assert(deployed == pinned && deployed.size == 5)
+    spark.catalog.clearCache()
+    // the deployment itself time-travels: a later pin set doesn't
+    // change what d1 answers
+    val d2 = Catalog.commitDeployment(spark, root, "serving",
+      Map("tix" -> tv, "ann" -> av, "extra" -> 1L))
+    assert(d2 == d1 + 1)
+    assert(Catalog.readDeployment(spark, root, "serving", Some(d1)) ==
+      Map("tix" -> tv, "ann" -> av))
+    // a pin set missing a required artifact refuses loudly
+    Catalog.commitDeployment(spark, root, "broken", Map("tix" -> tv))
+    val ex = intercept[RuntimeException] {
+      Similarity.threeStageServeDeployed(spark, root, "broken", root,
+        "tix", root, "ann", e, terms, q, k = 5, fuseK = 15, poolK = 20,
+        rerank = 60, nProbe = 3)
+    }
+    assert(ex.getMessage.contains("no pin for artifact 'ann'"),
+      s"wrong failure: ${ex.getMessage}")
+    spark.catalog.clearCache()
+  }
+
   test("mmrRerankPoolBatch fails loudly when a pooled qid has no query-vector row") {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
     val pool = Seq((0L, 10L), (0L, 11L), (7777L, 10L), (7777L, 12L))
