@@ -438,9 +438,12 @@ object Catalog {
     * its versions through ONE committed deployment pin can never skew:
     * maintenance retracts every store first and flips the pin LAST, one
     * atomic pointer for the whole stack (the per-store flips become
-    * invisible staging). Operators must size each store's
-    * [[pruneBundleVersions]] `keep` to cover every version a live pin
-    * names — a pin is a reader, retention is the contract.
+    * invisible staging). A pin is a long-lived READER: pass the live
+    * pins' versions to [[pruneBundleVersions]] / [[bundleHealth]]
+    * `pinned` and retention keeps them (with everything their
+    * manifests reference) regardless of the keep window — enforced by
+    * the prune's own decision path, not operator arithmetic
+    * (CatalogSpec pins survive-then-reclaim-after-the-pin-moves).
     */
   def commitDeployment(spark: SparkSession, root: String, name: String,
       pins: Map[String, Long]): Long = {
@@ -923,31 +926,38 @@ object Catalog {
     * than the grace survives regardless of the keep count.
     */
   def pruneBundleVersions(spark: SparkSession, root: String,
-      bundle: String, keep: Int, minAgeMs: Long = 0L): Unit = {
+      bundle: String, keep: Int, minAgeMs: Long = 0L,
+      pinned: Set[Long] = Set.empty): Unit = {
     require(keep >= 1, s"pruneBundleVersions: keep=$keep must be >= 1")
     val base = new HPath(bundleDir(root, bundle))
     val f = fsFor(spark, base)
     if (!f.exists(base)) return
-    bundleVictims(spark, f, root, bundle, base, keep, minAgeMs)
+    bundleVictims(spark, f, root, bundle, base, keep, minAgeMs, pinned)
       .foreach(p => f.delete(p, true))
     pruneGarbage(f, base, p => f.exists(new HPath(p, "_manifest")), minAgeMs)
   }
 
-  /** The version directories a [[pruneBundleVersions]](keep, minAgeMs)
-    * call WOULD delete — shared with [[bundleHealth]]; a kept
+  /** The version directories a [[pruneBundleVersions]](keep, minAgeMs,
+    * pinned) call WOULD delete — shared with [[bundleHealth]]; a kept
     * manifest's file-set references protect the older directories they
-    * live in.
+    * live in. `pinned` versions (the ones a live [[commitDeployment]]
+    * pin set names — a time-travel READER with a commitment) are kept
+    * regardless of the retention window, together with every directory
+    * their manifests reference: the retention contract x194 states,
+    * enforced by the prune's own decision path rather than left to
+    * operator arithmetic.
     */
   private def bundleVictims(spark: SparkSession, f: FileSystem,
       root: String, bundle: String, base: HPath, keep: Int,
-      minAgeMs: Long): Seq[HPath] = {
+      minAgeMs: Long, pinned: Set[Long] = Set.empty): Seq[HPath] = {
     val old = graceFilter(f, base, minAgeMs)
     val committed = f.listStatus(base).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.forall(_.isDigit))
       .map(_.getPath)
       .filter(p => f.exists(new HPath(p, "_manifest")))
       .map(_.getName.toLong).sorted
-    val kept = committed.takeRight(keep)
+    val kept = committed.takeRight(keep) ++
+      committed.filter(pinned.contains)
     val referenced = kept.flatMap { v =>
       bundleManifest(spark, root, bundle, Some(v))
         .dirs.values.flatten.map(_.split("/").head.toLong)
@@ -992,7 +1002,8 @@ object Catalog {
     * kept manifest still references their file sets (`referenced`).
     */
   def bundleHealth(spark: SparkSession, root: String, bundle: String,
-      keep: Int, minAgeMs: Long = 0L): DataFrame = {
+      keep: Int, minAgeMs: Long = 0L,
+      pinned: Set[Long] = Set.empty): DataFrame = {
     require(keep >= 1, s"bundleHealth: keep=$keep must be >= 1")
     val base = new HPath(bundleDir(root, bundle))
     val f = fsFor(spark, base)
@@ -1002,17 +1013,18 @@ object Catalog {
       else f.listStatus(base).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.forall(_.isDigit))
         .map(_.getPath).filter(committedP).map(_.getName.toLong).sorted
-    val kept = committed.takeRight(keep)
+    val kept = committed.takeRight(keep) ++ committed.filter(pinned.contains)
     val referenced = kept.flatMap { v =>
       bundleManifest(spark, root, bundle, Some(v))
         .dirs.values.flatten.map(_.split("/").head.toLong)
     }.toSet
     val victims = if (!f.exists(base)) Seq.empty[HPath]
-      else bundleVictims(spark, f, root, bundle, base, keep, minAgeMs)
+      else bundleVictims(spark, f, root, bundle, base, keep, minAgeMs,
+        pinned)
     val garbage = if (!f.exists(base)) Seq.empty[HPath]
       else garbageVictims(f, base, committedP, minAgeMs)
     healthRows(spark, f, base, "bundle", committedP, latest, keep,
-      victims, garbage, referenced = Some(referenced))
+      victims, garbage, referenced = Some(referenced), pinned = pinned)
   }
 
   /** Assemble the health rows: committed versions first, then garbage.
@@ -1022,7 +1034,8 @@ object Catalog {
   private def healthRows(spark: SparkSession, f: FileSystem, base: HPath,
       kind: String, committedP: HPath => Boolean, latest: Long, keep: Int,
       victims: Seq[HPath], garbage: Seq[HPath],
-      referenced: Option[Set[Long]]): DataFrame = {
+      referenced: Option[Set[Long]],
+      pinned: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     if (!f.exists(base))
       return Seq.empty[(String, String, Long, Boolean, Boolean, Long, Long,
@@ -1048,6 +1061,7 @@ object Catalog {
       val reason =
         if (reclaim) "retention"
         else if (v == latest) "latest"
+        else if (pinned.contains(v)) "pinned"
         else if (keptWindow.contains(v)) "keep-window"
         else if (referenced.exists(_.contains(v))) "referenced"
         else "reader-grace"

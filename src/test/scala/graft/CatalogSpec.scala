@@ -798,6 +798,42 @@ class CatalogSpec extends AnyFunSuite {
       Seq("b0", "b1"))
   }
 
+  test("deployment-pinned versions survive bundle retention; health reports them as pinned") {
+    val root = Files.createTempDirectory("graft-pinret").toString
+    Catalog.commitBundle(Seq("m" -> (1L to 5L).toDF("id")), root, "b",
+      Seq("b0"))
+    assert(Catalog.appendBundle(Seq("m" -> (10L to 12L).toDF("id")),
+      root, "b", "b1"))
+    Catalog.compactBundle(spark, root, "b") // v3 snapshot
+    // a live deployment still answers v1: retention must not take it —
+    // nor the directories its manifest references (v1 references itself)
+    Catalog.commitDeployment(spark, root, "serving", Map("b" -> 1L))
+    val pins = Set(Catalog.readDeployment(spark, root, "serving")("b"))
+    val health = Catalog.bundleHealth(spark, root, "b", keep = 1,
+        pinned = pins)
+      .select($"version", $"would_reclaim", $"reason")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2)))
+      .toMap
+    assert(health(1L) == (false, "pinned"), s"health: $health")
+    assert(health(2L)._1, "v2 (unpinned, unreferenced) should reclaim")
+    Catalog.pruneBundleVersions(spark, root, "b", keep = 1, pinned = pins)
+    // the pinned version still serves end to end; the victim is gone
+    assert(Catalog.readBundleTable(spark, root, "b", "m", Some(1L))
+      .count() == 5L)
+    intercept[Exception] {
+      Catalog.readBundleTable(spark, root, "b", "m", Some(2L)).count()
+    }
+    assert(Catalog.readBundleTable(spark, root, "b", "m").count() == 8L)
+    // once the pin moves on, the old version reclaims normally
+    Catalog.commitDeployment(spark, root, "serving", Map("b" -> 3L))
+    Catalog.pruneBundleVersions(spark, root, "b", keep = 1,
+      pinned = Set(3L))
+    intercept[Exception] {
+      Catalog.readBundleTable(spark, root, "b", "m", Some(1L)).count()
+    }
+    assert(Catalog.readBundleTable(spark, root, "b", "m").count() == 8L)
+  }
+
   test("racing pinned appends: exactly one lands, the loser fails loudly instead of committing stale-encoded rows") {
     val root = Files.createTempDirectory("graft-pinrace").toString
     Catalog.commitBundle(Seq("index" -> (1L to 10L).toDF("id")), root,
