@@ -49,7 +49,7 @@ object MakeScaledData {
   def scaleDocuments(spark: SparkSession, src: DataFrame, reps: Int): DataFrame = {
     // even stride > max(doc_id): preserves twin adjacency and parity
     val n = {
-      val mx = src.agg(max(col("doc_id"))).head.getLong(0) + 1L
+      val mx = src.agg(max(col("doc_id"))).head().getLong(0) + 1L
       if (mx % 2 == 0) mx else mx + 1L
     }
     replicate(spark, src, reps)

@@ -946,7 +946,7 @@ object SparkEntry {
         .withColumn("s_acctbal", roundz(col("s_acctbal") + 1000, 2))
         .unionByName(
           Seq((900001L, "NEW SUPP 1", 0, 1.23), (900002L, "NEW SUPP 2", 1, 4.56))
-            .toDF(sup.columns: _*)
+            .toDF(sup.columns.toIndexedSeq: _*)
             .withColumn("s_nationkey", col("s_nationkey").cast("int")))
       Catalog.upsert(s, root, "supplier_upsert", updates, Seq("s_suppkey"))
       Catalog.table(s, root, "supplier_upsert")
@@ -3961,7 +3961,7 @@ object SparkEntry {
       val terms = Seq("join", "hash", "vector")
       val post = TextIndex.bm25SearchBundle(s, root, "tix", terms, k = 10)
       val flat = s"/tmp/graft/x188_flat_${storeTag(dir)}"
-      TextIndex.write(docs.join(rmDocs, Seq("doc_id"), "left_anti"), flat)
+      TextIndex.writeRebuildBaseline(docs.join(rmDocs, Seq("doc_id"), "left_anti"), flat)
       val ref = TextIndex.bm25Search(s, flat, terms, k = 10)
       val tkey = Seq("doc_id", "score_x10k", "rank")
       val t1 = post.select(tkey.map(col): _*)
@@ -4020,10 +4020,10 @@ object SparkEntry {
       val aix = s"/tmp/graft/x187_aix_${storeTag(dir)}"
       val root = s"/tmp/graft/x187_bnd_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
-      TextIndex.write(aligned, tix)
+      TextIndex.writeRebuildBaseline(aligned, tix)
       val books = Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.write(e, books, aix, nCentroids = 16, trainIters = 4,
+      AnnIndex.writeRebuildBaseline(e, books, aix, nCentroids = 16, trainIters = 4,
         spill = 2)
       TextIndex.writeBundle(aligned, root, "tix", seedBatchIds = Seq("b0"))
       AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
@@ -4079,7 +4079,7 @@ object SparkEntry {
         "compaction must not reopen the ledger")
       val post = TextIndex.bm25SearchBundle(s, root, "tix", terms, k = 10)
       val flat = s"/tmp/graft/x186_flat_${storeTag(dir)}"
-      TextIndex.write(d, flat)
+      TextIndex.writeRebuildBaseline(d, flat)
       val ref = TextIndex.bm25Search(s, flat, terms, k = 10)
       val key = Seq("doc_id", "score_x10k", "rank")
       def diff(a: DataFrame, b: DataFrame, as: String) =
@@ -4177,10 +4177,12 @@ object SparkEntry {
     // served-id violations per qid — must be 0), and a per-qid overlap
     // floor vs the exact FILTERED composition (batched stored
     // BM25-within ranks + brute force over the filtered corpus through
-    // the SAME fusion and greedy). Measured min-over-qids overlap
-    // (RecallProbe, deterministic): 5/10 sf0.001, 6/10 sf0.01, 4/10
-    // sf0.1 — floor 2 sits strictly under the weakest point (x183's
-    // margin convention).
+    // the SAME fusion and greedy). Re-margined round 15 (the x182
+    // convention: ≥5 under the weakest point): at poolK=80 / nProbe=12
+    // / rerank=400 the measured min-over-qids overlap (RecallProbe,
+    // deterministic) is 8/10 sf0.001, 9/10 sf0.01, 8/10 sf0.1 — floor
+    // 3 sits 5 under the weakest point (the prior 50/6/150 config
+    // measured 5/6/4 with floor 2, a margin of only 2).
     "x191_filtered_batch_serve" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val e = t(s, dir, "embeddings")
@@ -4200,8 +4202,8 @@ object SparkEntry {
       AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
         trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
       val served = Similarity.threeStageServeBatchBundle(s, root, "tix",
-        root, "ann", e, batch, qvecs, k = 10, fuseK = 30, poolK = 50,
-        rerank = 150, nProbe = 6, within = Some(allowed)).persist()
+        root, "ann", e, batch, qvecs, k = 10, fuseK = 30, poolK = 80,
+        rerank = 400, nProbe = 12, within = Some(allowed)).persist()
       val viol = served
         .join(allowed.select(col("vec_id").as("nid")), Seq("nid"),
           "left_anti")
@@ -4210,11 +4212,11 @@ object SparkEntry {
       // ranks, brute force over the filtered corpus, same per-qid
       // fusion, same per-qid integer greedy
       val lex = TextIndex.bm25SearchBatchBundle(s, root, "tix", batch,
-          k = 50, within = Some(allowed))
+          k = 80, within = Some(allowed))
         .select(col("qid"), col("doc_id").as("nid"),
           col("rank").cast("int").as("lrank"))
       val exactVec = Similarity.bruteForceKnn(
-          e.join(allowed, Seq("vec_id"), "left_semi"), qvecs, k = 50)
+          e.join(allowed, Seq("vec_id"), "left_semi"), qvecs, k = 80)
         .select(col("qid"), col("nid"), col("rank").as("vrank"))
       val exactPool = Similarity.rrfFuseBatch(lex, exactVec, k = 30)
       val exact = Similarity.mmrRerankPoolBatch(e, qvecs,
@@ -4230,7 +4232,7 @@ object SparkEntry {
         .crossJoin(broadcast(perQid))
         .select(col("n_results"), col("n_queries"),
           (col("__viol") === lit(0L)).as("all_allowed"),
-          (col("__min_ov") >= lit(2L) && col("__nq") === lit(8L))
+          (col("__min_ov") >= lit(3L) && col("__nq") === lit(8L))
             .as("overlap_ok"))
     }),
 
@@ -4338,7 +4340,7 @@ object SparkEntry {
       val terms = Seq("join", "hash", "vector")
       val tpost = TextIndex.bm25SearchBundle(s, root, "tix", terms, k = 10)
       val flat = s"/tmp/graft/x193_flat_${storeTag(dir)}"
-      TextIndex.write(docs, flat)
+      TextIndex.writeRebuildBaseline(docs, flat)
       val tref = TextIndex.bm25Search(s, flat, terms, k = 10)
       val tkey = Seq("doc_id", "score_x10k", "rank")
       def tdiff(a: DataFrame, b: DataFrame, as: String) =
@@ -4399,9 +4401,22 @@ object SparkEntry {
         poolK = 50, rerank = 150, nProbe = 6)
       val pre = serve().persist()
       val rm = pre.where(col("rank") <= 2).select(col("nid").as("doc_id"))
-      // the mid-maintenance state: text store advanced, pin unchanged
-      val tv2 = TextIndex.retractBundle(s, root, "tix", rm)
-      val mid = serve()
+      // the whole takedown is ONE library call since round 15
+      // (Catalog.takedownStack): retract every pinned artifact, flip
+      // the pin LAST, refuse partial coverage — the invariant lives in
+      // the tested path, not in this query body. The mid-maintenance
+      // serve is taken BETWEEN the two retract commits (inside the
+      // second artifact's retract closure — serves materialize at
+      // construction): the ANN store has already advanced, the pin is
+      // still d1, the exact window where an unpinned serve would mix
+      // post-takedown codes with pre-takedown postings.
+      var mid: DataFrame = null
+      Catalog.takedownStack(s, root, "serving", Map(
+        "ann" -> ((_: Long) => AnnIndex.retractBundle(s, root, "ann", rm)),
+        "tix" -> ((_: Long) => {
+          mid = serve()
+          TextIndex.retractBundle(s, root, "tix", rm)
+        })))
       val key = Seq("rank", "nid", "mmr4")
       val s1 = mid.select(key.map(col): _*)
         .join(pre.select(key.map(col): _*), key, "left_anti")
@@ -4409,10 +4424,6 @@ object SparkEntry {
       val s2 = pre.select(key.map(col): _*)
         .join(mid.select(key.map(col): _*), key, "left_anti")
         .agg(count(lit(1)).as("__s2"))
-      // finish the takedown, flip the pin LAST
-      val av2 = AnnIndex.retractBundle(s, root, "ann", rm)
-      Catalog.commitDeployment(s, root, "serving",
-        Map("tix" -> tv2, "ann" -> av2))
       val post = serve()
       val viol = post.join(rm.select(col("doc_id").as("nid")), Seq("nid"),
           "left_semi")
@@ -4423,6 +4434,86 @@ object SparkEntry {
         .select(col("n_results"),
           (col("__s1") + col("__s2") === lit(0L)).as("skew_free"),
           (col("__viol") === lit(0L)).as("latest_clean"))
+    }),
+
+    // DEPLOYMENT-pinned BATCHED serve (x195) — x191 × x194: the bulk
+    // request shape a production evaluation actually runs, against the
+    // stack's ONE atomic pointer. x194 closed the cross-store skew
+    // window for the single-query serve, but the batch path still
+    // resolved each store's latest independently — N queries at once
+    // through the exact window every takedown reopens. Here EIGHT
+    // filtered queries ride threeStageServeBatchDeployed (the pin set
+    // is read once — the only mutable read — and threaded as
+    // textVersion/annVersion through every member read of both
+    // stores), and the takedown is the round-15 library path
+    // (Catalog.takedownStack: retract every pinned artifact, flip the
+    // pin LAST, refuse partial coverage). skew_free is earned at the
+    // same mid-maintenance point as x194's — the batch serve taken
+    // between the two retract commits (ANN advanced, pin still d1)
+    // anti-joins empty both ways against the pre-takedown answer on
+    // the full (qid, rank, nid, mmr4) row for all eight queries at
+    // once; after the flip, latest_clean counts removed-id violations
+    // (= 0) and all_allowed counts filter violations (= 0).
+    "x195_deployed_batch_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val vocab = Seq("join", "hash", "vector", "scan", "merge",
+        "table", "index", "sort")
+      val batch = (0 until 8).map { i =>
+        i.toLong -> Seq(vocab(i), vocab((i + 3) % 8)) }
+      val qvecs = e.where(col("vec_id") < 8)
+      val allowed = e.where(col("label") < 5).select(col("vec_id"))
+      val root = s"/tmp/graft/x195_dep_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      // alignment contract (see x176): index only the embedded docs
+      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      Catalog.commitDeployment(s, root, "serving", Map(
+        "tix" -> Catalog.latestBundleVersion(s, root, "tix").get,
+        "ann" -> Catalog.latestBundleVersion(s, root, "ann").get))
+      def serve() = Similarity.threeStageServeBatchDeployed(s, root,
+        "serving", root, "tix", root, "ann", e, batch, qvecs, k = 10,
+        fuseK = 30, poolK = 80, rerank = 400, nProbe = 12,
+        within = Some(allowed))
+      val pre = serve().persist()
+      val rm = pre.where(col("rank") <= 1).select(col("nid").as("doc_id"))
+        .distinct()
+      // mid-maintenance: ANN retracted, pin still d1 — the batch serve
+      // must answer the pinned versions for all eight queries at once
+      var mid: DataFrame = null
+      Catalog.takedownStack(s, root, "serving", Map(
+        "ann" -> ((_: Long) => AnnIndex.retractBundle(s, root, "ann", rm)),
+        "tix" -> ((_: Long) => {
+          mid = serve()
+          TextIndex.retractBundle(s, root, "tix", rm)
+        })))
+      val key = Seq("qid", "rank", "nid", "mmr4")
+      val s1 = mid.select(key.map(col): _*)
+        .join(pre.select(key.map(col): _*), key, "left_anti")
+        .agg(count(lit(1)).as("__s1"))
+      val s2 = pre.select(key.map(col): _*)
+        .join(mid.select(key.map(col): _*), key, "left_anti")
+        .agg(count(lit(1)).as("__s2"))
+      val post = serve()
+      val viol = post.join(rm.select(col("doc_id").as("nid")), Seq("nid"),
+          "left_semi")
+        .agg(count(lit(1)).as("__viol"))
+      val outside = post
+        .join(allowed.select(col("vec_id").as("nid")), Seq("nid"),
+          "left_anti")
+        .agg(count(lit(1)).as("__out"))
+      pre.agg(count(lit(1)).as("n_results"),
+          countDistinct(col("qid")).as("n_queries"))
+        .crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+        .crossJoin(broadcast(viol)).crossJoin(broadcast(outside))
+        .select(col("n_results"), col("n_queries"),
+          (col("__s1") + col("__s2") === lit(0L)).as("skew_free"),
+          (col("__viol") === lit(0L)).as("latest_clean"),
+          (col("__out") === lit(0L)).as("all_allowed"))
     }),
   )
 
@@ -4658,7 +4749,31 @@ object SparkEntry {
           Similarity.threeStageServeBatchBundle(s, hybRoot(dir), "tix",
             hybRoot(dir), "ann", e,
             batch, e.where(col("vec_id") < 8), k = 10, fuseK = 30,
-            poolK = 50, rerank = 150, nProbe = 6,
+            poolK = 80, rerank = 400, nProbe = 12,
+            within = Some(e.where(col("label") < 5).select(col("vec_id"))))
+        })),
+      // same stores + filter as x191, resolved through a committed
+      // deployment pin instead of per-bundle latest: the serve-time
+      // delta this row watches is ONE tiny versioned-table read (the
+      // pin set) — deployment resolution must add ~nothing over x191
+      "x195_deployed_batch_serve" -> ((
+        (s: SparkSession, dir: String) => {
+          buildHybridBundles(s, dir)
+          Catalog.commitDeployment(s, hybRoot(dir), "serving", Map(
+            "tix" -> Catalog.latestBundleVersion(s, hybRoot(dir), "tix").get,
+            "ann" -> Catalog.latestBundleVersion(s, hybRoot(dir), "ann").get))
+          ()
+        },
+        (s: SparkSession, dir: String) => {
+          val e = t(s, dir, "embeddings")
+          val vocab = Seq("join", "hash", "vector", "scan", "merge",
+            "table", "index", "sort")
+          val batch = (0 until 8).map { i =>
+            i.toLong -> Seq(vocab(i), vocab((i + 3) % 8)) }
+          Similarity.threeStageServeBatchDeployed(s, hybRoot(dir),
+            "serving", hybRoot(dir), "tix", hybRoot(dir), "ann", e,
+            batch, e.where(col("vec_id") < 8), k = 10, fuseK = 30,
+            poolK = 80, rerank = 400, nProbe = 12,
             within = Some(e.where(col("label") < 5).select(col("vec_id"))))
         })),
       // the bundle-backed ANN index: built + appended once (untimed),
@@ -4786,11 +4901,8 @@ object SparkEntry {
     )
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
-    f.delete()
-    ()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.tools.LocalFs.deleteRecursively(f)
 
   /** x153's oracle, generated for a fixed round count: each BPE round is
     * one CTE trio — pair counts off the previous word table, the argmax
@@ -8049,6 +8161,15 @@ object SparkEntry {
     "x194_deployment_pinned_stack" ->
       ("SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS skew_free, " +
         "TRUE AS latest_clean"),
+    // x191 × x194 composed: skew_free is earned BETWEEN the library
+    // takedown's two retract commits (the batch serve at the unflipped
+    // pin anti-joins empty both ways against the pre-takedown answer,
+    // all eight queries at once); latest_clean and all_allowed are
+    // counted violations (= 0) after the flip; counts are literal
+    "x195_deployed_batch_serve" ->
+      ("SELECT CAST(80 AS BIGINT) AS n_results, " +
+        "CAST(8 AS BIGINT) AS n_queries, TRUE AS skew_free, " +
+        "TRUE AS latest_clean, TRUE AS all_allowed"),
     // all three reindex claims are EARNED in-plan (pinned re-serve ≡
     // pre-reindex both ways; exhaustive post-reindex serve ≡ brute
     // force; re-tokenized text ≡ flat rebuild) and both ledger replays

@@ -54,18 +54,23 @@ object AnnIndex {
     * IVF loses recall at low nProbe. The serve side collapses the
     * resulting duplicate (qid, nid) pairs.
     *
-    * DEPRECATED as a production store: a crash mid-rebuild can leave new
-    * centroids beside old codes, and [[append]] replays are unguarded —
+    * REBUILD BASELINE, not a production store: a crash mid-rebuild can
+    * leave new centroids beside old codes, and
+    * [[appendRebuildBaseline]] replays are unguarded —
     * [[writeBundle]] publishes all members atomically with a ledgered
-    * manifest. Kept only as the in-plan rebuild BASELINE the bundle
-    * store's equivalence checks compare against (x186/x187/x188).
+    * manifest and is the ONLY production write path. This entry point
+    * exists so the bundle store's equivalence checks (x188/x193, the
+    * specs) can build the flat comparison index through the exact same
+    * encode arithmetic; nothing in a deployment should call it, and the
+    * explicit name makes a stale caller visible at review rather than
+    * as a compile warning.
     */
-  @deprecated("use writeBundle: atomic multi-member publish + ledger", "round-14")
-  def write(candidates: DataFrame,
+  def writeRebuildBaseline(candidates: DataFrame,
       books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], dir: String,
       nCentroids: Int = 16, trainIters: Int = 0, spill: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    require(spill >= 1, s"AnnIndex.write: spill=$spill must be >= 1")
+    require(spill >= 1,
+      s"AnnIndex.writeRebuildBaseline: spill=$spill must be >= 1")
     val spark = candidates.sparkSession
     val centroids = trainCentroids(candidates, nCentroids, trainIters, idCol, vecCol)
     centroidsDf(spark, centroids)
@@ -139,14 +144,14 @@ object AnnIndex {
     * rewrites one cell in place (atomic swap) without touching the
     * quantizer, codebooks, or serve planning.
     *
-    * DEPRECATED: unledgered — a replayed batch double-appends, and
-    * duplicate nids then occupy multiple top-k slots in the exact
-    * re-rank. [[appendBundle]] records the batch id in the manifest
-    * atomically with the data. Kept only for flat stores already laid
-    * out by [[write]] (rebuild baselines).
+    * REBUILD BASELINE, not a production path: unledgered — a replayed
+    * batch double-appends, and duplicate nids then occupy multiple
+    * top-k slots in the exact re-rank. [[appendBundle]] records the
+    * batch id in the manifest atomically with the data and is the ONLY
+    * production append. Kept (explicitly named, test-only) for flat
+    * stores laid out by [[writeRebuildBaseline]].
     */
-  @deprecated("use appendBundle: ledgered, replay-rejected", "round-14")
-  def append(spark: SparkSession, dir: String, batch: DataFrame,
+  def appendRebuildBaseline(spark: SparkSession, dir: String, batch: DataFrame,
       spill: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val centroids = readCentroids(spark, dir)
@@ -227,7 +232,7 @@ object AnnIndex {
     val probeCells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val pruned = codesAll
-      .where(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .where(col("cell").isin(probeCells.map(Integer.valueOf).toIndexedSeq: _*))
     val kept = within.fold(pruned) { w =>
       val ids = w.select(col(w.columns.head).as("__within_id"))
       pruned.join(ids, pruned(idCol) === ids("__within_id"), "left_semi")
@@ -268,7 +273,7 @@ object AnnIndex {
 
   /** Build the index ON the atomic bundle store
     * ([[graft.sources.Catalog.commitBundle]]) — the store-protocol
-    * migration the flat [[write]] lacks: centroids, codebooks and codes
+    * migration the flat [[writeRebuildBaseline]] lacks: centroids, codebooks and codes
     * publish in ONE staged-directory rename, so a crash mid-rebuild can
     * never leave new centroids beside old codes (codes encoded against
     * one codebook, decoded with another — wrong distances, no error).
@@ -333,7 +338,7 @@ object AnnIndex {
       supersedes = Some(pv))
   }
 
-  /** LEDGERED incremental append — [[append]] with the at-least-once
+  /** LEDGERED incremental append — [[appendRebuildBaseline]] with the at-least-once
     * residual closed: the batch's code rows land as a new file set via
     * [[graft.sources.Catalog.appendBundle]] with the batch id IN the
     * manifest, so a replayed append returns false with the index

@@ -939,7 +939,7 @@ object Dedup {
       .optimalNumOfBits(expectedItems, fpp)
     val bf = corpus
       .agg(call_function("bloom_agg", h, lit(expectedItems), lit(numBits)).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     if (bf == null) {
       // empty corpus → the aggregate yields NULL, and nothing can be a dup
       newDf.select(col(idCol)).limit(0)
@@ -1020,8 +1020,8 @@ object Dedup {
 
   /** Persist a corpus's MinHash-LSH bucket index — the near-dup family's
     * STORED form, completing the stored-index matrix next to the ANN
-    * cells ([[graft.operators.AnnIndex.write]]), the text postings
-    * ([[graft.operators.TextIndex.write]]) and the decontamination
+    * cells ([[graft.operators.AnnIndex.writeRebuildBaseline]]), the text postings
+    * ([[graft.operators.TextIndex.writeRebuildBaseline]]) and the decontamination
     * shingle set ([[writeShingleIndex]]): [[lshBuckets]]' (id, band,
     * bucket) rows land partitioned by `band`, so the store grows by
     * whole files inside a fixed set of band directories and a serve

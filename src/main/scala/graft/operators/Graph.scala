@@ -165,7 +165,7 @@ object Graph {
       // withCachedInputs count already materialized the cache; this agg
       // re-reads it)
       val cnts = nodesS.agg(count(lit(1)), coalesce(sum(col("__s")), lit(0L)))
-        .head
+        .head()
       val n = cnts.getLong(0)
       require(n > 0, "pageRank: empty graph")
       val nSeeds = seeds.fold(n)(_ => cnts.getLong(1))
@@ -213,7 +213,7 @@ object Graph {
         ranks = ranks.persist()
         for (_ <- 1 to iters) {
           val dm = ranks.join(danglingNodes, Seq("node"), "left_semi")
-            .agg(coalesce(sum(col("rank")), lit(0.0))).head.getDouble(0)
+            .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
           val next = step(ranks, dm).persist()
           next.count() // node-sized materialization; frees prev for release
           ranks.unpersist(false)

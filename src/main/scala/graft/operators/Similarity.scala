@@ -665,6 +665,62 @@ object Similarity {
       annVersion = Some(pin(annName)))
   }
 
+  /** [[threeStageServeBatchBundle]] with both index versions resolved
+    * through ONE committed deployment pin — the bulk shape of
+    * [[threeStageServeDeployed]]: a production evaluation runs its
+    * query batches against the SAME deployment a single-query serve
+    * answers from, and a batch that resolved each store's latest
+    * independently would re-open, across N queries at once, the exact
+    * mid-maintenance skew window x194 closed for one. The pin set is
+    * read once (the only mutable read) and threaded as
+    * `textVersion`/`annVersion` through every member read of both
+    * stores; filters (`within`/`withinPairs`) and per-query semantics
+    * are exactly [[threeStageServeBatchBundle]]'s.
+    */
+  def threeStageServeBatchDeployed(spark: org.apache.spark.sql.SparkSession,
+      depRoot: String, depName: String,
+      textRoot: String, textName: String, annRoot: String, annName: String,
+      vecs: DataFrame, queryTerms: Seq[(Long, Seq[String])],
+      queryVecs: DataFrame, k: Int,
+      fuseK: Int = 30, poolK: Int = 50, rrfK: Int = 60, rerank: Int = 150,
+      nProbe: Int = 6, within: Option[DataFrame] = None,
+      withinPairs: Option[DataFrame] = None,
+      deploymentVersion: Option[Long] = None): DataFrame = {
+    val pins = Catalog.readDeployment(spark, depRoot, depName,
+      deploymentVersion)
+    def pin(art: String): Long = pins.getOrElse(art,
+      sys.error(s"threeStageServeBatchDeployed: deployment '$depName' " +
+        s"has no pin for artifact '$art' (pins: ${pins.keys.toSeq.sorted})"))
+    threeStageServeBatchBundle(spark, textRoot, textName, annRoot, annName,
+      vecs, queryTerms, queryVecs, k, fuseK, poolK, rrfK, rerank, nProbe,
+      within, textVersion = Some(pin(textName)),
+      annVersion = Some(pin(annName)), withinPairs = withinPairs)
+  }
+
+  /** Take a document set down from a DEPLOYED text+ANN serving stack —
+    * [[graft.sources.Catalog.takedownStack]] instantiated for the
+    * three-stage stack's two stores: retract `removed` from the text
+    * index and the ANN index (each an atomic per-bundle commit,
+    * ledger preserved), then flip the deployment pin LAST. Refuses a
+    * deployment pinning anything besides exactly these two artifacts
+    * (a partial takedown must not flip), and a failure in either
+    * retraction leaves the pin — and every serve resolving it — on the
+    * pre-takedown versions (CatalogSpec pins the crash story). Returns
+    * the new pin set. `removed`: one id column (doc ids = vector ids
+    * under the stack's alignment contract).
+    */
+  def takedownServingStack(spark: org.apache.spark.sql.SparkSession,
+      root: String, deployment: String, textName: String, annName: String,
+      removed: DataFrame): Map[String, Long] = {
+    require(textName != annName,
+      s"takedownServingStack: text and ANN bundles must differ, got '$textName'")
+    Catalog.takedownStack(spark, root, deployment, Map(
+      textName -> ((_: Long) =>
+        TextIndex.retractBundle(spark, root, textName, removed)),
+      annName -> ((_: Long) =>
+        AnnIndex.retractBundle(spark, root, annName, removed))))
+  }
+
   /** Exact cosine re-rank of a candidate shortlist: `pairs` (qid, nid)
     * joins back to the raw vectors and only those |queries| × shortlist
     * rows are scored exactly — the second stage of every

@@ -61,7 +61,7 @@ object Temporal {
     val rAligned = leftCols.foldLeft(r) { (d, c) =>
       if (keys.contains(c)) d
       else d.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.map(col).toIndexedSeq: _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)

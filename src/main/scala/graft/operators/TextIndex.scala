@@ -67,8 +67,8 @@ object TextIndex {
     * (term, doc) term frequency + the term's sorted token positions
     * (Lucene-style positional postings — what phrase queries replay),
     * denormalizes the doc length onto each posting, and stamps the term
-    * shard. Shared verbatim by the full [[write]] and the incremental
-    * [[append]], so a delta batch is indexed by EXACTLY the build's
+    * shard. Shared verbatim by the full [[writeRebuildBaseline]] and the incremental
+    * [[appendRebuildBaseline]], so a delta batch is indexed by EXACTLY the build's
     * arithmetic.
     */
   private def postings(docs: DataFrame, idCol: String,
@@ -101,14 +101,18 @@ object TextIndex {
     * and can never match a term — they are absent from the index and its
     * meta by construction.
     *
-    * DEPRECATED as a production store: the postings-write → meta-rewrite
-    * sequence is not atomic (a crash between them serves stats for a
-    * corpus the postings aren't) — [[writeBundle]] publishes both in one
-    * manifest rename. Kept only as the in-plan rebuild BASELINE the
-    * bundle store's equivalence checks compare against (x186/x187/x188).
+    * REBUILD BASELINE, not a production store: the postings-write →
+    * meta-rewrite sequence is not atomic (a crash between them serves
+    * stats for a corpus the postings aren't) — [[writeBundle]]
+    * publishes both in one manifest rename and is the ONLY production
+    * write path. This entry point exists so the bundle store's
+    * equivalence checks (x186/x187/x188/x193, the specs) can build the
+    * flat comparison index through the exact same tokenize/shard
+    * arithmetic; nothing in a deployment should call it, and the
+    * explicit name makes a stale caller visible at review rather than
+    * as a compile warning.
     */
-  @deprecated("use writeBundle: atomic postings+meta publish + ledger", "round-14")
-  def write(docs: DataFrame, dir: String, idCol: String = "doc_id",
+  def writeRebuildBaseline(docs: DataFrame, dir: String, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     postings(docs, idCol, textCol)
       .write.mode("overwrite").partitionBy("shard")
@@ -135,14 +139,14 @@ object TextIndex {
     * rewrites one shard in place (atomic swap, closed shards compact
     * independently); serve results are identical pre/post (CatalogSpec).
     *
-    * DEPRECATED: unledgered — a replayed batch doubles a term's tf AND
-    * df, inflating every BM25 score its docs appear in; and the
-    * postings-append → meta-rewrite gap replays on a crash between
-    * them. [[appendBundle]] closes both. Kept only for flat stores
-    * already laid out by [[write]] (rebuild baselines).
+    * REBUILD BASELINE, not a production path: unledgered — a replayed
+    * batch doubles a term's tf AND df, inflating every BM25 score its
+    * docs appear in; and the postings-append → meta-rewrite gap
+    * replays on a crash between them. [[appendBundle]] closes both and
+    * is the ONLY production append. Kept (explicitly named, test-only)
+    * for flat stores laid out by [[writeRebuildBaseline]].
     */
-  @deprecated("use appendBundle: ledgered, replay-rejected, atomic with meta", "round-14")
-  def append(docs: DataFrame, dir: String, idCol: String = "doc_id",
+  def appendRebuildBaseline(docs: DataFrame, dir: String, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     postings(docs, idCol, textCol)
       .write.mode("append").partitionBy("shard")
@@ -386,7 +390,7 @@ object TextIndex {
   /** One (n_docs, sum_dl) row describing a batch's postings — the
     * bundle's meta is LSM-style: every commit/append lands one delta
     * row, and [[bundleStats]] sums them at serve. Correct because a doc
-    * arrives in exactly one batch (the same contract [[append]] states),
+    * arrives in exactly one batch (the same contract [[appendRebuildBaseline]] states),
     * so per-batch distinct doc counts add up to the corpus's. Derived
     * from the batch's own postings frame, so the stored stats always
     * describe exactly the postings that landed beside them.
@@ -399,7 +403,7 @@ object TextIndex {
 
   /** Build the index ON the atomic bundle store
     * ([[graft.sources.Catalog.commitBundle]]) — the store-protocol
-    * migration the flat [[write]] lacks, and the text twin of
+    * migration the flat [[writeRebuildBaseline]] lacks, and the text twin of
     * [[AnnIndex.writeBundle]]: postings (shard-partitioned, declared in
     * the manifest so appends and compaction preserve the pruning
     * layout) and the batch's meta delta publish in ONE staged-directory
@@ -445,7 +449,7 @@ object TextIndex {
     finally { p.unpersist(); () }
   }
 
-  /** LEDGERED incremental append — [[append]] with the at-least-once
+  /** LEDGERED incremental append — [[appendRebuildBaseline]] with the at-least-once
     * residual closed: the batch's posting rows land as a new file set
     * via [[graft.sources.Catalog.appendBundle]] with the batch id IN
     * the manifest, so a replayed append returns false with the index

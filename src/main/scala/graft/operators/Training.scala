@@ -90,7 +90,7 @@ object Training {
         .agg(count(lit(1)).as("__n"))
         .collect().sortBy(_.getInt(0))
       val cum = offsets.scanLeft(0L)((acc, r) => acc + r.getLong(1)).init
-      val offMap = map(offsets.zip(cum).flatMap { case (r, off) =>
+      val offMap = map(offsets.zip(cum).toIndexedSeq.flatMap { case (r, off) =>
         Seq(lit(r.getInt(0)), lit(off))
       }: _*)
       val w = Window.partitionBy(col("__pid")).orderBy(col("__h"), col(keyCol))
@@ -158,7 +158,7 @@ object Training {
     // bounded: one row per distinct source (the mixing axis)
     val srcs = df.select(col(srcCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
-    val idxMap = map(srcs.zipWithIndex.flatMap {
+    val idxMap = map(srcs.zipWithIndex.toIndexedSeq.flatMap {
       case (s, i) => Seq(lit(s), lit(i.toLong)) }: _*)
     groupPortableRank(df, keyCol, srcCol, seed, as = "__rk")
       .withColumn(as, (col("__rk") - 1L) * lit(srcs.length.toLong) +

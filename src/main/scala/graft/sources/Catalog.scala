@@ -446,12 +446,39 @@ object Catalog {
     * (CatalogSpec pins survive-then-reclaim-after-the-pin-moves).
     */
   def commitDeployment(spark: SparkSession, root: String, name: String,
-      pins: Map[String, Long]): Long = {
+      pins: Map[String, Long], validate: Boolean = true): Long = {
     require(pins.nonEmpty, "commitDeployment: no pins")
+    // a pin is published ONCE and trusted by every serve and prune that
+    // resolves it — validate at the flip, not at the thousand reads: a
+    // typo'd artifact name or a stale/never-committed version must fail
+    // HERE, before the pointer moves, not when a serve errors
+    // per-artifact or a retention caller silently loses the protection.
+    // `validate = false` is the escape hatch for pinning artifacts that
+    // are not bundles under this root (none in this engine today).
+    if (validate) pins.toSeq.sortBy(_._1).foreach { case (art, v) =>
+      try { bundleManifest(spark, root, art, Some(v)); () }
+      catch { case e: Exception =>
+        sys.error(s"commitDeployment: pin '$art' -> $v does not resolve " +
+          s"to a committed bundle version under $root (${e.getMessage}) " +
+          "— refusing to publish a broken deployment")
+      }
+    }
     import spark.implicits._
     commitVersion(
       pins.toSeq.sortBy(_._1).toDF("artifact", "version").repartition(1),
-      root, name)
+      root, deploymentRef(name))
+  }
+
+  /** Deployments live under a dedicated `_deployments/` namespace so
+    * retention can DISCOVER every live pin set under a root
+    * ([[listDeployments]]) instead of trusting each prune caller to
+    * enumerate them — the underscore prefix also hides the namespace
+    * from any recursive data scan, like every other protocol file.
+    */
+  private def deploymentRef(name: String): String = {
+    require(name.nonEmpty && !name.contains("/"),
+      s"deployment name must be a plain name, got '$name'")
+    s"_deployments/$name"
   }
 
   /** Read a deployment pin set (`None` = the current deployment) —
@@ -460,13 +487,84 @@ object Catalog {
   def readDeployment(spark: SparkSession, root: String, name: String,
       version: Option[Long] = None): Map[String, Long] = {
     import org.apache.spark.sql.functions.col
-    val rows = readVersion(spark, root, name, version)
+    val rows = readVersion(spark, root, deploymentRef(name), version)
       .select(col("artifact"), col("version"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val m = rows.toMap
     require(m.size == rows.length,
       s"readDeployment: duplicate artifact rows in '$name' under $root")
     m
+  }
+
+  /** Every deployment name with at least one committed pin set under
+    * `root` — the discovery that lets retention derive the live pins
+    * itself ([[deployedPins]]) instead of trusting the caller.
+    */
+  def listDeployments(spark: SparkSession, root: String): Seq[String] = {
+    val base = new HPath(s"${root.stripSuffix("/")}/_deployments")
+    val f = fsFor(spark, base)
+    if (!f.exists(base)) return Seq.empty
+    f.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.endsWith("_versions"))
+      .map(_.getPath.getName.stripSuffix("_versions")).sorted
+      .filter(n => latestVersion(spark, root, deploymentRef(n)).isDefined)
+  }
+
+  /** The bundle versions some LIVE deployment under `root` currently
+    * pins `bundle` at — the union over every deployment's newest
+    * committed pin set. Older pin-set versions are deliberately NOT
+    * protected (they are history, not commitments); an in-flight serve
+    * that resolved a pre-flip deployment is covered by the prune's
+    * `minAgeMs` reader grace, same as any time-travel reader.
+    */
+  def deployedPins(spark: SparkSession, root: String,
+      bundle: String): Set[Long] =
+    listDeployments(spark, root)
+      .flatMap(d => readDeployment(spark, root, d).get(bundle)).toSet
+
+  /** [[pruneBundleVersions]] with `pinned` DERIVED from the live
+    * deployments under `root` ([[deployedPins]]) instead of passed by
+    * the caller — the retention entry point a serving stack should run:
+    * a forgotten pin set is no longer possible, because the prune reads
+    * the same committed deployment tables the serves resolve. Shares
+    * [[bundleVictims]], so dry-run ([[bundleHealth]] with the same
+    * derived set) and action can never disagree.
+    */
+  def pruneBundleVersionsDeployed(spark: SparkSession, root: String,
+      bundle: String, keep: Int, minAgeMs: Long = 0L): Unit =
+    pruneBundleVersions(spark, root, bundle, keep, minAgeMs,
+      pinned = deployedPins(spark, root, bundle))
+
+  /** Cross-store TAKEDOWN as one tested library path — the x194
+    * discipline (retract EVERY pinned artifact first, flip the
+    * deployment pin LAST) executed by the operator instead of promised
+    * by it. `retract` maps each artifact to a function from its
+    * currently-pinned version to the NEW committed version its
+    * retraction produced (e.g. `_ => TextIndex.retractBundle(...)`).
+    *
+    * Refuses PARTIAL application: the retract map must cover exactly
+    * the deployment's pinned artifacts — retracting one side and
+    * flipping would re-open the exact skew window the pin exists to
+    * close (removed ids gone from one retrieval side, still served by
+    * the other). Crash-safe by construction: the pin flips only after
+    * every retraction committed, so a failure anywhere leaves the
+    * deployment — and every serve resolving it — on the pre-takedown
+    * pin set, answering pre-takedown versions that retention keeps
+    * (they are still the live pins). Returns the new pin set.
+    */
+  def takedownStack(spark: SparkSession, root: String, deployment: String,
+      retract: Map[String, Long => Long]): Map[String, Long] = {
+    val pins = readDeployment(spark, root, deployment)
+    require(retract.keySet == pins.keySet,
+      s"takedownStack: retractions ${retract.keySet.toSeq.sorted} must " +
+        s"cover exactly the deployment's pinned artifacts " +
+        s"${pins.keySet.toSeq.sorted} — a partial takedown would flip " +
+        "the pin while an uncovered artifact still serves the removed rows")
+    val newPins = retract.toSeq.sortBy(_._1).map { case (art, fn) =>
+      art -> fn(pins(art))
+    }.toMap
+    commitDeployment(spark, root, deployment, newPins)
+    newPins
   }
 
   /** Drop committed versions older than the newest `keep` — retention
@@ -956,6 +1054,16 @@ object Catalog {
       .map(_.getPath)
       .filter(p => f.exists(new HPath(p, "_manifest")))
       .map(_.getName.toLong).sorted
+    // a pin naming no committed version is a stale or mistyped pin set
+    // (or a pin whose version an unpinned prune already took): silently
+    // dropping it would proceed with the protection lost and fail only
+    // at read time — abort the prune loudly instead, same convention as
+    // every other protocol check
+    require(pinned.subsetOf(committed.toSet),
+      s"bundle '$bundle' retention: pinned versions " +
+        s"${(pinned -- committed).toSeq.sorted.mkString(",")} are not " +
+        s"committed under $base — stale or mistyped pin set; refusing " +
+        "to prune")
     val kept = committed.takeRight(keep) ++
       committed.filter(pinned.contains)
     val referenced = kept.flatMap { v =>

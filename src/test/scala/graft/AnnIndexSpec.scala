@@ -16,7 +16,7 @@ class AnnIndexSpec extends AnyFunSuite {
   test("index tables round-trip: books and centroids read back exactly") {
     val idx = "/tmp/graft/annindex_spec_rt"
     val books = trainedBooks
-    AnnIndex.write(embeddings, books, idx, nCentroids = 8)
+    AnnIndex.writeRebuildBaseline(embeddings, books, idx, nCentroids = 8)
     assert(AnnIndex.readBooks(spark, idx) == books)
     val cents = AnnIndex.readCentroids(spark, idx)
     assert(cents.map(_._1) == (0 until 8))
@@ -29,7 +29,7 @@ class AnnIndexSpec extends AnyFunSuite {
     // bruteForceKnn means codes/cells/decode corrupted something
     val idx = "/tmp/graft/annindex_spec_exact"
     val corpus = embeddings.where(col("vec_id") < 200)
-    AnnIndex.write(corpus, trainedBooks, idx, nCentroids = 4)
+    AnnIndex.writeRebuildBaseline(corpus, trainedBooks, idx, nCentroids = 4)
     val q = corpus.where(col("vec_id") < 3)
     val got = AnnIndex.knn(spark, idx, corpus, q, k = 5, rerank = 300,
         nProbe = 4)
@@ -56,9 +56,9 @@ class AnnIndexSpec extends AnyFunSuite {
     val base = corpus.where(col("vec_id") % 10 =!= 0)
     val batch = corpus.where(col("vec_id") % 10 === 0)
     val books = trainedBooks
-    AnnIndex.write(base, books, idx, nCentroids = 4, trainIters = 2, spill = 2)
+    AnnIndex.writeRebuildBaseline(base, books, idx, nCentroids = 4, trainIters = 2, spill = 2)
     val centsBefore = AnnIndex.readCentroids(spark, idx)
-    AnnIndex.append(spark, idx, batch, spill = 2)
+    AnnIndex.appendRebuildBaseline(spark, idx, batch, spill = 2)
     assert(AnnIndex.readCentroids(spark, idx) == centsBefore,
       "append must not move the stored quantizer")
     assert(AnnIndex.readBooks(spark, idx) == books,
@@ -82,7 +82,7 @@ class AnnIndexSpec extends AnyFunSuite {
 
   test("serve scans only the probed cell partitions") {
     val idx = "/tmp/graft/annindex_spec_prune"
-    AnnIndex.write(embeddings, trainedBooks, idx, nCentroids = 16)
+    AnnIndex.writeRebuildBaseline(embeddings, trainedBooks, idx, nCentroids = 16)
     val q = embeddings.where(col("vec_id") < 2)
     val ann = AnnIndex.knn(spark, idx, embeddings, q, k = 3, rerank = 20,
       nProbe = 3)

@@ -291,8 +291,8 @@ class CatalogSpec extends AnyFunSuite {
 
     // text index: same maintenance path on a postings shard
     val tix = Files.createTempDirectory("graft-tix-compact").toString
-    TextIndex.write(docs.where(col("doc_id") % 2 === 0), tix)
-    TextIndex.append(docs.where(col("doc_id") % 2 === 1), tix)
+    TextIndex.writeRebuildBaseline(docs.where(col("doc_id") % 2 === 0), tix)
+    TextIndex.appendRebuildBaseline(docs.where(col("doc_id") % 2 === 1), tix)
     val terms = Seq("the", "data")
     def bm25() = TextIndex.bm25Search(spark, tix, terms, k = 10)
       .collect().map(_.toSeq).toSeq
@@ -309,10 +309,10 @@ class CatalogSpec extends AnyFunSuite {
     val books = Embeddings.pqTrain(
       RelOps.hashSample(e, "vec_id", 0.5), m = 8, k = 16, iters = 2)
     // build on a third, append twice: every cell directory accretes files
-    AnnIndex.write(e.where(col("vec_id") % 3 === 0), books, idx,
+    AnnIndex.writeRebuildBaseline(e.where(col("vec_id") % 3 === 0), books, idx,
       nCentroids = 4, trainIters = 2, spill = 2)
-    AnnIndex.append(spark, idx, e.where(col("vec_id") % 3 === 1), spill = 2)
-    AnnIndex.append(spark, idx, e.where(col("vec_id") % 3 === 2), spill = 2)
+    AnnIndex.appendRebuildBaseline(spark, idx, e.where(col("vec_id") % 3 === 1), spill = 2)
+    AnnIndex.appendRebuildBaseline(spark, idx, e.where(col("vec_id") % 3 === 2), spill = 2)
     val q = e.where(col("vec_id") < 2)
     // exhaustive probes: every cell (including the compacted one) feeds
     // the serve, so any compaction corruption must surface
@@ -832,6 +832,125 @@ class CatalogSpec extends AnyFunSuite {
       Catalog.readBundleTable(spark, root, "b", "m", Some(1L)).count()
     }
     assert(Catalog.readBundleTable(spark, root, "b", "m").count() == 8L)
+  }
+
+  test("takedownStack: partial coverage refuses; a failing retract leaves the pin and serves on the pre-takedown deployment") {
+    val root = Files.createTempDirectory("graft-tds").toString
+    Catalog.commitBundle(Seq("m" -> (1L to 5L).toDF("id")), root, "a",
+      Seq("b0"))
+    Catalog.commitBundle(Seq("m" -> (1L to 5L).toDF("id")), root, "b",
+      Seq("b0"))
+    Catalog.commitDeployment(spark, root, "serving",
+      Map("a" -> 1L, "b" -> 1L))
+    def retract(bundle: String): Long => Long = _ =>
+      Catalog.rewriteBundleMembers(spark, root, bundle,
+        Map("m" -> ((m: org.apache.spark.sql.DataFrame) =>
+          m.where(col("id") =!= 1L))))
+    // partial coverage must refuse BEFORE any retract: flipping while
+    // an uncovered artifact still serves the removed rows is the skew
+    val exp = intercept[IllegalArgumentException] {
+      Catalog.takedownStack(spark, root, "serving", Map("a" -> retract("a")))
+    }
+    assert(exp.getMessage.contains("cover exactly"),
+      s"wrong failure: ${exp.getMessage}")
+    assert(Catalog.latestBundleVersion(spark, root, "a") == Some(1L))
+    // a crash BETWEEN retracts (first landed, second threw) leaves the
+    // pin — and everything resolving it — on the pre-takedown versions
+    val exc = intercept[RuntimeException] {
+      Catalog.takedownStack(spark, root, "serving", Map(
+        "a" -> retract("a"),
+        "b" -> ((_: Long) => sys.error("boom: b's retract crashed"))))
+    }
+    assert(exc.getMessage.contains("boom"))
+    assert(Catalog.readDeployment(spark, root, "serving") ==
+      Map("a" -> 1L, "b" -> 1L))
+    // bundle 'a' advanced (v2, rows retracted) but the pinned v1 stays
+    // the serving version AND survives deployment-derived retention
+    assert(Catalog.latestBundleVersion(spark, root, "a") == Some(2L))
+    Catalog.pruneBundleVersionsDeployed(spark, root, "a", keep = 1)
+    assert(Catalog.readBundleTable(spark, root, "a", "m", Some(1L))
+      .count() == 5L)
+    // the retried takedown completes: both stores retract, pin flips
+    // LAST to the new versions
+    val pins = Catalog.takedownStack(spark, root, "serving",
+      Map("a" -> retract("a"), "b" -> retract("b")))
+    assert(pins == Map("a" -> 3L, "b" -> 2L))
+    assert(Catalog.readDeployment(spark, root, "serving") == pins)
+    assert(Catalog.readBundleTable(spark, root, "a", "m", Some(3L))
+      .count() == 4L)
+    assert(Catalog.readBundleTable(spark, root, "b", "m", Some(2L))
+      .count() == 4L)
+  }
+
+  test("deployment-derived retention: prune discovers live pins itself; unknown pins and bogus deployments refuse loudly") {
+    val root = Files.createTempDirectory("graft-depret").toString
+    Catalog.commitBundle(Seq("m" -> (1L to 5L).toDF("id")), root, "b",
+      Seq("b0"))
+    assert(Catalog.appendBundle(Seq("m" -> (10L to 12L).toDF("id")),
+      root, "b", "b1"))
+    Catalog.compactBundle(spark, root, "b") // v3 snapshot
+    Catalog.commitDeployment(spark, root, "serving", Map("b" -> 1L))
+    assert(Catalog.listDeployments(spark, root) == Seq("serving"))
+    assert(Catalog.deployedPins(spark, root, "b") == Set(1L))
+    // no pin set passed: the prune reads the committed deployments
+    // itself — a forgotten caller-side union can no longer reclaim a
+    // version a serving tier still answers from
+    Catalog.pruneBundleVersionsDeployed(spark, root, "b", keep = 1)
+    assert(Catalog.readBundleTable(spark, root, "b", "m", Some(1L))
+      .count() == 5L)
+    intercept[Exception] {
+      Catalog.readBundleTable(spark, root, "b", "m", Some(2L)).count()
+    }
+    // a pin naming no committed version (typo, or already pruned by an
+    // unpinned prune) aborts the prune loudly instead of silently
+    // dropping the protection
+    val exu = intercept[IllegalArgumentException] {
+      Catalog.pruneBundleVersions(spark, root, "b", keep = 1,
+        pinned = Set(99L))
+    }
+    assert(exu.getMessage.contains("not") &&
+      exu.getMessage.contains("committed"), s"wrong failure: ${exu.getMessage}")
+    // commitDeployment refuses a broken pin set at the flip: unknown
+    // artifact, or a version that is not committed
+    val exa = intercept[RuntimeException] {
+      Catalog.commitDeployment(spark, root, "serving", Map("nope" -> 1L))
+    }
+    assert(exa.getMessage.contains("does not resolve"))
+    val exs = intercept[RuntimeException] {
+      Catalog.commitDeployment(spark, root, "serving", Map("b" -> 99L))
+    }
+    assert(exs.getMessage.contains("does not resolve"))
+    // the refused flips left the deployment untouched
+    assert(Catalog.readDeployment(spark, root, "serving") == Map("b" -> 1L))
+  }
+
+  test("deployment flip under a pinned in-flight serve: reader grace covers the old pins; a zero-grace prune after the flip is the unsafe path") {
+    val root = Files.createTempDirectory("graft-flip").toString
+    Catalog.commitBundle(Seq("m" -> (1L to 5L).toDF("id")), root, "b",
+      Seq("b0"))
+    Catalog.rewriteBundleMembers(spark, root, "b",
+      Map("m" -> ((m: org.apache.spark.sql.DataFrame) =>
+        m.where(col("id") =!= 1L)))) // v2
+    Catalog.commitDeployment(spark, root, "serving", Map("b" -> 1L))
+    // an in-flight serve resolved its pins at d1...
+    val inflight = Catalog.readDeployment(spark, root, "serving")
+    // ...then maintenance flips to d2 and retention runs WITH reader
+    // grace: v1 is no longer pinned by any live deployment, but it is
+    // younger than the grace — the in-flight serve keeps its files
+    Catalog.commitDeployment(spark, root, "serving", Map("b" -> 2L))
+    Catalog.pruneBundleVersionsDeployed(spark, root, "b", keep = 1,
+      minAgeMs = 60L * 60 * 1000)
+    assert(Catalog.readBundleTable(spark, root, "b", "m",
+      Some(inflight("b"))).count() == 5L)
+    // a ZERO-grace prune right after a flip is the documented unsafe
+    // path: the old pins' version reclaims immediately and the
+    // in-flight serve's next member read refuses
+    Catalog.pruneBundleVersionsDeployed(spark, root, "b", keep = 1)
+    intercept[Exception] {
+      Catalog.readBundleTable(spark, root, "b", "m",
+        Some(inflight("b"))).count()
+    }
+    assert(Catalog.readBundleTable(spark, root, "b", "m").count() == 4L)
   }
 
   test("racing pinned appends: exactly one lands, the loser fails loudly instead of committing stale-encoded rows") {

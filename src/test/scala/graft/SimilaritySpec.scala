@@ -410,8 +410,8 @@ class SimilaritySpec extends AnyFunSuite {
     val terms = Seq("join", "vector")
     val tix = "/tmp/graft/simspec_hybrid_tix"
     val aix = "/tmp/graft/simspec_hybrid_aix"
-    TextIndex.write(docs, tix)
-    AnnIndex.write(e, Embeddings.pqTrain(
+    TextIndex.writeRebuildBaseline(docs, tix)
+    AnnIndex.writeRebuildBaseline(e, Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2),
       aix, nCentroids = 16, trainIters = 2, spill = 2)
     val served = Similarity.hybridStoredServe(spark, tix, aix, e, terms, q,
@@ -468,8 +468,8 @@ class SimilaritySpec extends AnyFunSuite {
     val terms = Seq("join", "vector")
     val tix = "/tmp/graft/simspec_3stage_tix"
     val aix = "/tmp/graft/simspec_3stage_aix"
-    TextIndex.write(docs, tix)
-    AnnIndex.write(e, Embeddings.pqTrain(
+    TextIndex.writeRebuildBaseline(docs, tix)
+    AnnIndex.writeRebuildBaseline(e, Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2),
       aix, nCentroids = 16, trainIters = 2, spill = 2)
     val got = Similarity.threeStageServe(spark, tix, aix, e, terms, q,
@@ -547,8 +547,8 @@ class SimilaritySpec extends AnyFunSuite {
     // must produce byte-equivalent indexes, and the shared serve cores
     // must then produce the identical three-stage result — flat and
     // bundle deployments of the production stack cannot drift
-    TextIndex.write(docs, tix)
-    AnnIndex.write(e, books, aix, nCentroids = 16, trainIters = 2, spill = 2)
+    TextIndex.writeRebuildBaseline(docs, tix)
+    AnnIndex.writeRebuildBaseline(e, books, aix, nCentroids = 16, trainIters = 2, spill = 2)
     TextIndex.writeBundle(docs, root, "tix", seedBatchIds = Seq("b0"))
     AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
       trainIters = 2, spill = 2, seedBatchIds = Seq("b0"))
@@ -571,8 +571,8 @@ class SimilaritySpec extends AnyFunSuite {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
     val tix = "/tmp/graft/simspec_batch_tix"
     val aix = "/tmp/graft/simspec_batch_aix"
-    TextIndex.write(docs, tix)
-    AnnIndex.write(e, Embeddings.pqTrain(
+    TextIndex.writeRebuildBaseline(docs, tix)
+    AnnIndex.writeRebuildBaseline(e, Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2),
       aix, nCentroids = 16, trainIters = 2, spill = 2)
     val batch = Seq(0L -> Seq("join", "vector"), 1L -> Seq("hash", "scan"),
@@ -637,8 +637,8 @@ class SimilaritySpec extends AnyFunSuite {
     val terms = Seq("join", "vector")
     val tix = "/tmp/graft/simspec_filt_tix"
     val aix = "/tmp/graft/simspec_filt_aix"
-    TextIndex.write(docs, tix)
-    AnnIndex.write(e, Embeddings.pqTrain(
+    TextIndex.writeRebuildBaseline(docs, tix)
+    AnnIndex.writeRebuildBaseline(e, Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2),
       aix, nCentroids = 16, trainIters = 2, spill = 2)
     val allowed = e.where(col("label") < 5).select(col("vec_id"))
@@ -749,8 +749,8 @@ class SimilaritySpec extends AnyFunSuite {
       Seq("doc_id"), "left_semi")
     val books = Embeddings.pqTrain(
       RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2)
-    TextIndex.write(aligned, tix)
-    AnnIndex.write(e, books, aix, nCentroids = 16, trainIters = 2, spill = 2)
+    TextIndex.writeRebuildBaseline(aligned, tix)
+    AnnIndex.writeRebuildBaseline(e, books, aix, nCentroids = 16, trainIters = 2, spill = 2)
     TextIndex.writeBundle(aligned, root, "tix", seedBatchIds = Seq("b0"))
     AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
       trainIters = 2, spill = 2, seedBatchIds = Seq("b0"))
@@ -779,8 +779,8 @@ class SimilaritySpec extends AnyFunSuite {
     val aix = "/tmp/graft/simspec_wp_aix"
     val aligned = docs.join(e.select(col("vec_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
-    TextIndex.write(aligned, tix)
-    AnnIndex.write(e, Embeddings.pqTrain(
+    TextIndex.writeRebuildBaseline(aligned, tix)
+    AnnIndex.writeRebuildBaseline(e, Embeddings.pqTrain(
         RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2),
       aix, nCentroids = 16, trainIters = 2, spill = 2)
     val batch = Seq(0L -> Seq("join", "vector"), 1L -> Seq("hash", "scan"))
@@ -848,9 +848,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(deployed == pinned && deployed.size == 5)
     spark.catalog.clearCache()
     // the deployment itself time-travels: a later pin set doesn't
-    // change what d1 answers
+    // change what d1 answers. A pin naming no committed bundle version
+    // refuses at the FLIP (not at the thousand serves that resolve it)
+    // unless the caller opts out of validation for non-bundle artifacts
+    val exv = intercept[RuntimeException] {
+      Catalog.commitDeployment(spark, root, "serving",
+        Map("tix" -> tv, "ann" -> av, "extra" -> 1L))
+    }
+    assert(exv.getMessage.contains("does not resolve"),
+      s"wrong failure: ${exv.getMessage}")
     val d2 = Catalog.commitDeployment(spark, root, "serving",
-      Map("tix" -> tv, "ann" -> av, "extra" -> 1L))
+      Map("tix" -> tv, "ann" -> av, "extra" -> 1L), validate = false)
     assert(d2 == d1 + 1)
     assert(Catalog.readDeployment(spark, root, "serving", Some(d1)) ==
       Map("tix" -> tv, "ann" -> av))
@@ -863,6 +871,55 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("no pin for artifact 'ann'"),
       s"wrong failure: ${ex.getMessage}")
+    spark.catalog.clearCache()
+  }
+
+  test("deployed batched serve equals the explicitly-pinned batch; takedownServingStack retracts both stores then flips last") {
+    import graft.operators.{AnnIndex, Embeddings, RelOps, TextIndex}
+    import graft.sources.Catalog
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val batch = Seq(0L -> Seq("join", "vector"), 1L -> Seq("hash", "scan"),
+      2L -> Seq("merge", "table"))
+    val qvecs = e.where(col("vec_id") < 3)
+    val root = java.nio.file.Files.createTempDirectory("graft-depb").toString
+    val aligned = docs.join(e.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    TextIndex.writeBundle(aligned, root, "tix", seedBatchIds = Seq("b0"))
+    AnnIndex.writeBundle(e, Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2),
+      root, "ann", nCentroids = 16, trainIters = 2, spill = 2,
+      seedBatchIds = Seq("b0"))
+    val tv = Catalog.latestBundleVersion(spark, root, "tix").get
+    val av = Catalog.latestBundleVersion(spark, root, "ann").get
+    Catalog.commitDeployment(spark, root, "serving",
+      Map("tix" -> tv, "ann" -> av))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
+    val deployed = rows(Similarity.threeStageServeBatchDeployed(spark,
+      root, "serving", root, "tix", root, "ann", e, batch, qvecs, k = 5,
+      fuseK = 15, poolK = 20, rerank = 60, nProbe = 3))
+    spark.catalog.clearCache()
+    val pinned = rows(Similarity.threeStageServeBatchBundle(spark, root,
+      "tix", root, "ann", e, batch, qvecs, k = 5, fuseK = 15, poolK = 20,
+      rerank = 60, nProbe = 3, textVersion = Some(tv),
+      annVersion = Some(av)))
+    assert(deployed == pinned && deployed.size == 15)
+    spark.catalog.clearCache()
+    // the stack takedown as one library call: both stores retracted
+    // (each one atomic bundle commit), the pin flipped LAST to the new
+    // versions — and the post-takedown serve never returns a removed id
+    val rm = deployed.filter(r => r(1) == 1).map(_(2).asInstanceOf[Long])
+    val rmDf = rm.toDF("doc_id")
+    val newPins = Similarity.takedownServingStack(spark, root, "serving",
+      "tix", "ann", rmDf)
+    assert(newPins == Map("tix" -> (tv + 1), "ann" -> (av + 1)))
+    assert(Catalog.readDeployment(spark, root, "serving") == newPins)
+    val post = rows(Similarity.threeStageServeBatchDeployed(spark, root,
+      "serving", root, "tix", root, "ann", e, batch, qvecs, k = 5,
+      fuseK = 15, poolK = 20, rerank = 60, nProbe = 3))
+    assert(post.size == 15 &&
+      !post.exists(r => rm.contains(r(2).asInstanceOf[Long])))
     spark.catalog.clearCache()
   }
 

@@ -722,7 +722,7 @@ class StreamingSpec extends AnyFunSuite {
       doc(5, "vector vector vector join"))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val flat = Files.createTempDirectory("graft_tixs_flat").toString
-    TextIndex.write(all, flat)
+    TextIndex.writeRebuildBaseline(all, flat)
     val got = TextIndex.bm25SearchBundle(spark, root, "tix",
         Seq("join", "vector"), k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq

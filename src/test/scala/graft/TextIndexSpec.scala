@@ -12,7 +12,7 @@ class TextIndexSpec extends AnyFunSuite {
 
   test("shardOf (driver) equals shardCol (build) for every indexed term") {
     val idx = "/tmp/graft/textindex_spec_shard"
-    TextIndex.write(docs, idx)
+    TextIndex.writeRebuildBaseline(docs, idx)
     val terms = spark.read.parquet(s"$idx/postings.parquet")
       .select(col("term"), col("shard")).distinct().collect()
     assert(terms.nonEmpty)
@@ -25,7 +25,7 @@ class TextIndexSpec extends AnyFunSuite {
   test("boolean AND search equals a from-scratch token recount") {
     val idx = "/tmp/graft/textindex_spec_bool"
     val corpus = docs.where(col("doc_id") < 200)
-    TextIndex.write(corpus, idx)
+    TextIndex.writeRebuildBaseline(corpus, idx)
     val ts = Seq("join", "hash")
     val got = TextIndex.booleanSearch(spark, idx, ts)
       .orderBy(col("doc_id")).collect().map(_.getLong(0)).toSeq
@@ -46,7 +46,7 @@ class TextIndexSpec extends AnyFunSuite {
       (1L, "apple pear plum quince fig"),
       (2L, "pear plum quince fig date"),
       (3L, "apple apple pear pear plum")).toDF("doc_id", "text")
-    TextIndex.write(tiny, idx)
+    TextIndex.writeRebuildBaseline(tiny, idx)
     val got = TextIndex.bm25Search(spark, idx, Seq("apple"), k = 3)
       .orderBy(col("rank")).collect()
     assert(got.map(_.getLong(0)).toSeq == Seq(0L, 3L, 1L))
@@ -59,7 +59,7 @@ class TextIndexSpec extends AnyFunSuite {
 
   test("serve scans only the query terms' shard partitions") {
     val idx = "/tmp/graft/textindex_spec_prune"
-    TextIndex.write(docs, idx)
+    TextIndex.writeRebuildBaseline(docs, idx)
     val ts = Seq("join", "hash", "vector")
     val expectShards = ts.map(TextIndex.shardOf).distinct.size
     val res = TextIndex.bm25Search(spark, idx, ts, k = 5)
@@ -91,7 +91,7 @@ class TextIndexSpec extends AnyFunSuite {
       (2L, "hash first then table later"),    // both words, never adjacent
       (3L, "table alone"),                    // one word only
       (4L, "a b a c a b a")).toDF("doc_id", "text")
-    TextIndex.write(tiny, idx)
+    TextIndex.writeRebuildBaseline(tiny, idx)
     val got = TextIndex.phraseSearch(spark, idx, Seq("table", "hash"))
       .orderBy(col("doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -107,7 +107,7 @@ class TextIndexSpec extends AnyFunSuite {
     val delta = docs.where(col("doc_id") % 5 === 0 && col("doc_id") < 300)
     val incDir = "/tmp/graft/textindex_spec_inc"
     val fullDir = "/tmp/graft/textindex_spec_full"
-    TextIndex.write(base, incDir)
+    TextIndex.writeRebuildBaseline(base, incDir)
     def files(d: String) = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
@@ -115,11 +115,11 @@ class TextIndexSpec extends AnyFunSuite {
         .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
     }
     val baseFiles = files(incDir)
-    TextIndex.append(delta, incDir)
+    TextIndex.appendRebuildBaseline(delta, incDir)
     // file-level append: every base posting file survives untouched
     assert(baseFiles.subsetOf(files(incDir)))
     assert(files(incDir).size > baseFiles.size)
-    TextIndex.write(base.unionByName(delta), fullDir)
+    TextIndex.writeRebuildBaseline(base.unionByName(delta), fullDir)
     val qs = Seq("scan", "merge", "vector")
     val inc = TextIndex.bm25Search(spark, incDir, qs, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
@@ -135,7 +135,7 @@ class TextIndexSpec extends AnyFunSuite {
 
   test("bm25SearchBatch: each query's rows equal its own single-query serve") {
     val idx = "/tmp/graft/textindex_spec_batch"
-    TextIndex.write(docs, idx)
+    TextIndex.writeRebuildBaseline(docs, idx)
     val batch = Seq(
       0L -> Seq("join", "hash"),
       1L -> Seq("vector", "scan", "merge"),
@@ -193,7 +193,7 @@ class TextIndexSpec extends AnyFunSuite {
     // bundle serve over base∪delta ≡ flat full rebuild — BM25 ranked rows,
     // boolean match set, and positional phrase rows
     val flatDir = "/tmp/graft/textindex_spec_bundle_flat"
-    TextIndex.write(corpus, flatDir)
+    TextIndex.writeRebuildBaseline(corpus, flatDir)
     val qs = Seq("scan", "merge", "vector")
     def bm25() = TextIndex.bm25SearchBundle(spark, root, "tix", qs, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
@@ -236,7 +236,7 @@ class TextIndexSpec extends AnyFunSuite {
       corpus.where(col("doc_id") % 2 === 1), "b1"),
       "takedown must not reopen the ledger")
     val flat = "/tmp/graft/textindex_spec_rm_flat"
-    TextIndex.write(corpus.join(rm, Seq("doc_id"), "left_anti"), flat)
+    TextIndex.writeRebuildBaseline(corpus.join(rm, Seq("doc_id"), "left_anti"), flat)
     // BM25 equivalence is the stats-compensation proof: a wrong
     // (−n_docs, −Σdl) delta shifts avgdl and every score
     val qs = Seq("scan", "merge", "vector")
