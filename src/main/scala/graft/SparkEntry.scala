@@ -4515,6 +4515,91 @@ object SparkEntry {
           (col("__viol") === lit(0L)).as("latest_clean"),
           (col("__out") === lit(0L)).as("all_allowed"))
     }),
+
+    // DEPLOYMENT ROLLBACK (x196) — the incident-response verb that
+    // completes the deployment story (pin x194 → batch x195 → roll
+    // BACK): a takedown that removed the wrong ids, or a reindex that
+    // tanked recall, must be reversible in one atomic flip WITHOUT
+    // touching any store. Catalog.rollbackDeployment re-commits a
+    // prior deployment version's pins as the new latest — history
+    // stays immutable and monotone (the audit trail of what served
+    // when survives), the old bundle versions are still on disk
+    // because retention kept them while pinned, and the moment the
+    // rollback lands they are pinned AGAIN (pruneBundleVersionsDeployed
+    // re-protects them mechanically — no operator arithmetic). The
+    // plan earns rollback_exact (the post-rollback serve anti-joins
+    // empty both ways against the pre-takedown answer on the full
+    // row) and retention_safe (deployment-derived prunes of BOTH
+    // stores, then a re-serve, still exactly the pre-takedown answer),
+    // and proves the guard the rollback exists for on a scratch store:
+    // after the documented unsafe path (flip away, zero-grace prune
+    // reclaims the old pinned version), rolling back to the reclaimed
+    // pins REFUSES loudly at the flip (require()d in-plan) instead of
+    // publishing pins that serve errors.
+    "x196_deployment_rollback" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 1)
+      val terms = Seq("join", "hash", "vector")
+      val root = s"/tmp/graft/x196_rb_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      // alignment contract (see x176): index only the embedded docs
+      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      val d1 = Catalog.commitDeployment(s, root, "serving", Map(
+        "tix" -> Catalog.latestBundleVersion(s, root, "tix").get,
+        "ann" -> Catalog.latestBundleVersion(s, root, "ann").get))
+      def serve() = Similarity.threeStageServeDeployed(s, root, "serving",
+        root, "tix", root, "ann", e, terms, q, k = 10, fuseK = 30,
+        poolK = 50, rerank = 150, nProbe = 6)
+      val pre = serve().persist()
+      val rm = pre.where(col("rank") <= 2).select(col("nid").as("doc_id"))
+      // the takedown lands through the library path... and turns out
+      // to have removed the WRONG ids
+      Similarity.takedownServingStack(s, root, "serving", "tix", "ann", rm)
+      // one atomic flip back: serves answer the pre-takedown versions
+      Catalog.rollbackDeployment(s, root, "serving", d1)
+      val back = serve()
+      // retention derives the live pins itself — the rolled-back-to
+      // versions survive a keep=1 prune of both stores, no caller math
+      Catalog.pruneBundleVersionsDeployed(s, root, "tix", keep = 1)
+      Catalog.pruneBundleVersionsDeployed(s, root, "ann", keep = 1)
+      val after = serve()
+      val key = Seq("rank", "nid", "mmr4")
+      def diff(a: DataFrame, b: DataFrame, as: String) =
+        a.select(key.map(col): _*).join(b.select(key.map(col): _*),
+          key, "left_anti").agg(count(lit(1)).as(as))
+      // the guard, proven on a scratch store: flip away from v1, let a
+      // ZERO-grace prune reclaim it (the documented unsafe path), and
+      // the rollback to the reclaimed pins must refuse at the flip
+      Catalog.commitBundle(Seq("m" -> (1L to 4L).toDF("id")), root,
+        "scratch", Seq("s0"))
+      val sd1 = Catalog.commitDeployment(s, root, "scratchdep",
+        Map("scratch" -> 1L))
+      Catalog.rewriteBundleMembers(s, root, "scratch",
+        Map("m" -> ((m: DataFrame) => m.where(col("id") =!= 1L))))
+      Catalog.commitDeployment(s, root, "scratchdep", Map("scratch" -> 2L))
+      Catalog.pruneBundleVersionsDeployed(s, root, "scratch", keep = 1)
+      val guarded =
+        try { Catalog.rollbackDeployment(s, root, "scratchdep", sd1); false }
+        catch { case ex: RuntimeException =>
+          ex.getMessage.contains("does not resolve") }
+      require(guarded,
+        "x196: rollback to reclaimed pins must refuse loudly at the flip")
+      pre.agg(count(lit(1)).as("n_results"))
+        .crossJoin(broadcast(diff(back, pre, "__b1")))
+        .crossJoin(broadcast(diff(pre, back, "__b2")))
+        .crossJoin(broadcast(diff(after, pre, "__a1")))
+        .crossJoin(broadcast(diff(pre, after, "__a2")))
+        .select(col("n_results"),
+          (col("__b1") + col("__b2") === lit(0L)).as("rollback_exact"),
+          (col("__a1") + col("__a2") === lit(0L)).as("retention_safe"))
+    }),
   )
 
   /** Stored-index serving paths with the one-time build factored out —
@@ -8170,6 +8255,13 @@ object SparkEntry {
       ("SELECT CAST(80 AS BIGINT) AS n_results, " +
         "CAST(8 AS BIGINT) AS n_queries, TRUE AS skew_free, " +
         "TRUE AS latest_clean, TRUE AS all_allowed"),
+    // rollback_exact (post-rollback serve ≡ pre-takedown answer both
+    // ways) and retention_safe (same equality AFTER deployment-derived
+    // prunes of both stores) are earned in-plan; the reclaimed-pins
+    // rollback refusal is require()d on a scratch store; count literal
+    "x196_deployment_rollback" ->
+      ("SELECT CAST(10 AS BIGINT) AS n_results, " +
+        "TRUE AS rollback_exact, TRUE AS retention_safe"),
     // all three reindex claims are EARNED in-plan (pinned re-serve ≡
     // pre-reindex both ways; exhaustive post-reindex serve ≡ brute
     // force; re-tokenized text ≡ flat rebuild) and both ledger replays

@@ -535,6 +535,36 @@ object Catalog {
     pruneBundleVersions(spark, root, bundle, keep, minAgeMs,
       pinned = deployedPins(spark, root, bundle))
 
+  /** The dry-run matching [[pruneBundleVersionsDeployed]]: the health
+    * report with `pinned` derived the same way, so operators of a
+    * deployed stack read the report the prune will act on — same
+    * report-equals-action contract as every health/prune pair.
+    */
+  def bundleHealthDeployed(spark: SparkSession, root: String,
+      bundle: String, keep: Int, minAgeMs: Long = 0L): DataFrame =
+    bundleHealth(spark, root, bundle, keep, minAgeMs,
+      pinned = deployedPins(spark, root, bundle))
+
+  /** ROLL BACK the deployment pointer to a prior pin set — the incident
+    * response after a bad maintenance action (a takedown that removed
+    * the wrong ids, a reindex that tanked recall): deployment version
+    * `toVersion`'s pins re-commit as the NEW latest. History stays
+    * immutable and monotone — a rollback is an ordinary forward commit
+    * of old pins, so the audit trail of what served when survives, and
+    * serves flip back without touching any store (the old bundle
+    * versions are still on disk: while they were pinned, retention kept
+    * them, and the moment the rollback lands they are pinned AGAIN —
+    * [[deployedPins]] re-protects them mechanically). Validation
+    * re-runs at the flip: if a version the old pin set names is gone
+    * (the documented zero-grace-prune-after-flip unsafe path), the
+    * rollback refuses LOUDLY instead of publishing pins that serve
+    * errors. Returns the new deployment version.
+    */
+  def rollbackDeployment(spark: SparkSession, root: String, name: String,
+      toVersion: Long): Long =
+    commitDeployment(spark, root, name,
+      readDeployment(spark, root, name, Some(toVersion)))
+
   /** Cross-store TAKEDOWN as one tested library path — the x194
     * discipline (retract EVERY pinned artifact first, flip the
     * deployment pin LAST) executed by the operator instead of promised

@@ -31,7 +31,7 @@ class CatalogSpec extends AnyFunSuite {
       val df = spark.read.parquet(Catalog.path(root, ref))
       val spans = df.groupBy(input_file_name())
         .agg((max(col(dim)) - min(col(dim))).cast("double").as("s"))
-      spans.agg(avg($"s")).head.getDouble(0) / 99.0
+      spans.agg(avg($"s")).head().getDouble(0) / 99.0
     }
     assert(avgSpanFrac("z", "x") < 0.6, s"x span ${avgSpanFrac("z", "x")}")
     assert(avgSpanFrac("z", "y") < 0.6, s"y span ${avgSpanFrac("z", "y")}")
@@ -922,6 +922,47 @@ class CatalogSpec extends AnyFunSuite {
     assert(exs.getMessage.contains("does not resolve"))
     // the refused flips left the deployment untouched
     assert(Catalog.readDeployment(spark, root, "serving") == Map("b" -> 1L))
+  }
+
+  test("rollbackDeployment: old pins re-protected mechanically, health ≡ prune on derived pins, reclaimed pins refuse") {
+    val root = Files.createTempDirectory("graft-rb").toString
+    Catalog.commitBundle(Seq("m" -> (1L to 5L).toDF("id")), root, "b",
+      Seq("b0"))
+    val d1 = Catalog.commitDeployment(spark, root, "serving",
+      Map("b" -> 1L))
+    Catalog.rewriteBundleMembers(spark, root, "b",
+      Map("m" -> ((m: org.apache.spark.sql.DataFrame) =>
+        m.where(col("id") =!= 1L)))) // v2 (the "takedown")
+    Catalog.commitDeployment(spark, root, "serving", Map("b" -> 2L))
+    // roll back: a NEW deployment version carrying d1's pins — the
+    // audit trail stays monotone, and v1 is pinned (protected) again
+    val rb = Catalog.rollbackDeployment(spark, root, "serving", d1)
+    assert(rb == d1 + 2)
+    assert(Catalog.readDeployment(spark, root, "serving") == Map("b" -> 1L))
+    // the deployed health report and the deployed prune share the
+    // derived pin set: the report says v1 survives as pinned, and the
+    // prune then acts exactly as reported
+    val health = Catalog.bundleHealthDeployed(spark, root, "b", keep = 1)
+      .select($"version", $"would_reclaim", $"reason")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2)))
+      .toMap
+    assert(health(1L) == (false, "pinned"), s"health: $health")
+    Catalog.pruneBundleVersionsDeployed(spark, root, "b", keep = 1)
+    assert(Catalog.readBundleTable(spark, root, "b", "m", Some(1L))
+      .count() == 5L)
+    // the unsafe path: flip away again, zero-grace prune reclaims v1,
+    // and the rollback to the reclaimed pins refuses at the flip
+    Catalog.commitDeployment(spark, root, "serving", Map("b" -> 2L))
+    Catalog.pruneBundleVersionsDeployed(spark, root, "b", keep = 1)
+    intercept[Exception] {
+      Catalog.readBundleTable(spark, root, "b", "m", Some(1L)).count()
+    }
+    val ex = intercept[RuntimeException] {
+      Catalog.rollbackDeployment(spark, root, "serving", d1)
+    }
+    assert(ex.getMessage.contains("does not resolve"),
+      s"wrong failure: ${ex.getMessage}")
+    assert(Catalog.readDeployment(spark, root, "serving") == Map("b" -> 2L))
   }
 
   test("deployment flip under a pinned in-flight serve: reader grace covers the old pins; a zero-grace prune after the flip is the unsafe path") {

@@ -31,8 +31,8 @@ class CcSpec extends AnyFunSuite {
       .select(col("id").as("a"), (col("id") + 1).as("b"))
     val labels = Dedup.connectedComponents(edges) // n-1 edges < localThreshold
     assert(labels.count() === n.toLong)
-    assert(labels.agg(countDistinct(col("label"))).head.getLong(0) === 1L)
-    assert(labels.agg(min(col("label"))).head.getLong(0) === 1L)
+    assert(labels.agg(countDistinct(col("label"))).head().getLong(0) === 1L)
+    assert(labels.agg(min(col("label"))).head().getLong(0) === 1L)
   }
 
   test("connectedComponents on empty edges is empty") {

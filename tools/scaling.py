@@ -62,7 +62,8 @@ FAMILIES = {
               "x182_ann_bundle_store", "x183_batched_serve",
               "x187_bundle_stack_serve", "x190_pinned_serve",
               "x191_filtered_batch_serve", "x193_reindex_under_serve",
-              "x194_deployment_pinned_stack", "x195_deployed_batch_serve"],
+              "x194_deployment_pinned_stack", "x195_deployed_batch_serve",
+              "x196_deployment_rollback"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
               "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp",
               "x104_hll_distinct", "x107_incremental_stats",
