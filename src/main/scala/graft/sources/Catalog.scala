@@ -565,6 +565,28 @@ object Catalog {
     commitDeployment(spark, root, name,
       readDeployment(spark, root, name, Some(toVersion)))
 
+  /** Retention for the deployment table ITSELF — each flip is a tiny
+    * committed version, but a stack that flips hourly accumulates
+    * thousands, and the history IS the rollback horizon: `keep` bounds
+    * how far back [[rollbackDeployment]] can reach (it reads the
+    * pin-set history, not the bundles), so set it to the incident
+    * window the stack needs, not 1. The current deployment is never
+    * dropped (pointer-target rule of [[pruneVersions]], which this
+    * delegates to with the namespaced ref — same `minAgeMs` reader
+    * grace, same victim arithmetic as every versioned table).
+    */
+  def pruneDeploymentHistory(spark: SparkSession, root: String,
+      name: String, keep: Int, minAgeMs: Long = 0L): Unit =
+    pruneVersions(spark, root, deploymentRef(name), keep, minAgeMs)
+
+  /** The dry-run matching [[pruneDeploymentHistory]] — [[storeHealth]]
+    * over the namespaced deployment table, same report-equals-action
+    * contract.
+    */
+  def deploymentHealth(spark: SparkSession, root: String, name: String,
+      keep: Int, minAgeMs: Long = 0L): DataFrame =
+    storeHealth(spark, root, deploymentRef(name), keep, minAgeMs)
+
   /** Cross-store TAKEDOWN as one tested library path — the x194
     * discipline (retract EVERY pinned artifact first, flip the
     * deployment pin LAST) executed by the operator instead of promised

@@ -963,6 +963,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("does not resolve"),
       s"wrong failure: ${ex.getMessage}")
     assert(Catalog.readDeployment(spark, root, "serving") == Map("b" -> 2L))
+    // deployment history has its own retention, and the keep window IS
+    // the rollback horizon: health says the two oldest pin sets would
+    // reclaim at keep=2, the prune acts as reported, and a rollback
+    // past the horizon refuses (the pin-set version is gone)
+    val dh = Catalog.deploymentHealth(spark, root, "serving", keep = 2)
+      .select($"version", $"would_reclaim")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(dh == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false),
+      s"health: $dh")
+    Catalog.pruneDeploymentHistory(spark, root, "serving", keep = 2)
+    assert(Catalog.readDeployment(spark, root, "serving", Some(3L)) ==
+      Map("b" -> 1L))
+    intercept[Exception] {
+      Catalog.readDeployment(spark, root, "serving", Some(d1))
+    }
+    intercept[Exception] {
+      Catalog.rollbackDeployment(spark, root, "serving", d1)
+    }
   }
 
   test("deployment flip under a pinned in-flight serve: reader grace covers the old pins; a zero-grace prune after the flip is the unsafe path") {
