@@ -4371,13 +4371,16 @@ object SparkEntry {
     // a serving tier answers from, committed as one tiny versioned
     // table; threeStageServeDeployed's ONLY mutable read is that
     // table's latest version. The plan proves the skew window CLOSED:
-    // it serves at pin d1, commits the text-side takedown (text store
-    // advances; pin still d1 — the exact mid-maintenance state), and
-    // the deployment serve anti-joins EMPTY both ways against the
-    // pre-takedown answer (skew_free, earned — an unpinned serve here
-    // would mix post-takedown postings with pre-takedown codes); then
-    // the ANN takedown lands, the pin flips to d2 LAST, and the serve
-    // at d2 counts zero removed-id violations (latest_clean, earned).
+    // it serves at pin d1, runs the takedown through the round-15
+    // library path (Catalog.takedownStack — ANN retract commits first,
+    // sorted order; pin still d1 — the exact mid-maintenance state),
+    // and the deployment serve taken between the two retract commits
+    // anti-joins EMPTY both ways against the pre-takedown answer
+    // (skew_free, earned — an unpinned serve here would mix
+    // post-takedown codes with pre-takedown postings); then the text
+    // takedown lands, the pin flips to d2 LAST (inside the same helper
+    // call), and the serve at d2 counts zero removed-id violations
+    // (latest_clean, earned).
     "x194_deployment_pinned_stack" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val e = t(s, dir, "embeddings")
