@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   *     derive from (`Multimodal.audioPairAssetsFromDocuments` et al. pair
   *     by `id / 2` + parity), so the perceptual-hash workloads keep their
   *     pair density while each replica block fingerprints distinct content
-  *     (payloads are seeded by the NEW id).
+  *     (payloads are seeded by the NEW id);
+  *   - `embeddings` replicates under the SAME stride as `documents`
+  *     ([[idStride]]), preserving the doc↔vec id alignment and the
+  *     partial-coverage geometry per replica block — the serving-stack
+  *     family (x193/x195) gets its third decade on 10× the corpus it
+  *     actually reads.
   *
   * Usage: `sbt "runMain graft.MakeScaledData [srcDir outDir reps]"`;
   * defaults: /root/testdata/sf0.1 → /tmp/graft/sf1, reps = 10.
@@ -46,16 +51,37 @@ object MakeScaledData {
         col("l_orderkey") * reps + col("__r").cast("long"))
       .drop("__r")
 
-  def scaleDocuments(spark: SparkSession, src: DataFrame, reps: Int): DataFrame = {
-    // even stride > max(doc_id): preserves twin adjacency and parity
-    val n = {
-      val mx = src.agg(max(col("doc_id"))).head().getLong(0) + 1L
-      if (mx % 2 == 0) mx else mx + 1L
-    }
-    replicate(spark, src, reps)
-      .withColumn("doc_id", col("__r").cast("long") * n + col("doc_id"))
-      .drop("__r")
+  /** The id stride shared by [[scaleDocuments]] and [[scaleEmbeddings]]:
+    * even (preserves twin adjacency/parity) and computed from the DOC id
+    * range, so replica r's doc `r*n + d` still pairs with vector
+    * `r*n + d` — the doc↔vec alignment contract every hybrid serve
+    * builds on survives the replication.
+    */
+  def idStride(src: DataFrame): Long = {
+    val mx = src.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    if (mx % 2 == 0) mx else mx + 1L
   }
+
+  def scaleDocuments(spark: SparkSession, src: DataFrame, reps: Int,
+      stride: Long): DataFrame =
+    replicate(spark, src, reps)
+      .withColumn("doc_id", col("__r").cast("long") * stride + col("doc_id"))
+      .drop("__r")
+
+  /** `embeddings` replicated under the SAME stride as `documents`, so
+    * the partial-coverage geometry (2000 vectors vs 5000 docs at sf0.1)
+    * and the doc↔vec id alignment repeat per replica block. Vectors are
+    * verbatim copies — duplicate-heavy like the doc corpus, which is the
+    * conservative direction for the serving-stack family measured on it
+    * (10× the corpus with the same value distribution; every ANN stage
+    * does full-sized work, and exact re-rank ties across replicas do
+    * strictly more comparison work than organic data would).
+    */
+  def scaleEmbeddings(spark: SparkSession, src: DataFrame, reps: Int,
+      stride: Long): DataFrame =
+    replicate(spark, src, reps)
+      .withColumn("vec_id", col("__r").cast("long") * stride + col("vec_id"))
+      .drop("__r")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -65,8 +91,13 @@ object MakeScaledData {
     try {
       val li = scaleLineitem(spark, spark.read.parquet(s"$src/lineitem.parquet"), reps)
       li.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-      val docs = scaleDocuments(spark, spark.read.parquet(s"$src/documents.parquet"), reps)
-      docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val docsSrc = spark.read.parquet(s"$src/documents.parquet")
+      val stride = idStride(docsSrc)
+      scaleDocuments(spark, docsSrc, reps, stride)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      scaleEmbeddings(spark,
+          spark.read.parquet(s"$src/embeddings.parquet"), reps, stride)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       println(s"[make-scaled-data] wrote $out (reps=$reps from $src)")
     } finally spark.stop()
   }

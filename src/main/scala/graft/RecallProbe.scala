@@ -13,13 +13,21 @@ object RecallProbe {
     graft.tools.LocalFs.deleteRecursively(f)
 
   def main(args: Array[String]): Unit = {
-    // optional arg: comma-separated section filter (x87,x95,x96,x165,
-    // x176,x180,x191,x182) — re-measuring one floor shouldn't pay for
-    // every probe
+    // optional arg: comma-separated section filter — re-measuring one
+    // floor shouldn't pay for every probe. Tokens are validated against
+    // the known section ids: a typo'd filter silently running NOTHING
+    // would print an empty probe that looks like a clean measurement.
+    val sections = Set("x87", "x95", "x96", "x165", "x176", "x180",
+      "x191", "x182")
     val only: String => Boolean =
       args.headOption.map(_.split(",").toSet) match {
-        case Some(set) => set.contains
-        case None      => _ => true
+        case Some(set) =>
+          val unknown = set -- sections
+          require(unknown.isEmpty,
+            s"unknown probe section(s) ${unknown.toSeq.sorted.mkString(",")} " +
+              s"— known: ${sections.toSeq.sorted.mkString(",")}")
+          set.contains
+        case None => _ => true
       }
     val spark = Engine.session("recall-probe")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {

@@ -9,7 +9,7 @@ import graft.functions.TextStats
 import graft.operators.{AnnIndex, Behavior, Bpe, Dedup, Embeddings, Graph, Multimodal, Profile, Ranks, RelOps, Similarity, Sketches, Stats, Temporal, TextIndex, Training, Transpose}
 import graft.pipelines.Pipelines
 import graft.sources.Catalog
-import graft.streaming.EventsStream
+import graft.streaming.{EventsStream, ServeStream}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` where
   * SQL-expressible) per implemented operator from SURVEY.md §2 and per
@@ -4420,6 +4420,11 @@ object SparkEntry {
           mid = serve()
           TextIndex.retractBundle(s, root, "tix", rm)
         })))
+      // takedownStack's documented ascending-name order ran 'ann' first,
+      // so the closure above observed the window; fail diagnostically
+      // (not with an NPE at the anti-join) if a rewire ever breaks that
+      require(mid != null,
+        "x194: mid-maintenance serve was never taken inside the takedown")
       val key = Seq("rank", "nid", "mmr4")
       val s1 = mid.select(key.map(col): _*)
         .join(pre.select(key.map(col): _*), key, "left_anti")
@@ -4494,6 +4499,10 @@ object SparkEntry {
           mid = serve()
           TextIndex.retractBundle(s, root, "tix", rm)
         })))
+      // same diagnostic guard as x194: the mid-window capture depends on
+      // takedownStack's documented ascending-name retract order
+      require(mid != null,
+        "x195: mid-maintenance serve was never taken inside the takedown")
       val key = Seq("qid", "rank", "nid", "mmr4")
       val s1 = mid.select(key.map(col): _*)
         .join(pre.select(key.map(col): _*), key, "left_anti")
@@ -4602,6 +4611,75 @@ object SparkEntry {
         .select(col("n_results"),
           (col("__b1") + col("__b2") === lit(0L)).as("rollback_exact"),
           (col("__a1") + col("__a2") === lit(0L)).as("retention_safe"))
+    }),
+
+    // DEPLOYMENT-FOLLOW serve (x197) — the streaming twin of the
+    // deployment POINTER itself (ServeStream.deploymentFollowServe),
+    // completing the twin matrix: every store has a streaming twin (13
+    // files under streaming/), but the pointer binding them did not. A
+    // long-lived serving process re-resolves the pin set ONCE per
+    // request micro-batch, so a maintenance flip is visible only at a
+    // batch boundary — never a torn mid-batch stack (the streaming
+    // analog of x194's skew_free). This declared query runs the
+    // stream's EXACT per-batch core (ServeStream.serveBatchFollowing —
+    // the foreachBatch body calls the same function) twice with a
+    // takedown flip between them and earns the boundary semantics
+    // in-plan from the tagged answer log: no_torn_batch (each batch
+    // answered by exactly ONE deployment version — countDistinct over
+    // the per-row tags), flip_at_boundary (batch 1's version is batch
+    // 0's + 1: the flip, whole and nothing else, landed between them),
+    // pre_intact (the pre-flip batch still serves the ids about to be
+    // removed), latest_clean (the post-flip batch serves none of
+    // them). StreamingSpec runs the true micro-batch execution of the
+    // same core: batch N wholly pre-flip, batch N+1 wholly post-flip,
+    // a takedown landing between processAllAvailable calls.
+    "x197_deployment_follow_serve" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val vocab = Seq("join", "hash", "vector", "scan", "merge",
+        "table", "index", "sort")
+      val requests = (0 until 4).map(i =>
+        (i.toLong, Seq(vocab(i), vocab((i + 3) % 8)))).toDF("qid", "terms")
+      val root = s"/tmp/graft/x197_fs_${storeTag(dir)}"
+      deleteRecursively(new java.io.File(root))
+      // alignment contract (see x176): index only the embedded docs
+      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
+      val books = Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      Catalog.commitDeployment(s, root, "serving", Map(
+        "tix" -> Catalog.latestBundleVersion(s, root, "tix").get,
+        "ann" -> Catalog.latestBundleVersion(s, root, "ann").get))
+      def batch(id: Long) = ServeStream.serveBatchFollowing(s, requests,
+        root, "serving", root, "tix", root, "ann", e, k = 10, fuseK = 30,
+        poolK = 50, rerank = 150, nProbe = 6)
+        .withColumn("batch_id", lit(id))
+      val b0 = batch(0L).persist()
+      val rm = b0.where(col("rank") <= 1)
+        .select(col("nid").as("doc_id")).distinct()
+      Similarity.takedownServingStack(s, root, "serving", "tix", "ann", rm)
+      val b1 = batch(1L).persist()
+      val torn = b0.unionByName(b1).groupBy(col("batch_id"))
+        .agg(countDistinct(col("dep_version")).as("__nv"))
+        .agg(max(col("__nv")).as("__maxnv"), count(lit(1)).as("n_batches"))
+      val v0 = b0.agg(max(col("dep_version")).as("__v0"))
+      val v1 = b1.agg(min(col("dep_version")).as("__v1"))
+      val pre = b0.join(rm.select(col("doc_id").as("nid")), Seq("nid"),
+        "left_semi").agg(count(lit(1)).as("__pre"))
+      val viol = b1.join(rm.select(col("doc_id").as("nid")), Seq("nid"),
+        "left_semi").agg(count(lit(1)).as("__viol"))
+      b0.unionByName(b1).agg(count(lit(1)).as("n_results"))
+        .crossJoin(broadcast(torn)).crossJoin(broadcast(v0))
+        .crossJoin(broadcast(v1)).crossJoin(broadcast(pre))
+        .crossJoin(broadcast(viol))
+        .select(col("n_results"), col("n_batches"),
+          (col("__maxnv") === lit(1L)).as("no_torn_batch"),
+          (col("__v1") === col("__v0") + 1).as("flip_at_boundary"),
+          (col("__pre") > lit(0L)).as("pre_intact"),
+          (col("__viol") === lit(0L)).as("latest_clean"))
     }),
   )
 
@@ -4863,6 +4941,31 @@ object SparkEntry {
             batch, e.where(col("vec_id") < 8), k = 10, fuseK = 30,
             poolK = 80, rerank = 400, nProbe = 12,
             within = Some(e.where(col("label") < 5).select(col("vec_id"))))
+        })),
+      // the follow-mode per-batch core (x197): the timed number is ONE
+      // request micro-batch through serveBatchFollowing — deployment
+      // resolution (a handful of rows) + the deployed batch serve; the
+      // delta this row watches is follow-mode overhead over x195's
+      // direct deployed batch
+      "x197_deployment_follow_serve" -> ((
+        (s: SparkSession, dir: String) => {
+          buildHybridBundles(s, dir)
+          Catalog.commitDeployment(s, hybRoot(dir), "serving", Map(
+            "tix" -> Catalog.latestBundleVersion(s, hybRoot(dir), "tix").get,
+            "ann" -> Catalog.latestBundleVersion(s, hybRoot(dir), "ann").get))
+          ()
+        },
+        (s: SparkSession, dir: String) => {
+          import s.implicits._
+          val e = t(s, dir, "embeddings")
+          val vocab = Seq("join", "hash", "vector", "scan", "merge",
+            "table", "index", "sort")
+          val requests = (0 until 4).map(i =>
+            (i.toLong, Seq(vocab(i), vocab((i + 3) % 8)))).toDF("qid", "terms")
+          graft.streaming.ServeStream.serveBatchFollowing(s, requests,
+            hybRoot(dir), "serving", hybRoot(dir), "tix", hybRoot(dir),
+            "ann", e, k = 10, fuseK = 30, poolK = 50, rerank = 150,
+            nProbe = 6)
         })),
       // the bundle-backed ANN index: built + appended once (untimed),
       // the timed number is the manifest-resolved cell-pruned serve —
@@ -8265,6 +8368,15 @@ object SparkEntry {
     "x196_deployment_rollback" ->
       ("SELECT CAST(10 AS BIGINT) AS n_results, " +
         "TRUE AS rollback_exact, TRUE AS retention_safe"),
+    // the follow-mode boundary semantics (one deployment version per
+    // batch, the flip exactly between batches, removed ids served
+    // pre-flip and gone post-flip) are earned in-plan from the tagged
+    // answer rows; counts are literal (2 batches × 4 queries × k=10)
+    "x197_deployment_follow_serve" ->
+      ("SELECT CAST(80 AS BIGINT) AS n_results, " +
+        "CAST(2 AS BIGINT) AS n_batches, TRUE AS no_torn_batch, " +
+        "TRUE AS flip_at_boundary, TRUE AS pre_intact, " +
+        "TRUE AS latest_clean"),
     // all three reindex claims are EARNED in-plan (pinned re-serve ≡
     // pre-reindex both ways; exhaustive post-reindex serve ≡ brute
     // force; re-tokenized text ≡ flat rebuild) and both ledger replays

@@ -225,7 +225,8 @@ object Catalog {
     * commits externally otherwise (the same caveat class as
     * [[atomicSwap]]).
     */
-  def commitVersion(df: DataFrame, root: String, ref: String): Long = {
+  def commitVersion(df: DataFrame, root: String, ref: String,
+      expectedVersion: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val base = new HPath(versionsDir(root, ref))
     val f = fsFor(spark, base)
@@ -233,8 +234,28 @@ object Catalog {
     val staging = new HPath(base, s".staging-$token")
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     f.create(new HPath(staging, s"_writer-$token"), true).close()
+    // `expectedVersion` turns the optimistic both-land semantics into a
+    // COMPARE-AND-SET: the new version must land directly on top of the
+    // version the caller read (next = expected + 1), checked atomically
+    // at every claim attempt — the read-modify-write callers
+    // ([[takedownStack]], [[rollbackDeployment]]) pass the version their
+    // pins were derived from, so a concurrent flip between their read
+    // and this commit refuses LOUDLY instead of silently publishing
+    // state that discards the racer's change. `None` keeps the
+    // racing-committers-both-land semantics for independent snapshots.
     val next = claimVersionSlot(f, base, staging, token,
-      p => f.exists(new HPath(p, "_SUCCESS")), "commitVersion")((_, _) => true)
+      p => f.exists(new HPath(p, "_SUCCESS")), "commitVersion") { (n, _) =>
+      expectedVersion.foreach { ev =>
+        if (n != ev + 1)
+          sys.error(s"commitVersion: compare-and-set failed for '$ref' " +
+            s"under $root — this operation read version $ev and expected " +
+            s"to land as ${ev + 1}, but the next open slot is $n: a " +
+            "concurrent writer flipped the table in between (its change " +
+            "would be silently discarded by this stale write); re-read " +
+            "and retry the whole operation")
+      }
+      true
+    }
     flipPointer(f, base, next, "commitVersion")
     next
   }
@@ -446,7 +467,8 @@ object Catalog {
     * (CatalogSpec pins survive-then-reclaim-after-the-pin-moves).
     */
   def commitDeployment(spark: SparkSession, root: String, name: String,
-      pins: Map[String, Long], validate: Boolean = true): Long = {
+      pins: Map[String, Long], validate: Boolean = true,
+      expectedVersion: Option[Long] = None): Long = {
     require(pins.nonEmpty, "commitDeployment: no pins")
     // a pin is published ONCE and trusted by every serve and prune that
     // resolves it — validate at the flip, not at the thousand reads: a
@@ -464,9 +486,14 @@ object Catalog {
       }
     }
     import spark.implicits._
+    // `expectedVersion` = the deployment version the caller's pins were
+    // DERIVED from (compare-and-set; see commitVersion): a maintenance
+    // flip computed against a stale read refuses loudly instead of
+    // silently discarding the racing operator's retractions. None = an
+    // independent forward flip (first publish, routine re-pin).
     commitVersion(
       pins.toSeq.sortBy(_._1).toDF("artifact", "version").repartition(1),
-      root, deploymentRef(name))
+      root, deploymentRef(name), expectedVersion)
   }
 
   /** Deployments live under a dedicated `_deployments/` namespace so
@@ -474,12 +501,39 @@ object Catalog {
     * ([[listDeployments]]) instead of trusting each prune caller to
     * enumerate them — the underscore prefix also hides the namespace
     * from any recursive data scan, like every other protocol file.
+    *
+    * The name charset is a strict allowlist because the ref resolves
+    * through [[tableName]], which truncates at the last '.' or ':' — a
+    * name like "v1.serving" would silently commit OUTSIDE the
+    * `_deployments/` namespace, invisible to [[listDeployments]] and
+    * therefore unprotected by derived retention (and colliding with any
+    * versioned table named "serving"). Refuse loudly at the flip
+    * instead.
+    *
+    * On-disk layout note: the namespace moved here in round 15 — a
+    * deployment persisted by pre-namespace code at
+    * `root/<name>_versions` is NOT read back (readDeployment errors,
+    * listDeployments omits it) and its pins lose derived-retention
+    * protection; such a store needs a one-time re-commit of its pin set
+    * under the new layout before any [[pruneBundleVersionsDeployed]]
+    * run. Harmless for this repo's rebuilt-per-run stores.
     */
   private def deploymentRef(name: String): String = {
-    require(name.nonEmpty && !name.contains("/"),
-      s"deployment name must be a plain name, got '$name'")
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"deployment name must match [A-Za-z0-9_-]+, got '$name' — '.', " +
+        "':' and '/' would resolve outside the _deployments/ namespace")
     s"_deployments/$name"
   }
+
+  /** Newest committed version of a deployment's pin-set history — what
+    * a maintenance flip reads before a compare-and-set commit
+    * ([[takedownStack]], [[rollbackDeployment]]), and what a follow-mode
+    * serve resolves once per batch so a flip is visible only at a batch
+    * boundary ([[graft.streaming.ServeStream]]).
+    */
+  def latestDeploymentVersion(spark: SparkSession, root: String,
+      name: String): Option[Long] =
+    latestVersion(spark, root, deploymentRef(name))
 
   /** Read a deployment pin set (`None` = the current deployment) —
     * bounded at a row per artifact; refuses duplicates loudly.
@@ -558,12 +612,63 @@ object Catalog {
     * re-runs at the flip: if a version the old pin set names is gone
     * (the documented zero-grace-prune-after-flip unsafe path), the
     * rollback refuses LOUDLY instead of publishing pins that serve
-    * errors. Returns the new deployment version.
+    * errors. The flip compare-and-sets against the history as read at
+    * entry (see [[takedownStack]]'s concurrency note) — a racing
+    * maintenance flip refuses this stale rollback rather than being
+    * silently undone by it. Returns the new deployment version.
     */
   def rollbackDeployment(spark: SparkSession, root: String, name: String,
-      toVersion: Long): Long =
+      toVersion: Long): Long = {
+    // compare-and-set against the latest version at entry: the operator
+    // decided to roll back after looking at THIS history — if another
+    // maintenance flip lands before ours, that decision is stale (the
+    // racer's change would vanish from the served set) and must be
+    // re-taken against the new history, not silently overridden
+    val cur = latestDeploymentVersion(spark, root, name)
+      .getOrElse(sys.error(s"rollbackDeployment: no committed " +
+        s"deployment '$name' under $root"))
     commitDeployment(spark, root, name,
-      readDeployment(spark, root, name, Some(toVersion)))
+      readDeployment(spark, root, name, Some(toVersion)),
+      expectedVersion = Some(cur))
+  }
+
+  /** Re-align a deployment's STORES with its pins — the bridge between
+    * [[rollbackDeployment]] and forward maintenance. After a rollback,
+    * serves answer the old pins but each store's LATEST is still the
+    * bad maintenance result; the forward verbs (retracts, appends'
+    * baseline) derive from latest, so the incident's next step — the
+    * CORRECTED takedown — would silently compound the wrong retraction
+    * it was meant to replace. This restores every pinned artifact whose
+    * pin is not the store's latest ([[restoreBundleVersion]] — a
+    * manifest-only by-reference commit per store) and re-pins the
+    * deployment to the restored versions in one compare-and-set flip,
+    * after which latest ≡ served for the whole stack and ordinary
+    * forward maintenance ([[takedownStack]]) is correct again.
+    *
+    * Same discipline as [[takedownStack]]: per-store restores commit
+    * first (invisible staging — serves keep resolving the old pins),
+    * the pin flips LAST and CAS-refuses if any maintenance flip raced
+    * this one. Idempotent: a stack already aligned commits nothing.
+    * Returns the (possibly re-pinned) pin set.
+    */
+  def realignStack(spark: SparkSession, root: String,
+      deployment: String): Map[String, Long] = {
+    val depV = latestDeploymentVersion(spark, root, deployment)
+      .getOrElse(sys.error(s"realignStack: no committed deployment " +
+        s"'$deployment' under $root"))
+    val pins = readDeployment(spark, root, deployment, Some(depV))
+    val newPins = pins.toSeq.sortBy(_._1).map { case (art, pv) =>
+      val latest = latestBundleVersion(spark, root, art)
+        .getOrElse(sys.error(s"realignStack: pinned artifact '$art' " +
+          s"has no committed bundle versions under $root"))
+      art -> (if (latest == pv) pv
+              else restoreBundleVersion(spark, root, art, pv))
+    }.toMap
+    if (newPins != pins)
+      commitDeployment(spark, root, deployment, newPins,
+        expectedVersion = Some(depV))
+    newPins
+  }
 
   /** Retention for the deployment table ITSELF — each flip is a tiny
     * committed version, but a stack that flips hourly accumulates
@@ -587,12 +692,61 @@ object Catalog {
       keep: Int, minAgeMs: Long = 0L): DataFrame =
     storeHealth(spark, root, deploymentRef(name), keep, minAgeMs)
 
+  /** One health report for the WHOLE deployed stack — the union
+    * operating a deployment actually asks for ("is this stack safe to
+    * prune?") instead of N per-artifact calls whose union is the
+    * answer: every pinned artifact's [[bundleHealthDeployed]] report
+    * (pins derived from the live deployments, like the prune) plus the
+    * pin-set history's own [[deploymentHealth]] report, each row tagged
+    * with an `artifact` column (history rows as `_history`). Built BY
+    * CALLING the per-component reports, which share their decision
+    * functions with the prunes — so this report ≡ the action of
+    * [[pruneBundleVersionsDeployed]] on every artifact plus
+    * [[pruneDeploymentHistory]] with the same arguments, stack-wide.
+    *
+    * `keep` applies per artifact; `historyKeep` (default `keep`) bounds
+    * the pin-set history — the rollback horizon, usually set wider than
+    * the per-store keep window.
+    */
+  def stackHealth(spark: SparkSession, root: String, deployment: String,
+      keep: Int, minAgeMs: Long = 0L,
+      historyKeep: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val pins = readDeployment(spark, root, deployment)
+    val parts = pins.keys.toSeq.sorted.map { art =>
+      bundleHealthDeployed(spark, root, art, keep, minAgeMs)
+        .withColumn("artifact", lit(art))
+    } :+ deploymentHealth(spark, root, deployment,
+      historyKeep.getOrElse(keep), minAgeMs)
+      .withColumn("artifact", lit("_history"))
+    val unioned = parts.reduce(_ unionByName _)
+    unioned.select(col("artifact") +:
+      unioned.columns.filterNot(_ == "artifact").toIndexedSeq.map(col): _*)
+  }
+
   /** Cross-store TAKEDOWN as one tested library path — the x194
     * discipline (retract EVERY pinned artifact first, flip the
     * deployment pin LAST) executed by the operator instead of promised
     * by it. `retract` maps each artifact to a function from its
     * currently-pinned version to the NEW committed version its
     * retraction produced (e.g. `_ => TextIndex.retractBundle(...)`).
+    *
+    * Ordering contract: retractions run in ASCENDING artifact-name
+    * order (the map is sorted before execution) — part of the API, not
+    * an accident, so callers that embed observations inside a retract
+    * closure (x194/x195 take their mid-maintenance serve inside the
+    * LAST artifact's closure) can rely on which retractions have
+    * already committed when theirs runs.
+    *
+    * Concurrency: the flip is a COMPARE-AND-SET against the deployment
+    * version read at entry ([[commitDeployment]] `expectedVersion`) —
+    * two racing maintenance operators (a scheduled takedown racing an
+    * operator rollback, or two takedowns) can no longer both "succeed"
+    * with the last flip silently discarding the first one's
+    * retractions: exactly one lands, the loser refuses loudly naming
+    * the interleaving and retries against the new pin set. The loser's
+    * already-committed store retractions are superseding versions the
+    * un-flipped pins simply never serve — no cleanup needed.
     *
     * Refuses PARTIAL application: the retract map must cover exactly
     * the deployment's pinned artifacts — retracting one side and
@@ -606,7 +760,15 @@ object Catalog {
     */
   def takedownStack(spark: SparkSession, root: String, deployment: String,
       retract: Map[String, Long => Long]): Map[String, Long] = {
-    val pins = readDeployment(spark, root, deployment)
+    // resolve the deployment version ONCE: the pins below are read at
+    // it, and the final flip compare-and-sets against it — a concurrent
+    // maintenance flip (another takedown, an operator rollback) landing
+    // between this read and the commit refuses loudly instead of having
+    // its change silently discarded by our stale pin set
+    val depV = latestDeploymentVersion(spark, root, deployment)
+      .getOrElse(sys.error(s"takedownStack: no committed deployment " +
+        s"'$deployment' under $root"))
+    val pins = readDeployment(spark, root, deployment, Some(depV))
     require(retract.keySet == pins.keySet,
       s"takedownStack: retractions ${retract.keySet.toSeq.sorted} must " +
         s"cover exactly the deployment's pinned artifacts " +
@@ -615,7 +777,8 @@ object Catalog {
     val newPins = retract.toSeq.sortBy(_._1).map { case (art, fn) =>
       art -> fn(pins(art))
     }.toMap
-    commitDeployment(spark, root, deployment, newPins)
+    commitDeployment(spark, root, deployment, newPins,
+      expectedVersion = Some(depV))
     newPins
   }
 
@@ -994,6 +1157,59 @@ object Catalog {
       prior.dirs.keys.toSeq.sorted.map(ref =>
         ref -> readBundleTable(spark, root, bundle, ref, Some(pv))),
       root, bundle, prior.batches, prior.parts, supersedes = Some(pv))
+  }
+
+  /** Restore a PRIOR bundle version as the new latest — the STORE-level
+    * incident-response verb that completes [[rollbackDeployment]]: a
+    * deployment rollback flips serves back to old pins in one commit,
+    * but the store's LATEST is still the bad maintenance result, and
+    * every forward maintenance verb ([[rewriteBundleMembers]] and the
+    * per-store retracts built on it) derives from latest — a corrected
+    * takedown run directly after a rollback would compound the wrong
+    * retraction instead of replacing it. This re-commits `toVersion`'s
+    * MANIFEST as a new version whose member file sets carry BY
+    * REFERENCE (a manifest-only commit — no member is read or
+    * rewritten; O(manifest) at any store size, the same reference
+    * mechanics appends use), so history stays immutable and monotone:
+    * the bad version remains readable time-travel until retention.
+    *
+    * The batch ledger carries from `toVersion` — the store IS that
+    * version again, data and replay guard consistent: a batch ingested
+    * before `toVersion` stays rejected on replay, while a batch that
+    * landed AFTER it leaves the ledger together with its data (re-
+    * ingesting it is the correct recovery, and the restore-then-retract
+    * composition the deployment runbook describes has no such batches).
+    *
+    * Compare-and-set like [[commitBundle]]'s `supersedes`: refuses
+    * loudly if any commit lands between reading the current latest and
+    * the claim — a racing append's data must not be silently shadowed
+    * by the restored manifest.
+    */
+  def restoreBundleVersion(spark: SparkSession, root: String,
+      bundle: String, toVersion: Long): Long = {
+    val base = new HPath(bundleDir(root, bundle))
+    val f = fsFor(spark, base)
+    val cur = latestBundleVersion(spark, root, bundle)
+      .getOrElse(sys.error(s"restoreBundleVersion: no committed " +
+        s"versions for '$bundle' under $root"))
+    val m = bundleManifest(spark, root, bundle, Some(toVersion))
+    val token = newCommitToken()
+    val staging = new HPath(base, s".staging-$token")
+    f.mkdirs(staging)
+    f.create(new HPath(staging, s"_writer-$token"), true).close()
+    val next = claimVersionSlot(f, base, staging, token,
+      p => f.exists(new HPath(p, "_manifest")), "restoreBundleVersion") {
+      (n, st) =>
+        if (n - 1 != cur)
+          sys.error(s"restoreBundleVersion: store advanced past version " +
+            s"$cur (newest committed is ${n - 1}) while restoring " +
+            s"$toVersion — a racing commit would be silently shadowed " +
+            "by the restored manifest; re-read and retry")
+        writeStagedManifest(f, st, m)
+        true
+    }
+    flipPointer(f, base, next, "restoreBundleVersion")
+    next
   }
 
   /** Atomic selective-member REWRITE — the takedown/retraction shape a

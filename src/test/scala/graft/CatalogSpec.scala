@@ -882,6 +882,67 @@ class CatalogSpec extends AnyFunSuite {
       .count() == 4L)
   }
 
+  test("CAS deployment flips: racing maintenance operators — exactly one lands, the loser refuses loudly") {
+    val root = Files.createTempDirectory("graft-cas").toString
+    Catalog.commitBundle(Seq("m" -> (1L to 6L).toDF("id")), root, "a",
+      Seq("b0"))
+    Catalog.commitBundle(Seq("m" -> (1L to 6L).toDF("id")), root, "b",
+      Seq("b0"))
+    val d1 = Catalog.commitDeployment(spark, root, "serving",
+      Map("a" -> 1L, "b" -> 1L))
+    def retract(bundle: String, id: Long): Long => Long = _ =>
+      Catalog.rewriteBundleMembers(spark, root, bundle,
+        Map("m" -> ((m: org.apache.spark.sql.DataFrame) =>
+          m.where(col("id") =!= id))))
+    // operator B's ENTIRE takedown completes inside operator A's window
+    // (between A's pin read and A's flip) — injected via A's first
+    // retract closure. Under commitVersion's optimistic both-land
+    // semantics both flips would "succeed" and A's stale pin set would
+    // silently discard B's retractions (removed ids serve again, no
+    // error anywhere); the compare-and-set makes A the loud loser.
+    var racerPins: Map[String, Long] = null
+    val ex = intercept[RuntimeException] {
+      Catalog.takedownStack(spark, root, "serving", Map(
+        "a" -> ((v: Long) => {
+          racerPins = Catalog.takedownStack(spark, root, "serving",
+            Map("a" -> retract("a", 2L), "b" -> retract("b", 2L)))
+          retract("a", 1L)(v)
+        }),
+        "b" -> retract("b", 1L)))
+    }
+    assert(ex.getMessage.contains("compare-and-set") &&
+      ex.getMessage.contains("concurrent writer flipped"),
+      s"loser must refuse naming the interleaving: ${ex.getMessage}")
+    // exactly ONE takedown landed: the racer's pins serve and its
+    // retraction is intact in the served versions (id 2 gone, id 1 —
+    // the loser's target — still present)
+    assert(racerPins != null && racerPins == Map("a" -> 2L, "b" -> 2L))
+    assert(Catalog.readDeployment(spark, root, "serving") == racerPins)
+    val servedA = Catalog.readBundleTable(spark, root, "a", "m",
+      Some(racerPins("a")))
+    assert(servedA.where(col("id") === 2L).count() == 0L)
+    assert(servedA.where(col("id") === 1L).count() == 1L)
+    // the loser retries against the NEW pin set and lands on top
+    val pins2 = Catalog.takedownStack(spark, root, "serving",
+      Map("a" -> retract("a", 1L), "b" -> retract("b", 1L)))
+    assert(Catalog.readDeployment(spark, root, "serving") == pins2)
+    assert(Catalog.readBundleTable(spark, root, "a", "m",
+      Some(pins2("a"))).where(col("id").isin(1L, 2L)).count() == 0L)
+    // the CAS primitive directly: a stale expectedVersion refuses and
+    // leaves the deployment untouched; the version actually read lands
+    val cur = Catalog.latestDeploymentVersion(spark, root, "serving").get
+    val exr = intercept[RuntimeException] {
+      Catalog.commitDeployment(spark, root, "serving",
+        Map("a" -> 1L, "b" -> 1L), expectedVersion = Some(d1))
+    }
+    assert(exr.getMessage.contains("compare-and-set"),
+      s"wrong failure: ${exr.getMessage}")
+    assert(Catalog.readDeployment(spark, root, "serving") == pins2)
+    val d = Catalog.commitDeployment(spark, root, "serving",
+      Map("a" -> 1L, "b" -> 1L), expectedVersion = Some(cur))
+    assert(d == cur + 1)
+  }
+
   test("deployment-derived retention: prune discovers live pins itself; unknown pins and bogus deployments refuse loudly") {
     val root = Files.createTempDirectory("graft-depret").toString
     Catalog.commitBundle(Seq("m" -> (1L to 5L).toDF("id")), root, "b",
@@ -922,6 +983,54 @@ class CatalogSpec extends AnyFunSuite {
     assert(exs.getMessage.contains("does not resolve"))
     // the refused flips left the deployment untouched
     assert(Catalog.readDeployment(spark, root, "serving") == Map("b" -> 1L))
+  }
+
+  test("stackHealth: one stack-wide report ≡ each component report's rows, and ≡ the prune actions it predicts") {
+    val root = Files.createTempDirectory("graft-stkh").toString
+    Catalog.commitBundle(Seq("m" -> (1L to 5L).toDF("id")), root, "a",
+      Seq("b0"))
+    assert(Catalog.appendBundle(Seq("m" -> (6L to 8L).toDF("id")), root,
+      "a", "b1"))
+    Catalog.compactBundle(spark, root, "a") // a: v1, v2, v3 snapshot
+    Catalog.commitBundle(Seq("m" -> (1L to 5L).toDF("id")), root, "b",
+      Seq("b0"))
+    Catalog.commitDeployment(spark, root, "serving",
+      Map("a" -> 1L, "b" -> 1L))
+    Catalog.commitDeployment(spark, root, "serving",
+      Map("a" -> 3L, "b" -> 1L)) // history depth 2
+    // age_ms/bytes are call-time-dependent — compare the decision
+    // columns, which must be IDENTICAL because stackHealth is built by
+    // calling the component reports (shared decision functions)
+    val compCols = Seq("kind", "name", "version", "committed",
+      "is_latest", "would_reclaim", "reason")
+    def tag(df: org.apache.spark.sql.DataFrame, art: String) =
+      df.select(compCols.map(col): _*).collect()
+        .map(r => art +: r.toSeq).toSet
+    val expected =
+      tag(Catalog.bundleHealthDeployed(spark, root, "a", keep = 1), "a") ++
+      tag(Catalog.bundleHealthDeployed(spark, root, "b", keep = 1), "b") ++
+      tag(Catalog.deploymentHealth(spark, root, "serving", keep = 1),
+        "_history")
+    val stack = Catalog.stackHealth(spark, root, "serving", keep = 1)
+    val got = stack.select((col("artifact") +: compCols.map(col)): _*)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected, s"stackHealth drifted from its components:\n" +
+      s"extra=${got -- expected}\nmissing=${expected -- got}")
+    // report ≡ action stack-wide: run the prunes the report predicts
+    val predicted = stack.where(col("would_reclaim"))
+      .select(col("artifact"), col("name")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(predicted.nonEmpty)
+    Seq("a", "b").foreach(art =>
+      Catalog.pruneBundleVersionsDeployed(spark, root, art, keep = 1))
+    Catalog.pruneDeploymentHistory(spark, root, "serving", keep = 1)
+    val after = Catalog.stackHealth(spark, root, "serving", keep = 1)
+    assert(after.where(col("would_reclaim")).count() == 0L)
+    val remaining = after.select(col("artifact"), col("name")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(predicted.intersect(remaining).isEmpty,
+      s"predicted reclaims still present after the prunes: " +
+        s"${predicted.intersect(remaining)}")
   }
 
   test("rollbackDeployment: old pins re-protected mechanically, health ≡ prune on derived pins, reclaimed pins refuse") {
@@ -981,6 +1090,66 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       Catalog.rollbackDeployment(spark, root, "serving", d1)
     }
+  }
+
+  test("incident composition: wrong takedown → rollback → realign → corrected takedown; ledger intact throughout") {
+    val root = Files.createTempDirectory("graft-fix").toString
+    Catalog.commitBundle(Seq("m" -> (1L to 6L).toDF("id")), root, "a",
+      Seq("b0"))
+    Catalog.commitBundle(Seq("m" -> (1L to 6L).toDF("id")), root, "b",
+      Seq("b0"))
+    val d1 = Catalog.commitDeployment(spark, root, "serving",
+      Map("a" -> 1L, "b" -> 1L))
+    def retract(bundle: String, id: Long): Long => Long = _ =>
+      Catalog.rewriteBundleMembers(spark, root, bundle,
+        Map("m" -> ((m: org.apache.spark.sql.DataFrame) =>
+          m.where(col("id") =!= id))))
+    def rows(bundle: String, v: Option[Long] = None): Seq[Long] =
+      Catalog.readBundleTable(spark, root, bundle, "m", v)
+        .orderBy("id").collect().map(_.getLong(0)).toSeq
+    // the WRONG takedown (id 3 was not the contaminated doc) lands
+    // through the ordinary library path — stores advance, pin flips
+    Catalog.takedownStack(spark, root, "serving",
+      Map("a" -> retract("a", 3L), "b" -> retract("b", 3L)))
+    // incident response: one flip back — serves answer the old pins
+    Catalog.rollbackDeployment(spark, root, "serving", d1)
+    // but each store's LATEST is still the wrong retraction, and the
+    // forward verbs derive from latest: a corrected takedown here would
+    // COMPOUND the wrong removal instead of replacing it...
+    assert(Catalog.latestBundleVersion(spark, root, "a") == Some(2L))
+    // ...so re-align: every pinned store restored BY REFERENCE to its
+    // pin, the deployment re-pinned in one CAS flip
+    val aligned = Catalog.realignStack(spark, root, "serving")
+    assert(aligned == Map("a" -> 3L, "b" -> 3L))
+    assert(Catalog.readDeployment(spark, root, "serving") == aligned)
+    assert(rows("a") == (1L to 6L), "restore must bring back the full " +
+      "pre-incident member without a data rewrite")
+    // idempotent: an aligned stack commits nothing
+    val depVAfter = Catalog.latestDeploymentVersion(spark, root, "serving")
+    assert(Catalog.realignStack(spark, root, "serving") == aligned)
+    assert(Catalog.latestDeploymentVersion(spark, root, "serving")
+      == depVAfter)
+    // the CORRECTED takedown is ordinary forward maintenance again
+    val fixed = Catalog.takedownStack(spark, root, "serving",
+      Map("a" -> retract("a", 4L), "b" -> retract("b", 4L)))
+    assert(rows("a", Some(fixed("a"))) == Seq(1L, 2L, 3L, 5L, 6L),
+      "the served store must reflect ONLY the right removal — the " +
+        "wrongly-removed id serves again")
+    assert(rows("b", Some(fixed("b"))) == Seq(1L, 2L, 3L, 5L, 6L))
+    // ledger intact THROUGHOUT: the seeding batch replays rejected
+    assert(!Catalog.appendBundle(Seq("m" -> Seq(99L).toDF("id")), root,
+      "a", "b0"))
+    // an append ENCODED against the wrong-takedown version refuses: its
+    // pinned member advanced when the restore landed (the 'advanced
+    // since pinned' guard crosses the restore correctly)
+    val exp = intercept[RuntimeException] {
+      Catalog.appendBundle(Seq("m" -> Seq(99L).toDF("id")), root, "a",
+        "b9", pinned = Some((2L, Seq("m"))))
+    }
+    assert(exp.getMessage.contains("advanced since pinned"),
+      s"wrong failure: ${exp.getMessage}")
+    // history stays immutable: the bad version is readable time travel
+    assert(rows("a", Some(2L)) == Seq(1L, 2L, 4L, 5L, 6L))
   }
 
   test("deployment flip under a pinned in-flight serve: reader grace covers the old pins; a zero-grace prune after the flip is the unsafe path") {

@@ -923,6 +923,65 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("stack incident: wrong takedown → rollback → realign → corrected takedown serves only the right removal, ledger intact") {
+    import graft.operators.{AnnIndex, Embeddings, RelOps, TextIndex}
+    import graft.sources.Catalog
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val q = e.where(col("vec_id") < 1)
+    val terms = Seq("join", "vector")
+    val root = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val aligned = docs.join(e.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    TextIndex.writeBundle(aligned, root, "tix", seedBatchIds = Seq("b0"))
+    AnnIndex.writeBundle(e, Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2),
+      root, "ann", nCentroids = 16, trainIters = 2, spill = 2,
+      seedBatchIds = Seq("b0"))
+    val d1 = Catalog.commitDeployment(spark, root, "serving", Map(
+      "tix" -> Catalog.latestBundleVersion(spark, root, "tix").get,
+      "ann" -> Catalog.latestBundleVersion(spark, root, "ann").get))
+    def serve(): Seq[(Int, Long)] =
+      Similarity.threeStageServeDeployed(spark, root, "serving", root,
+        "tix", root, "ann", e, terms, q, k = 5, fuseK = 15, poolK = 20,
+        rerank = 60, nProbe = 3)
+        .select(col("rank"), col("nid")).collect()
+        .map(r => (r.getAs[Number]("rank").intValue, r.getAs[Long]("nid")))
+        .sortBy(_._1).toSeq
+    val pre = serve()
+    assert(pre.size == 5)
+    // the incident: ranks 1-2 get taken down... and they were the WRONG
+    // ids — rank 3 was the contaminated doc
+    val wrong = pre.filter(_._1 <= 2).map(_._2)
+    val right = pre.filter(_._1 == 3).map(_._2)
+    spark.catalog.clearCache()
+    Similarity.takedownServingStack(spark, root, "serving", "tix", "ann",
+      wrong.toDF("doc_id"))
+    // response: one flip back (serves answer pre-incident versions),
+    // then re-align the stores with the pins — without it the corrected
+    // takedown below would derive from the wrong-takedown versions and
+    // COMPOUND the removal instead of replacing it
+    Catalog.rollbackDeployment(spark, root, "serving", d1)
+    val aligned2 = Catalog.realignStack(spark, root, "serving")
+    assert(aligned2 == Map("tix" -> 3L, "ann" -> 3L))
+    // the corrected takedown is ordinary forward maintenance again
+    Similarity.takedownServingStack(spark, root, "serving", "tix", "ann",
+      right.toDF("doc_id"))
+    val post = serve()
+    // greedy MMR picks the first two slots on pure relevance-rank, so
+    // removing the rank-3 doc cannot move them: the wrongly-removed ids
+    // serve again, the right id is gone
+    assert(post.filter(_._1 <= 2).map(_._2) == wrong,
+      s"wrongly-removed ids must serve again: pre=$pre post=$post")
+    assert(post.forall(r => !right.contains(r._2)),
+      s"the contaminated id must be gone: post=$post")
+    // ledger intact throughout the whole dance: the seed batch id rode
+    // every restore and retract, so its replay stays rejected
+    assert(Catalog.bundleManifest(spark, root, "tix").batches == Seq("b0"))
+    assert(Catalog.bundleManifest(spark, root, "ann").batches == Seq("b0"))
+    spark.catalog.clearCache()
+  }
+
   test("mmrRerankPoolBatch fails loudly when a pooled qid has no query-vector row") {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
     val pool = Seq((0L, 10L), (0L, 11L), (7777L, 10L), (7777L, 12L))

@@ -790,4 +790,84 @@ class StreamingSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("deployment-follow serve: batch N wholly pre-flip, batch N+1 wholly post-flip, takedown landing between") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{AnnIndex, Embeddings, RelOps, Similarity, TextIndex}
+    import graft.streaming.ServeStream
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val root = Files.createTempDirectory("graft_follow_store").toString
+    val alignedDocs = docs.join(e.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    TextIndex.writeBundle(alignedDocs, root, "tix", seedBatchIds = Seq("b0"))
+    AnnIndex.writeBundle(e, Embeddings.pqTrain(
+        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 2),
+      root, "ann", nCentroids = 4, trainIters = 2, spill = 2,
+      seedBatchIds = Seq("b0"))
+    val d1 = Catalog.commitDeployment(spark, root, "serving", Map(
+      "tix" -> Catalog.latestBundleVersion(spark, root, "tix").get,
+      "ann" -> Catalog.latestBundleVersion(spark, root, "ann").get))
+    val srcDir = Files.createTempDirectory("graft_follow_src")
+    val outDir = Files.createTempDirectory("graft_follow_out").toString
+    val reqTerms = Seq(0L -> Seq("join", "vector"), 1L -> Seq("hash", "scan"))
+    val requests = reqTerms.toDF("qid", "terms")
+    def stage(name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_follow_stage")
+      requests.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = tmp.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+      Files.move(f.toPath, srcDir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    stage("r0.parquet")
+    val q = ServeStream.deploymentFollowServe(spark, srcDir.toString,
+      outDir, root, "serving", root, "tix", root, "ann", e, k = 5,
+      fuseK = 15, poolK = 20, rerank = 60, nProbe = 3)
+    val rmIds: Seq[Long] =
+      try {
+        q.processAllAvailable()
+        // the flip lands BETWEEN micro-batches: take down batch 0's
+        // top-ranked answers, then feed the same requests again
+        val ids = spark.read.parquet(outDir).where(col("rank") === 1)
+          .select(col("nid")).distinct().collect().map(_.getLong(0)).toSeq
+        Similarity.takedownServingStack(spark, root, "serving", "tix",
+          "ann", ids.toDF("doc_id"))
+        stage("r1.parquet")
+        q.processAllAvailable()
+        ids
+      } finally q.stop()
+    val out = spark.read.parquet(outDir)
+    def answers(batch: Long): Set[(Long, Int, Long)] =
+      out.where(col("batch_id") === batch)
+        .select(col("qid"), col("rank"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).intValue, r.getLong(2)))
+        .toSet
+    // each batch answered by exactly ONE deployment version — the flip
+    // is visible only at the batch boundary, never torn mid-batch
+    val vers = out.groupBy(col("batch_id"))
+      .agg(org.apache.spark.sql.functions.collect_set(col("dep_version"))
+        .as("vs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(vers.keySet == Set(0L, 1L), s"batches: ${vers.keySet}")
+    assert(vers(0L) == Set(d1) && vers(1L) == Set(d1 + 1),
+      s"batch 0 must answer wholly pre-flip, batch 1 wholly post-flip: $vers")
+    // the streamed answers ARE the deployed batch serve at the pinned
+    // deployment versions (shared per-batch core)
+    def direct(depV: Long): Set[(Long, Int, Long)] =
+      Similarity.threeStageServeBatchDeployed(spark, root, "serving",
+        root, "tix", root, "ann", e, reqTerms,
+        e.where(col("vec_id") < 2), k = 5, fuseK = 15, poolK = 20,
+        rerank = 60, nProbe = 3, deploymentVersion = Some(depV))
+        .select(col("qid"), col("rank"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).intValue, r.getLong(2)))
+        .toSet
+    assert(answers(0L) == direct(d1) && answers(0L).size == 10)
+    spark.catalog.clearCache()
+    assert(answers(1L) == direct(d1 + 1) && answers(1L).size == 10)
+    // post-flip answers contain none of the removed ids; pre-flip did
+    assert(rmIds.nonEmpty && answers(0L).exists(a => rmIds.contains(a._3)))
+    assert(!answers(1L).exists(a => rmIds.contains(a._3)))
+    spark.catalog.clearCache()
+  }
 }

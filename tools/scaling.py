@@ -63,7 +63,7 @@ FAMILIES = {
               "x187_bundle_stack_serve", "x190_pinned_serve",
               "x191_filtered_batch_serve", "x193_reindex_under_serve",
               "x194_deployment_pinned_stack", "x195_deployed_batch_serve",
-              "x196_deployment_rollback"],
+              "x196_deployment_rollback", "x197_deployment_follow_serve"],
     "stats": ["x20_stats_summary", "x62_winsorize", "x70_histogram",
               "x79_robust_scale", "x101_cms_heavy_hitters", "x103_bigram_lp",
               "x104_hll_distinct", "x107_incremental_stats",
@@ -102,14 +102,18 @@ FAMILIES = {
 
 # Steepest measured slopes = the full-output rewrites + the per-token
 # shingle passes + the audio decode; these get the extra sf1 decade.
-# Only queries reading lineitem/documents qualify (MakeScaledData scales
-# exactly those tables). x152/x159 ride along not for steepness but
-# because they are the pair-store build/serve/ingest paths whose
-# constants matter most at scale — the judge asked for four-decade fits.
+# Only queries reading lineitem/documents/embeddings qualify
+# (MakeScaledData scales exactly those tables). x152/x159 ride along not
+# for steepness but because they are the pair-store build/serve/ingest
+# paths whose constants matter most at scale — the judge asked for
+# four-decade fits. x193/x195 (the corpus's two slowest queries, flat at
+# three SFs) ride along so the deployment/serving-stack family's
+# flat-slope claim gets its third decade too.
 STEEP = ["x62_winsorize", "x79_robust_scale", "x86_substring_dedup",
          "x89_strip_repeated", "x90_audio_fp_neardup",
          "x152_stored_lsh_index", "x159_pair_store_ingest",
-         "x174_pair_bundle_ingest"]
+         "x174_pair_bundle_ingest",
+         "x193_reindex_under_serve", "x195_deployed_batch_serve"]
 
 BEGIN, END = "<!-- scaling:begin -->", "<!-- scaling:end -->"
 
