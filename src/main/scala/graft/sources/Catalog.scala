@@ -1183,7 +1183,11 @@ object Catalog {
     * Compare-and-set like [[commitBundle]]'s `supersedes`: refuses
     * loudly if any commit lands between reading the current latest and
     * the claim — a racing append's data must not be silently shadowed
-    * by the restored manifest.
+    * by the restored manifest. Also validates AT THE FLIP that every
+    * file set `toVersion` references still exists (a manifest can
+    * outlive its references through the reader-grace edge) — same
+    * principle as [[commitDeployment]]'s pin validation: refuse here,
+    * not at the thousand member reads that would serve errors.
     */
   def restoreBundleVersion(spark: SparkSession, root: String,
       bundle: String, toVersion: Long): Long = {
@@ -1193,6 +1197,20 @@ object Catalog {
       .getOrElse(sys.error(s"restoreBundleVersion: no committed " +
         s"versions for '$bundle' under $root"))
     val m = bundleManifest(spark, root, bundle, Some(toVersion))
+    // validate at the flip (like commitDeployment's pin check): a
+    // manifest can outlive file sets it references through the
+    // reader-grace edge (an append's manifest kept by grace while the
+    // older directory it references aged out) — publishing it as the
+    // new latest would serve errors on every member read
+    m.dirs.toSeq.sortBy(_._1).foreach { case (ref, ds) =>
+      ds.foreach { d =>
+        if (!f.exists(new HPath(base, d)))
+          sys.error(s"restoreBundleVersion: version $toVersion of " +
+            s"'$bundle' references '$d' (member '$ref') which no longer " +
+            "exists — retention reclaimed it; refusing to publish a " +
+            "manifest that serves errors")
+      }
+    }
     val token = newCommitToken()
     val staging = new HPath(base, s".staging-$token")
     f.mkdirs(staging)

@@ -1152,6 +1152,41 @@ class CatalogSpec extends AnyFunSuite {
     assert(rows("a", Some(2L)) == Seq(1L, 2L, 4L, 5L, 6L))
   }
 
+  test("restoreBundleVersion refuses a version whose referenced file sets retention reclaimed") {
+    val root = Files.createTempDirectory("graft-rsg").toString
+    Catalog.commitBundle(Seq("m" -> (1L to 4L).toDF("id")), root, "p",
+      Seq("b0"))
+    assert(Catalog.appendBundle(Seq("m" -> (5L to 6L).toDF("id")), root,
+      "p", "b1")) // v2's manifest references v1's file set + its own
+    Catalog.compactBundle(spark, root, "p") // v3 snapshot
+    // the reader-grace edge: v1 aged out, v2 (young) survives the prune
+    // — its manifest now references a reclaimed directory
+    val base = new java.io.File(Catalog.bundleDir(root, "p"))
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    assert(new java.io.File(base, "1").setLastModified(old))
+    Catalog.pruneBundleVersions(spark, root, "p", keep = 1,
+      minAgeMs = 24L * 3600 * 1000)
+    assert(!new java.io.File(base, "1").exists(),
+      "aged v1 should have been reclaimed")
+    assert(new java.io.File(base, "2").exists(),
+      "young v2 should have survived on grace")
+    // restoring the broken-reference version refuses AT THE FLIP
+    val ex = intercept[RuntimeException] {
+      Catalog.restoreBundleVersion(spark, root, "p", 2L)
+    }
+    assert(ex.getMessage.contains("no longer exists"),
+      s"wrong failure: ${ex.getMessage}")
+    assert(Catalog.latestBundleVersion(spark, root, "p") == Some(3L),
+      "a refused restore must leave the pointer untouched")
+    // the intact snapshot still restores fine after another commit
+    Catalog.commitBundle(Seq("m" -> (7L to 9L).toDF("id")), root, "p",
+      Seq("b0", "b1", "b2"))
+    val v = Catalog.restoreBundleVersion(spark, root, "p", 3L)
+    assert(v == 5L)
+    assert(Catalog.readBundleTable(spark, root, "p", "m")
+      .count() == 6L)
+  }
+
   test("deployment flip under a pinned in-flight serve: reader grace covers the old pins; a zero-grace prune after the flip is the unsafe path") {
     val root = Files.createTempDirectory("graft-flip").toString
     Catalog.commitBundle(Seq("m" -> (1L to 5L).toDF("id")), root, "b",
