@@ -108,37 +108,44 @@ object RecallProbe {
           seedBatchIds = Seq("b0"))
       }
       if (only("x165") || only("x176")) {
-        // x165 hybrid stored serve: fused-list overlap vs the exact fusion
-        // (same bm25 ranks, brute-force vector ranks) at k=10
-        val served = Similarity.hybridStoredServeBundle(spark, hyb, "tix",
-          hyb, "ann", e, terms,
-          q165, k = 10, poolK = 50, rerank = 150, nProbe = 6).persist()
+        // shared exact sides (stored bm25 ranks + brute-force vector
+        // ranks); each section's SERVE runs only when requested, so a
+        // single-section probe no longer pays for the other's serve
         val lex = graft.operators.TextIndex.bm25SearchBundle(spark, hyb,
             "tix", terms, k = 50)
           .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
         val exactVec = Similarity.bruteForceKnn(e, q165, k = 50)
           .select(col("nid"), col("rank").as("vrank"))
-        val exact = Similarity.rrfFuse(lex, exactVec, k = 10).persist()
-        val ov = served.select(col("nid"))
-          .join(exact.select(col("nid")), Seq("nid"), "left_semi").count()
-        val ex = exact.count()
-        println(s"[probe] $sf x165 fused overlap = $ov/$ex = ${ov.toDouble / ex}")
-        spark.catalog.clearCache()
-        // x176 composed three-stage serve: final diversified top-10 overlap
-        // vs the exact composition (stored bm25 + brute-force vectors +
-        // the same fusion and the same integer greedy)
-        val served176 = Similarity.threeStageServeBundle(spark, hyb, "tix",
-          hyb, "ann", e, terms,
-          q165, k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6)
-          .persist()
-        val exactPool = Similarity.rrfFuse(lex, exactVec, k = 30)
-        val exact176 = Similarity.mmrRerankPool(e, q165,
-          exactPool.select(col("nid")), k = 10).persist()
-        val ov176 = served176.select(col("nid"))
-          .join(exact176.select(col("nid")), Seq("nid"), "left_semi").count()
-        val ex176 = exact176.count()
-        println(s"[probe] $sf x176 mmr overlap = $ov176/$ex176 = ${ov176.toDouble / ex176}")
-        spark.catalog.clearCache()
+        if (only("x165")) {
+          // x165 hybrid stored serve: fused-list overlap vs the exact
+          // fusion at k=10
+          val served = Similarity.hybridStoredServeBundle(spark, hyb,
+            "tix", hyb, "ann", e, terms,
+            q165, k = 10, poolK = 50, rerank = 150, nProbe = 6).persist()
+          val exact = Similarity.rrfFuse(lex, exactVec, k = 10).persist()
+          val ov = served.select(col("nid"))
+            .join(exact.select(col("nid")), Seq("nid"), "left_semi").count()
+          val ex = exact.count()
+          println(s"[probe] $sf x165 fused overlap = $ov/$ex = ${ov.toDouble / ex}")
+          spark.catalog.clearCache()
+        }
+        if (only("x176")) {
+          // x176 composed three-stage serve: final diversified top-10
+          // overlap vs the exact composition (stored bm25 + brute-force
+          // vectors + the same fusion and the same integer greedy)
+          val served176 = Similarity.threeStageServeBundle(spark, hyb,
+            "tix", hyb, "ann", e, terms,
+            q165, k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6)
+            .persist()
+          val exactPool = Similarity.rrfFuse(lex, exactVec, k = 30)
+          val exact176 = Similarity.mmrRerankPool(e, q165,
+            exactPool.select(col("nid")), k = 10).persist()
+          val ov176 = served176.select(col("nid"))
+            .join(exact176.select(col("nid")), Seq("nid"), "left_semi").count()
+          val ex176 = exact176.count()
+          println(s"[probe] $sf x176 mmr overlap = $ov176/$ex176 = ${ov176.toDouble / ex176}")
+          spark.catalog.clearCache()
+        }
       }
       if (only("x180")) {
         // x180 filtered composed serve: final top-10 overlap vs the exact
