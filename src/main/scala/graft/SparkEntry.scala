@@ -3069,11 +3069,14 @@ object SparkEntry {
       val terms = Seq("join", "hash", "vector")
       val root = s"/tmp/graft/x165_bnd_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
-      TextIndex.writeBundle(docs, root, "tix", seedBatchIds = Seq("b0"))
-      val books = Embeddings.pqTrain(
-        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
-        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      // independent stores — built overlapped (guide §2.6)
+      graft.tools.Par.together(
+        () => TextIndex.writeBundle(docs, root, "tix",
+          seedBatchIds = Seq("b0")),
+        () => AnnIndex.writeBundle(e, Embeddings.pqTrain(
+          RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3),
+          root, "ann", nCentroids = 16, trainIters = 4, spill = 2,
+          seedBatchIds = Seq("b0")))
       val served = Similarity.hybridStoredServeBundle(s, root, "tix",
         root, "ann", e, terms, q,
         k = 10, poolK = 50, rerank = 150, nProbe = 6).persist()
@@ -3368,12 +3371,18 @@ object SparkEntry {
       // threeStageServe's alignment contract: index only the EMBEDDED
       // docs (at sf0.1 the corpus has docs without vectors) — a fused
       // candidate must resolve to a vector or the MMR stage fails loudly
-      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
-        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
-      val books = Embeddings.pqTrain(
-        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
-        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      // the two stores share no state and land in different bundles —
+      // built overlapped (guide §2.6, graft.tools.Par): the text
+      // tokenize+commit back-fills the cores the ANN train/encode/commit
+      // chain leaves idle between its small jobs
+      graft.tools.Par.together(
+        () => TextIndex.writeBundle(docs.join(
+          e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi"), root, "tix", seedBatchIds = Seq("b0")),
+        () => AnnIndex.writeBundle(e, Embeddings.pqTrain(
+          RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3),
+          root, "ann", nCentroids = 16, trainIters = 4, spill = 2,
+          seedBatchIds = Seq("b0")))
       val served = Similarity.threeStageServeBundle(s, root, "tix",
         root, "ann", e, terms, q,
         k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6).persist()
@@ -3423,12 +3432,18 @@ object SparkEntry {
       val root = s"/tmp/graft/x183_bnd_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
       // alignment contract (see x176): index only the embedded docs
-      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
-        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
-      val books = Embeddings.pqTrain(
-        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
-        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      // the two stores share no state and land in different bundles —
+      // built overlapped (guide §2.6, graft.tools.Par): the text
+      // tokenize+commit back-fills the cores the ANN train/encode/commit
+      // chain leaves idle between its small jobs
+      graft.tools.Par.together(
+        () => TextIndex.writeBundle(docs.join(
+          e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi"), root, "tix", seedBatchIds = Seq("b0")),
+        () => AnnIndex.writeBundle(e, Embeddings.pqTrain(
+          RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3),
+          root, "ann", nCentroids = 16, trainIters = 4, spill = 2,
+          seedBatchIds = Seq("b0")))
       val served = Similarity.threeStageServeBatchBundle(s, root, "tix",
         root, "ann", e, batch,
         qvecs, k = 10, fuseK = 30, poolK = 50, rerank = 150,
@@ -3610,12 +3625,18 @@ object SparkEntry {
       // the `within` filter alone also guarantees pool resolution, but
       // the store should match what the probe and every other composed
       // serve builds
-      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
-        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
-      val books = Embeddings.pqTrain(
-        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
-        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      // the two stores share no state and land in different bundles —
+      // built overlapped (guide §2.6, graft.tools.Par): the text
+      // tokenize+commit back-fills the cores the ANN train/encode/commit
+      // chain leaves idle between its small jobs
+      graft.tools.Par.together(
+        () => TextIndex.writeBundle(docs.join(
+          e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi"), root, "tix", seedBatchIds = Seq("b0")),
+        () => AnnIndex.writeBundle(e, Embeddings.pqTrain(
+          RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3),
+          root, "ann", nCentroids = 16, trainIters = 4, spill = 2,
+          seedBatchIds = Seq("b0")))
       val served = Similarity.threeStageServeBundle(s, root, "tix",
         root, "ann", e, terms, q,
         k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6,
@@ -3950,18 +3971,26 @@ object SparkEntry {
       val root = s"/tmp/graft/x188_td_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
       val rmDocs = docs.where(col("doc_id") % 10 === 3).select(col("doc_id"))
-      TextIndex.writeBundle(docs.where(col("doc_id") % 2 === 0), root,
-        "tix", seedBatchIds = Seq("b0"))
-      require(TextIndex.appendBundle(s, root, "tix",
-        docs.where(col("doc_id") % 2 === 1), "b1"), "append failed")
-      TextIndex.retractBundle(s, root, "tix", rmDocs)
-      require(!TextIndex.appendBundle(s, root, "tix",
-        docs.where(col("doc_id") % 2 === 1), "b1"),
-        "takedown must not reopen the ledger")
+      val flat = s"/tmp/graft/x188_flat_${storeTag(dir)}"
+      // the bundle's build→append→retract chain and the flat
+      // rebuilt-without-the-ids baseline share no state — overlapped
+      // (guide §2.6); `post` resolves the bundle's latest version, so it
+      // is constructed only after the chain committed the retraction
+      graft.tools.Par.together(
+        () => {
+          TextIndex.writeBundle(docs.where(col("doc_id") % 2 === 0), root,
+            "tix", seedBatchIds = Seq("b0"))
+          require(TextIndex.appendBundle(s, root, "tix",
+            docs.where(col("doc_id") % 2 === 1), "b1"), "append failed")
+          TextIndex.retractBundle(s, root, "tix", rmDocs)
+          require(!TextIndex.appendBundle(s, root, "tix",
+            docs.where(col("doc_id") % 2 === 1), "b1"),
+            "takedown must not reopen the ledger")
+        },
+        () => TextIndex.writeRebuildBaseline(
+          docs.join(rmDocs, Seq("doc_id"), "left_anti"), flat))
       val terms = Seq("join", "hash", "vector")
       val post = TextIndex.bm25SearchBundle(s, root, "tix", terms, k = 10)
-      val flat = s"/tmp/graft/x188_flat_${storeTag(dir)}"
-      TextIndex.writeRebuildBaseline(docs.join(rmDocs, Seq("doc_id"), "left_anti"), flat)
       val ref = TextIndex.bm25Search(s, flat, terms, k = 10)
       val tkey = Seq("doc_id", "score_x10k", "rank")
       val t1 = post.select(tkey.map(col): _*)
@@ -4020,14 +4049,24 @@ object SparkEntry {
       val aix = s"/tmp/graft/x187_aix_${storeTag(dir)}"
       val root = s"/tmp/graft/x187_bnd_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
-      TextIndex.writeRebuildBaseline(aligned, tix)
-      val books = Embeddings.pqTrain(
-        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.writeRebuildBaseline(e, books, aix, nCentroids = 16, trainIters = 4,
-        spill = 2)
-      TextIndex.writeBundle(aligned, root, "tix", seedBatchIds = Seq("b0"))
-      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
-        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      // text side (flat baseline + bundle) and ANN side (train once,
+      // flat baseline + bundle) are independent — overlapped (guide
+      // §2.6); `books` stays inside the ANN thunk so both its writes
+      // encode against the one trained codebook exactly as before
+      graft.tools.Par.together(
+        () => {
+          TextIndex.writeRebuildBaseline(aligned, tix)
+          TextIndex.writeBundle(aligned, root, "tix",
+            seedBatchIds = Seq("b0"))
+        },
+        () => {
+          val books = Embeddings.pqTrain(
+            RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+          AnnIndex.writeRebuildBaseline(e, books, aix, nCentroids = 16,
+            trainIters = 4, spill = 2)
+          AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
+            trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+        })
       val flat = Similarity.threeStageServe(s, tix, aix, e, terms, q,
         k = 10, fuseK = 30, poolK = 50, rerank = 150, nProbe = 6)
       val bundle = Similarity.threeStageServeBundle(s, root, "tix",
@@ -4129,12 +4168,18 @@ object SparkEntry {
       val root = s"/tmp/graft/x190_bnd_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
       // alignment contract (see x176): index only the embedded docs
-      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
-        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
-      val books = Embeddings.pqTrain(
-        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
-        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      // the two stores share no state and land in different bundles —
+      // built overlapped (guide §2.6, graft.tools.Par): the text
+      // tokenize+commit back-fills the cores the ANN train/encode/commit
+      // chain leaves idle between its small jobs
+      graft.tools.Par.together(
+        () => TextIndex.writeBundle(docs.join(
+          e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi"), root, "tix", seedBatchIds = Seq("b0")),
+        () => AnnIndex.writeBundle(e, Embeddings.pqTrain(
+          RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3),
+          root, "ann", nCentroids = 16, trainIters = 4, spill = 2,
+          seedBatchIds = Seq("b0")))
       val tv = Catalog.latestBundleVersion(s, root, "tix").get
       val av = Catalog.latestBundleVersion(s, root, "ann").get
       def serve(tvv: Option[Long], avv: Option[Long]) =
@@ -4195,12 +4240,18 @@ object SparkEntry {
       val root = s"/tmp/graft/x191_bnd_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
       // alignment contract (see x176): index only the embedded docs
-      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
-        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
-      val books = Embeddings.pqTrain(
-        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
-        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      // the two stores share no state and land in different bundles —
+      // built overlapped (guide §2.6, graft.tools.Par): the text
+      // tokenize+commit back-fills the cores the ANN train/encode/commit
+      // chain leaves idle between its small jobs
+      graft.tools.Par.together(
+        () => TextIndex.writeBundle(docs.join(
+          e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi"), root, "tix", seedBatchIds = Seq("b0")),
+        () => AnnIndex.writeBundle(e, Embeddings.pqTrain(
+          RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3),
+          root, "ann", nCentroids = 16, trainIters = 4, spill = 2,
+          seedBatchIds = Seq("b0")))
       val served = Similarity.threeStageServeBatchBundle(s, root, "tix",
         root, "ann", e, batch, qvecs, k = 10, fuseK = 30, poolK = 80,
         rerank = 400, nProbe = 12, within = Some(allowed)).persist()
@@ -4301,47 +4352,60 @@ object SparkEntry {
       val q = e.where(col("vec_id") < 3)
       val root = s"/tmp/graft/x193_ri_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
-      // ANN: build on 3/4, append 1/4, then retrain on the whole corpus
-      val base = e.where(col("vec_id") % 4 =!= 3)
-      val batch = e.where(col("vec_id") % 4 === 3)
-      val booksA = Embeddings.pqTrain(
-        RelOps.hashSample(base, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.writeBundle(base, booksA, root, "ann", nCentroids = 16,
-        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
-      require(AnnIndex.appendBundle(s, root, "ann", batch, "b1"),
-        "x193: append did not land")
-      val av = Catalog.latestBundleVersion(s, root, "ann").get
-      val pre = AnnIndex.knnBundle(s, root, "ann", e, q, k = 10,
-        rerank = 100000, nProbe = 16).persist()
-      val booksB = Embeddings.pqTrain(
-        RelOps.hashSample(e, "vec_id", 0.4), m = 8, k = 16, iters = 4)
-      AnnIndex.reindexBundle(s, root, "ann", e, booksB, nCentroids = 16,
-        trainIters = 2, spill = 1)
-      require(!AnnIndex.appendBundle(s, root, "ann", batch, "b1"),
-        "reindex must not reopen the ledger")
-      val pinned = AnnIndex.knnBundle(s, root, "ann", e, q, k = 10,
-        rerank = 100000, nProbe = 16, version = Some(av))
-      val post = AnnIndex.knnBundle(s, root, "ann", e, q, k = 10,
-        rerank = 100000, nProbe = 16)
-      val exact = Similarity.bruteForceKnn(e, q, k = 10)
+      // The ANN lifecycle (build 3/4 → append → pre-serve → retrain →
+      // reindex → pinned/post serves → exact baseline) and the text
+      // lifecycle (build half → append → reindex → serve → flat-rebuild
+      // baseline) touch DIFFERENT bundles and share no state — the two
+      // proof chains run overlapped (guide §2.6, graft.tools.Par); every
+      // step inside each chain keeps its exact order, so each serve
+      // still observes precisely the store state the proof needs
+      val ((pre, pinned, post, exact), (tpost, tref)) =
+        graft.tools.Par.together(
+          () => {
+            // ANN: build on 3/4, append 1/4, retrain on the whole corpus
+            val base = e.where(col("vec_id") % 4 =!= 3)
+            val batch = e.where(col("vec_id") % 4 === 3)
+            val booksA = Embeddings.pqTrain(
+              RelOps.hashSample(base, "vec_id", 0.25), m = 8, k = 16, iters = 3)
+            AnnIndex.writeBundle(base, booksA, root, "ann", nCentroids = 16,
+              trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+            require(AnnIndex.appendBundle(s, root, "ann", batch, "b1"),
+              "x193: append did not land")
+            val av = Catalog.latestBundleVersion(s, root, "ann").get
+            val pre = AnnIndex.knnBundle(s, root, "ann", e, q, k = 10,
+              rerank = 100000, nProbe = 16).persist()
+            val booksB = Embeddings.pqTrain(
+              RelOps.hashSample(e, "vec_id", 0.4), m = 8, k = 16, iters = 4)
+            AnnIndex.reindexBundle(s, root, "ann", e, booksB, nCentroids = 16,
+              trainIters = 2, spill = 1)
+            require(!AnnIndex.appendBundle(s, root, "ann", batch, "b1"),
+              "reindex must not reopen the ledger")
+            val pinned = AnnIndex.knnBundle(s, root, "ann", e, q, k = 10,
+              rerank = 100000, nProbe = 16, version = Some(av))
+            val post = AnnIndex.knnBundle(s, root, "ann", e, q, k = 10,
+              rerank = 100000, nProbe = 16)
+            (pre, pinned, post, Similarity.bruteForceKnn(e, q, k = 10))
+          },
+          () => {
+            // text: base+append, reindex (re-tokenize), flat rebuild ref
+            TextIndex.writeBundle(docs.where(col("doc_id") % 2 === 0), root,
+              "tix", seedBatchIds = Seq("t0"))
+            require(TextIndex.appendBundle(s, root, "tix",
+              docs.where(col("doc_id") % 2 === 1), "t1"), "x193: text append")
+            TextIndex.reindexBundle(s, root, "tix", docs)
+            require(!TextIndex.appendBundle(s, root, "tix",
+              docs.where(col("doc_id") % 2 === 1), "t1"),
+              "text reindex must not reopen the ledger")
+            val terms = Seq("join", "hash", "vector")
+            val tpost = TextIndex.bm25SearchBundle(s, root, "tix", terms, k = 10)
+            val flat = s"/tmp/graft/x193_flat_${storeTag(dir)}"
+            TextIndex.writeRebuildBaseline(docs, flat)
+            (tpost, TextIndex.bm25Search(s, flat, terms, k = 10))
+          })
       val akey = Seq("qid", "nid", "rank")
       def adiff(a: DataFrame, b: DataFrame, as: String) =
         a.select(akey.map(col): _*).join(b.select(akey.map(col): _*),
           akey, "left_anti").agg(count(lit(1)).as(as))
-      // text: base+append, reindex (re-tokenize), compare to flat rebuild
-      TextIndex.writeBundle(docs.where(col("doc_id") % 2 === 0), root,
-        "tix", seedBatchIds = Seq("t0"))
-      require(TextIndex.appendBundle(s, root, "tix",
-        docs.where(col("doc_id") % 2 === 1), "t1"), "x193: text append")
-      TextIndex.reindexBundle(s, root, "tix", docs)
-      require(!TextIndex.appendBundle(s, root, "tix",
-        docs.where(col("doc_id") % 2 === 1), "t1"),
-        "text reindex must not reopen the ledger")
-      val terms = Seq("join", "hash", "vector")
-      val tpost = TextIndex.bm25SearchBundle(s, root, "tix", terms, k = 10)
-      val flat = s"/tmp/graft/x193_flat_${storeTag(dir)}"
-      TextIndex.writeRebuildBaseline(docs, flat)
-      val tref = TextIndex.bm25Search(s, flat, terms, k = 10)
       val tkey = Seq("doc_id", "score_x10k", "rank")
       def tdiff(a: DataFrame, b: DataFrame, as: String) =
         a.select(tkey.map(col): _*).join(b.select(tkey.map(col): _*),
@@ -4389,12 +4453,18 @@ object SparkEntry {
       val root = s"/tmp/graft/x194_dep_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
       // alignment contract (see x176): index only the embedded docs
-      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
-        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
-      val books = Embeddings.pqTrain(
-        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
-        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      // the two stores share no state and land in different bundles —
+      // built overlapped (guide §2.6, graft.tools.Par): the text
+      // tokenize+commit back-fills the cores the ANN train/encode/commit
+      // chain leaves idle between its small jobs
+      graft.tools.Par.together(
+        () => TextIndex.writeBundle(docs.join(
+          e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi"), root, "tix", seedBatchIds = Seq("b0")),
+        () => AnnIndex.writeBundle(e, Embeddings.pqTrain(
+          RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3),
+          root, "ann", nCentroids = 16, trainIters = 4, spill = 2,
+          seedBatchIds = Seq("b0")))
       val tv1 = Catalog.latestBundleVersion(s, root, "tix").get
       val av1 = Catalog.latestBundleVersion(s, root, "ann").get
       Catalog.commitDeployment(s, root, "serving",
@@ -4474,12 +4544,18 @@ object SparkEntry {
       val root = s"/tmp/graft/x195_dep_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
       // alignment contract (see x176): index only the embedded docs
-      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
-        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
-      val books = Embeddings.pqTrain(
-        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
-        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      // the two stores share no state and land in different bundles —
+      // built overlapped (guide §2.6, graft.tools.Par): the text
+      // tokenize+commit back-fills the cores the ANN train/encode/commit
+      // chain leaves idle between its small jobs
+      graft.tools.Par.together(
+        () => TextIndex.writeBundle(docs.join(
+          e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi"), root, "tix", seedBatchIds = Seq("b0")),
+        () => AnnIndex.writeBundle(e, Embeddings.pqTrain(
+          RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3),
+          root, "ann", nCentroids = 16, trainIters = 4, spill = 2,
+          seedBatchIds = Seq("b0")))
       Catalog.commitDeployment(s, root, "serving", Map(
         "tix" -> Catalog.latestBundleVersion(s, root, "tix").get,
         "ann" -> Catalog.latestBundleVersion(s, root, "ann").get))
@@ -4557,12 +4633,18 @@ object SparkEntry {
       val root = s"/tmp/graft/x196_rb_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
       // alignment contract (see x176): index only the embedded docs
-      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
-        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
-      val books = Embeddings.pqTrain(
-        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
-        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      // the two stores share no state and land in different bundles —
+      // built overlapped (guide §2.6, graft.tools.Par): the text
+      // tokenize+commit back-fills the cores the ANN train/encode/commit
+      // chain leaves idle between its small jobs
+      graft.tools.Par.together(
+        () => TextIndex.writeBundle(docs.join(
+          e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi"), root, "tix", seedBatchIds = Seq("b0")),
+        () => AnnIndex.writeBundle(e, Embeddings.pqTrain(
+          RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3),
+          root, "ann", nCentroids = 16, trainIters = 4, spill = 2,
+          seedBatchIds = Seq("b0")))
       val d1 = Catalog.commitDeployment(s, root, "serving", Map(
         "tix" -> Catalog.latestBundleVersion(s, root, "tix").get,
         "ann" -> Catalog.latestBundleVersion(s, root, "ann").get))
@@ -4644,12 +4726,18 @@ object SparkEntry {
       val root = s"/tmp/graft/x197_fs_${storeTag(dir)}"
       deleteRecursively(new java.io.File(root))
       // alignment contract (see x176): index only the embedded docs
-      TextIndex.writeBundle(docs.join(e.select(col("vec_id").as("doc_id")),
-        Seq("doc_id"), "left_semi"), root, "tix", seedBatchIds = Seq("b0"))
-      val books = Embeddings.pqTrain(
-        RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3)
-      AnnIndex.writeBundle(e, books, root, "ann", nCentroids = 16,
-        trainIters = 4, spill = 2, seedBatchIds = Seq("b0"))
+      // the two stores share no state and land in different bundles —
+      // built overlapped (guide §2.6, graft.tools.Par): the text
+      // tokenize+commit back-fills the cores the ANN train/encode/commit
+      // chain leaves idle between its small jobs
+      graft.tools.Par.together(
+        () => TextIndex.writeBundle(docs.join(
+          e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi"), root, "tix", seedBatchIds = Seq("b0")),
+        () => AnnIndex.writeBundle(e, Embeddings.pqTrain(
+          RelOps.hashSample(e, "vec_id", 0.25), m = 8, k = 16, iters = 3),
+          root, "ann", nCentroids = 16, trainIters = 4, spill = 2,
+          seedBatchIds = Seq("b0")))
       Catalog.commitDeployment(s, root, "serving", Map(
         "tix" -> Catalog.latestBundleVersion(s, root, "tix").get,
         "ann" -> Catalog.latestBundleVersion(s, root, "ann").get))

@@ -201,10 +201,11 @@ object AnnIndex {
       queries: DataFrame, k: Int, rerank: Int = 50, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       within: Option[DataFrame] = None,
-      withinPairs: Option[DataFrame] = None): DataFrame =
+      withinPairs: Option[DataFrame] = None,
+      materialize: Boolean = true): DataFrame =
     serveCore(spark, readCentroids(spark, dir), readBooks(spark, dir),
       spark.read.parquet(s"$dir/codes.parquet"), corpus, queries, k,
-      rerank, nProbe, idCol, vecCol, within, withinPairs)
+      rerank, nProbe, idCol, vecCol, within, withinPairs, materialize)
 
   /** The one serve plan both the flat-directory index and the
     * bundle-backed index ([[knnBundle]]) run: probe cells planned on the
@@ -220,7 +221,8 @@ object AnnIndex {
       queries: DataFrame, k: Int, rerank: Int, nProbe: Int,
       idCol: String, vecCol: String,
       within: Option[DataFrame],
-      withinPairs: Option[DataFrame] = None): DataFrame = {
+      withinPairs: Option[DataFrame] = None,
+      materialize: Boolean = true): DataFrame = {
     require(rerank > k, s"AnnIndex.knn: rerank=$rerank must exceed k=$k")
     val probed = queries
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
@@ -265,8 +267,15 @@ object AnnIndex {
     val shortlist = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= rerank)
       .select(col("qid"), col("nid"))
-    graft.Lifecycle.withMaterialized()(
-      Similarity.rerankExact(shortlist, corpus, queries, k, idCol, vecCol))
+    val exact = Similarity.rerankExact(shortlist, corpus, queries, k, idCol, vecCol)
+    // `materialize = false` is the COMPOSED-serve shape (threeStage*):
+    // the caller's own MMR stage collects the fused pool within the same
+    // call — before anything can mutate the store — so the eager
+    // persist+count here would be one extra action per serve for a frame
+    // consumed exactly once. Direct/public serves keep the materialized
+    // contract (answers reflect call-time store state under later
+    // maintenance; caller owns the one unpersist — graft.Lifecycle).
+    if (materialize) graft.Lifecycle.withMaterialized()(exact) else exact
   }
 
   // ------------- bundle-backed index: the manifest IS the ledger -------------
@@ -390,7 +399,8 @@ object AnnIndex {
       nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
       within: Option[DataFrame] = None,
       version: Option[Long] = None,
-      withinPairs: Option[DataFrame] = None): DataFrame = {
+      withinPairs: Option[DataFrame] = None,
+      materialize: Boolean = true): DataFrame = {
     val v = version.orElse(Catalog.latestBundleVersion(spark, root, name))
       .getOrElse(sys.error(s"AnnIndex.knnBundle: no committed versions " +
         s"for '$name' under $root"))
@@ -399,7 +409,7 @@ object AnnIndex {
       parseBooks(Catalog.readBundleTable(spark, root, name, "books", Some(v))),
       Catalog.readBundleTable(spark, root, name, "codes", Some(v)),
       corpus, queries, k, rerank, nProbe, idCol, vecCol, within,
-      withinPairs)
+      withinPairs, materialize)
   }
 
   /** TAKEDOWN: remove a vector id set from the bundle-backed index in

@@ -87,10 +87,11 @@ object Embeddings {
         .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
       (0 until m).map(j => seed.map(v => v.slice(j * subDim, (j + 1) * subDim)))
     }
+    val native = hasVecDot(df)
     for (_ <- 1 to iters) {
       val staged = stageSubvectors(base, books, subDim)
       val cells = array((0 until m).map(j =>
-        nearestCode(col(s"__sub$j"), books(j))): _*)
+        nearestCode(col(s"__sub$j"), books(j), native)): _*)
       val stats = staged.withColumn("__cells", cells)
         .select(col("__cells"), posexplode(col("__v")).as(Seq("__pos", "__x")))
         .withColumn("__sub", (col("__pos") / subDim).cast("int"))
@@ -114,16 +115,33 @@ object Embeddings {
     books
   }
 
-  private def subDot(sub: Column, c: Seq[Double]): Column =
-    aggregate(zip_with(sub, typedLit(c), (a, b) => a * b), lit(0.0d), _ + _)
+  /** True when the active session registered the native codegen'd
+    * `vec_dot` (graft.GraftExtensions) — the PQ hot paths then score
+    * codewords through it instead of the interpreted
+    * `aggregate(zip_with(...))` fold. Bit-identical on the uniform-width
+    * vectors PQ operates on: both accumulate `Σ aᵢ·bᵢ` left-to-right in
+    * index order over the same doubles (the HOF stays the fallback and
+    * the semantics oracle, like Similarity.dotHof). Resolved ONCE per
+    * public entry point, not per codeword — m×k catalog lookups per plan
+    * would be waste.
+    */
+  private def hasVecDot(df: DataFrame): Boolean =
+    df.sparkSession.catalog.functionExists("vec_dot")
+
+  private def subDot(sub: Column, c: Seq[Double], native: Boolean): Column =
+    if (native) call_function("vec_dot", sub, typedLit(c))
+    else aggregate(zip_with(sub, typedLit(c), (a, b) => a * b), lit(0.0d), _ + _)
 
   /** argmin_c ‖sub − c‖² as argmax_c (2·sub·c − ‖c‖²): one fold over the
     * scored codewords (each score computed once — see the langId note on
-    * interpreted HOFs), ties to the lowest code.
+    * interpreted HOFs), ties to the lowest code. The k codeword dots are
+    * the per-row hot loop of every PQ encode/train pass — native
+    * codegen'd `vec_dot` when the session has it (`native`).
     */
-  private def nearestCode(sub: Column, book: IndexedSeq[IndexedSeq[Double]]): Column = {
+  private def nearestCode(sub: Column, book: IndexedSeq[IndexedSeq[Double]],
+      native: Boolean): Column = {
     val scored = array(book.zipWithIndex.map { case (c, i) =>
-      struct((lit(2.0d) * subDot(sub, c) - lit(c.map(x => x * x).sum)).as("s"),
+      struct((lit(2.0d) * subDot(sub, c, native) - lit(c.map(x => x * x).sum)).as("s"),
         lit(i).as("idx"))
     }: _*)
     aggregate(scored,
@@ -149,10 +167,11 @@ object Embeddings {
       vecCol: String = "embedding", as: String = "pq_codes"): DataFrame = {
     require(books.nonEmpty && books.head.nonEmpty, "pqEncode: empty codebooks")
     val subDim = books.head.head.size
+    val native = hasVecDot(df)
     val staged = stageSubvectors(df.withColumn("__v", asDouble(col(vecCol))), books, subDim)
     staged
       .withColumn(as, array(books.indices.map(j =>
-        nearestCode(col(s"__sub$j"), books(j))): _*))
+        nearestCode(col(s"__sub$j"), books(j), native)): _*))
       .drop("__v" +: books.indices.map(j => s"__sub$j"): _*)
   }
 

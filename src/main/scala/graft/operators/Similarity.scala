@@ -338,10 +338,21 @@ object Similarity {
           round(when(col("nna") * col("nnb") === 0, lit(0.0d))
             .otherwise(d(col("va"), col("vb")) / (col("nna") * col("nnb")))
             * lit(1e4), 0).cast("long").as("psim4"))
-      // bounded driver greedy: pool candidates, pool² pair rows
-      val cand = qsims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val psim = pairSims.collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // bounded driver greedy: pool candidates, pool² pair rows — both
+      // collected in ONE action (tagged union; `sub` is already
+      // cache-materialized by the resolution count, so every branch of
+      // the union job reads cache); a second collect was fixed overhead
+      val merged = qsims
+        .select(lit(0).as("__t"), col("nid").as("__a"), lit(0L).as("__b"),
+          col("qsim4").as("__v"))
+        .unionByName(pairSims
+          .select(lit(1).as("__t"), col("na").as("__a"), col("nb").as("__b"),
+            col("psim4").as("__v")))
+        .collect()
+      val cand = merged.filter(_.getInt(0) == 0)
+        .map(r => r.getLong(1) -> r.getLong(3)).toMap
+      val psim = merged.filter(_.getInt(0) == 1)
+        .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
       import spark.implicits._
       mmrGreedy(cand, psim, k).toDF("rank", "nid", "mmr4")
     } finally { sub.unpersist(); ids.unpersist(); () }
@@ -441,10 +452,22 @@ object Similarity {
             round(when(col("nna") * col("nnb") === 0, lit(0.0d))
               .otherwise(d(col("va"), col("vb")) / (col("nna") * col("nnb")))
               * lit(1e4), 0).cast("long").as("psim4"))
-        val candByQ = qsims.collect()
-          .groupBy(_.getLong(0))
+        // ONE collect for both bounded sides (tagged union): the
+        // relevance rows and the pair rows are each capped above, and a
+        // second collect action was pure fixed overhead — poolVecs is
+        // already cache-materialized (the resolution count), so the
+        // union job reads cache on every branch
+        val merged = qsims
+          .select(lit(0).as("__t"), col("qid"), col("nid").as("__a"),
+            lit(0L).as("__b"), col("qsim4").as("__v"))
+          .unionByName(pairSims
+            .select(lit(1).as("__t"), col("qid"), col("na").as("__a"),
+              col("nb").as("__b"), col("psim4").as("__v")))
+          .collect()
+        val candByQ = merged.filter(_.getInt(0) == 0)
+          .groupBy(_.getLong(1))
           .map { case (qid, rs) =>
-            qid -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+            qid -> rs.map(r => r.getLong(2) -> r.getLong(4)).toMap }
         // a qid whose pool has no row in queryVecs vanishes in the
         // inner join above — the pool-resolution check can't see it, so
         // without this the batch would silently return ZERO rows for
@@ -453,10 +476,10 @@ object Similarity {
           s"mmrRerankPoolBatch: qids ${sizes.keySet -- candByQ.keySet} " +
             s"have a pool but no '$idCol' row in the query-vector table " +
             "— qid mismatch between the retrieval stage and queryVecs")
-        val psimByQ = pairSims.collect()
-          .groupBy(_.getLong(0))
+        val psimByQ = merged.filter(_.getInt(0) == 1)
+          .groupBy(_.getLong(1))
           .map { case (qid, rs) =>
-            qid -> rs.map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap }
+            qid -> rs.map(r => (r.getLong(2), r.getLong(3)) -> r.getLong(4)).toMap }
         val rows = candByQ.keys.toSeq.sorted.flatMap { qid =>
           mmrGreedy(candByQ(qid), psimByQ.getOrElse(qid, Map.empty), k)
             .map { case (rank, nid, mmr4) => (qid, rank, nid, mmr4) }
@@ -497,9 +520,12 @@ object Similarity {
         k = poolK, within = within, withinPairs = withinPairs)
       .select(col("qid"), col("doc_id").as("nid"),
         col("rank").cast("int").as("lrank"))
+    // materialize = false: the MMR stage below collects the fused pool
+    // within this same call, so the ANN serve's eager persist+count
+    // would be one extra action for a frame consumed exactly once
     val vec = AnnIndex.knn(spark, annIdx, vecs, queryVecs, k = poolK,
         rerank = rerank, nProbe = nProbe, within = within,
-        withinPairs = withinPairs)
+        withinPairs = withinPairs, materialize = false)
       .select(col("qid"), col("nid"), col("rank").as("vrank"))
     val fused = rrfFuseBatch(lex, vec, fuseK, rrfK)
     mmrRerankPoolBatch(vecs, queryVecs,
@@ -539,9 +565,12 @@ object Similarity {
         withinPairs = withinPairs)
       .select(col("qid"), col("doc_id").as("nid"),
         col("rank").cast("int").as("lrank"))
+    // materialize = false: the MMR stage below collects the fused pool
+    // within this same call (before any maintenance can land), so the
+    // ANN serve's eager persist+count would be one extra action
     val vec = AnnIndex.knnBundle(spark, annRoot, annName, vecs, queryVecs,
         k = poolK, rerank = rerank, nProbe = nProbe, within = within,
-        version = Some(av), withinPairs = withinPairs)
+        version = Some(av), withinPairs = withinPairs, materialize = false)
       .select(col("qid"), col("nid"), col("rank").as("vrank"))
     val fused = rrfFuseBatch(lex, vec, fuseK, rrfK)
     mmrRerankPoolBatch(vecs, queryVecs,
@@ -623,9 +652,12 @@ object Similarity {
     val lex = TextIndex.bm25SearchBundle(spark, textRoot, textName,
         queryTerms, k = poolK, within = within, version = Some(tv))
       .select(col("doc_id").as("nid"), col("rank").cast("int").as("lrank"))
+    // materialize = false: the MMR stage below collects the fused pool
+    // within this same call (before any maintenance can land), so the
+    // ANN serve's eager persist+count would be one extra action
     val vec = AnnIndex.knnBundle(spark, annRoot, annName, vecs, queryVec,
         k = poolK, rerank = rerank, nProbe = nProbe, within = within,
-        version = Some(av))
+        version = Some(av), materialize = false)
       .select(col("nid"), col("rank").as("vrank"))
     val fused = rrfFuse(lex, vec, fuseK, rrfK)
     mmrRerankPool(vecs, queryVec, fused.select(col("nid")), k)

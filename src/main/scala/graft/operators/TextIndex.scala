@@ -417,6 +417,12 @@ object TextIndex {
       idCol: String = "doc_id", textCol: String = "text",
       seedBatchIds: Seq[String] = Nil): Long = {
     val p = postings(docs, idCol, textCol).persist()
+    // materialize BEFORE the commit: the two member writes (postings,
+    // the meta delta derived from them) run as overlapped jobs inside
+    // commitBundle, and racing on a lazily-persisted frame serializes
+    // both on the block locks (graft.Lifecycle's parallel-consumers
+    // rule) — one count() runs the tokenize pipeline exactly once
+    p.count()
     try Catalog.commitBundle(
       Seq("postings" -> p, "meta" -> batchMeta(p)),
       root, name, seedBatchIds, partitionBy = Map("postings" -> Seq("shard")))
@@ -441,6 +447,7 @@ object TextIndex {
     val pv = resolveVersion(spark, root, name, None, "reindexBundle")
     val prior = Catalog.bundleManifest(spark, root, name, Some(pv))
     val p = postings(docs, idCol, textCol).persist()
+    p.count() // one tokenize pass before the overlapped member writes
     try Catalog.commitBundle(
       Seq("postings" -> p, "meta" -> batchMeta(p)),
       root, name, prior.batches,
@@ -464,6 +471,7 @@ object TextIndex {
       docs: DataFrame, batchId: String, idCol: String = "doc_id",
       textCol: String = "text"): Boolean = {
     val p = postings(docs, idCol, textCol).persist()
+    p.count() // one tokenize pass before the overlapped member writes
     try Catalog.appendBundle(
       Seq("postings" -> p, "meta" -> batchMeta(p)),
       root, name, batchId)

@@ -1017,7 +1017,12 @@ object Catalog {
     val f = fsFor(spark, base)
     val token = newCommitToken()
     val staging = new HPath(base, s".staging-$token")
-    tables.foreach { case (ref, df) => writeMember(staging, ref, df, partitionBy) }
+    // members are independent file sets under one staging dir — write
+    // them as overlapped jobs (guide §2.6): each small write is
+    // fixed-overhead-dominated (plan, codegen, task launch, commit), and
+    // nothing below reads a member until the manifest names them all
+    graft.tools.Par.run(tables) { case (ref, df) =>
+      writeMember(staging, ref, df, partitionBy) }
     f.create(new HPath(staging, s"_writer-$token"), true).close()
     // batchIds seeds the ingest ledger: a snapshot BUILT from a batch
     // (the streaming twin's first micro-batch) records that batch's id,
@@ -1110,7 +1115,9 @@ object Catalog {
     checkPinned(pre)
     val token = newCommitToken()
     val staging = new HPath(base, s".staging-$token")
-    tables.foreach { case (ref, df) => writeMember(staging, ref, df, pre.parts) }
+    // independent member file sets — overlapped like commitBundle's
+    graft.tools.Par.run(tables) { case (ref, df) =>
+      writeMember(staging, ref, df, pre.parts) }
     f.create(new HPath(staging, s"_writer-$token"), true).close()
     val next = claimVersionSlot(f, base, staging, token,
       p => f.exists(new HPath(p, "_manifest")), "appendBundle") { (n, st) =>
@@ -1270,7 +1277,10 @@ object Catalog {
     val f = fsFor(spark, base)
     val token = newCommitToken()
     val staging = new HPath(base, s".staging-$token")
-    rewrite.toSeq.sortBy(_._1).foreach { case (ref, fn) =>
+    // rewrites are independent per member (every fn reads at the pinned
+    // version `pv`, never a staged sibling) — overlapped (guide §2.6);
+    // sorted order retained only to keep result-order deterministic
+    graft.tools.Par.run(rewrite.toSeq.sortBy(_._1)) { case (ref, fn) =>
       writeMember(staging, ref,
         fn(readBundleTable(spark, root, bundle, ref, Some(pv))), prior.parts)
     }
